@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Generic analytics operator surface (SURVEY.md §2.5): the reference's
+  * own query surface is scans/filters/aggregates/dedup, and the engine
+  * additionally exposes Spark's full relational algebra — joins (all
+  * strategies), top-k, windows, set ops, rollup, time and JSON
+  * functions — per the north-star directive in BASELINE.json.
+  *
+  * Numeric-parity convention (driver hash-compares against DuckDB):
+  * floating aggregates are computed over DECIMAL(18,4) casts (exact,
+  * order-independent) and cast back to DOUBLE at the end, so Spark and
+  * the oracle produce bit-identical doubles regardless of partial-agg
+  * order. Raw double columns pass through untouched.
+  *
+  * Scale notes: every aggregate is partial-aggregation friendly (one
+  * shuffle); dimension joins (region/nation/supplier/customer) are
+  * explicitly `broadcast()` — at 100 TB the fact side never shuffles
+  * for them; fact-fact joins (lineitem ⋈ orders) shuffle on the join
+  * key and AQE handles skew/coalescing.
+  */
+object Analytics {
+
+  private val dec = DecimalType(18, 4)
+  /** Exact sum of a double column: decimal-cast, sum, back to double. */
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+
+  /** TPC-H Q1-style scan+aggregate: one pass over lineitem, map-side
+    * partial aggregation, 6 groups out.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount")).cast(dec)).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: dimension-filtered fact join, top-10 by revenue.
+    * customer is broadcast; lineitem ⋈ orders shuffles on orderkey.
+    */
+  def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val orders = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val lineitem = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1) - col("l_discount")).cast(dec)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: full snowflake join (region→nation→customer/supplier
+    * →orders→lineitem), revenue by nation. All dims broadcast.
+    */
+  def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables(spark, dir, "nation")
+    val customer = Tables(spark, dir, "customer")
+    val supplier = Tables(spark, dir, "supplier")
+    val orders = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val lineitem = Tables(spark, dir, "lineitem")
+
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1) - col("l_discount")).cast(dec)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Global top-k: sort + limit (Spark's TakeOrderedAndProject — no full
+    * sort at scale).
+    */
+  def topKOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Per-group top-n via window row_number (analytic window surface). */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Set op INTERSECT: customers with both finished and open orders. */
+  def intersectCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(orders.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  /** Set op EXCEPT: positive-balance customers with no open order. */
+  def exceptCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val orders = Tables(spark, dir, "orders")
+    customer.filter(col("c_acctbal") > 0).select(col("c_custkey"))
+      .except(orders.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join (EXISTS): customers holding a >400k order. */
+  def bigSpenders(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val big = Tables(spark, dir, "orders").filter(col("o_totalprice") > 400000)
+    customer.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Anti join (NOT EXISTS): parts never shipped. */
+  def neverShippedParts(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir, "part")
+    val lineitem = Tables(spark, dir, "lineitem")
+    part.join(lineitem, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+  }
+
+  /** DISTINCT over low-cardinality pair (dedup-exact primitive). */
+  def distinctFlagStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** ROLLUP: order counts/turnover at (status, priority), (status), (). */
+  def orderRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("turnover"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("turnover"))
+      .orderBy("status", "priority")
+
+  /** Time-bucketed aggregate: monthly order volume (F1/F2 time surface). */
+  def monthlyOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("turnover"))
+      .orderBy("month")
+
+  /** JSON scalar extraction over the events props column (S3 surface). */
+  def eventPropsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("k_mod")
+}

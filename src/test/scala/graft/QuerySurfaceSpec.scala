@@ -1,0 +1,31 @@
+package graft
+
+/** Smoke over every SparkEntry query at sf0.001: runs, non-degenerate
+  * schema, and oracle coverage stays in lockstep with the query map.
+  * (Value-level correctness is the driver's DuckDB gate, mirrored
+  * locally by tools/check_correctness.py at sf0.01.)
+  */
+class QuerySurfaceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001 with a sane schema") {
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("every query has an oracle (or is explicitly rows-only)") {
+    val rowsOnly = Set.empty[String] // none yet; keep in sync when adding
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without query: $orphaned")
+  }
+}
