@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, EventsCdc}
+import graft.operators.{Analytics, Dedup, EventsCdc, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -43,7 +43,75 @@ object SparkEntry {
     "q_rollup_orders" -> (Analytics.orderRollup _),
     "q_monthly_orders" -> (Analytics.monthlyOrders _),
     "q_json_props" -> (Analytics.eventPropsAgg _),
+    // — dedup family over documents (north-star extensions)
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),
+    "dedup_lsh_pairs" -> (Dedup.lshCandidatePairs _),
+    "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
+    // — similarity search over embeddings
+    "ann_brute_force" -> (Similarity.bruteForceTopK _),
+    "ann_bucketed" -> (Similarity.bucketedTopK _),
+    "emb_near_dup_pairs" -> (Similarity.nearDupPairs _),
+    // — text analysis over documents
+    "text_token_stats" -> (TextAnalysis.tokenStats _),
+    "text_quality" -> (TextAnalysis.qualityScores _),
+    "text_langid_confusion" -> (TextAnalysis.langIdConfusion _),
+    "text_fingerprints" -> (TextAnalysis.fingerprints _),
+    // — multimodal binary-column plumbing
+    "mm_media_meta" -> (Multimodal.mediaMeta _),
   )
+
+  /** DuckDB shingle CTE shared by the minhash oracles: char 8-grams. */
+  private val gramsCte =
+    """g AS (
+      |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 8) AS g
+      |  FROM (SELECT doc_id, text,
+      |          unnest(generate_series(1, greatest(len(text) - 7, 0))) AS i
+      |        FROM documents WHERE len(text) >= 8))""".stripMargin
+
+  private val sigsCte =
+    s"""WITH $gramsCte,
+       |sigs AS (
+       |  SELECT doc_id,
+       |    min(md5('s0:' || g)) AS h0, min(md5('s1:' || g)) AS h1,
+       |    min(md5('s2:' || g)) AS h2, min(md5('s3:' || g)) AS h3
+       |  FROM g GROUP BY doc_id)""".stripMargin
+
+  /** hex4 → int via strpos arithmetic (portable; DuckDB lacks conv). */
+  private val hex4 = (1 to 4).map(p =>
+    s"(strpos('0123456789abcdef', substr(hh, $p, 1)) - 1) * ${1 << (4 * (4 - p))}")
+    .mkString(" + ")
+
+  private val simhashOracle = {
+    val sBits = (0 until 16).map(j =>
+      s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j")
+      .mkString(", ")
+    val compose = (0 until 16).map(j =>
+      s"(CASE WHEN s$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+       |h AS (SELECT doc_id, $hex4 AS h
+       |      FROM (SELECT doc_id, substr(md5(w), 1, 4) AS hh FROM tok)),
+       |s AS (SELECT doc_id, $sBits FROM h GROUP BY doc_id)
+       |SELECT doc_id, $compose AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** cosine(a,b) fragment over DuckDB lists (exact float→double
+    * products; rounded to 4 decimals before ranking, as in Spark).
+    */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"""(SELECT sum(CAST($x[CAST(i AS INTEGER)] AS DOUBLE) *
+         |            CAST($y[CAST(i AS INTEGER)] AS DOUBLE))
+         | FROM unnest(generate_series(1, len($a))) t(i))""".stripMargin
+    s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 4)"
+  }
+
+  private val bucketSql = (0 until 6).map(j =>
+    s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
+    .mkString(" + ")
 
   /** DuckDB-runnable oracle per query (driver compares hashes at sf0.01). */
   def oracleSql: Map[String, String] = Map(
@@ -176,5 +244,124 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_signatures" ->
+      s"""$sigsCte
+         |SELECT doc_id, h0, h1, h2, h3 FROM sigs ORDER BY doc_id""".stripMargin,
+    "dedup_lsh_pairs" ->
+      s"""$sigsCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, md5(h2 || h3) AS key FROM sigs)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_simhash" -> simhashOracle,
+    "dedup_ngram_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id % 10 = 0 AND len(text) >= 8),
+        |g AS (
+        |  SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INTEGER), 8) AS g
+        |  FROM (SELECT doc_id, lang, text,
+        |          unnest(generate_series(1, len(text) - 7)) AS i FROM s)),
+        |sizes AS (SELECT doc_id, count(*) AS c FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM g a JOIN g b
+        |    ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, i / (ca.c + cb.c - i) AS jaccard
+        |FROM inter
+        |JOIN sizes ca ON a_id = ca.doc_id
+        |JOIN sizes cb ON b_id = cb.doc_id
+        |WHERE i / (ca.c + cb.c - i) >= 0.1
+        |ORDER BY a_id, b_id""".stripMargin,
+    "ann_brute_force" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |pairs AS (
+         |  SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos
+         |  FROM q, embeddings e WHERE e.vec_id <> q.q_id)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM pairs) t
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "ann_bucketed" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+         |  FROM e WHERE vec_id < 8),
+         |pairs AS (
+         |  SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos
+         |  FROM q JOIN e ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM pairs) t
+         |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "emb_near_dup_pairs" ->
+      s"""WITH a AS (
+         |  SELECT vec_id AS a_id, label, embedding AS a_emb
+         |  FROM embeddings WHERE vec_id % 7 = 0),
+         |b AS (
+         |  SELECT vec_id AS b_id, label AS b_label, embedding AS b_emb
+         |  FROM embeddings WHERE vec_id % 7 = 1),
+         |p AS (
+         |  SELECT a_id, b_id, label, ${cosSql("a_emb", "b_emb")} AS cos
+         |  FROM a JOIN b ON label = b_label AND a_id < b_id)
+         |SELECT a_id, b_id, label, cos FROM p WHERE cos >= 0.25
+         |ORDER BY a_id, b_id""".stripMargin,
+    "text_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(text)) AS BIGINT) AS total_chars,
+        |  CAST(CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS DOUBLE)
+        |    / count(*) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split(trim(text), ' ')) AS avg_token_len,
+        |  CAST(len(list_filter(string_split(trim(text), ' '),
+        |         t -> list_contains(['the','a','of','and','in','to','is'], t))) AS DOUBLE)
+        |    / len(string_split(trim(text), ' ')) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid_confusion" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(trim(text), ' '),
+        |      t -> list_contains(['the','and','of','is'], t))) AS en,
+        |    len(list_filter(string_split(trim(text), ' '),
+        |      t -> list_contains(['der','die','das','und'], t))) AS de,
+        |    len(list_filter(string_split(trim(text), ' '),
+        |      t -> list_contains(['le','la','et','les'], t))) AS fr,
+        |    len(list_filter(string_split(trim(text), ' '),
+        |      t -> list_contains(['el','los','las','y'], t))) AS es
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |       WHEN fr >= es AND fr > 0 THEN 'fr'
+        |       WHEN es > 0 THEN 'es'
+        |       ELSE 'und' END AS predicted,
+        |  count(*) AS n
+        |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "text_fingerprints" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_media_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INTEGER) AS width,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 480 + 1 AS INTEGER) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for large-scale document corpora (north-star
+  * extension ops, BASELINE.json): exact, MinHash signatures, MinHash-LSH
+  * candidate pairs, SimHash, and n-gram Jaccard.
+  *
+  * Hash-parity design: every hash is built from `md5` over UTF-8 bytes —
+  * the one hash primitive Spark and DuckDB share bit-for-bit — so the
+  * driver's oracle can verify signatures exactly, not just row counts.
+  *
+  * Scale notes (100 TB):
+  *  - signatures are one narrow pass (shingle/hash/min all inside
+  *    whole-stage codegen via higher-order array functions — no explode,
+  *    no shuffle, no UDF);
+  *  - LSH banding turns the quadratic all-pairs problem into an
+  *    equi-join on (band, key): Spark shuffles both sides by the band
+  *    key — the classic shingle→minhash→band→bucket-join pipeline;
+  *  - the Jaccard verifier joins on shared shingles, which is safe only
+  *    on a candidate-restricted subset (here: every 10th doc) — at
+  *    scale you run it AFTER LSH pruning, never on the full corpus.
+  */
+object Dedup {
+
+  /** Char n-gram shingle array via SQL higher-order functions
+    * (substring with a column-valued position is only exposed through
+    * expr). Codegen'd — no explode, no UDF.
+    */
+  private def shingleExpr(n: Int): Column =
+    expr(s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))")
+
+  /** One MinHash value: min over shingles of md5(seed || shingle). */
+  private def minhash(grams: Column, seed: Int): Column =
+    array_min(transform(grams, g => md5(concat(lit(s"s$seed:"), g).cast("binary"))))
+
+  /** Exact dedup, keep-first: one surviving doc_id per normalized text
+    * plus its copy count. Hash-groupBy — single shuffle with map-side
+    * partial aggregation.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(lower(trim(col("text"))).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  /** MinHash signatures: 4 independent md5-derived min-hashes over char
+    * 8-gram shingles. Narrow, codegen'd, zero shuffles before the sort.
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val grams = shingleExpr(8)
+    Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= 8)
+      .withColumn("g", grams)
+      .select(
+        col("doc_id") +:
+        (0 until 4).map(k => minhash(col("g"), k).as(s"h$k")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** MinHash-LSH candidate pairs: signatures banded 2×2; docs sharing
+    * any band key become a candidate pair. The band explode + equi-join
+    * is the scale path — no all-pairs comparison ever materializes.
+    */
+  def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(col("h0"), col("h1")).cast("binary")).as("b0"),
+        md5(concat(col("h2"), col("h3")).cast("binary")).as("b1"))
+    val bands = sigs.select(col("doc_id"), lit(0).as("band"), col("b0").as("key"))
+      .unionByName(sigs.select(col("doc_id"), lit(1).as("band"), col("b1").as("key")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 16-bit SimHash over whitespace tokens: per bit, sign of the sum of
+    * ±1 token contributions. One explode + one hash aggregate with 16
+    * partial-agg-friendly sums — a single shuffle on doc_id.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+      .withColumn("h", conv(substring(md5(col("w").cast("binary")), 1, 4), 16, 10).cast("int"))
+    val sums = (0 until 16).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    val compose = (0 until 16).map { j =>
+      when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), compose.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** n-gram Jaccard verification on a candidate-restricted subset
+    * (every 10th doc, same-language pairs): |A∩B| via a join on shared
+    * shingles, |A∪B| = |A|+|B|−|A∩B|.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sample = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 8)
+      .withColumn("g", shingleExpr(8))
+    val grams = sample
+      .select(col("doc_id"), col("lang"), explode(col("g")).as("g"))
+      .distinct()
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.lang") === col("b.lang") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("ca"), col("a_id") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("b_id") === col("cb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("i") / (col("ca.c") + col("cb.c") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.1)
+      .orderBy("a_id", "b_id")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`) — the
+  * north-star ANN surface: brute-force cosine top-k as the exactness
+  * baseline, a sign-bucket (random-hyperplane-style LSH / coarse IVF)
+  * variant as the scale path, and a near-duplicate pair finder.
+  *
+  * Numeric parity: dot products and norms are computed in DOUBLE via
+  * ordered higher-order-function folds (`zip_with` + `aggregate`), then
+  * rounded to 4 decimals before ranking, with vec_id as tiebreak — the
+  * oracle computes the identical formula, so top-k sets match exactly.
+  *
+  * Scale notes: the query side is broadcast (top-k search is always
+  * few-queries × many-candidates); candidates stream through one narrow
+  * projection + a per-query top-k (window over rounded score). The
+  * bucketed variant prunes candidates with an equi-join on the bucket
+  * id before any arithmetic — the IVF pattern: at 100 TB you shuffle
+  * once by bucket, not by pair.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double, ordered fold — codegen'd, no UDF. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Sign-bucket id from the first 6 dimensions: a 64-way coarse
+    * partition (fixed pseudo-hyperplanes = coordinate axes; determinism
+    * keeps the oracle expressible).
+    */
+  private def bucket(emb: Column): Column =
+    (0 until 6).map { j =>
+      when(element_at(emb, j + 1) > 0f, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 8 against the
+    * full corpus. Exact baseline for ANN recall measurement.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) /
+          (norm(col("q_emb")) * norm(col("embedding"))), 4).as("cos"))
+    topPerQuery(scored, 5)
+  }
+
+  /** Bucketed ANN: candidates pruned to the query's sign-bucket before
+    * scoring (recall < 1 by design — this is the scale path; pair with
+    * [[bruteForceTopK]] to measure recall).
+    */
+  def bucketedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("bucket", bucket(col("embedding")))
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val scored = emb.join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) /
+          (norm(col("q_emb")) * norm(col("embedding"))), 4).as("cos"))
+    topPerQuery(scored, 3)
+  }
+
+  /** Embedding near-duplicate pairs on a deterministic sample (vec_id
+    * ≡ 0 and ≡ 1 mod 7), same-label, cosine ≥ 0.25.
+    */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val a = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
+    val b = emb.filter(col("vec_id") % 7 === 1)
+      .select(col("vec_id").as("b_id"), col("label").as("b_label"),
+        col("embedding").as("b_emb"))
+    a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("label"),
+        round(dot(col("a_emb"), col("b_emb")) /
+          (norm(col("a_emb")) * norm(col("b_emb"))), 4).as("cos"))
+      .filter(col("cos") >= 0.25)
+      .orderBy("a_id", "b_id")
+  }
+
+  private def topPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "vec_id", "cos")
+      .orderBy("q_id", "rn")
+  }
+}

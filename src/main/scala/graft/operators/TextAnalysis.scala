@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface for training-data pipelines: token statistics,
+  * quality scoring, n-gram-heuristic language ID, and document
+  * fingerprinting. All pure column expressions (codegen'd, no UDFs);
+  * ratios derive from integer counts so doubles match the oracle
+  * bit-for-bit.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  private def tokens(text: Column): Column = split(trim(text), " ")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Per-language corpus statistics (token counting at aggregate
+    * granularity).
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_char"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_char")).as("total_chars"))
+      .withColumn("avg_tokens", col("total_tokens").cast("double") / col("n_docs"))
+      .orderBy("lang")
+
+  /** Per-document quality signals: token count, mean token length,
+    * stopword ratio — the length/punct/stopword heuristics used to
+    * filter pretraining corpora.
+    */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(toks)).as("avg_token_len"),
+        (countIn(toks, stopwords).cast("double") / size(toks))
+          .as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword-overlap language-ID heuristic scored against the labeled
+    * lang column: confusion counts per (labeled, predicted) pair.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val en = countIn(toks, Seq("the", "and", "of", "is"))
+    val de = countIn(toks, Seq("der", "die", "das", "und"))
+    val fr = countIn(toks, Seq("le", "la", "et", "les"))
+    val es = countIn(toks, Seq("el", "los", "las", "y"))
+    val predicted =
+      when(en >= de && en >= fr && en >= es && en > 0, "en")
+        .when(de >= fr && de >= es && de > 0, "de")
+        .when(fr >= es && fr > 0, "fr")
+        .when(es > 0, "es")
+        .otherwise("und")
+    Tables(spark, dir, "documents")
+      .select(col("lang"), predicted.as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Order-insensitive document fingerprint: md5 over the sorted
+    * distinct token set (bag-of-words identity; robust to shuffling).
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")
+          .cast("binary")).as("fingerprint"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the extension operators (value-level parity with
+  * DuckDB is the driver gate; these assert the *properties* each
+  * operator must hold).
+  */
+class ExtensionOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_exact: survivors are unique and keep the smallest doc_id") {
+    val out = Dedup.exact(spark, dir)
+    val n = out.count()
+    assert(out.select("doc_id").distinct().count() === n)
+    val total = Tables(spark, dir, "documents").count()
+    assert(out.agg(sum("n_copies")).head().getLong(0) === total)
+  }
+
+  test("minhash signatures: identical text ⇒ identical signature") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "an utterly different string with other grams"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ignore") // not used; direct call below
+    val grams = expr("transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))")
+    val sig = docs.withColumn("g", grams)
+      .select($"doc_id", array_min(transform($"g",
+        g => md5(concat(lit("s0:"), g).cast("binary")))).as("h0"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(3L))
+  }
+
+  test("LSH pairs ⊇ identical-signature docs and are ordered a<b") {
+    val pairs = Dedup.lshCandidatePairs(spark, dir).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("simhash: 16-bit range and deterministic") {
+    val s1 = Dedup.simhash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(s1.forall { case (_, h) => h >= 0 && h < (1 << 16) })
+    val s2 = Dedup.simhash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(s1.toSeq === s2.toSeq)
+  }
+
+  test("jaccard pairs are within (0,1]") {
+    val j = Dedup.ngramJaccardPairs(spark, dir).collect()
+    assert(j.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("brute-force ANN: k results per query, cos within [-1,1], self excluded") {
+    val out = Similarity.bruteForceTopK(spark, dir)
+    val perQ = out.groupBy("q_id").count().collect()
+    assert(perQ.forall(_.getLong(1) === 5L))
+    assert(out.filter(col("q_id") === col("vec_id")).count() === 0)
+    assert(out.filter(col("cos") > 1.0 || col("cos") < -1.0).count() === 0)
+  }
+
+  test("bucketed ANN results are a subset of the same-bucket candidates and rank-1 ≤ brute-force rank-1 cos") {
+    import spark.implicits._
+    val brute = Similarity.bruteForceTopK(spark, dir)
+      .filter($"rn" === 1).select($"q_id", $"cos".as("brute_cos"))
+    val bucketed = Similarity.bucketedTopK(spark, dir)
+      .filter($"rn" === 1).select($"q_id", $"cos".as("bucket_cos"))
+    val joined = brute.join(bucketed, "q_id").collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r => r.getDouble(2) <= r.getDouble(1) + 1e-9))
+  }
+
+  test("quality scores: ratios in [0,1], avg token length positive") {
+    val q = TextAnalysis.qualityScores(spark, dir).collect()
+    assert(q.forall(r => r.getDouble(3) >= 0 && r.getDouble(3) <= 1))
+    assert(q.forall(r => r.getDouble(2) > 0))
+  }
+
+  test("fingerprints: token-order insensitive") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"))
+      .toDF("doc_id", "text")
+    val fp = docs.select(md5(array_join(array_sort(array_distinct(
+      split(trim($"text"), " "))), " ").cast("binary")).as("f"))
+      .collect().map(_.getString(0))
+    assert(fp(0) === fp(1))
+  }
+
+  test("multimodal: stub decoder preserves ids, fixed feature width, deterministic") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(spark, dir)
+      .as[Multimodal.MediaRow]
+    val feats = Multimodal.decodeFeatures(media, dim = 8).collect()
+    assert(feats.length === Tables(spark, dir, "documents").count())
+    assert(feats.forall(_.features.length === 8))
+    val byId = feats.map(f => f.media_id -> f.features.toSeq).toMap
+    val again = Multimodal.decodeFeatures(media, dim = 8).collect()
+    assert(again.forall(f => byId(f.media_id) === f.features.toSeq))
+  }
+}
