@@ -74,8 +74,8 @@ object SparkEntry {
     s"""WITH $gramsCte,
        |sigs AS (
        |  SELECT doc_id,
-       |    min(md5('s0:' || g)) AS h0, min(md5('s1:' || g)) AS h1,
-       |    min(md5('s2:' || g)) AS h2, min(md5('s3:' || g)) AS h3
+       |    min(substr(md5(g), 1, 8)) AS h0, min(substr(md5(g), 9, 8)) AS h1,
+       |    min(substr(md5(g), 17, 8)) AS h2, min(substr(md5(g), 25, 8)) AS h3
        |  FROM g GROUP BY doc_id)""".stripMargin
 
   /** hex4 → int via strpos arithmetic (portable; DuckDB lacks conv). */
