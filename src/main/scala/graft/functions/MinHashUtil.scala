@@ -1,0 +1,76 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass n-gram MinHash kernel, called from both the interpreted and
+  * codegen paths of [[NgramMinHashMd5]].
+  *
+  * Semantics (bit-for-bit what the DuckDB oracle computes): for every
+  * window of `n` code points of `text`, take `md5` of the window's UTF-8
+  * bytes; slice the 32-hex-char digest into `k` 8-hex-char substrings;
+  * return the per-slice minimum as lowercase hex strings.
+  *
+  * Why this is fast where the equivalent
+  * `transform(shingles, g -> md5(g))` pipeline is not: no shingle string
+  * array, no per-shingle UTF8String, no 32-char hex digest string — the
+  * window is hashed directly from the row's UTF-8 byte buffer
+  * (`md.update(bytes, off, len)`), the digest goes into one reused
+  * 16-byte buffer, and each 8-hex-char slice is compared as an unsigned
+  * 32-bit int (hex is order-preserving: fixed-width lowercase hex sorts
+  * identically to the unsigned value). Only the k winning slices are
+  * ever formatted as strings, once per row.
+  */
+object MinHashUtil {
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** @return array<string> of `k` 8-hex-char minima, or null if the text
+    *         has fewer than `n` code points (mirrors `array_min([])`).
+    */
+  def ngramMinHashMd5(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    // Code-point start offsets (UTF-8 continuation bytes are 10xxxxxx);
+    // windows are n code points, matching substr() in Spark and DuckDB.
+    val starts = new Array[Int](len + 1)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(m) = i; m += 1 }
+      i += 1
+    }
+    starts(m) = len
+    if (m < n) return null
+
+    val md = md5.get()
+    val digest = new Array[Byte](16)
+    val mins = Array.fill(k)(0xFFFFFFFFL)
+    var w = 0
+    while (w <= m - n) {
+      md.reset()
+      md.update(bytes, starts(w), starts(w + n) - starts(w))
+      md.digest(digest, 0, 16)
+      var j = 0
+      while (j < k) {
+        val o = j * 4
+        val v = ((digest(o) & 0xFFL) << 24) | ((digest(o + 1) & 0xFFL) << 16) |
+          ((digest(o + 2) & 0xFFL) << 8) | (digest(o + 3) & 0xFFL)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      w += 1
+    }
+    val out = new Array[AnyRef](k)
+    var j = 0
+    while (j < k) {
+      out(j) = UTF8String.fromString(f"${mins(j)}%08x")
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.NgramMinHashMd5
+import org.apache.spark.sql.functions._
+
+/** The native MinHash expression must agree bit-for-bit with the
+  * composed-builtin definition it replaces (and with the DuckDB oracle):
+  * per 8-code-point window g, md5(g) sliced into 8-hex-char substrings,
+  * min per slice.
+  */
+class NgramMinHashSpec extends SparkSpec {
+
+  private def builtinForm(n: Int, k: Int) = {
+    val grams = expr(
+      s"transform(sequence(1, length(s) - ${n - 1}), i -> substring(s, i, $n))")
+    val d = transform(grams, g => md5(g.cast("binary")))
+    (0 until k).map(j =>
+      array_min(transform(d, x => substring(x, j * 8 + 1, 8))).as(s"b$j"))
+  }
+
+  private val samples = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "aaaaaaaaaa",           // degenerate: one distinct shingle
+    "exactly8!",            // barely above the window size
+    "12345678",             // exactly one window
+    "héllo wörld — naïve façade über ça",  // multibyte UTF-8
+    "日本語のテキストです、これは八文字以上",  // 3-byte code points
+    "mixed ascii と 日本語 and ümlauts"
+  )
+
+  test("native expression == composed builtins, per slice, incl. multibyte") {
+    import spark.implicits._
+    val df = samples.toDF("s")
+    val native = df.select(
+      (0 until 4).map(j =>
+        element_at(NgramMinHashMd5.signature(col("s"), 8, 4), j + 1).as(s"a$j")): _*)
+    val builtin = df.select(builtinForm(8, 4): _*)
+    assert(native.collect().map(_.toSeq) === builtin.collect().map(_.toSeq))
+  }
+
+  test("short and null inputs yield null") {
+    import spark.implicits._
+    val df = Seq(Some("1234567"), Some(""), None).toDF("s")
+    val out = df.select(NgramMinHashMd5.signature(col("s"), 8, 4).as("sig")).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("interpreted path agrees with codegen") {
+    import spark.implicits._
+    val df = samples.toDF("s")
+    val expr8 = NgramMinHashMd5.signature(col("s"), 8, 4)
+    val viaCodegen = df.select(expr8.as("sig")).collect().map(_.getSeq[String](0))
+    // Force the interpreted path for the same rows.
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(expr8.as("sig")).collect().map(_.getSeq[String](0))
+      assert(viaCodegen.map(_.toList).toList === interp.map(_.toList).toList)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("window counting is by code point, not byte") {
+    import spark.implicits._
+    // 7 code points but >8 bytes: must be null (no 8-cp window exists).
+    val df = Seq("ééééééé").toDF("s")
+    val out = df.select(NgramMinHashMd5.signature(col("s"), 8, 4).as("sig")).collect()
+    assert(out.head.isNullAt(0))
+  }
+}
