@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Dedup, EventsCdc, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, EventsCdc, Multimodal, Similarity, Temporal, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -41,8 +41,13 @@ object SparkEntry {
     "q_antijoin_never_shipped" -> (Analytics.neverShippedParts _),
     "q_distinct_flag_status" -> (Analytics.distinctFlagStatus _),
     "q_rollup_orders" -> (Analytics.orderRollup _),
+    "q_cube_orders" -> (Analytics.orderCube _),
     "q_monthly_orders" -> (Analytics.monthlyOrders _),
     "q_json_props" -> (Analytics.eventPropsAgg _),
+    "q_corr_above_avg" -> (Analytics.aboveAvgOrders _),
+    // — temporal operators over events (as-of join, sessionization)
+    "q_asof_attribution" -> (Temporal.lastTouchAttribution _),
+    "q_sessionize" -> ((s: SparkSession, d: String) => Temporal.sessionize(s, d)),
     // — dedup family over documents (north-star extensions)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),
@@ -223,7 +228,9 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q_antijoin_never_shipped" ->
       """SELECT p_partkey, p_name FROM part
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey
+        |    AND l_shipdate >= TIMESTAMP '2001-01-01')
         |ORDER BY p_partkey""".stripMargin,
     "q_distinct_flag_status" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
@@ -239,6 +246,50 @@ object SparkEntry {
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS turnover
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cube_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS turnover
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_corr_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |           OVER (PARTITION BY o_custkey) AS DOUBLE)
+        |      / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+        |  FROM orders) t
+        |WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin,
+    "q_asof_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT purchase_id, p.user_id, purchase_ts, click_id, click_ts,
+        |  epoch_us(purchase_ts) - epoch_us(click_ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+        |ORDER BY purchase_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM l),
+        |s AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM f)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
         |  count(*) AS n,

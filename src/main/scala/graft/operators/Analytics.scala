@@ -141,11 +141,15 @@ object Analytics {
       .orderBy("c_custkey")
   }
 
-  /** Anti join (NOT EXISTS): parts never shipped. */
+  /** Anti join (NOT EXISTS): parts with no shipment in the final year
+    * (the date filter keeps the result non-trivial — a right side that
+    * covers every part would make the anti join vacuously empty).
+    */
   def neverShippedParts(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables(spark, dir, "part")
-    val lineitem = Tables(spark, dir, "lineitem")
-    part.join(lineitem, col("p_partkey") === col("l_partkey"), "left_anti")
+    val recent = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+    part.join(recent, col("p_partkey") === col("l_partkey"), "left_anti")
       .select("p_partkey", "p_name")
       .orderBy("p_partkey")
   }
@@ -174,6 +178,38 @@ object Analytics {
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("turnover"))
       .orderBy("month")
+
+  /** Correlated scalar subquery (orders above their customer's average
+    * order value), expressed in decorrelated window form: the per-key
+    * aggregate rides the same partitioning as the rows it annotates —
+    * ONE shuffle, where the naive groupBy+self-join form takes two.
+    * This is the rewrite Catalyst's RewriteCorrelatedScalarSubquery
+    * performs; stating it directly keeps the plan shape explicit.
+    */
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("cust_avg",
+        sum(col("o_totalprice").cast(dec)).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+      .orderBy("o_orderkey")
+  }
+
+  /** CUBE: all four grouping combinations of (status, priority) in one
+    * pass (rollup's sibling; completes the grouping-sets surface).
+    */
+  def orderCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("turnover"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("turnover"))
+      .orderBy("status", "priority")
 
   /** JSON scalar extraction over the events props column (S3 surface). */
   def eventPropsAgg(spark: SparkSession, dir: String): DataFrame =

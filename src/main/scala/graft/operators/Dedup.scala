@@ -117,9 +117,13 @@ object Dedup {
     val sample = Tables(spark, dir, "documents")
       .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 8)
       .withColumn("g", shingleExpr(8))
+    // The gram set feeds three plan branches (both join sides + sizes);
+    // checkpoint it once or the scan+explode+distinct runs 3×. Cluster
+    // analog: persist the shingle table before the pair join.
     val grams = sample
       .select(col("doc_id"), col("lang"), explode(col("g")).as("g"))
       .distinct()
+      .localCheckpoint()
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val inter = grams.as("a")
       .join(grams.as("b"),

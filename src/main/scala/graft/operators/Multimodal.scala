@@ -70,6 +70,53 @@ object Multimodal {
     }
   }
 
+  /** Resized media row: payload re-encoded at target dimensions. */
+  case class ResizedRow(media_id: Long, width: Int, height: Int, content: Array[Byte])
+
+  /** One sampled frame from a video payload. */
+  case class FrameRow(media_id: Long, frame_idx: Int, ts_ms: Long, content: Array[Byte])
+
+  /** STUB RESIZE — per-partition batch transform to fixed target
+    * dimensions. A real deployment decodes each batch, resamples, and
+    * re-encodes inside the partition function; the fake keeps a
+    * deterministic byte slice proportional to the target area so output
+    * size scales the way a real resize does. Narrow (no shuffle); the
+    * output schema (typed dims + binary payload) is the production shape.
+    */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        // ??? real resample goes here; fake: slice bytes to ~area/64
+        val n = math.max(1, math.min(r.content.length, w * h / 64))
+        ResizedRow(r.media_id, w, h, r.content.take(n))
+      }
+    }
+  }
+
+  /** STUB FRAME SAMPLER — the one multimodal op that changes
+    * cardinality: each video row explodes into `everyNthMs`-spaced
+    * frames. Implemented as `flatMap` over partition batches (1→N rows,
+    * still narrow); a real build hands the container to a demuxer and
+    * yields decoded frames. Frame count is derived deterministically
+    * from payload size so tests can assert the contract.
+    */
+  def frameSample(media: Dataset[MediaRow], everyNthMs: Long = 1000L,
+                  maxFrames: Int = 8): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      // ??? real demux/decode goes here; fake duration: 1 ms per byte
+      val durationMs = r.content.length.toLong
+      val n = math.min(maxFrames, (durationMs / everyNthMs + 1).toInt)
+      (0 until n).map { i =>
+        val ts = i * everyNthMs
+        // fake frame payload: a window into the source bytes at `ts`
+        val off = (ts % math.max(1, r.content.length)).toInt
+        FrameRow(r.media_id, i, ts, r.content.slice(off, math.min(off + 16, r.content.length)))
+      }
+    }
+  }
+
   /** The driver-checkable query: metadata extraction over the
     * fabricated media table.
     */

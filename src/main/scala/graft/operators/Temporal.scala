@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Temporal operators over event streams: as-of join and
+  * sessionization — the two workhorses of event-time feature
+  * engineering that Spark lacks as built-ins.
+  *
+  * Scale notes (100 TB):
+  *  - [[asofJoin]] uses the union + running-`last` trick: both sides
+  *    shuffle ONCE on the key, then a single window pass picks the
+  *    latest right row per left row. The naive alternative — a range
+  *    join (`l.key = r.key AND r.t <= l.t`) then max-per-left — explodes
+  *    quadratically per key and is unusable at scale.
+  *  - [[sessionize]] is one shuffle on user_id; the gap flag + running
+  *    sum + session aggregate all ride the same partitioning, so
+  *    Catalyst plans a single Exchange reused across the three steps.
+  */
+object Temporal {
+
+  private val dec = DecimalType(18, 4)
+
+  /** As-of join: for each left row, the latest right row with the same
+    * `key` and `right(rightTime) <= left(leftTime)` (inclusive; at
+    * equal timestamps the right row is visible to the left row). Left
+    * rows with no prior right row keep nulls — LEFT ASOF semantics.
+    *
+    * Right columns (except `key`) are emitted with `rightPrefix`.
+    * Single shuffle on `key`; no range-join blowup.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               rightPrefix: String = ""): DataFrame = {
+    val rPayloadCols = right.columns.filterNot(_ == key).toSeq
+    val rStruct = struct(rPayloadCols.map(col): _*)
+    val rType = right.select(rStruct.as("r")).schema("r").dataType
+    val lStruct = struct(left.columns.toSeq.map(col): _*)
+    val lType = left.select(lStruct.as("l")).schema("l").dataType
+
+    // side=0 sorts right rows before left rows at equal time ⇒ inclusive
+    val r2 = right.select(col(key).as("__key"), col(rightTime).as("__t"),
+      lit(0).as("__side"), rStruct.as("__r"), lit(null).cast(lType).as("__l"))
+    val l2 = left.select(col(key).as("__key"), col(leftTime).as("__t"),
+      lit(1).as("__side"), lit(null).cast(rType).as("__r"), lStruct.as("__l"))
+
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val out = r2.unionByName(l2)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val leftCols = left.columns.toSeq.map(c => col(s"__l.$c").as(c))
+    val rightCols = rPayloadCols.map(c => col(s"__match.$c").as(s"$rightPrefix$c"))
+    out.select(leftCols ++ rightCols: _*)
+  }
+
+  /** Last-touch attribution: each purchase event joined as-of to the
+    * user's most recent prior (or simultaneous) click, with the
+    * click→purchase gap in microseconds; purchases with no prior click
+    * keep nulls.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    asofJoin(purchases, clicks, "user_id", "purchase_ts", "click_ts")
+      .withColumn("gap_us",
+        unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+      .select("purchase_id", "user_id", "purchase_ts", "click_id",
+        "click_ts", "gap_us")
+      .orderBy("purchase_id")
+  }
+
+  /** Sessionization: per-user sessions split at inactivity gaps
+    * > `gapUs` (default 6 h). lag → gap flag → running sum (session
+    * seq) → session aggregate, all on one user_id partitioning.
+    */
+  def sessionize(spark: SparkSession, dir: String,
+                 gapUs: Long = 6L * 3600 * 1000 * 1000): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(running))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast(dec)).cast("double").as("total_value"))
+      .orderBy("user_id", "session_seq")
+  }
+}

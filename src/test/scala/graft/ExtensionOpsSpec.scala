@@ -99,4 +99,30 @@ class ExtensionOpsSpec extends SparkSpec {
     val again = Multimodal.decodeFeatures(media, dim = 8).collect()
     assert(again.forall(f => byId(f.media_id) === f.features.toSeq))
   }
+
+  test("multimodal: resize keeps ids 1:1, stamps target dims, bounds payload") {
+    val media = Multimodal.mediaFromDocuments(spark, dir)
+      .as[Multimodal.MediaRow](org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val out = Multimodal.resize(media, 64, 64).collect()
+    assert(out.length === Tables(spark, dir, "documents").count())
+    assert(out.forall(r => r.width === 64 && r.height === 64))
+    assert(out.forall(_.content.length <= 64 * 64 / 64))
+  }
+
+  test("multimodal: frame sampler explodes 1→N with monotone timestamps") {
+    val media = Multimodal.mediaFromDocuments(spark, dir)
+      .as[Multimodal.MediaRow](org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val frames = Multimodal.frameSample(media, everyNthMs = 100L, maxFrames = 4)
+      .collect()
+    val srcCount = Tables(spark, dir, "documents").count()
+    assert(frames.length >= srcCount) // every media row yields ≥1 frame
+    val perId = frames.groupBy(_.media_id)
+    assert(perId.values.forall(_.length <= 4))
+    assert(perId.values.forall { fs =>
+      fs.sortBy(_.frame_idx).map(_.ts_ms).toSeq.sliding(2).forall {
+        case Seq(a, b) => b == a + 100L
+        case _ => true
+      }
+    })
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the temporal operators: as-of join edge cases
+  * (tie inclusivity, no-prior-row nulls, latest-wins) and session
+  * splitting.
+  */
+class TemporalSpec extends SparkSpec {
+
+  test("asofJoin: latest prior right row wins; ties are inclusive; no prior ⇒ null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, "l_a"), // after r at 50 and 90 → matches 90
+      (1L, 90L, "l_tie"), // tie with r at 90 → inclusive match
+      (1L, 10L, "l_early"), // before any r → null
+      (2L, 500L, "l_other") // key with no right rows at all → null
+    ).toDF("k", "t", "l_name")
+    val right = Seq(
+      (1L, 50L, "r_50"),
+      (1L, 90L, "r_90")
+    ).toDF("k", "t", "r_name")
+
+    val out = Temporal.asofJoin(left, right, "k", "t", "t", rightPrefix = "m_")
+      .collect().map(r => r.getAs[String]("l_name") ->
+        Option(r.getAs[String]("m_r_name"))).toMap
+    assert(out("l_a") === Some("r_90"))
+    assert(out("l_tie") === Some("r_90"))
+    assert(out("l_early") === None)
+    assert(out("l_other") === None)
+  }
+
+  test("asofJoin: single shuffle — one Exchange in the plan") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "l_name")
+    val right = Seq((1L, 5L, "y")).toDF("k", "t", "r_name")
+    val plan = Temporal.asofJoin(left, right, "k", "t", "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 === 1, s"plan had >1 shuffle:\n$plan")
+  }
+
+  test("sessionize: gap splits sessions, totals preserved") {
+    val out = Temporal.sessionize(spark, "/root/testdata/sf0.001")
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+    // every event lands in exactly one session
+    assert(out.agg(sum("n_events")).head().getLong(0) === ev.count())
+    // sessions never overlap per user: start of session n+1 is after end of n
+    val bad = out.as("a").join(out.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.session_seq") + 1 === col("b.session_seq") &&
+        col("b.session_start") <= col("a.session_end"))
+    assert(bad.count() === 0)
+  }
+}
