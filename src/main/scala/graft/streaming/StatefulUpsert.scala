@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.schema.ChangeEvent.Booking
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Pure-streaming variants of the versioned-upsert collapse — the
+  * bounded-state alternative SURVEY.md T4 reserves for when the
+  * log+view model's unbounded log is unwanted.
+  *
+  * [[latestPerKey]] keeps exactly ONE Booking per key in state
+  * (`mapGroupsWithState`) and emits the current winner each micro-batch:
+  * the streaming analog of `ReplacingMergeTree`'s background merge
+  * (`/root/reference/schemas/clickhouse_schemas.sql:11-13`) — state size
+  * is O(live keys), independent of change volume, and late/replayed
+  * events lose the same deterministic recency order the batch
+  * `finalView` uses (version desc, is_deleted desc, modified_at desc).
+  *
+  * [[windowedEventCounts]] is the watermarked tumbling-window aggregate
+  * surface: event-time windows with bounded state, late rows beyond the
+  * watermark dropped — Structured Streaming's incremental-MV contract
+  * for time-bucketed aggregations (the streaming analog of the
+  * cdc_hourly_stats batch query).
+  *
+  * Scale notes: both operators shuffle once on their grouping key per
+  * micro-batch; state lives in the state store (RocksDB-backed on a real
+  * cluster), so a 1000-executor job holds 1000 state shards — key
+  * cardinality, not event volume, bounds memory.
+  */
+object StatefulUpsert {
+
+  /** Same total order as VersionedUpsert.bookingOrder, as a pure
+    * comparison: is `a` strictly newer than `b`?
+    */
+  private[streaming] def newer(a: Booking, b: Booking): Boolean =
+    if (a.version != b.version) a.version > b.version
+    else if (a.is_deleted != b.is_deleted) a.is_deleted > b.is_deleted
+    else (a.modified_at != null && b.modified_at != null &&
+      a.modified_at.after(b.modified_at))
+
+  /** Streaming FINAL: one state entry per booking_id holding the
+    * current argmax row; each micro-batch emits the (possibly updated)
+    * winner for every key it touched. Use `outputMode("update")`.
+    * Tombstones ARE emitted (is_deleted=1) so downstream sinks can
+    * propagate deletes; filter them for a FINAL-equivalent table.
+    */
+  def latestPerKey(upserts: Dataset[Booking]): Dataset[Booking] = {
+    implicit val enc = Encoders.product[Booking]
+    implicit val senc = Encoders.STRING
+    upserts
+      .groupByKey(_.booking_id)
+      .mapGroupsWithState[Booking, Booking](GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Booking], state: GroupState[Booking]) =>
+          var cur = state.getOption.orNull
+          rows.foreach { r => if (cur == null || newer(r, cur)) cur = r }
+          state.update(cur)
+          cur
+      }
+  }
+
+  /** Watermarked tumbling-window counts over an event stream with an
+    * event-time `ts` column: 1-hour windows, 2-hour lateness bound.
+    * Append mode emits each window once, when the watermark passes it.
+    */
+  def windowedEventCounts(events: DataFrame,
+                          windowLen: String = "1 hour",
+                          lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+}

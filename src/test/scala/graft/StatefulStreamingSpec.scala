@@ -1,0 +1,71 @@
+package graft
+
+import graft.schema.ChangeEvent.Booking
+import graft.streaming.StatefulUpsert
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Bounded-state streaming: mapGroupsWithState keeps one row per key
+  * across micro-batches (streaming ReplacingMergeTree), and watermarked
+  * windows emit exactly once after the watermark passes.
+  */
+class StatefulStreamingSpec extends SparkSpec {
+
+  private def b(id: String, status: String, v: Long, del: Int = 0): Booking =
+    Booking(id, status, del, is_canceled = false,
+      new Timestamp(1000L * v), new Timestamp(1000L * v), v)
+
+  test("latestPerKey: state carries max version across batches; stale replays lose") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Booking]
+    val q = StatefulUpsert.latestPerKey(in.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("su").start()
+    try {
+      in.addData(b("b1", "Open", 1), b("b2", "Created", 2))
+      q.processAllAvailable()
+      // batch 2: in-batch disorder (v5 before v3) + a stale cross-batch
+      // replay of b2 v1, which must lose to the v2 held in state
+      in.addData(b("b1", "Closed", 5), b("b1", "Stale", 3), b("b2", "Old", 1))
+      q.processAllAvailable()
+      val rows = spark.table("su").as[Booking].collect()
+      val b1Emitted = rows.filter(_.booking_id == "b1").map(_.version).toSet
+      assert(b1Emitted === Set(1L, 5L)) // v3 never won a batch, never emitted
+      assert(rows.filter(_.booking_id == "b2").map(_.version).toSet === Set(2L))
+      assert(!rows.exists(r => r.booking_id == "b2" && r.status == "Old"))
+
+      // batch 3: delete wins and is emitted as a tombstone
+      in.addData(b("b1", "Closed", 6, del = 1))
+      q.processAllAvailable()
+      val last = spark.table("su").as[Booking].collect()
+        .filter(_.booking_id == "b1").maxBy(_.version)
+      assert(last.is_deleted === 1 && last.version === 6L)
+    } finally q.stop()
+  }
+
+  test("windowedEventCounts: watermark emits closed windows once, bounds state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String)]
+    val events = in.toDF().toDF("ts", "event_type")
+    val q = StatefulUpsert.windowedEventCounts(events)
+      .writeStream.outputMode("append").format("memory").queryName("wec").start()
+    try {
+      def t(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      in.addData((t(0), "click"), (t(0, 30), "click"), (t(1), "view"))
+      q.processAllAvailable()
+      // advance event time far past hour-0 + 2h lateness...
+      in.addData((t(6), "click"))
+      q.processAllAvailable()
+      // ...and one more batch so the new watermark takes effect
+      in.addData((t(6, 30), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("wec")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      assert(rows.contains((t(0), "click", 2L)))
+      assert(rows.contains((t(1), "view", 1L)))
+      // hour-6 window is still open: not emitted in append mode
+      assert(!rows.exists(_._1 == t(6)))
+    } finally q.stop()
+  }
+}
