@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Analytics, Dedup, EventsCdc, Temporal}
+
+/** Physical-plan guardrails: the scale properties each operator's plan
+  * must keep (filter pushdown to the parquet scan, column pruning,
+  * broadcast dimension joins, shuffle counts). These are the properties
+  * that make the difference at 100 TB; a refactor that silently loses
+  * one should fail here, not in production.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def shuffles(p: String): Int = p.split("Exchange hashpartitioning").length - 1
+
+  test("changelog scan: predicate pushed to parquet, columns pruned") {
+    val p = EventsCdc.changelogScan(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("In(event_type") || p.contains("IsNotNull(event_type"), p)
+    // projection is 4 columns; ts/props must not be read
+    assert(!p.contains("props"), s"props not pruned:\n$p")
+  }
+
+  test("q5 snowflake: every dimension joins via broadcast, facts shuffle once") {
+    val p = plan(Analytics.nationRevenue(spark, dir))
+    val broadcasts = p.split("BroadcastHashJoin").length - 1
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, plan:\n$p")
+    // only the lineitem ⋈ orders join and the final agg may shuffle
+    assert(shuffles(p) <= 3, s"too many shuffles (${shuffles(p)}):\n$p")
+  }
+
+  test("finalView dedup: exactly one shuffle on the key") {
+    val p = plan(EventsCdc.latestEvents(spark, dir))
+    assert(shuffles(p) === 1, s"expected 1 hash shuffle:\n$p")
+  }
+
+  test("asof join and sessionize: single shuffle each") {
+    assert(shuffles(plan(Temporal.lastTouchAttribution(spark, dir))) === 1)
+    assert(shuffles(plan(Temporal.sessionize(spark, dir))) === 1)
+  }
+
+  test("correlated-subquery window form: one shuffle, no self-join") {
+    val p = plan(Analytics.aboveAvgOrders(spark, dir))
+    assert(shuffles(p) === 1, s"expected 1 shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("minhash signatures: narrow until the output sort (no pre-sort shuffle)") {
+    val df = Dedup.minhashSignatures(spark, dir)
+    val p = plan(df)
+    // rangepartitioning for the final orderBy is fine; no hash shuffle
+    assert(shuffles(p) === 0, s"signature pass must not hash-shuffle:\n$p")
+    // the single-pass native expression is in the plan (not a UDF or
+    // a composed shingle-array pipeline)
+    assert(p.contains("ngram_minhash_md5"), s"expected native expression:\n$p")
+  }
+
+  test("top-k: TakeOrderedAndProject, not a global sort") {
+    val p = plan(Analytics.topKOrders(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
