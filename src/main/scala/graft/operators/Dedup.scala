@@ -36,12 +36,15 @@ object Dedup {
   val numHashes = 4
 
   /** Exact dedup, keep-first: one surviving doc_id per normalized text
-    * plus its copy count. Hash-groupBy — single shuffle with map-side
-    * partial aggregation.
+    * plus its copy count. Groups by the md5 of the normalized text, not
+    * the text itself: map-side partial aggregation collapses duplicates
+    * before the exchange either way, but the shuffle rows carry a
+    * 16-byte digest instead of the document body — at corpus scale the
+    * exchange moves ~32 bytes/group instead of the whole corpus.
     */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .groupBy(lower(trim(col("text"))).as("norm"))
+      .groupBy(md5(lower(trim(col("text"))).cast("binary")).as("norm"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
       .orderBy("doc_id")

@@ -46,14 +46,19 @@ object Similarity {
     * full corpus. Exact baseline for ANN recall measurement.
     */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    // Norms are precomputed per row BEFORE the pair join — identical
+    // doubles (same fold order), but each vector's norm is evaluated
+    // once instead of once per pair.
     val emb = Tables(spark, dir, "embeddings")
+      .withColumn("nrm", norm(col("embedding")))
     val queries = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dot(col("q_emb"), col("embedding")) /
-          (norm(col("q_emb")) * norm(col("embedding"))), 4).as("cos"))
+          (col("q_nrm") * col("nrm")), 4).as("cos"))
     topPerQuery(scored, 5)
   }
 
@@ -64,14 +69,15 @@ object Similarity {
   def bucketedTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("bucket", bucket(col("embedding")))
+      .withColumn("nrm", norm(col("embedding")))
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("bucket").as("q_bucket"))
+        col("bucket").as("q_bucket"), col("nrm").as("q_nrm"))
     val scored = emb.join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dot(col("q_emb"), col("embedding")) /
-          (norm(col("q_emb")) * norm(col("embedding"))), 4).as("cos"))
+          (col("q_nrm") * col("nrm")), 4).as("cos"))
     topPerQuery(scored, 3)
   }
 
@@ -80,15 +86,17 @@ object Similarity {
     */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
+      .withColumn("nrm", norm(col("embedding")))
     val a = emb.filter(col("vec_id") % 7 === 0)
-      .select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
+      .select(col("vec_id").as("a_id"), col("label"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = emb.filter(col("vec_id") % 7 === 1)
       .select(col("vec_id").as("b_id"), col("label").as("b_label"),
-        col("embedding").as("b_emb"))
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("label"),
         round(dot(col("a_emb"), col("b_emb")) /
-          (norm(col("a_emb")) * norm(col("b_emb"))), 4).as("cos"))
+          (col("a_nrm") * col("b_nrm")), 4).as("cos"))
       .filter(col("cos") >= 0.25)
       .orderBy("a_id", "b_id")
   }
