@@ -63,6 +63,8 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.qualityScores _),
     "text_langid_confusion" -> (TextAnalysis.langIdConfusion _),
     "text_fingerprints" -> (TextAnalysis.fingerprints _),
+    "text_subword_stats" -> (TextAnalysis.subwordStats _),
+    "text_rolling_hash" -> (TextAnalysis.rollingHashes _),
     // — multimodal binary-column plumbing
     "mm_media_meta" -> (Multimodal.mediaMeta _),
   )
@@ -406,6 +408,29 @@ object SparkEntry {
     "text_fingerprints" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_subword_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+        |    AS n_subwords,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE)
+        |    / len(string_split(trim(text), ' ')) AS fertility
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(text, ''),
+        |                     c -> CAST(ord(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS content_hash,
+        |  list_min(list_transform(
+        |    generate_series(1, greatest(len(text) - 15, 1)),
+        |    s -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(s, least(s + 15, len(text))),
+        |                       i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 2147483647))) AS winnow_min
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_media_meta" ->
       """SELECT doc_id AS media_id, 'image' AS kind,

@@ -82,4 +82,50 @@ object TextAnalysis {
         md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")
           .cast("binary")).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** BPE-ish subword counting next to whitespace tokens: alnum runs and
+    * single punctuation marks each count as one subword (the shape a
+    * byte-pair tokenizer's pre-tokenization produces). `fertility` =
+    * subwords per whitespace token — the standard tokenizer-cost metric.
+    * Pure regex count, codegen'd, narrow.
+    */
+  def subwordStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"))
+          .cast("long").as("n_subwords"))
+      .withColumn("fertility",
+        col("n_subwords").cast("double") / col("n_ws_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling-hash document fingerprint (Rabin-Karp polynomial, base 31
+    * mod 2^31−1): the full-content hash plus the minimum over all
+    * 16-char window hashes (the winnowing primitive used for local
+    * similarity / plagiarism-style fingerprints). One narrow codegen'd
+    * pass via higher-order functions — O(16·n) per doc, no UDF.
+    */
+  def rollingHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(
+            |  transform(sequence(1, length(text)),
+            |            i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+            |  CAST(0 AS BIGINT),
+            |  (acc, x) -> (acc * 31 + x) % 2147483647)""".stripMargin)
+          .as("content_hash"),
+        expr(
+          """array_min(transform(
+            |  sequence(1, greatest(length(text) - 15, 1)),
+            |  s -> aggregate(
+            |    sequence(s, least(s + 15, length(text))),
+            |    CAST(0 AS BIGINT),
+            |    (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 2147483647)))""".stripMargin)
+          .as("winnow_min"))
+      .orderBy("doc_id")
 }
