@@ -23,15 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double, ordered fold — codegen'd, no UDF. */
+  /** Σ aᵢ·bᵢ in double, ordered accumulation — the native codegen'd
+    * [[graft.functions.DotProductD]] expression (bit-identical to the
+    * `zip_with`+`aggregate` fold it replaces, which ran on the
+    * interpreted lambda path and dominated the pair-scoring loop).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProductD(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Sign-bucket id from the first 6 dimensions: a 64-way coarse
     * partition (fixed pseudo-hyperplanes = coordinate axes; determinism

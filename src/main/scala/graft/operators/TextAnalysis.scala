@@ -106,26 +106,16 @@ object TextAnalysis {
     * mod 2^31−1): the full-content hash plus the minimum over all
     * 16-char window hashes (the winnowing primitive used for local
     * similarity / plagiarism-style fingerprints). One narrow codegen'd
-    * pass via higher-order functions — O(16·n) per doc, no UDF.
+    * O(n) pass via the native [[graft.functions.RollingHash]]
+    * expression — the equivalent nested higher-order-function form runs
+    * interpreted at O(window·n) and was ~70× slower at sf0.1.
     */
   def rollingHashes(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
+      .withColumn("rh", graft.functions.RollingHash.of(col("text"), 16))
       .select(
         col("doc_id"),
-        expr(
-          """aggregate(
-            |  transform(sequence(1, length(text)),
-            |            i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
-            |  CAST(0 AS BIGINT),
-            |  (acc, x) -> (acc * 31 + x) % 2147483647)""".stripMargin)
-          .as("content_hash"),
-        expr(
-          """array_min(transform(
-            |  sequence(1, greatest(length(text) - 15, 1)),
-            |  s -> aggregate(
-            |    sequence(s, least(s + 15, length(text))),
-            |    CAST(0 AS BIGINT),
-            |    (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 2147483647)))""".stripMargin)
-          .as("winnow_min"))
+        element_at(col("rh"), 1).as("content_hash"),
+        element_at(col("rh"), 2).as("winnow_min"))
       .orderBy("doc_id")
 }
