@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation tooling for hot join keys.
+  *
+  * AQE's skew-join rule (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default here) already splits oversized sort-merge partitions at
+  * runtime; salting remains the tool for the cases it does not reach —
+  * a hash-partitioned join whose single hottest key exceeds one
+  * executor, or a pre-partitioned layout that must stay stable across
+  * stages. The classic trade: the big side's hot partitions split
+  * `saltBuckets` ways at the cost of replicating the small side
+  * `saltBuckets`×, so keep the small side genuinely small.
+  */
+object Skew {
+
+  /** Inner equi-join with a salted key: the big side gets a
+    * deterministic per-row salt in `[0, saltBuckets)` (hash of all
+    * columns — no RNG, so retries/replays place rows identically), the
+    * small side is replicated once per salt value, and the join runs on
+    * `(key, salt)` — spreading a hot key over `saltBuckets` reducers.
+    * Result set is exactly the plain inner join's.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 2, s"saltBuckets must be >= 2, got $saltBuckets")
+    val salted = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col): _*), lit(saltBuckets)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -44,6 +44,22 @@ object ChangeLog {
         .option("startingOffsets", "earliest")
         .load())
 
+  /** JDBC snapshot scan — the prod form of the reference's one-shot
+    * `postgresql()` pull (`/root/reference/README.md:156-168`), used for
+    * the initial backfill (stamp `version=1` downstream via
+    * `VersionedUpsert.backfill`). `partitionColumn`/bounds split the
+    * read across executors; like [[kafkaStream]], not exercised in
+    * tests (no database in the harness) — tests use the parquet path.
+    */
+  def jdbcSnapshot(spark: SparkSession, url: String, table: String,
+                   props: java.util.Properties,
+                   partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame =
+    partitionColumn match {
+      case Some((c, lo, hi, n)) =>
+        spark.read.jdbc(url, table, c, lo, hi, n, props)
+      case None => spark.read.jdbc(url, table, props)
+    }
+
   /** File-based change-log stream (tests / file-landed CDC). */
   def fileStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(ChangeEvent.envelopeSchema).parquet(dir)
