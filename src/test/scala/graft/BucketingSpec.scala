@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Bucketing
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located join: the write-once shuffle pays off as an
+  * Exchange-free join plan, with results identical to the plain join.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("same-bucketed tables join with zero exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    Bucketing.writeBucketed(
+      orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      "orders_b", "o_custkey", 4)
+    Bucketing.writeBucketed(
+      customer.select(col("c_custkey").as("o_custkey"), col("c_name")),
+      "customer_b", "o_custkey", 4)
+    // force a non-broadcast plan so the bucketed sort-merge path shows
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "orders_b", "customer_b", "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      // identical result set to the plain join
+      val expected = orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}
