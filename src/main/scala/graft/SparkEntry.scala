@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Dedup, EventsCdc, Multimodal, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Analytics, Dedup, EventsCdc, Multimodal, Similarity, Skew, Temporal, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -48,6 +48,7 @@ object SparkEntry {
     // — temporal operators over events (as-of join, sessionization)
     "q_asof_attribution" -> (Temporal.lastTouchAttribution _),
     "q_sessionize" -> ((s: SparkSession, d: String) => Temporal.sessionize(s, d)),
+    "q_salted_join" -> (Skew.saltedSupplierRevenue _),
     // — dedup family over documents (north-star extensions)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),
@@ -297,6 +298,12 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_salted_join" ->
+      """SELECT s_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,

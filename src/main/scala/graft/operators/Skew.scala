@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Skew-mitigation tooling for hot join keys.
   *
@@ -31,5 +33,25 @@ object Skew {
     val replicated = small.withColumn("__salt",
       explode(array((0 until saltBuckets).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Driver-checkable query: revenue per supplier through the salted
+    * join — the result is identical to the plain join (the oracle
+    * states the plain SQL), the plan spreads each supplier key over 8
+    * salt buckets before the aggregate.
+    */
+  def saltedSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val sup = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    saltedJoin(li, sup, "l_suppkey", saltBuckets = 8)
+      .groupBy(col("s_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount")).cast(dec)).cast("double").as("revenue"))
+      .orderBy("s_name")
   }
 }
