@@ -43,6 +43,32 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latestPerKey over the README workload reaches the 6-row golden table") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.{MvTransform, VersionedUpsert}
+    import graft.sources.WorkloadFixture
+    import spark.implicits._
+    val upserts = MvTransform(WorkloadFixture.toDf(spark))
+      .as[Booking].collect().toSeq
+    val (wave1, wave2) = upserts.splitAt(upserts.size / 2)
+
+    val in = MemoryStream[Booking]
+    val q = StatefulUpsert.latestPerKey(in.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("golden").start()
+    try {
+      in.addData(wave1); q.processAllAvailable()
+      in.addData(wave2); q.processAllAvailable()
+      // per key, the last state emission is the max-version row; FINAL
+      // filters tombstones — must equal the batch finalView golden table
+      val streamed = VersionedUpsert.finalViewAgg(spark.table("golden"))
+        .select("booking_id", "status").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(streamed === Seq(
+        ("b1", "Open"), ("b10", "Completed"), ("b2", "Created"),
+        ("b7", "Completed"), ("b8", "Cancelled"), ("b9", "Cancelled")))
+    } finally q.stop()
+  }
+
   test("windowedEventCounts: watermark emits closed windows once, bounds state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
