@@ -45,6 +45,8 @@ object SparkEntry {
     "q_monthly_orders" -> (Analytics.monthlyOrders _),
     "q_json_props" -> (Analytics.eventPropsAgg _),
     "q_corr_above_avg" -> (Analytics.aboveAvgOrders _),
+    "q_percentiles" -> (Analytics.orderPercentiles _),
+    "q_stats_orders" -> (Analytics.orderStats _),
     // — temporal operators over events (as-of join, sessionization)
     "q_asof_attribution" -> (Temporal.lastTouchAttribution _),
     "q_sessionize" -> ((s: SparkSession, d: String) => Temporal.sessionize(s, d)),
@@ -264,6 +266,21 @@ object SparkEntry {
         |      / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
         |  FROM orders) t
         |WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS med,
+        |  quantile_cont(o_totalprice, 0.95) AS p95
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stats_orders" ->
+      """WITH s AS (
+        |  SELECT o_orderstatus, count(*) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(19,4)) *
+        |             CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS s2
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, n, round(s1 / n, 4) AS mean_price,
+        |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS stddev_price
+        |FROM s ORDER BY o_orderstatus""".stripMargin,
     "q_asof_attribution" ->
       """WITH p AS (
         |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts

@@ -211,6 +211,43 @@ object Analytics {
         col("n"), col("turnover"))
       .orderBy("status", "priority")
 
+  /** Exact interpolated percentiles (median, p95) per priority class —
+    * Spark's `percentile` is the exact (sort-based) form, matching
+    * DuckDB's `quantile_cont` interpolation.
+    */
+  def orderPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, array(0.5D, 0.95D))").as("p"))
+      .select(col("o_orderpriority"),
+        element_at(col("p"), 1).as("med"),
+        element_at(col("p"), 2).as("p95"))
+      .orderBy("o_orderpriority")
+
+  /** Statistical aggregates with order-independent exactness: mean and
+    * sample stddev derived from DECIMAL power sums (Σx, Σx²) rather
+    * than Spark's streaming moments, whose double accumulation order
+    * would differ from the oracle's. One shuffle, partial-agg friendly.
+    */
+  def orderStats(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice").cast(dec)
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("s1"),
+        sum(x * x).cast("double").as("s2"))
+      .select(
+        col("o_orderstatus"),
+        col("n"),
+        round(col("s1") / col("n"), 4).as("mean_price"),
+        // rounded to 4 decimals: the int128→double conversion of Σx²
+        // can differ by one ULP between engines
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 4)
+          .as("stddev_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** JSON scalar extraction over the events props column (S3 surface). */
   def eventPropsAgg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
