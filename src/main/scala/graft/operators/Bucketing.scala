@@ -31,4 +31,14 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), Seq(key))
+
+  /** Hive-style partitioned layout (`dir/col=value/...`): equality and
+    * range predicates on the partition column prune whole directories
+    * at planning time (`PartitionFilters` in the scan) — the coarse
+    * companion to parquet row-group skipping, and the standard layout
+    * for time-series fact tables (partition by day, prune to the query
+    * window before a single byte is read).
+    */
+  def writePartitioned(df: DataFrame, dir: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(dir)
 }

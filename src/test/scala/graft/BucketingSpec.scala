@@ -8,6 +8,28 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkSpec {
 
+  test("partitioned layout prunes directories at planning time") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = Tables(spark, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    Bucketing.writePartitioned(events, out, "event_date")
+
+    val pruned = spark.read.parquet(out)
+      .filter(col("event_date") === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:"), plan)
+    assert(plan.contains("event_date"), plan)
+    // the scan touches exactly one of the ~30 date partitions
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned === Some(1), s"expected 1 partition scanned, got $scanned")
+    // and the rows match the unpartitioned filter
+    assert(pruned.count() ===
+      events.filter(col("event_date") === "2024-01-05").count())
+  }
+
   test("same-bucketed tables join with zero exchanges") {
     val dir = "/root/testdata/sf0.001"
     val orders = Tables(spark, dir, "orders")
