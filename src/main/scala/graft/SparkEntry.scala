@@ -60,6 +60,7 @@ object SparkEntry {
     // — similarity search over embeddings
     "ann_brute_force" -> (Similarity.bruteForceTopK _),
     "ann_bucketed" -> (Similarity.bucketedTopK _),
+    "ann_ivf" -> (Similarity.ivfTopK _),
     "emb_near_dup_pairs" -> (Similarity.nearDupPairs _),
     // — text analysis over documents
     "text_token_stats" -> (TextAnalysis.tokenStats _),
@@ -377,6 +378,28 @@ object SparkEntry {
          |pairs AS (
          |  SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos
          |  FROM q JOIN e ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM pairs) t
+         |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+         |a0 AS (
+         |  SELECT e.vec_id, e.embedding, c_id,
+         |    ${cosSql("e.embedding", "c_emb")} AS c_cos
+         |  FROM embeddings e, c),
+         |a1 AS (
+         |  SELECT vec_id, embedding, c_id AS cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+         |  FROM a0),
+         |assigned AS (SELECT vec_id, embedding, cell FROM a1 WHERE rn = 1),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, cell AS q_cell
+         |  FROM assigned WHERE vec_id >= 8 AND vec_id < 16),
+         |pairs AS (
+         |  SELECT q_id, a.vec_id, ${cosSql("q_emb", "a.embedding")} AS cos
+         |  FROM q JOIN assigned a ON a.cell = q.q_cell AND a.vec_id <> q.q_id)
          |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
          |  FROM pairs) t

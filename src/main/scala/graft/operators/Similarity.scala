@@ -101,6 +101,43 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  /** IVF (inverted-file) ANN: every vector is assigned to the cell of
+    * its nearest centroid; a query searches only its own cell. The
+    * "trained" centroid set is a deterministic stand-in (the first 8
+    * vectors — production would k-means a sample; the cell-assignment
+    * and cell-restricted-search plumbing is identical). Assignment is
+    * one broadcast×corpus pass + a per-vector argmax window; the search
+    * is an equi-join on cell id — at scale one shuffle by cell, the
+    * same pattern as [[bucketedTopK]] with learned instead of axis-
+    * aligned partitions.
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("nrm", norm(col("embedding")))
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    // cell = nearest centroid by (rounded) cosine, smallest c_id on ties
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("c_cos",
+        round(dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
+    val queries = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell").as("q_cell"))
+    val scored = assigned.join(broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 4).as("cos"))
+    topPerQuery(scored, 3)
+  }
+
   private def topPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
