@@ -112,6 +112,59 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Connected components over a candidate-pair graph by iterative
+    * min-label propagation (Pregel-lite): every doc converges to the
+    * smallest doc_id in its duplicate cluster. Near-dup clusters have
+    * tiny diameter (pairs share LSH buckets), so convergence takes 2-4
+    * rounds; each round is one join + one aggregate on the same key,
+    * with `localCheckpoint` truncating the lineage (the loop would
+    * otherwise replan the whole history every iteration — the standard
+    * iterative-algorithm discipline on Spark).
+    *
+    * @param pairs columns (a_id, b_id); undirected edges
+    * @return (id, cluster) — cluster = min doc_id reachable
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // each node adopts min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("n_cluster"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).isEmpty
+      labels = next
+      it += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters iters")
+    labels
+  }
+
+  /** The full dedup pipeline: LSH candidate pairs → duplicate clusters
+    * → surviving corpus (smallest doc_id per cluster; docs in no pair
+    * survive trivially).
+    */
+  def survivors(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id")
+    val reps = clusters(lshCandidatePairs(spark, dir))
+    docs.join(reps, docs("doc_id") === reps("id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .select("doc_id")
+  }
+
   /** n-gram Jaccard verification on a candidate-restricted subset
     * (every 10th doc, same-language pairs): |A∩B| via a join on shared
     * shingles, |A∪B| = |A|+|B|−|A∩B|.

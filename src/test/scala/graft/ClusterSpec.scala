@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Connected components by min-label propagation: agreement with a
+  * serial union-find on random graphs, and the survivors pipeline's
+  * invariants on real LSH pairs.
+  */
+class ClusterSpec extends SparkSpec {
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    ids.map(i => i -> find(i)).toMap
+  }
+
+  test("clusters agree with serial union-find on random graphs") {
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 60).map { _ =>
+        val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val got = Dedup.clusters(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === unionFind(40, edges), s"seed=$seed")
+    }
+  }
+
+  test("survivors: one representative per cluster, unpaired docs all survive") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = Dedup.lshCandidatePairs(spark, dir)
+    val surv = Dedup.survivors(spark, dir)
+    val total = Tables(spark, dir, "documents").count()
+    val clustered = Dedup.clusters(pairs)
+    val nClusters = clustered.select("cluster").distinct().count()
+    val nClusteredDocs = clustered.count()
+    // every doc either survives or was folded into a cluster rep
+    assert(surv.count() === total - nClusteredDocs + nClusters)
+    // no surviving pair: both ends of any candidate pair never co-survive
+    val coSurvive = pairs
+      .join(surv.withColumnRenamed("doc_id", "a_id"), "a_id")
+      .join(surv.withColumnRenamed("doc_id", "b_id"), "b_id")
+    assert(coSurvive.count() === 0)
+  }
+}
