@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Dedup, EventsCdc, Multimodal, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Analytics, Dedup, EventsCdc, Multimodal, Sampling, Similarity, Skew, Temporal, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -69,6 +69,8 @@ object SparkEntry {
     "text_fingerprints" -> (TextAnalysis.fingerprints _),
     "text_subword_stats" -> (TextAnalysis.subwordStats _),
     "text_rolling_hash" -> (TextAnalysis.rollingHashes _),
+    "text_quality_filter" -> (Sampling.qualityFilter _),
+    "q_train_split" -> (Sampling.splitSummary _),
     // — multimodal binary-column plumbing
     "mm_media_meta" -> (Multimodal.mediaMeta _),
   )
@@ -92,6 +94,11 @@ object SparkEntry {
   /** hex4 → int via strpos arithmetic (portable; DuckDB lacks conv). */
   private val hex4 = (1 to 4).map(p =>
     s"(strpos('0123456789abcdef', substr(hh, $p, 1)) - 1) * ${1 << (4 * (4 - p))}")
+    .mkString(" + ")
+
+  /** First 7 hex chars of md5(text) → bigint (mirrors Sampling.pctBucket). */
+  private val hex7 = (1 to 7).map(p =>
+    s"(strpos('0123456789abcdef', substr(md5(text), $p, 1)) - 1) * ${1L << (4 * (7 - p))}")
     .mkString(" + ")
 
   private val simhashOracle = {
@@ -456,6 +463,25 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_filter" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE len(string_split(trim(text), ' ')) >= 5
+        |  AND CAST(len(replace(text, ' ', '')) AS DOUBLE)
+        |        / len(string_split(trim(text), ' ')) BETWEEN 2.0 AND 12.0
+        |  AND CAST(len(list_filter(string_split(trim(text), ' '),
+        |        t -> list_contains(['the','a','of','and','in','to','is'], t))) AS DOUBLE)
+        |        / len(string_split(trim(text), ' ')) >= 0.05
+        |ORDER BY doc_id""".stripMargin,
+    "q_train_split" ->
+      s"""WITH b AS (
+         |  SELECT lang, text,
+         |    CASE WHEN ($hex7) % 100 < 90 THEN 'train'
+         |         WHEN ($hex7) % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, lang, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_subword_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,
