@@ -56,6 +56,7 @@ object SparkEntry {
     "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),
     "dedup_lsh_pairs" -> (Dedup.lshCandidatePairs _),
     "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
     // — similarity search over embeddings
     "ann_brute_force" -> (Similarity.bruteForceTopK _),
@@ -101,7 +102,8 @@ object SparkEntry {
     s"(strpos('0123456789abcdef', substr(md5(text), $p, 1)) - 1) * ${1L << (4 * (7 - p))}")
     .mkString(" + ")
 
-  private val simhashOracle = {
+  /** Shared simhash CTE chain ending in `sh(doc_id, simhash)`. */
+  private val simhashCte = {
     val sBits = (0 until 16).map(j =>
       s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j")
       .mkString(", ")
@@ -112,9 +114,12 @@ object SparkEntry {
        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
        |h AS (SELECT doc_id, $hex4 AS h
        |      FROM (SELECT doc_id, substr(md5(w), 1, 4) AS hh FROM tok)),
-       |s AS (SELECT doc_id, $sBits FROM h GROUP BY doc_id)
-       |SELECT doc_id, $compose AS simhash FROM s ORDER BY doc_id""".stripMargin
+       |s AS (SELECT doc_id, $sBits FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $compose AS simhash FROM s)""".stripMargin
   }
+
+  private val simhashOracle =
+    s"$simhashCte\nSELECT doc_id, simhash FROM sh ORDER BY doc_id"
 
   /** cosine(a,b) fragment over DuckDB lists (exact float→double
     * products; rounded to 4 decimals before ranking, as in Spark).
@@ -346,6 +351,18 @@ object SparkEntry {
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |ORDER BY a_id, b_id""".stripMargin,
     "dedup_simhash" -> simhashOracle,
+    "dedup_simhash_pairs" ->
+      s"""$simhashCte,
+         |bands AS (
+         |  SELECT doc_id, simhash, 0 AS band, simhash // 256 AS key FROM sh
+         |  UNION ALL
+         |  SELECT doc_id, simhash, 1 AS band, simhash % 256 AS key FROM sh)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH s AS (
         |  SELECT doc_id, lang, text FROM documents

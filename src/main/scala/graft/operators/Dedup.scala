@@ -112,6 +112,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SimHash candidate pairs: the 16-bit simhash banded into its two
+    * 8-bit halves; docs sharing either half become candidates (any pair
+    * within Hamming distance 8 shares at least one intact half —
+    * pigeonhole), then the exact Hamming distance (`bit_count` of the
+    * xor) verifies at ≤ 3. Same band→bucket-join shape as the MinHash
+    * LSH path: never an all-pairs comparison.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(spark, dir).localCheckpoint() // feeds both join sides
+    val bands = sh
+      .select(col("doc_id"), col("simhash"), lit(0).as("band"),
+        shiftright(col("simhash"), 8).as("key"))
+      .unionByName(sh.select(col("doc_id"), col("simhash"), lit(1).as("band"),
+        col("simhash").bitwiseAND(lit(255L)).as("key")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Connected components over a candidate-pair graph by iterative
     * min-label propagation (Pregel-lite): every doc converges to the
     * smallest doc_id in its duplicate cluster. Near-dup clusters have
