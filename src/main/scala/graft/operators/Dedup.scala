@@ -195,28 +195,27 @@ object Dedup {
     * shingles, |A∪B| = |A|+|B|−|A∩B|.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sample = Tables(spark, dir, "documents")
+    // Dedup is only needed WITHIN a doc, so `array_distinct` does it
+    // narrowly before the explode — no global distinct shuffle — and
+    // the per-doc gram count rides along in the same row, replacing
+    // two size-table joins with agg-side `first()`. The gram table
+    // still feeds both join sides: checkpoint once (cluster analog:
+    // persist the shingle table before the pair join).
+    val grams = Tables(spark, dir, "documents")
       .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 8)
-      .withColumn("g", shingleExpr(8))
-    // The gram set feeds three plan branches (both join sides + sizes);
-    // checkpoint it once or the scan+explode+distinct runs 3×. Cluster
-    // analog: persist the shingle table before the pair join.
-    val grams = sample
-      .select(col("doc_id"), col("lang"), explode(col("g")).as("g"))
-      .distinct()
+      .withColumn("gs", array_distinct(shingleExpr(8)))
+      .select(col("doc_id"), col("lang"), size(col("gs")).as("c"),
+        explode(col("gs")).as("g"))
       .localCheckpoint()
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val inter = grams.as("a")
+    grams.as("a")
       .join(grams.as("b"),
         col("a.g") === col("b.g") && col("a.lang") === col("b.lang") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("ca"), col("a_id") === col("ca.doc_id"))
-      .join(sizes.as("cb"), col("b_id") === col("cb.doc_id"))
+      .agg(count(lit(1)).as("i"),
+        first(col("a.c")).as("ca"), first(col("b.c")).as("cb"))
       .select(col("a_id"), col("b_id"),
-        (col("i") / (col("ca.c") + col("cb.c") - col("i"))).as("jaccard"))
+        (col("i") / (col("ca") + col("cb") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= 0.1)
       .orderBy("a_id", "b_id")
   }
