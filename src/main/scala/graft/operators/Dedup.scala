@@ -56,6 +56,12 @@ object Dedup {
     * the composed-builtin form). Narrow: zero shuffles before the sort.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesUnsorted(spark, dir).orderBy("doc_id")
+
+  /** Signature pass without the presentation sort — what downstream
+    * operators (LSH banding) consume; the sort is oracle-output only.
+    */
+  private def signaturesUnsorted(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .filter(length(col("text")) >= 8)
       .withColumn("sig",
@@ -63,7 +69,6 @@ object Dedup {
       .select(
         col("doc_id") +:
         (0 until numHashes).map(k => element_at(col("sig"), k + 1).as(s"h$k")): _*)
-      .orderBy("doc_id")
 
   /** MinHash-LSH candidate pairs: signatures banded 2×2; docs sharing
     * any band key become a candidate pair. The band explode + equi-join
@@ -75,7 +80,7 @@ object Dedup {
     // signature scan 4× otherwise. At cluster scale the same pattern is
     // "write the signature table, then join it" — localCheckpoint is
     // the single-job analog.
-    val sigs = minhashSignatures(spark, dir)
+    val sigs = signaturesUnsorted(spark, dir)
       .select(col("doc_id"),
         md5(concat(col("h0"), col("h1")).cast("binary")).as("b0"),
         md5(concat(col("h2"), col("h3")).cast("binary")).as("b1"))
