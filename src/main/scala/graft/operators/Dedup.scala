@@ -74,7 +74,10 @@ object Dedup {
     * any band key become a candidate pair. The band explode + equi-join
     * is the scale path — no all-pairs comparison ever materializes.
     */
-  def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
+  def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame =
+    lshPairsUnsorted(spark, dir).orderBy("a_id", "b_id")
+
+  private[operators] def lshPairsUnsorted(spark: SparkSession, dir: String): DataFrame = {
     // Materialize signatures once: the band self-join references this
     // subtree on both sides and Spark would recompute the (md5-heavy)
     // signature scan 4× otherwise. At cluster scale the same pattern is
@@ -93,14 +96,16 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-      .orderBy("a_id", "b_id")
   }
 
   /** 16-bit SimHash over whitespace tokens: per bit, sign of the sum of
     * ±1 token contributions. One explode + one hash aggregate with 16
     * partial-agg-friendly sums — a single shuffle on doc_id.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashUnsorted(spark, dir).orderBy("doc_id")
+
+  private def simhashUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
       .withColumn("h", conv(substring(md5(col("w").cast("binary")), 1, 4), 16, 10).cast("int"))
@@ -114,7 +119,6 @@ object Dedup {
     tok.groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), compose.as("simhash"))
-      .orderBy("doc_id")
   }
 
   /** SimHash candidate pairs: the 16-bit simhash banded into its two
@@ -125,7 +129,7 @@ object Dedup {
     * LSH path: never an all-pairs comparison.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhash(spark, dir).localCheckpoint() // feeds both join sides
+    val sh = simhashUnsorted(spark, dir).localCheckpoint() // feeds both join sides
     val bands = sh
       .select(col("doc_id"), col("simhash"), lit(0).as("band"),
         shiftright(col("simhash"), 8).as("key"))
@@ -189,7 +193,7 @@ object Dedup {
     */
   def survivors(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents").select("doc_id")
-    val reps = clusters(lshCandidatePairs(spark, dir))
+    val reps = clusters(lshPairsUnsorted(spark, dir))
     docs.join(reps, docs("doc_id") === reps("id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
       .select("doc_id")
