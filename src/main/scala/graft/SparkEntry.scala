@@ -47,6 +47,9 @@ object SparkEntry {
     "q_corr_above_avg" -> (Analytics.aboveAvgOrders _),
     "q_percentiles" -> (Analytics.orderPercentiles _),
     "q_stats_orders" -> (Analytics.orderStats _),
+    "q_range_join_tiers" -> (Analytics.priceTierSummary _),
+    "q_pivot_status" -> (Analytics.statusPivot _),
+    "q_unpivot_status" -> (Analytics.statusUnpivot _),
     // — temporal operators over events (as-of join, sessionization)
     "q_asof_attribution" -> (Temporal.lastTouchAttribution _),
     "q_sessionize" -> ((s: SparkSession, d: String) => Temporal.sessionize(s, d)),
@@ -279,6 +282,31 @@ object SparkEntry {
         |      / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
         |  FROM orders) t
         |WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin,
+    "q_range_join_tiers" ->
+      """WITH tiers(lo, hi, tier) AS (VALUES
+        |  (0, 100000, 'low'), (100000, 300000, 'mid'),
+        |  (300000, 1000000000, 'high'))
+        |SELECT tier, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS turnover
+        |FROM orders JOIN tiers
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_unpivot_status" ->
+      """WITH a AS (
+        |  SELECT o_orderstatus,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS turnover,
+        |    CAST(count(*) AS DOUBLE) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM a
+        |UNION ALL
+        |SELECT o_orderstatus, 'turnover' AS metric, turnover AS value FROM a
+        |ORDER BY o_orderstatus, metric""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |  quantile_cont(o_totalprice, 0.5) AS med,

@@ -248,6 +248,54 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
+  /** Non-equi (range) join: orders classified into price tiers by a
+    * BETWEEN condition. The tier table is tiny and broadcast, so the
+    * non-equi condition runs as a broadcast nested-loop over 3 rows —
+    * the right plan: a range condition cannot hash-partition, and
+    * broadcasting the small side avoids any shuffle of the fact table.
+    */
+  def priceTierSummary(spark: SparkSession, dir: String): DataFrame = {
+    val tiers = spark.createDataFrame(Seq(
+      (0d, 100000d, "low"), (100000d, 300000d, "mid"),
+      (300000d, 1e9, "high")))
+      .toDF("lo", "hi", "tier")
+    Tables(spark, dir, "orders")
+      .join(broadcast(tiers),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("turnover"))
+      .orderBy("tier")
+  }
+
+  /** PIVOT: order counts per priority, statuses spread to columns.
+    * Explicit value list keeps the schema static (no extra pass to
+    * discover values); empty combos coalesce to 0 like the oracle's
+    * FILTER form.
+    */
+  def statusPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .orderBy("o_orderpriority")
+
+  /** UNPIVOT (melt): wide per-status metrics back to (metric, value)
+    * rows via `stack` — narrow, codegen'd, no shuffle beyond the
+    * source aggregate.
+    */
+  def statusUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(dsum(col("o_totalprice")).as("turnover"),
+        count(lit(1)).cast("double").as("n_orders"))
+      .select(col("o_orderstatus"),
+        expr("stack(2, 'n_orders', n_orders, 'turnover', turnover) AS (metric, value)"))
+      .orderBy("o_orderstatus", "metric")
+
   /** JSON scalar extraction over the events props column (S3 surface). */
   def eventPropsAgg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
