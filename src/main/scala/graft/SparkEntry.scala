@@ -48,6 +48,8 @@ object SparkEntry {
     "q_percentiles" -> (Analytics.orderPercentiles _),
     "q_stats_orders" -> (Analytics.orderStats _),
     "q_range_join_tiers" -> (Analytics.priceTierSummary _),
+    "q_order_timeline" -> (Analytics.orderTimeline _),
+    "q_approx_distinct" -> (Analytics.approxUserCounts _),
     "q_pivot_status" -> (Analytics.statusPivot _),
     "q_unpivot_status" -> (Analytics.statusUnpivot _),
     // — temporal operators over events (as-of join, sessionization)
@@ -282,6 +284,19 @@ object SparkEntry {
         |      / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
         |  FROM orders) t
         |WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin,
+    // q_approx_distinct intentionally has NO oracle: HLL sketch values
+    // are engine-specific (driver records rows-only).
+    "q_order_timeline" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_orderdate) OVER w AS prev_date,
+        |  lead(o_orderdate) OVER w AS next_date,
+        |  first_value(o_orderdate) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS UNBOUNDED PRECEDING) AS first_date
+        |FROM orders
+        |WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q_range_join_tiers" ->
       """WITH tiers(lo, hi, tier) AS (VALUES
         |  (0, 100000, 'low'), (100000, 300000, 'mid'),

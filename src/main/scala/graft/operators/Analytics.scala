@@ -296,6 +296,40 @@ object Analytics {
         expr("stack(2, 'n_orders', n_orders, 'turnover', turnover) AS (metric, value)"))
       .orderBy("o_orderstatus", "metric")
 
+  /** Analytic window breadth beyond row_number: lag / lead /
+    * first_value over each customer's order history (previous and next
+    * order dates, gap to the first order) — one shuffle on the
+    * partition key, all four functions in a single Window exec.
+    */
+  def orderTimeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_orderdate"), 1).over(w).as("prev_date"),
+        lead(col("o_orderdate"), 1).over(w).as("next_date"),
+        first(col("o_orderdate")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_date"))
+      .filter(col("o_custkey") < 100)
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Approximate distinct counting (HyperLogLog++): the sketch surface
+    * for cardinality at 100 TB. Sketch values are engine-specific, so
+    * the driver records a rows-only check (no DuckDB oracle); the spec
+    * asserts the estimate lands within HLL's error bound of the exact
+    * count.
+    */
+  def approxUserCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
   /** JSON scalar extraction over the events props column (S3 surface). */
   def eventPropsAgg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")

@@ -22,10 +22,22 @@ class QuerySurfaceSpec extends SparkSpec {
   }
 
   test("every query has an oracle (or is explicitly rows-only)") {
-    val rowsOnly = Set.empty[String] // none yet; keep in sync when adding
+    // HLL sketch values are engine-specific → rows-only driver check
+    val rowsOnly = Set("q_approx_distinct")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracles without query: $orphaned")
+  }
+
+  test("approx distinct lands within the HLL error bound of exact") {
+    val rows = SparkEntry.queries("q_approx_distinct")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.15,
+        s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
+    }
   }
 }
