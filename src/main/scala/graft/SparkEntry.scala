@@ -29,6 +29,9 @@ object SparkEntry {
     "cdc_backfill_union" -> (EventsCdc.backfillUnion _),
     "cdc_count_parity" -> (EventsCdc.finalCount _),
     "cdc_hourly_stats" -> (EventsCdc.hourlyEventStats _),
+    "cdc_compact" -> (EventsCdc.compactedLog _),
+    "q_partition_pruned_scan" ->
+      ((s: SparkSession, d: String) => operators.Bucketing.partitionPrunedDay(s, d)),
     // — generic analytics surface (SURVEY §2.5)
     "q1_pricing_summary" -> (Analytics.pricingSummary _),
     "q3_top_revenue_orders" -> (Analytics.topRevenueOrders _),
@@ -89,36 +92,57 @@ object SparkEntry {
       |          unnest(generate_series(1, greatest(len(text) - 7, 0))) AS i
       |        FROM documents WHERE len(text) >= 8))""".stripMargin
 
+  /** k=16 MinHash slices: hash j = slice j%4 of seeded digest
+    * md5(g || seed) with seed j/4 ('' for 0) — mirrors
+    * [[graft.functions.MinHashUtil.ngramMinHashMd5]] exactly.
+    */
+  private val minhashCols = (0 until operators.Dedup.numHashes).map { j =>
+    val seed = j / 4
+    val dig = if (seed == 0) "md5(g)" else s"md5(g || '$seed')"
+    s"min(substr($dig, ${(j % 4) * 8 + 1}, 8)) AS h$j"
+  }
+
   private val sigsCte =
     s"""WITH $gramsCte,
        |sigs AS (
        |  SELECT doc_id,
-       |    min(substr(md5(g), 1, 8)) AS h0, min(substr(md5(g), 9, 8)) AS h1,
-       |    min(substr(md5(g), 17, 8)) AS h2, min(substr(md5(g), 25, 8)) AS h3
+       |    ${minhashCols.mkString(",\n    ")}
        |  FROM g GROUP BY doc_id)""".stripMargin
 
-  /** hex4 → int via strpos arithmetic (portable; DuckDB lacks conv). */
-  private val hex4 = (1 to 4).map(p =>
-    s"(strpos('0123456789abcdef', substr(hh, $p, 1)) - 1) * ${1 << (4 * (4 - p))}")
-    .mkString(" + ")
+  private val hashColList = (0 until operators.Dedup.numHashes)
+    .map(j => s"h$j").mkString(", ")
+
+  /** b×r LSH bands over the 16 slices (4 bands × 4 rows). */
+  private val lshBandsCte = (0 until operators.Dedup.numBands).map { b =>
+    val slices = (b * operators.Dedup.rowsPerBand until
+      (b + 1) * operators.Dedup.rowsPerBand).map(j => s"h$j").mkString(" || ")
+    s"SELECT doc_id, $b AS band, md5($slices) AS key FROM sigs"
+  }.mkString("\n  UNION ALL\n  ")
 
   /** First 7 hex chars of md5(text) → bigint (mirrors Sampling.pctBucket). */
   private val hex7 = (1 to 7).map(p =>
     s"(strpos('0123456789abcdef', substr(md5(text), $p, 1)) - 1) * ${1L << (4 * (7 - p))}")
     .mkString(" + ")
 
-  /** Shared simhash CTE chain ending in `sh(doc_id, simhash)`. */
+  /** Shared simhash CTE chain ending in `sh(doc_id, simhash)` — 64-bit
+    * fingerprint from the two 32-bit halves of md5's first 16 hex chars
+    * (mirrors `Dedup.simhashUnsorted`).
+    */
   private val simhashCte = {
-    val sBits = (0 until 16).map(j =>
-      s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j")
-      .mkString(", ")
-    val compose = (0 until 16).map(j =>
+    def hex8(start: Int) = (0 until 8).map(o =>
+      s"(strpos('0123456789abcdef', substr(d, ${start + o}, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (7 - o))} AS BIGINT)").mkString(" + ")
+    val sBits = (0 until 64).map { j =>
+      val h = if (j < 32) "hlo" else "hhi"
+      s"CAST(sum(CASE WHEN ($h >> ${j % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j"
+    }.mkString(", ")
+    val compose = (0 until 64).map(j =>
       s"(CASE WHEN s$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
-       |h AS (SELECT doc_id, $hex4 AS h
-       |      FROM (SELECT doc_id, substr(md5(w), 1, 4) AS hh FROM tok)),
+       |h AS (SELECT doc_id, ${hex8(1)} AS hlo, ${hex8(9)} AS hhi
+       |      FROM (SELECT doc_id, md5(w) AS d FROM tok)),
        |s AS (SELECT doc_id, $sBits FROM h GROUP BY doc_id),
        |sh AS (SELECT doc_id, $compose AS simhash FROM s)""".stripMargin
   }
@@ -191,6 +215,17 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "cdc_compact" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_partition_pruned_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -382,13 +417,11 @@ object SparkEntry {
         |FROM documents GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,
     "dedup_minhash_signatures" ->
       s"""$sigsCte
-         |SELECT doc_id, h0, h1, h2, h3 FROM sigs ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, $hashColList FROM sigs ORDER BY doc_id""".stripMargin,
     "dedup_lsh_pairs" ->
       s"""$sigsCte,
          |bands AS (
-         |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sigs
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band, md5(h2 || h3) AS key FROM sigs)
+         |  $lshBandsCte)
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -397,9 +430,9 @@ object SparkEntry {
     "dedup_simhash_pairs" ->
       s"""$simhashCte,
          |bands AS (
-         |  SELECT doc_id, simhash, 0 AS band, simhash // 256 AS key FROM sh
-         |  UNION ALL
-         |  SELECT doc_id, simhash, 1 AS band, simhash % 256 AS key FROM sh)
+         |  ${(0 until 4).map(b =>
+              s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 16}) & 65535 AS key FROM sh")
+              .mkString("\n  UNION ALL\n  ")})
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          |FROM bands a JOIN bands b
@@ -407,13 +440,16 @@ object SparkEntry {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY a_id, b_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT doc_id, lang, text FROM documents
         |  WHERE doc_id % 10 = 0 AND len(text) >= 8),
-        |g AS (
+        |g0 AS (
         |  SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INTEGER), 8) AS g
         |  FROM (SELECT doc_id, lang, text,
         |          unnest(generate_series(1, len(text) - 7)) AS i FROM s)),
+        |keep AS (SELECT lang, g FROM g0 GROUP BY lang, g
+        |         HAVING count(*) <= ${operators.Dedup.maxShingleDf}),
+        |g AS (SELECT g0.* FROM g0 JOIN keep USING (lang, g)),
         |sizes AS (SELECT doc_id, count(*) AS c FROM g GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i

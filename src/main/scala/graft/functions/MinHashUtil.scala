@@ -9,9 +9,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen paths of [[NgramMinHashMd5]].
   *
   * Semantics (bit-for-bit what the DuckDB oracle computes): for every
-  * window of `n` code points of `text`, take `md5` of the window's UTF-8
-  * bytes; slice the 32-hex-char digest into `k` 8-hex-char substrings;
-  * return the per-slice minimum as lowercase hex strings.
+  * window of `n` code points of `text`, take a *family* of md5 digests —
+  * `md5(g)`, `md5(g || '1')`, `md5(g || '2')`, … (ASCII digit suffix per
+  * seeded digest; seed 0 is unsuffixed, keeping the 4-hash family
+  * byte-identical to the original definition) — slice each 32-hex-char
+  * digest into four 8-hex-char substrings, giving `k` independent hash
+  * functions from `ceil(k/4)` digests; return the per-slice minimum as
+  * lowercase hex strings. Real near-dup dedup needs 16–128 permutations
+  * with threshold-tuned b×r banding; md5's 128 bits cap a single digest
+  * at 4 slices, so the seed suffix extends the family without leaving
+  * the one hash primitive Spark and DuckDB share bit-for-bit.
   *
   * Why this is fast where the equivalent
   * `transform(shingles, g -> md5(g))` pipeline is not: no shingle string
@@ -28,6 +35,10 @@ object MinHashUtil {
   private val md5 = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
+
+  /** UTF-8 seed suffixes for digests 1..63 (digest 0 is unsuffixed). */
+  private val seedSuffix: Array[Array[Byte]] =
+    Array.tabulate(64)(d => d.toString.getBytes("UTF-8"))
 
   /** @return array<string> of `k` 8-hex-char minima, or null if the text
     *         has fewer than `n` code points (mirrors `array_min([])`).
@@ -50,18 +61,25 @@ object MinHashUtil {
     val md = md5.get()
     val digest = new Array[Byte](16)
     val mins = Array.fill(k)(0xFFFFFFFFL)
+    val numDigests = (k + 3) / 4
     var w = 0
     while (w <= m - n) {
-      md.reset()
-      md.update(bytes, starts(w), starts(w + n) - starts(w))
-      md.digest(digest, 0, 16)
-      var j = 0
-      while (j < k) {
-        val o = j * 4
-        val v = ((digest(o) & 0xFFL) << 24) | ((digest(o + 1) & 0xFFL) << 16) |
-          ((digest(o + 2) & 0xFFL) << 8) | (digest(o + 3) & 0xFFL)
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      var d = 0
+      while (d < numDigests) {
+        md.reset()
+        md.update(bytes, starts(w), starts(w + n) - starts(w))
+        if (d > 0) md.update(seedSuffix(d))
+        md.digest(digest, 0, 16)
+        var j = d * 4
+        val jEnd = if (j + 4 < k) j + 4 else k
+        while (j < jEnd) {
+          val o = (j - d * 4) * 4
+          val v = ((digest(o) & 0xFFL) << 24) | ((digest(o + 1) & 0xFFL) << 16) |
+            ((digest(o + 2) & 0xFFL) << 8) | (digest(o + 3) & 0xFFL)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+        d += 1
       }
       w += 1
     }

@@ -11,12 +11,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
   * the oracle-parity contract).
   *
   * `ngram_minhash_md5(text, n, k)` ≡
-  * `array(min(substr(md5(g),1,8)), min(substr(md5(g),9,8)), …)` over all
-  * `n`-code-point windows `g` of `text` — but ~20× faster: the
-  * composed-builtin form materializes a shingle array and a 32-char hex
-  * digest per shingle through the interpreted higher-order-function
-  * path, while this expression stays inside whole-stage codegen and
-  * hashes windows straight out of the row's UTF-8 buffer.
+  * `array(min(substr(md5(g),1,8)), …, min(substr(md5(g || '1'),1,8)), …)`
+  * over all `n`-code-point windows `g` of `text` — hash function
+  * `j` is 8-hex-char slice `j % 4` of the seeded digest
+  * `md5(g || seed)` with seed `j / 4` ('' for 0, the ASCII decimal
+  * otherwise) — but ~20× faster: the composed-builtin form materializes
+  * a shingle array and a 32-char hex digest per shingle through the
+  * interpreted higher-order-function path, while this expression stays
+  * inside whole-stage codegen and hashes windows straight out of the
+  * row's UTF-8 buffer.
   *
   * Returns null when `text` is null or shorter than `n` code points
   * (mirroring `array_min` over an empty shingle array).
@@ -24,8 +27,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 case class NgramMinHashMd5(child: Expression, n: Int, numHashes: Int)
     extends UnaryExpression {
   require(n >= 1, s"shingle width must be >= 1, got $n")
-  require(numHashes >= 1 && numHashes <= 4,
-    s"an md5 digest yields at most 4 independent 32-bit slices, got $numHashes")
+  require(numHashes >= 1 && numHashes <= 256,
+    s"numHashes must be in [1, 256] (64 seeded digests × 4 slices), got $numHashes")
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType.isInstanceOf[StringType])
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess

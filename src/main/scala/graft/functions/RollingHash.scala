@@ -9,18 +9,19 @@ import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Rabin-Karp kernel: polynomial hash base 31 mod 2^31−1 over character
+/** Rabin-Karp kernel: polynomial hash base 31 mod 2^31−1 over Unicode
   * code points, returning `[content_hash, winnow_min]` where winnow_min
-  * is the minimum hash over every `window`-char sliding window (the
-  * whole string when shorter).
+  * is the minimum hash over every `window`-code-point sliding window
+  * (the whole string when shorter).
   *
   * Equivalent to folding `(acc * 31 + code) % M` over each window — the
   * formula the DuckDB oracle states directly — but O(n) instead of
-  * O(window·n): the window hash is *rolled* (outgoing char's
+  * O(window·n): the window hash is *rolled* (outgoing code point's
   * contribution subtracted via the precomputed 31^(window−1), incoming
-  * char appended) rather than recomputed. Exact: modular arithmetic
-  * commutes with the roll. Parity holds for BMP text (`ascii()` /
-  * `ord()` code-point semantics).
+  * code point appended) rather than recomputed. Exact: modular
+  * arithmetic commutes with the roll. Iterates code points (not UTF-16
+  * code units), matching the oracle's `ord()` / `len()` / `substr()`
+  * semantics for non-BMP text as well.
   */
 object RollingHashUtil {
   private val M = 2147483647L
@@ -28,25 +29,35 @@ object RollingHashUtil {
 
   def rollingHash(s: UTF8String, window: Int): GenericArrayData = {
     val str = s.toString
-    val n = str.length
+    // Decode UTF-16 to code points once; all window arithmetic below is
+    // in code points so alignment matches DuckDB's generate_series/len.
+    val cp = new Array[Int](str.length)
+    var n = 0
+    var u = 0
+    while (u < str.length) {
+      val c = str.codePointAt(u)
+      cp(n) = c
+      n += 1
+      u += Character.charCount(c)
+    }
     var content = 0L
     var i = 0
-    while (i < n) { content = (content * B + str.charAt(i)) % M; i += 1 }
+    while (i < n) { content = (content * B + cp(i)) % M; i += 1 }
     if (n <= window) return new GenericArrayData(Array(content, content))
 
-    // 31^(window-1) mod M, for removing the outgoing character
+    // 31^(window-1) mod M, for removing the outgoing code point
     var bPow = 1L
     i = 1
     while (i < window) { bPow = (bPow * B) % M; i += 1 }
 
     var h = 0L
     i = 0
-    while (i < window) { h = (h * B + str.charAt(i)) % M; i += 1 }
+    while (i < window) { h = (h * B + cp(i)) % M; i += 1 }
     var minH = h
     var start = 1
     while (start <= n - window) {
-      val out = (str.charAt(start - 1) * bPow) % M
-      h = (((h - out + M) % M) * B + str.charAt(start + window - 1)) % M
+      val out = (cp(start - 1).toLong * bPow) % M
+      h = (((h - out + M) % M) * B + cp(start + window - 1)) % M
       if (h < minH) minH = h
       start += 1
     }

@@ -1,6 +1,9 @@
 package graft.operators
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Bucketed-table layout: pre-shuffled, co-located joins.
   *
@@ -41,4 +44,30 @@ object Bucketing {
     */
   def writePartitioned(df: DataFrame, dir: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(dir)
+
+  /** One-day aggregate over a day-partitioned events layout: lays the
+    * table out Hive-style by `day` once (cached across invocations on
+    * the same source dir), then reads it back with an equality
+    * predicate on the partition column — the scan plans with a
+    * `PartitionFilters` entry and touches exactly 1 of ~30 day
+    * directories before reading a byte (asserted in BucketingSpec).
+    * The daily-partitioned fact table + pruned time-window query is
+    * THE standard 100 TB time-series layout.
+    */
+  def partitionPrunedDay(spark: SparkSession, dir: String,
+                         day: String = "2024-01-15"): DataFrame = {
+    val layout = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_events_by_day_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
+    if (!new java.io.File(layout, "_SUCCESS").exists())
+      writePartitioned(
+        Tables(spark, dir, "events").withColumn("day", to_date(col("ts"))),
+        layout, "day")
+    spark.read.parquet(layout)
+      .filter(col("day") === lit(java.sql.Date.valueOf(day)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
 }

@@ -32,8 +32,17 @@ object Dedup {
   private def shingleExpr(n: Int): Column =
     expr(s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))")
 
-  /** Number of MinHash functions (8-hex-char slices of one md5). */
-  val numHashes = 4
+  /** Number of MinHash functions (8-hex-char slices of seeded md5
+    * digests — see [[graft.functions.MinHashUtil]]). k = b×r; with
+    * r = 4 rows per band the LSH collision probability per band is
+    * s⁴ (s = true Jaccard similarity), so the candidate threshold sits
+    * near (1/b)^(1/r) ≈ 0.71 — tuned for near-duplicate detection.
+    */
+  val numHashes = 16
+
+  /** LSH banding: b bands × r rows (numBands × rowsPerBand == numHashes). */
+  val numBands = 4
+  val rowsPerBand = 4
 
   /** Exact dedup, keep-first: one surviving doc_id per normalized text
     * plus its copy count. Groups by the md5 of the normalized text, not
@@ -49,11 +58,12 @@ object Dedup {
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 
-  /** MinHash signatures: ONE md5 per char-8-gram shingle, sliced into 4
-    * independent 8-hex-char hash functions, min per slice — computed in
-    * a single codegen'd pass by the native [[graft.functions.NgramMinHashMd5]]
-    * expression (no shingle array, no per-shingle digest string; ~20×
-    * the composed-builtin form). Narrow: zero shuffles before the sort.
+  /** MinHash signatures: a seeded family of md5 digests per char-8-gram
+    * shingle, sliced into [[numHashes]] independent 8-hex-char hash
+    * functions, min per slice — computed in a single codegen'd pass by
+    * the native [[graft.functions.NgramMinHashMd5]] expression (no
+    * shingle array, no per-shingle digest string; ~20× the
+    * composed-builtin form). Narrow: zero shuffles before the sort.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     signaturesUnsorted(spark, dir).orderBy("doc_id")
@@ -70,9 +80,12 @@ object Dedup {
         col("doc_id") +:
         (0 until numHashes).map(k => element_at(col("sig"), k + 1).as(s"h$k")): _*)
 
-  /** MinHash-LSH candidate pairs: signatures banded 2×2; docs sharing
-    * any band key become a candidate pair. The band explode + equi-join
-    * is the scale path — no all-pairs comparison ever materializes.
+  /** MinHash-LSH candidate pairs: signatures banded [[numBands]] ×
+    * [[rowsPerBand]]; docs sharing any band key become a candidate
+    * pair. Band keys are md5 over the band's concatenated slices, so
+    * key cardinality is full 128-bit — bucket population stays O(dup
+    * group size), never O(N/constant). The band explode + equi-join is
+    * the scale path — no all-pairs comparison ever materializes.
     */
   def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame =
     lshPairsUnsorted(spark, dir).orderBy("a_id", "b_id")
@@ -80,16 +93,18 @@ object Dedup {
   private[operators] def lshPairsUnsorted(spark: SparkSession, dir: String): DataFrame = {
     // Materialize signatures once: the band self-join references this
     // subtree on both sides and Spark would recompute the (md5-heavy)
-    // signature scan 4× otherwise. At cluster scale the same pattern is
-    // "write the signature table, then join it" — localCheckpoint is
-    // the single-job analog.
+    // signature scan 2×numBands times otherwise. At cluster scale the
+    // same pattern is "write the signature table, then join it" —
+    // localCheckpoint is the single-job analog.
+    val bandKey = (b: Int) =>
+      md5(concat((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => col(s"h$j")): _*).cast("binary")).as(s"b$b")
     val sigs = signaturesUnsorted(spark, dir)
-      .select(col("doc_id"),
-        md5(concat(col("h0"), col("h1")).cast("binary")).as("b0"),
-        md5(concat(col("h2"), col("h3")).cast("binary")).as("b1"))
+      .select(col("doc_id") +: (0 until numBands).map(bandKey): _*)
       .localCheckpoint()
-    val bands = sigs.select(col("doc_id"), lit(0).as("band"), col("b0").as("key"))
-      .unionByName(sigs.select(col("doc_id"), lit(1).as("band"), col("b1").as("key")))
+    val bands = (0 until numBands).map(b =>
+        sigs.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("key")))
+      .reduce(_ unionByName _)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -98,22 +113,39 @@ object Dedup {
       .distinct()
   }
 
-  /** 16-bit SimHash over whitespace tokens: per bit, sign of the sum of
-    * ±1 token contributions. One explode + one hash aggregate with 16
+  /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
+    * ±1 token contributions. The 64-bit token hash is the first 16 hex
+    * chars of md5 (two 32-bit halves — the shared-primitive analog of
+    * a single 64-bit hash). One explode + one hash aggregate with 64
     * partial-agg-friendly sums — a single shuffle on doc_id.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashUnsorted(spark, dir).orderBy("doc_id")
 
+  /** Width of the simhash fingerprint and its banding: 4 bands × 16
+    * bits. Pigeonhole: ≤ 3 bit flips touch at most 3 of the 4 bands, so
+    * every pair within the verify threshold (Hamming ≤ 3) shares at
+    * least one intact band — genuine 100% recall at the stated
+    * threshold. Band keys take 65,536 values, so bucket population is
+    * O(N/65536) per band — candidate generation stays near-linear far
+    * beyond the 256-value buckets a 16-bit fingerprint allows.
+    */
+  val simhashBands = 4
+  val simhashBandBits = 16
+
   private def simhashUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
-      .withColumn("h", conv(substring(md5(col("w").cast("binary")), 1, 4), 16, 10).cast("int"))
-    val sums = (0 until 16).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
+      .select(col("doc_id"), md5(col("w").cast("binary")).as("d"))
+      .select(col("doc_id"),
+        conv(substring(col("d"), 1, 8), 16, 10).cast("long").as("hlo"),
+        conv(substring(col("d"), 9, 8), 16, 10).cast("long").as("hhi"))
+    val sums = (0 until 64).map { j =>
+      val h = if (j < 32) col("hlo") else col("hhi")
+      sum(when(shiftright(h, j % 32).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
         .as(s"s$j")
     }
-    val compose = (0 until 16).map { j =>
+    val compose = (0 until 64).map { j =>
       when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     tok.groupBy(col("doc_id"))
@@ -121,20 +153,20 @@ object Dedup {
       .select(col("doc_id"), compose.as("simhash"))
   }
 
-  /** SimHash candidate pairs: the 16-bit simhash banded into its two
-    * 8-bit halves; docs sharing either half become candidates (any pair
-    * within Hamming distance 8 shares at least one intact half —
-    * pigeonhole), then the exact Hamming distance (`bit_count` of the
-    * xor) verifies at ≤ 3. Same band→bucket-join shape as the MinHash
-    * LSH path: never an all-pairs comparison.
+  /** SimHash candidate pairs: the 64-bit simhash banded into four
+    * 16-bit slices; docs sharing any slice become candidates (see
+    * [[simhashBands]] for the pigeonhole recall guarantee), then the
+    * exact Hamming distance (`bit_count` of the xor) verifies at ≤ 3.
+    * Same band→bucket-join shape as the MinHash LSH path: never an
+    * all-pairs comparison.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = simhashUnsorted(spark, dir).localCheckpoint() // feeds both join sides
-    val bands = sh
-      .select(col("doc_id"), col("simhash"), lit(0).as("band"),
-        shiftright(col("simhash"), 8).as("key"))
-      .unionByName(sh.select(col("doc_id"), col("simhash"), lit(1).as("band"),
-        col("simhash").bitwiseAND(lit(255L)).as("key")))
+    val bands = (0 until simhashBands).map(b =>
+        sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+          shiftright(col("simhash"), b * simhashBandBits)
+            .bitwiseAND(lit(0xFFFFL)).as("key")))
+      .reduce(_ unionByName _)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -187,34 +219,79 @@ object Dedup {
     labels
   }
 
+  /** Quality-weighted representative selection: one survivor per
+    * cluster — the highest-`quality` member, ties broken to the
+    * smallest doc_id (deterministic under replay). Docs absent from
+    * `labels` are singleton clusters and survive trivially. One hash
+    * aggregate (`max_by` with map-side partial combining) after the
+    * label join — no window sort.
+    *
+    * @param docs    (doc_id) — the full corpus
+    * @param labels  (id, cluster) — output of [[clusters]]
+    * @param quality (doc_id, quality: double) — higher is better
+    */
+  def qualitySurvivors(docs: DataFrame, labels: DataFrame,
+                       quality: DataFrame): DataFrame =
+    docs.select("doc_id")
+      .join(labels, docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .join(quality, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster"),
+        coalesce(col("quality"), lit(0.0)).as("quality"))
+      .groupBy(col("cluster"))
+      .agg(max_by(col("doc_id"), struct(col("quality"), -col("doc_id")))
+        .as("doc_id"))
+      .select("doc_id")
+
   /** The full dedup pipeline: LSH candidate pairs → duplicate clusters
-    * → surviving corpus (smallest doc_id per cluster; docs in no pair
-    * survive trivially).
+    * → surviving corpus. The survivor per cluster is the
+    * highest-quality member (token count discounted for a stopword
+    * ratio that signals non-prose — reusing the
+    * [[TextAnalysis.qualityScores]] signals), not the smallest id:
+    * real corpus builds keep the best copy, not the first-crawled one.
     */
   def survivors(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents").select("doc_id")
-    val reps = clusters(lshPairsUnsorted(spark, dir))
-    docs.join(reps, docs("doc_id") === reps("id"), "left")
-      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
-      .select("doc_id")
+    val docs = Tables(spark, dir, "documents")
+    val quality = docs.select(col("doc_id"),
+      TextAnalysis.representativeQuality(col("text")).as("quality"))
+    qualitySurvivors(docs.select("doc_id"),
+      clusters(lshPairsUnsorted(spark, dir)), quality)
   }
+
+  /** Document-frequency cap for the Jaccard shingle join: shingles
+    * appearing in more than this many documents are dropped before the
+    * self-join (standard practice — they are non-discriminative, all
+    * common-English boilerplate). This bounds the join skew: the
+    * hottest shingle bucket produces at most maxShingleDf² ≈ 10⁴ pair
+    * rows, so total join cost is O(#shingles · K²) — linear in corpus
+    * size — where the uncapped join is quadratic in the hottest
+    * shingle's document count.
+    */
+  val maxShingleDf = 100
 
   /** n-gram Jaccard verification on a candidate-restricted subset
     * (every 10th doc, same-language pairs): |A∩B| via a join on shared
-    * shingles, |A∪B| = |A|+|B|−|A∩B|.
+    * shingles, |A∪B| = |A|+|B|−|A∪B| — both computed over the
+    * df-capped shingle sets (see [[maxShingleDf]]), so the estimate
+    * stays a true Jaccard of the filtered sets.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // Dedup is only needed WITHIN a doc, so `array_distinct` does it
-    // narrowly before the explode — no global distinct shuffle — and
-    // the per-doc gram count rides along in the same row, replacing
-    // two size-table joins with agg-side `first()`. The gram table
-    // still feeds both join sides: checkpoint once (cluster analog:
-    // persist the shingle table before the pair join).
+    // narrowly before the explode — no global distinct shuffle. The
+    // df-cap and the per-doc gram count are two window passes (keys
+    // (lang,g) and (doc_id)); the per-doc count rides along in the
+    // row, replacing two size-table joins with agg-side `first()`.
+    // The gram table feeds both join sides: checkpoint once (cluster
+    // analog: persist the shingle table before the pair join).
     val grams = Tables(spark, dir, "documents")
       .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 8)
       .withColumn("gs", array_distinct(shingleExpr(8)))
-      .select(col("doc_id"), col("lang"), size(col("gs")).as("c"),
-        explode(col("gs")).as("g"))
+      .select(col("doc_id"), col("lang"), explode(col("gs")).as("g"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("lang"), col("g"))))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .localCheckpoint()
     grams.as("a")
       .join(grams.as("b"),

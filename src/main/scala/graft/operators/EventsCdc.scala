@@ -95,6 +95,21 @@ object EventsCdc {
       .orderBy("user_id")
   }
 
+  /** Physical compaction shape (A5, `OPTIMIZE TABLE … DEDUPLICATE`,
+    * `/root/reference/README.md:310`): collapse the log to one row per
+    * key but KEEP the max-version tombstones — unlike the FINAL read
+    * view ([[latestEvents]]), a compacted log must retain delete
+    * markers so later replays of older versions cannot resurrect a
+    * deleted key (`VersionedUpsert.compact(keepTombstones = true)`
+    * applied to the events-as-changelog mapping).
+    */
+  def compactedLog(spark: SparkSession, dir: String): DataFrame =
+    VersionedUpsert.latestRows(
+      Tables(spark, dir, "events").select("user_id", "event_id", "event_type", "value"),
+      keys = Seq("user_id"),
+      order = Seq(col("event_id").desc))
+      .orderBy("user_id")
+
   /** Count parity over the FINAL view (A1, `README.md:321-329`). */
   def finalCount(spark: SparkSession, dir: String): DataFrame =
     latestEvents(spark, dir).agg(count(lit(1)).as("n"))

@@ -11,9 +11,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * collapse early), no per-partition sort, and a typed `Dataset[Booking]`
   * result.
   *
-  * Recency order matches `VersionedUpsert.bookingOrder` exactly:
-  * version desc, is_deleted desc, modified_at desc — property-tested
-  * against `finalView` on random replayed workloads.
+  * Recency order is [[VersionedUpsert.newer]] — the typed total order
+  * matching `VersionedUpsert.bookingOrder` (version desc, is_deleted
+  * desc, modified_at desc with NULLS LAST, stable payload tiebreak) —
+  * property-tested against `finalView` on random replayed workloads.
   */
 object LatestAggregator extends Aggregator[Booking, Booking, Booking] {
 
@@ -22,10 +23,7 @@ object LatestAggregator extends Aggregator[Booking, Booking, Booking] {
     Booking(null, null, 0, is_canceled = false, null, null, Long.MinValue)
 
   private def newer(a: Booking, b: Booking): Boolean =
-    if (a.version != b.version) a.version > b.version
-    else if (a.is_deleted != b.is_deleted) a.is_deleted > b.is_deleted
-    else a.modified_at != null && b.modified_at != null &&
-      a.modified_at.after(b.modified_at)
+    VersionedUpsert.newer(a, b)
 
   override def reduce(buf: Booking, row: Booking): Booking =
     if (newer(row, buf)) row else buf

@@ -31,6 +31,20 @@ object MvTransform {
 
   val dataOps: Seq[String] = Seq("c", "r", "u", "d")
 
+  /** The complement of the data path: envelopes the op filter drops —
+    * schema-change / heartbeat / unknown-op messages (T7). The
+    * reference routes DDL events to a history topic
+    * (`include.schema.changes=true`,
+    * `/root/reference/connectors/debezium_configuration.json:27`);
+    * silently discarding them would make the first production ALTER
+    * TABLE vanish without a trace, so the pipeline side-outputs these
+    * to a dead-letter directory (see
+    * [[graft.streaming.CdcPipeline.start]]). Null-safe: a null op is
+    * non-data and lands here too.
+    */
+  def droppedEnvelopes(changes: DataFrame): DataFrame =
+    changes.filter(!coalesce(col("op").isin(dataOps: _*), lit(false)))
+
   /** Envelope rows (nested form, [[graft.schema.ChangeEvent.envelopeSchema]])
     * → upsert rows (Booking shape).
     */

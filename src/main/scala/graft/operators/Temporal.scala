@@ -31,10 +31,17 @@ object Temporal {
     *
     * Right columns (except `key`) are emitted with `rightPrefix`.
     * Single shuffle on `key`; no range-join blowup.
+    *
+    * @param rightTiebreak right-side column breaking ties among right
+    *   rows sharing (key, rightTime): the row with the LARGEST value
+    *   wins, making the match deterministic run-to-run (the window
+    *   order is otherwise partial and the winner would depend on
+    *   partition-internal row order). Pass the right side's unique id.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               rightPrefix: String = ""): DataFrame = {
+               rightPrefix: String = "",
+               rightTiebreak: Option[String] = None): DataFrame = {
     val rPayloadCols = right.columns.filterNot(_ == key).toSeq
     val rStruct = struct(rPayloadCols.map(col): _*)
     val rType = right.select(rStruct.as("r")).schema("r").dataType
@@ -47,8 +54,12 @@ object Temporal {
     val l2 = left.select(col(key).as("__key"), col(leftTime).as("__t"),
       lit(1).as("__side"), lit(null).cast(rType).as("__r"), lStruct.as("__l"))
 
+    // running `last` picks the final right row in window order, so an
+    // ascending tiebreak makes the largest id win deterministically;
+    // left rows (__r null) are unaffected by the extra sort key.
+    val tiebreak = rightTiebreak.toSeq.map(c => col("__r").getField(c).asc)
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(Seq(col("__t").asc, col("__side").asc) ++ tiebreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val out = r2.unionByName(l2)
@@ -72,7 +83,8 @@ object Temporal {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
-    asofJoin(purchases, clicks, "user_id", "purchase_ts", "click_ts")
+    asofJoin(purchases, clicks, "user_id", "purchase_ts", "click_ts",
+        rightTiebreak = Some("click_id"))
       .withColumn("gap_us",
         unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
       .select("purchase_id", "user_id", "purchase_ts", "click_id",

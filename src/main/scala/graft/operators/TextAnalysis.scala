@@ -51,6 +51,18 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Scalar quality for duplicate-cluster representative selection
+    * ([[Dedup.survivors]]): token count — the content-volume signal —
+    * discounted by half when the stopword ratio falls below the prose
+    * floor used in [[graft.operators.Sampling.qualityFilter]]. Pure
+    * column expression, codegen'd.
+    */
+  def representativeQuality(text: Column): Column = {
+    val toks = tokens(text)
+    val stopRatio = countIn(toks, stopwords).cast("double") / size(toks)
+    size(toks).cast("double") * when(stopRatio >= 0.05, 1.0).otherwise(0.5)
+  }
+
   /** Stopword-overlap language-ID heuristic scored against the labeled
     * lang column: confusion counts per (labeled, predicted) pair.
     */

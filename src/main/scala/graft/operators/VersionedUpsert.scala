@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.schema.ChangeEvent.Booking
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,6 +32,32 @@ object VersionedUpsert {
   /** Deterministic recency order for a log with the Booking shape. */
   private val bookingOrder: Seq[Column] =
     Seq(col("version").desc, col("is_deleted").desc, col("modified_at").desc)
+
+  /** Stable payload tiebreak once every recency key ties (an
+    * at-least-once replay of the same change): compares the remaining
+    * fields so the order is *total* and the winner is independent of
+    * encounter/merge order under partial aggregation.
+    */
+  private val payloadTie: Ordering[Booking] = Ordering.by { b: Booking =>
+    (Option(b.status), Option(b.created_at).map(_.getTime), b.is_canceled)
+  }
+
+  /** Typed mirror of [[bookingOrder]] as a strict "a is newer than b"
+    * — the comparison both single-shuffle collapse paths
+    * ([[LatestAggregator]], [[graft.streaming.StatefulUpsert]]) reduce
+    * with. Spark's `desc` sorts NULLS LAST, so a non-null
+    * `modified_at` beats null here too; the final payload tiebreak
+    * makes the order total (see [[payloadTie]]).
+    */
+  def newer(a: Booking, b: Booking): Boolean = {
+    if (a.version != b.version) return a.version > b.version
+    if (a.is_deleted != b.is_deleted) return a.is_deleted > b.is_deleted
+    val am = a.modified_at
+    val bm = b.modified_at
+    if ((am == null) != (bm == null)) return am != null // desc NULLS LAST
+    if (am != null && am.getTime != bm.getTime) return am.after(bm)
+    payloadTie.compare(a, b) > 0
+  }
 
   /** Generic argmax-per-key via window `row_number` (SURVEY.md A2 form a).
     * `order` must be a total order for determinism under replay.

@@ -31,15 +31,37 @@ object CdcPipeline {
     *
     * @param trigger `Trigger.AvailableNow()` in tests (drain and stop);
     *   [[pollTrigger]] for a long-running tail.
+    * @param deadLetterDir when set, non-data envelopes (schema-change /
+    *   heartbeat messages the MV op-filter would silently drop, T7)
+    *   are appended here in their raw envelope shape instead of being
+    *   discarded — same micro-batch, same checkpoint, so the side
+    *   output inherits the main path's delivery guarantee.
     */
   def start(
       spark: SparkSession,
       changesDir: String,
       bookingsDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      deadLetterDir: Option[String] = None): StreamingQuery = {
     val envelope = ChangeLog.fileStream(spark, changesDir)
-    writeTo(MvTransform(envelope), bookingsDir, checkpointDir, trigger)
+    deadLetterDir match {
+      case None =>
+        writeTo(MvTransform(envelope), bookingsDir, checkpointDir, trigger)
+      case Some(dl) =>
+        envelope.writeStream
+          .option("checkpointLocation", checkpointDir)
+          .trigger(trigger)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.persist() // two sinks read the same micro-batch once
+            try {
+              MvTransform(batch).write.mode("append").parquet(bookingsDir)
+              MvTransform.droppedEnvelopes(batch)
+                .write.mode("append").parquet(dl)
+            } finally batch.unpersist()
+          }
+          .start()
+    }
   }
 
   /** Transform-side-agnostic sink: append each micro-batch of upsert rows
@@ -66,8 +88,10 @@ object CdcPipeline {
       spark: SparkSession,
       changesDir: String,
       bookingsDir: String,
-      checkpointDir: String): Unit = {
-    val q = start(spark, changesDir, bookingsDir, checkpointDir)
+      checkpointDir: String,
+      deadLetterDir: Option[String] = None): Unit = {
+    val q = start(spark, changesDir, bookingsDir, checkpointDir,
+      deadLetterDir = deadLetterDir)
     q.awaitTermination()
   }
 }

@@ -30,14 +30,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   */
 object StatefulUpsert {
 
-  /** Same total order as VersionedUpsert.bookingOrder, as a pure
-    * comparison: is `a` strictly newer than `b`?
+  /** The shared typed total order (is `a` strictly newer than `b`?) —
+    * see [[graft.operators.VersionedUpsert.newer]].
     */
   private[streaming] def newer(a: Booking, b: Booking): Boolean =
-    if (a.version != b.version) a.version > b.version
-    else if (a.is_deleted != b.is_deleted) a.is_deleted > b.is_deleted
-    else (a.modified_at != null && b.modified_at != null &&
-      a.modified_at.after(b.modified_at))
+    graft.operators.VersionedUpsert.newer(a, b)
 
   /** Streaming FINAL: one state entry per booking_id holding the
     * current argmax row; each micro-batch emits the (possibly updated)

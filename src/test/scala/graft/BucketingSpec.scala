@@ -30,6 +30,17 @@ class BucketingSpec extends SparkSpec {
       events.filter(col("event_date") === "2024-01-05").count())
   }
 
+  test("partitionPrunedDay: query scans exactly one day directory") {
+    val df = Bucketing.partitionPrunedDay(spark, "/root/testdata/sf0.001")
+    // sparkPlan, not executedPlan: AQE wraps the agg query and hides
+    // the scan leaf from collectLeaves until execution
+    val scanned = df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned === Some(1), s"expected 1 partition scanned, got $scanned")
+    assert(df.count() > 0)
+  }
+
   test("same-bucketed tables join with zero exchanges") {
     val dir = "/root/testdata/sf0.001"
     val orders = Tables(spark, dir, "orders")

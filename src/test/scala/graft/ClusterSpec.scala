@@ -37,6 +37,21 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("qualitySurvivors: highest-quality member wins, ties to smallest id, singletons survive") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // hand-built clusters: {1,2,3} labeled 1, {4,5} labeled 4; 6 unpaired
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "cluster")
+    val quality = Seq(
+      (1L, 10.0), (2L, 42.0), (3L, 17.0), // 2 is best in {1,2,3}
+      (4L, 7.0), (5L, 7.0)                // tie in {4,5} → smallest id (4)
+    ).toDF("doc_id", "quality")            // 6 has no score → survives anyway
+    val surv = Dedup.qualitySurvivors(docs, labels, quality)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv === Set(2L, 4L, 6L))
+  }
+
   test("survivors: one representative per cluster, unpaired docs all survive") {
     val dir = "/root/testdata/sf0.001"
     val pairs = Dedup.lshCandidatePairs(spark, dir)

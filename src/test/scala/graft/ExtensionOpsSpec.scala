@@ -41,11 +41,29 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
-  test("simhash: 16-bit range and deterministic") {
+  test("simhash: deterministic and uses the full 64-bit range") {
     val s1 = Dedup.simhash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(s1.forall { case (_, h) => h >= 0 && h < (1 << 16) })
     val s2 = Dedup.simhash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(s1.toSeq === s2.toSeq)
+    // fingerprints must spread beyond any 16-bit subrange
+    assert(s1.map(_._2).exists(h => h < 0 || h >= (1L << 32)),
+      "no fingerprint used the high bits — still 16-bit?")
+  }
+
+  test("simhash pairs: zero missed pairs at Hamming ≤ 3 (banding recall guarantee)") {
+    import spark.implicits._
+    // Exact all-pairs Hamming scan (viable only at test scale) — the
+    // 4×16-bit banding must find every pair the exact scan finds: ≤3
+    // flips touch ≤3 bands, so one band is always intact (pigeonhole).
+    val sh = Dedup.simhash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb))).toSet
+    val banded = Dedup.simhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === exact,
+      s"missed: ${(exact -- banded).take(5)}; extra: ${(banded -- exact).take(5)}")
   }
 
   test("jaccard pairs are within (0,1]") {

@@ -30,4 +30,20 @@ class LatestAggregatorSpec extends SparkSpec {
     assert(golden(LatestAggregator.finalView(doubled)) ===
       golden(LatestAggregator.finalView(log)))
   }
+
+  test("null modified_at tiebreak: non-null wins in either argument order") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val withTs = Booking("b1", "withTs", 0, is_canceled = false, ts, ts, 5L)
+    val noTs = Booking("b1", "noTs", 0, is_canceled = false, ts, null, 5L)
+    // same version, same is_deleted — the window form's `desc` (NULLS
+    // LAST) prefers the non-null row; the typed order must agree
+    // regardless of encounter order.
+    assert(VersionedUpsert.newer(withTs, noTs))
+    assert(!VersionedUpsert.newer(noTs, withTs))
+    // full order-key tie: still a strict total order (never both ways)
+    val twinA = noTs
+    val twinB = noTs.copy(status = "zz")
+    assert(VersionedUpsert.newer(twinA, twinB) !==
+      VersionedUpsert.newer(twinB, twinA))
+  }
 }

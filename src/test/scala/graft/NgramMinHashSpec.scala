@@ -5,17 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** The native MinHash expression must agree bit-for-bit with the
   * composed-builtin definition it replaces (and with the DuckDB oracle):
-  * per 8-code-point window g, md5(g) sliced into 8-hex-char substrings,
-  * min per slice.
+  * per 8-code-point window g, the seeded digest family md5(g),
+  * md5(g || '1'), … sliced into 8-hex-char substrings, min per slice.
   */
 class NgramMinHashSpec extends SparkSpec {
 
   private def builtinForm(n: Int, k: Int) = {
     val grams = expr(
       s"transform(sequence(1, length(s) - ${n - 1}), i -> substring(s, i, $n))")
-    val d = transform(grams, g => md5(g.cast("binary")))
-    (0 until k).map(j =>
-      array_min(transform(d, x => substring(x, j * 8 + 1, 8))).as(s"b$j"))
+    (0 until k).map { j =>
+      val seed = j / 4
+      val d = transform(grams, g =>
+        md5((if (seed == 0) g else concat(g, lit(seed.toString))).cast("binary")))
+      array_min(transform(d, x => substring(x, (j % 4) * 8 + 1, 8))).as(s"b$j")
+    }
   }
 
   private val samples = Seq(
@@ -36,6 +39,19 @@ class NgramMinHashSpec extends SparkSpec {
         element_at(NgramMinHashMd5.signature(col("s"), 8, 4), j + 1).as(s"a$j")): _*)
     val builtin = df.select(builtinForm(8, 4): _*)
     assert(native.collect().map(_.toSeq) === builtin.collect().map(_.toSeq))
+  }
+
+  test("seeded digest family: k=16 == composed builtins, incl. multibyte") {
+    import spark.implicits._
+    val df = samples.toDF("s")
+    val native = df.select(
+      (0 until 16).map(j =>
+        element_at(NgramMinHashMd5.signature(col("s"), 8, 16), j + 1).as(s"a$j")): _*)
+    val builtin = df.select(builtinForm(8, 16): _*)
+    assert(native.collect().map(_.toSeq) === builtin.collect().map(_.toSeq))
+    // slices from different seeds must be genuinely independent hashes
+    val row = native.collect().head.toSeq
+    assert(row.distinct.size > 4, s"seeded slices look degenerate: $row")
   }
 
   test("short and null inputs yield null") {

@@ -31,11 +31,17 @@ class QuerySurfaceSpec extends SparkSpec {
   }
 
   test("approx distinct lands within the HLL error bound of exact") {
+    import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_approx_distinct")(spark, dir).collect()
     assert(rows.nonEmpty)
+    // exact counts computed here, NOT in the benched query — the sketch
+    // must be benchmarked alone (VERDICT r1 finding #4)
+    val exactByType = Tables(spark, dir, "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = r.getAs[Long]("exact_users").toDouble
+      val exact = exactByType(r.getAs[String]("event_type")).toDouble
       assert(math.abs(approx - exact) / exact <= 0.15,
         s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
     }

@@ -31,6 +31,19 @@ class TemporalSpec extends SparkSpec {
     assert(out("l_other") === None)
   }
 
+  test("asofJoin: duplicate (key, time) right rows — tiebreak picks the largest id") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "l")).toDF("k", "t", "l_name")
+    // three right rows at the identical (key, timestamp)
+    val right = Seq((1L, 90L, 7L), (1L, 90L, 9L), (1L, 90L, 8L))
+      .toDF("k", "t", "r_id")
+    (1 to 3).foreach { _ =>
+      val out = Temporal.asofJoin(left, right, "k", "t", "t",
+        rightTiebreak = Some("r_id")).collect()
+      assert(out.head.getAs[Long]("r_id") === 9L)
+    }
+  }
+
   test("asofJoin: single shuffle — one Exchange in the plan") {
     import spark.implicits._
     val left = Seq((1L, 10L, "x")).toDF("k", "t", "l_name")
