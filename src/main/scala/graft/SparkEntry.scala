@@ -62,7 +62,11 @@ object SparkEntry {
     // — dedup family over documents (north-star extensions)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),
+    "dedup_minhash_wide" -> (Dedup.minhashWide _),
     "dedup_lsh_pairs" -> (Dedup.lshCandidatePairs _),
+    "dedup_lsh_pairs_wide" -> (Dedup.lshWideCandidatePairs _),
+    "dedup_clusters" -> (Dedup.clustersQuery _),
+    "dedup_survivors" -> (Dedup.survivors _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
@@ -118,6 +122,74 @@ object SparkEntry {
       (b + 1) * operators.Dedup.rowsPerBand).map(j => s"h$j").mkString(" || ")
     s"SELECT doc_id, $b AS band, md5($slices) AS key FROM sigs"
   }.mkString("\n  UNION ALL\n  ")
+
+  /** Wide (production-width) MinHash oracle chain ending in
+    * `sigs(doc_id, h0..h63)`: one md5 per gram → 32-bit base hash hm
+    * (first 8 hex chars, mod P=2³¹−1) → k=64 affine permutations
+    * (aⱼ·hm + bⱼ) mod P with the exact constants of
+    * [[graft.functions.MinHashUtil.affineA]]/[[graft.functions.MinHashUtil.affineB]],
+    * minima per doc — mirrors `MinHashUtil.ngramMinHashAffine`.
+    */
+  private val wideP = graft.functions.MinHashUtil.AffineP
+  private val wideSigsCte = {
+    val hex8 = (0 until 8).map(o =>
+      s"(strpos('0123456789abcdef', substr(d, ${1 + o}, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (7 - o))} AS BIGINT)").mkString(" + ")
+    val cols = (0 until operators.Dedup.wideNumHashes).map { j =>
+      val a = graft.functions.MinHashUtil.affineA(j)
+      val b = graft.functions.MinHashUtil.affineB(j)
+      s"min(($a * hm + $b) % $wideP) AS h$j"
+    }
+    s"""WITH $gramsCte,
+       |h AS (SELECT doc_id, ($hex8) % $wideP AS hm
+       |      FROM (SELECT doc_id, md5(g) AS d FROM g)),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    ${cols.mkString(",\n    ")}
+       |  FROM h GROUP BY doc_id)""".stripMargin
+  }
+
+  private val wideHashColList = (0 until operators.Dedup.wideNumHashes)
+    .map(j => s"h$j").mkString(", ")
+
+  /** 16 bands × 4 rows over the wide signature; band key = md5 of the
+    * '_'-joined band values (mirrors `Dedup.lshWideCandidatePairs`).
+    */
+  private val wideBandsCte = (0 until operators.Dedup.wideNumBands).map { b =>
+    val slices = (b * operators.Dedup.wideRowsPerBand until
+      (b + 1) * operators.Dedup.wideRowsPerBand)
+      .map(j => s"CAST(h$j AS VARCHAR)").mkString(" || '_' || ")
+    s"SELECT doc_id, $b AS band, md5($slices) AS key FROM sigs"
+  }.mkString("\n  UNION ALL\n  ")
+
+  /** k=16 LSH candidate pairs as a reusable CTE chain ending in
+    * `pairs(a_id, b_id)` — the input graph for the clusters/survivors
+    * oracles (RECURSIVE because the downstream connected-components CTE
+    * needs it; DuckDB allows non-recursive members in the list).
+    */
+  private val lshPairsCte =
+    s"""WITH RECURSIVE ${sigsCte.stripPrefix("WITH ")},
+       |bands AS (
+       |  $lshBandsCte),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Min-label connected components over `pairs` as a recursive
+    * reachability CTE ending in `labels(id, cluster)` — the same
+    * fixpoint `Dedup.clusters` converges to by label propagation.
+    */
+  private val clusterLabelsCte =
+    s"""$lshPairsCte,
+       |e AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |      UNION SELECT b_id, a_id FROM pairs),
+       |r(id, m) AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.id, e.v FROM r JOIN e ON r.m = e.u),
+       |labels AS (
+       |  SELECT id, least(id, min(m)) AS cluster FROM r GROUP BY id)""".stripMargin
 
   /** First 7 hex chars of md5(text) → bigint (mirrors Sampling.pctBucket). */
   private val hex7 = (1 to 7).map(p =>
@@ -426,6 +498,42 @@ object SparkEntry {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_minhash_wide" ->
+      s"""$wideSigsCte
+         |SELECT doc_id, $wideHashColList FROM sigs ORDER BY doc_id""".stripMargin,
+    "dedup_lsh_pairs_wide" ->
+      s"""$wideSigsCte,
+         |bands AS (
+         |  $wideBandsCte)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_clusters" ->
+      s"""$clusterLabelsCte
+         |SELECT id, cluster FROM labels ORDER BY id""".stripMargin,
+    "dedup_survivors" ->
+      s"""$clusterLabelsCte,
+         |qual AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(trim(text), ' ')) AS DOUBLE) *
+         |    (CASE WHEN CAST(len(list_filter(string_split(trim(text), ' '),
+         |            t -> list_contains(['the','a','of','and','in','to','is'], t))) AS DOUBLE)
+         |          / len(string_split(trim(text), ' ')) >= 0.05
+         |     THEN 1.0 ELSE 0.5 END) AS quality
+         |  FROM documents),
+         |member AS (
+         |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster,
+         |         coalesce(q.quality, 0.0) AS quality
+         |  FROM documents d
+         |  LEFT JOIN labels l ON d.doc_id = l.id
+         |  LEFT JOIN qual q ON d.doc_id = q.doc_id)
+         |SELECT doc_id FROM (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY cluster
+         |                       ORDER BY quality DESC, doc_id) AS rn
+         |  FROM member) t
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" ->
       s"""$simhashCte,

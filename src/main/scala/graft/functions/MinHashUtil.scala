@@ -2,6 +2,7 @@ package graft.functions
 
 import java.security.MessageDigest
 
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -90,5 +91,76 @@ object MinHashUtil {
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Mersenne prime 2³¹−1 — the modulus of the affine MinHash family.
+    * All intermediates of (a·h + b) mod P with a,h,b < P stay under
+    * 2⁶², so the arithmetic is overflow-free in signed 64-bit on both
+    * Spark and the DuckDB oracle.
+    */
+  val AffineP = 2147483647L
+
+  /** Pairwise-independent affine coefficients aⱼ∈[1,P), bⱼ∈[0,P) for up
+    * to 256 hash functions, from a fixed-seed generator (java.util.Random
+    * is algorithmically specified, so the family is stable across JVMs).
+    * [[graft.SparkEntry]] embeds the same values as literals in the
+    * DuckDB oracle SQL.
+    */
+  private val affineConsts: (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(20240812L)
+    val a = Array.fill(256)(1L + rnd.nextInt((AffineP - 1).toInt))
+    val b = Array.fill(256)(rnd.nextInt(AffineP.toInt).toLong)
+    (a, b)
+  }
+  def affineA(j: Int): Long = affineConsts._1(j)
+  def affineB(j: Int): Long = affineConsts._2(j)
+
+  /** Production-width ("wide") MinHash: ONE md5 digest per n-code-point
+    * window supplies a 32-bit base hash h (first 4 digest bytes,
+    * big-endian unsigned — numerically the same slice 0 the seeded-slice
+    * family uses); hash function j is the affine permutation
+    * (aⱼ·(h mod P) + bⱼ) mod P. Cost per window is one digest + k
+    * multiply-adds, versus ⌈k/4⌉ digests for the seeded-slice family —
+    * at k=64 that is 1/16th the hashing, which is what makes 64–128
+    * permutations affordable on a 100 TB corpus.
+    *
+    * @return array<bigint> of k minima, or null if the text has fewer
+    *         than `n` code points (mirrors `array_min([])`).
+    */
+  def ngramMinHashAffine(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val starts = new Array[Int](len + 1)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(m) = i; m += 1 }
+      i += 1
+    }
+    starts(m) = len
+    if (m < n) return null
+
+    val md = md5.get()
+    val digest = new Array[Byte](16)
+    val a = affineConsts._1
+    val b = affineConsts._2
+    val mins = Array.fill(k)(Long.MaxValue)
+    var w = 0
+    while (w <= m - n) {
+      md.reset()
+      md.update(bytes, starts(w), starts(w + n) - starts(w))
+      md.digest(digest, 0, 16)
+      val h = ((digest(0) & 0xFFL) << 24) | ((digest(1) & 0xFFL) << 16) |
+        ((digest(2) & 0xFFL) << 8) | (digest(3) & 0xFFL)
+      val hm = h % AffineP
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * hm + b(j)) % AffineP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
   }
 }

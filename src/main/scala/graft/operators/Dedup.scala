@@ -113,6 +113,60 @@ object Dedup {
       .distinct()
   }
 
+  /** Production-width MinHash: k = b×r = 64 hash functions — the width
+    * real near-dup dedup runs at (collision threshold (1/b)^(1/r) =
+    * (1/16)^(1/4) ≈ 0.5, i.e. the banding catches pairs from ~0.5
+    * Jaccard up, with r=4 keeping the false-positive tail short).
+    * Affordable at this width because the affine family costs ONE md5
+    * per shingle + k multiply-adds ([[graft.functions.NgramMinHashAffine]]),
+    * not ⌈k/4⌉ digests like the seeded-slice family above.
+    */
+  val wideNumHashes = 64
+  val wideNumBands = 16
+  val wideRowsPerBand = 4
+
+  /** Wide MinHash signatures (k=[[wideNumHashes]] affine permutations of
+    * one 32-bit md5-based hash per shingle, modulus 2³¹−1). Same narrow
+    * single-pass shape as [[minhashSignatures]]: zero shuffles before
+    * the presentation sort.
+    */
+  def minhashWide(spark: SparkSession, dir: String): DataFrame =
+    wideSignaturesUnsorted(spark, dir).orderBy("doc_id")
+
+  private def wideSignaturesUnsorted(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= 8)
+      .withColumn("sig",
+        graft.functions.NgramMinHashAffine.signature(col("text"), 8, wideNumHashes))
+      .select(
+        col("doc_id") +:
+        (0 until wideNumHashes).map(k => element_at(col("sig"), k + 1).as(s"h$k")): _*)
+
+  /** Wide-signature LSH candidate pairs: [[wideNumBands]]×[[wideRowsPerBand]]
+    * banding over the k=64 affine signature. Band keys are md5 over the
+    * '_'-joined band values — full 128-bit cardinality, so bucket
+    * population stays O(dup-group size). Identical band→bucket-join
+    * scale shape as [[lshCandidatePairs]], at production width.
+    */
+  def lshWideCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val bandKey = (b: Int) =>
+      md5(concat_ws("_", (b * wideRowsPerBand until (b + 1) * wideRowsPerBand)
+        .map(j => col(s"h$j").cast("string")): _*).cast("binary")).as(s"b$b")
+    val sigs = wideSignaturesUnsorted(spark, dir)
+      .select(col("doc_id") +: (0 until wideNumBands).map(bandKey): _*)
+      .localCheckpoint()
+    val bands = (0 until wideNumBands).map(b =>
+        sigs.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("key")))
+      .reduce(_ unionByName _)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
     * ±1 token contributions. The 64-bit token hash is the first 16 hex
     * chars of md5 (two 32-bit halves — the shared-primitive analog of
@@ -256,7 +310,17 @@ object Dedup {
       TextAnalysis.representativeQuality(col("text")).as("quality"))
     qualitySurvivors(docs.select("doc_id"),
       clusters(lshPairsUnsorted(spark, dir)), quality)
+      .orderBy("doc_id")
   }
+
+  /** Oracle-registered duplicate clusters over the LSH candidate-pair
+    * graph: (id, cluster) for every doc appearing in at least one
+    * candidate pair — cluster is the smallest doc_id in the connected
+    * component (the converged [[clusters]] fixpoint; the DuckDB oracle
+    * states the same fixpoint as a recursive reachability CTE).
+    */
+  def clustersQuery(spark: SparkSession, dir: String): DataFrame =
+    clusters(lshPairsUnsorted(spark, dir)).orderBy("id")
 
   /** Document-frequency cap for the Jaccard shingle join: shingles
     * appearing in more than this many documents are dropped before the
@@ -271,35 +335,41 @@ object Dedup {
 
   /** n-gram Jaccard verification on a candidate-restricted subset
     * (every 10th doc, same-language pairs): |A∩B| via a join on shared
-    * shingles, |A∪B| = |A|+|B|−|A∪B| — both computed over the
+    * shingles, |A∪B| = |A|+|B|−|A∩B| — both computed over the
     * df-capped shingle sets (see [[maxShingleDf]]), so the estimate
     * stays a true Jaccard of the filtered sets.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Dedup is only needed WITHIN a doc, so `array_distinct` does it
     // narrowly before the explode — no global distinct shuffle. The
-    // df-cap and the per-doc gram count are two window passes (keys
-    // (lang,g) and (doc_id)); the per-doc count rides along in the
-    // row, replacing two size-table joins with agg-side `first()`.
-    // The gram table feeds both join sides: checkpoint once (cluster
-    // analog: persist the shingle table before the pair join).
-    val grams = Tables(spark, dir, "documents")
+    // df-cap is a broadcast blocklist: a map-side-combined
+    // groupBy(lang, g).count keeps only hot shingles (tiny output — at
+    // most one row per distinct gram over the cap), broadcast as an
+    // anti-join against the gram table. The gram table itself is never
+    // shuffled until the pair join — the former window-based cap
+    // shuffled+sorted the full exploded gram table twice. Per-doc set
+    // sizes join onto the (small) aggregated pair output, not the gram
+    // table. The gram subtree feeds the blocklist and both join sides:
+    // checkpoint once (cluster analog: persist the shingle table).
+    val rawGrams = Tables(spark, dir, "documents")
       .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 8)
       .withColumn("gs", array_distinct(shingleExpr(8)))
       .select(col("doc_id"), col("lang"), explode(col("gs")).as("g"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("lang"), col("g"))))
-      .filter(col("df") <= maxShingleDf)
-      .drop("df")
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .localCheckpoint()
+    val hot = rawGrams.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select("lang", "g")
+    val grams = rawGrams.join(broadcast(hot), Seq("lang", "g"), "left_anti")
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     grams.as("a")
       .join(grams.as("b"),
         col("a.g") === col("b.g") && col("a.lang") === col("b.lang") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("i"),
-        first(col("a.c")).as("ca"), first(col("b.c")).as("cb"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("c").as("ca")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("c").as("cb")), "b_id")
       .select(col("a_id"), col("b_id"),
         (col("i") / (col("ca") + col("cb") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= 0.1)

@@ -54,6 +54,59 @@ class NgramMinHashSpec extends SparkSpec {
     assert(row.distinct.size > 4, s"seeded slices look degenerate: $row")
   }
 
+  /** Composed-builtin statement of the affine family: per window g,
+    * base = unsigned 32-bit of md5(g)'s first 8 hex chars, hash j =
+    * (aⱼ·(base mod P) + bⱼ) mod P — what the DuckDB oracle computes.
+    */
+  private def affineBuiltinForm(n: Int, k: Int) = {
+    import graft.functions.MinHashUtil
+    val p = MinHashUtil.AffineP
+    val grams = expr(
+      s"transform(sequence(1, length(s) - ${n - 1}), i -> substring(s, i, $n))")
+    (0 until k).map { j =>
+      val hm = transform(grams, g =>
+        conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long") % p)
+      array_min(transform(hm, h =>
+        (lit(MinHashUtil.affineA(j)) * h + lit(MinHashUtil.affineB(j))) % p))
+        .as(s"b$j")
+    }
+  }
+
+  test("affine family: native expression == composed builtins, k=64") {
+    import graft.functions.NgramMinHashAffine
+    import spark.implicits._
+    val df = samples.toDF("s")
+    val k = 64
+    val native = df.select(
+      (0 until k).map(j =>
+        element_at(NgramMinHashAffine.signature(col("s"), 8, k), j + 1).as(s"a$j")): _*)
+    val builtin = df.select(affineBuiltinForm(8, k): _*)
+    assert(native.collect().map(_.toSeq) === builtin.collect().map(_.toSeq))
+    // permutations of one base hash must still be distinct functions
+    val row = native.collect().head.toSeq
+    assert(row.distinct.size > 32, s"affine permutations look degenerate: $row")
+  }
+
+  test("affine family: interpreted path agrees with codegen, nulls on short input") {
+    import graft.functions.NgramMinHashAffine
+    import spark.implicits._
+    val df = samples.toDF("s")
+    val e = NgramMinHashAffine.signature(col("s"), 8, 64)
+    val viaCodegen = df.select(e.as("sig")).collect().map(_.getSeq[Long](0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(e.as("sig")).collect().map(_.getSeq[Long](0))
+      assert(viaCodegen.map(_.toList).toList === interp.map(_.toList).toList)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val nulls = Seq(Some("1234567"), Some(""), None).toDF("s")
+      .select(NgramMinHashAffine.signature(col("s"), 8, 64).as("sig")).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
   test("short and null inputs yield null") {
     import spark.implicits._
     val df = Seq(Some("1234567"), Some(""), None).toDF("s")

@@ -60,6 +60,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ngram_minhash_md5"), s"expected native expression:\n$p")
   }
 
+  test("wide minhash signatures: narrow until the output sort, native affine expr") {
+    val p = plan(Dedup.minhashWide(spark, dir))
+    assert(shuffles(p) === 0, s"wide signature pass must not hash-shuffle:\n$p")
+    assert(p.contains("ngram_minhash_affine"), s"expected native expression:\n$p")
+  }
+
   test("top-k: TakeOrderedAndProject, not a global sort") {
     val p = plan(Analytics.topKOrders(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), p)
