@@ -237,6 +237,57 @@ object SparkEntry {
     s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
     .mkString(" + ")
 
+  /** cosine between a FLOAT[] (`e`, widened exactly per element) and a
+    * DOUBLE[] (`c`, a trained centroid) — mirrors
+    * [[graft.functions.VectorKernel.dotFD]] / dotFF / dotDD with the
+    * same ascending fold order.
+    */
+  private def cosMixedSql(e: String, c: String): String = {
+    val dotEC =
+      s"""(SELECT sum(CAST($e[CAST(i AS INTEGER)] AS DOUBLE) * $c[CAST(i AS INTEGER)])
+         | FROM unnest(generate_series(1, len($e))) t(i))""".stripMargin
+    val dotEE =
+      s"""(SELECT sum(CAST($e[CAST(i AS INTEGER)] AS DOUBLE) *
+         |            CAST($e[CAST(i AS INTEGER)] AS DOUBLE))
+         | FROM unnest(generate_series(1, len($e))) t(i))""".stripMargin
+    val dotCC =
+      s"""(SELECT sum($c[CAST(i AS INTEGER)] * $c[CAST(i AS INTEGER)])
+         | FROM unnest(generate_series(1, len($c))) t(i))""".stripMargin
+    s"round($dotEC / (sqrt($dotEE) * sqrt($dotCC)), 4)"
+  }
+
+  /** One Lloyd assignment: every vector to its nearest `cent$i` centroid
+    * by rounded cosine, ties to the smallest c_id (mirrors
+    * `Similarity.assignCells`).
+    */
+  private def ivfAssignCte(i: Int): String =
+    s"""sc$i AS (
+       |  SELECT e.vec_id, e.embedding, c.c_id,
+       |    ${cosMixedSql("e.embedding", "c.c_emb")} AS c_cos
+       |  FROM embeddings e, cent$i c),
+       |asg$i AS (
+       |  SELECT vec_id, embedding, c_id AS cell FROM (
+       |    SELECT vec_id, embedding, c_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+       |    FROM sc$i) t
+       |  WHERE rn = 1)""".stripMargin
+
+  /** One Lloyd update: element-wise mean per cell via an ordered fold
+    * over (vec_id, value) — deterministic double arithmetic, mirrors
+    * `Similarity.cellMeans`.
+    */
+  private def ivfMeansCte(i: Int): String =
+    s"""comp$i AS (
+       |  SELECT cell, pos,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY vec_id)),
+       |                (acc, x) -> acc + x) / count(*) AS m
+       |  FROM (SELECT cell, vec_id, i AS pos,
+       |          CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+       |        FROM asg$i, unnest(generate_series(1, len(embedding))) t(i))
+       |  GROUP BY cell, pos),
+       |cent${i + 1} AS (
+       |  SELECT cell AS c_id, list(m ORDER BY pos) AS c_emb FROM comp$i GROUP BY cell)""".stripMargin
+
   /** DuckDB-runnable oracle per query (driver compares hashes at sf0.01). */
   def oracleSql: Map[String, String] = Map(
     "cdc_final" ->
@@ -593,24 +644,25 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
          |  FROM pairs) t
          |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    // k-means training (seed = first 8 vectors, 2 Lloyd iterations)
+    // replayed exactly, then cell-restricted search — mirrors
+    // Similarity.ivfTopK with lloydIters=2.
     "ann_ivf" ->
-      s"""WITH c AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
-         |a0 AS (
-         |  SELECT e.vec_id, e.embedding, c_id,
-         |    ${cosSql("e.embedding", "c_emb")} AS c_cos
-         |  FROM embeddings e, c),
-         |a1 AS (
-         |  SELECT vec_id, embedding, c_id AS cell,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
-         |  FROM a0),
-         |assigned AS (SELECT vec_id, embedding, cell FROM a1 WHERE rn = 1),
+      s"""WITH cent0 AS (
+         |  SELECT vec_id AS c_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+         |  FROM embeddings WHERE vec_id < 8),
+         |${ivfAssignCte(0)},
+         |${ivfMeansCte(0)},
+         |${ivfAssignCte(1)},
+         |${ivfMeansCte(1)},
+         |${ivfAssignCte(2)},
          |q AS (
          |  SELECT vec_id AS q_id, embedding AS q_emb, cell AS q_cell
-         |  FROM assigned WHERE vec_id >= 8 AND vec_id < 16),
+         |  FROM asg2 WHERE vec_id >= 8 AND vec_id < 16),
          |pairs AS (
          |  SELECT q_id, a.vec_id, ${cosSql("q_emb", "a.embedding")} AS cos
-         |  FROM q JOIN assigned a ON a.cell = q.q_cell AND a.vec_id <> q.q_id)
+         |  FROM q JOIN asg2 a ON a.cell = q.q_cell AND a.vec_id <> q.q_id)
          |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
          |  FROM pairs) t

@@ -101,32 +101,98 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
-  /** IVF (inverted-file) ANN: every vector is assigned to the cell of
-    * its nearest centroid; a query searches only its own cell. The
-    * "trained" centroid set is a deterministic stand-in (the first 8
-    * vectors — production would k-means a sample; the cell-assignment
-    * and cell-restricted-search plumbing is identical). Assignment is
-    * one broadcast×corpus pass + a per-vector argmax window; the search
-    * is an equi-join on cell id — at scale one shuffle by cell, the
-    * same pattern as [[bucketedTopK]] with learned instead of axis-
-    * aligned partitions.
+  /** Lloyd iteration count for [[ivfTopK]]'s k-means training. Two
+    * iterations move the first-8-vectors seed far enough to balance
+    * cells on this corpus; more buys little (near-dup clusters converge
+    * in 2-3 rounds) and each costs one assignment pass.
     */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(spark, dir, "embeddings")
-      .withColumn("nrm", norm(col("embedding")))
-    val centroids = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        col("nrm").as("c_nrm"))
-    // cell = nearest centroid by (rounded) cosine, smallest c_id on ties
+  val lloydIters = 2
+
+  /** Cell assignment: every vector to its nearest centroid by rounded
+    * cosine (ties to the smallest c_id). One broadcast×corpus pass +
+    * a per-vector argmax window.
+    *
+    * @param centroids (c_id, c_emb: array<double>)
+    */
+  private def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val cent = centroids.withColumn("c_nrm", sqrt(dot(col("c_emb"), col("c_emb"))))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = emb.crossJoin(broadcast(centroids))
+    emb.crossJoin(broadcast(cent))
       .withColumn("c_cos",
         round(dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
+  }
+
+  /** Centroid update: element-wise mean per cell. The per-dimension sum
+    * is an ordered fold over (vec_id, value) pairs — deterministic
+    * double arithmetic the DuckDB oracle replays bit-for-bit
+    * (distributed `avg` would sum in partition order and break hash
+    * parity). Output is one row per non-empty cell.
+    */
+  private def cellMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("xs"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"),
+        (aggregate(col("xs"), lit(0.0),
+          (acc, x) => acc + x.getField("v").cast("double")) / col("n")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("c_emb"))
+      .select(col("cell").as("c_id"), col("c_emb"))
+
+  /** IVF (inverted-file) ANN with TRAINED centroids: k-means over the
+    * corpus — seeded deterministically with the first 8 vectors, then
+    * [[lloydIters]] Lloyd iterations (assign to nearest centroid,
+    * recompute element-wise means) — then every vector is assigned to
+    * its final cell and a query searches only its own cell. All
+    * arithmetic is order-pinned (rounded cosines, ordered mean folds)
+    * so the DuckDB oracle replays training + assignment exactly.
+    *
+    * Scale shape: each Lloyd pass is one broadcast(8 centroids)×corpus
+    * projection + an argmax window — no shuffle of the corpus by pair;
+    * the mean update aggregates (cell, dim) cells, output 8×dims rows.
+    * The search is an equi-join on cell id — one shuffle by cell, the
+    * same pattern as [[bucketedTopK]] with learned partitions.
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("nrm", norm(col("embedding")))
+      .localCheckpoint() // feeds 3 assignment passes + the final join
+    var centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"),
+        transform(col("embedding"), x => x.cast("double")).as("c_emb"))
+    for (_ <- 1 to lloydIters)
+      centroids = cellMeans(assignCells(emb, centroids)).localCheckpoint()
+    val assigned = assignCells(emb, centroids).localCheckpoint()
+    val queries = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell").as("q_cell"))
+    val scored = assigned.join(broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 4).as("cos"))
+    topPerQuery(scored, 3)
+  }
+
+  /** The untrained stand-in [[ivfTopK]] replaced (first 8 vectors AS the
+    * centroids, no Lloyd iterations) — kept for the recall-improvement
+    * spec (SimilaritySpec asserts trained rank-1 recall ≥ this).
+    */
+  private[graft] def ivfTopKStandin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("nrm", norm(col("embedding")))
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"),
+        transform(col("embedding"), x => x.cast("double")).as("c_emb"))
+    val assigned = assignCells(emb, centroids).localCheckpoint()
     val queries = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 16)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("cell").as("q_cell"))

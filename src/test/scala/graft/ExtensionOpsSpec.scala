@@ -90,6 +90,39 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(joined.forall(r => r.getDouble(2) <= r.getDouble(1) + 1e-9))
   }
 
+  test("trained IVF: rank-1 recall ≥ the untrained first-8 stand-in") {
+    // True nearest neighbor per query (vec_id 8..15) by exact cosine.
+    val vecs = Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d, na, nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = (8L until 16L).filter(vecs.contains)
+    val trueNN = queries.map { q =>
+      q -> vecs.collect { case (id, v) if id != q => id -> cos(vecs(q), v) }
+        .maxBy { case (id, c) => (c, -id) }._1
+    }.toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(2))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      queries.count(q => got.getOrElse(q, Set.empty).contains(trueNN(q))).toDouble /
+        queries.size
+    }
+    val trained = recall(Similarity.ivfTopK(spark, dir))
+    val standin = recall(Similarity.ivfTopKStandin(spark, dir))
+    assert(trained >= standin,
+      s"trained recall $trained < stand-in recall $standin")
+  }
+
   test("quality scores: ratios in [0,1], avg token length positive") {
     val q = TextAnalysis.qualityScores(spark, dir).collect()
     assert(q.forall(r => r.getDouble(3) >= 0 && r.getDouble(3) <= 1))
