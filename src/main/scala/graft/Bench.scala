@@ -36,6 +36,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // setup: lay out the day-partitioned events fixture so the benched
+    // q_partition_pruned_scan measures purely the pruned read, never
+    // the one-time layout write.
+    try operators.Bucketing.prepareDayLayout(spark, sfDir)
+    catch { case _: Throwable => }
+
     // warmup: JVM/codegen/parquet-footer caches (not reported). Fixed
     // query — Map iteration order is unspecified, and a varying warmup
     // would shift which measured query absorbs first-touch costs.

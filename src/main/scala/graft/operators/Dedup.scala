@@ -187,6 +187,16 @@ object Dedup {
   val simhashBands = 4
   val simhashBandBits = 16
 
+  /** The [[simhashBands]]×[[simhashBandBits]] band keys of a 64-bit
+    * fingerprint — the same slicing the DataFrame path applies in
+    * [[simhashPairs]] (masking makes arithmetic vs logical shift
+    * equivalent). Exposed as a plain function so the pigeonhole recall
+    * guarantee is property-testable without a SparkSession
+    * (SimHashBandPropertySpec locks it against band refactors).
+    */
+  def simhashBandKeys(fp: Long): Seq[Long] =
+    (0 until simhashBands).map(b => (fp >> (b * simhashBandBits)) & 0xFFFFL)
+
   private def simhashUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))

@@ -56,6 +56,26 @@ object StatefulUpsert {
       }
   }
 
+  /** Bounded-state streaming dedup — SURVEY T4's lighter-weight
+    * alternative to [[latestPerKey]] for replay tolerance: drops
+    * duplicate (booking_id, version) rows with
+    * `dropDuplicatesWithinWatermark`, so an at-least-once upstream
+    * (the reference sink's `exactlyOnce=false`,
+    * `/root/reference/connectors/clickhouse_sink_configuration.json:13`)
+    * becomes exactly-once within the lateness bound. Unlike
+    * [[latestPerKey]] (state = one row per LIVE key, forever), state
+    * here expires once the watermark on `modified_at` passes
+    * `lateness` — bounded by the replay horizon, not key cardinality.
+    * Downstream, the batch finalView over the deduped append stream is
+    * unchanged (A4 duplicate tolerance makes dedup semantically
+    * optional); what this buys is a sink that writes each change once.
+    */
+  def dedupWithinWatermark(upserts: Dataset[Booking],
+                           lateness: String = "10 minutes"): Dataset[Booking] =
+    upserts
+      .withWatermark("modified_at", lateness)
+      .dropDuplicatesWithinWatermark("booking_id", "version")
+
   /** Watermarked tumbling-window counts over an event stream with an
     * event-time `ts` column: 1-hour windows, 2-hour lateness bound.
     * Append mode emits each window once, when the watermark passes it.

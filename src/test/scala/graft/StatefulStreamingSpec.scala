@@ -69,6 +69,32 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark: replays emit once; downstream FINAL matches batch finalView") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.VersionedUpsert
+    import spark.implicits._
+    val in = MemoryStream[Booking]
+    val q = StatefulUpsert.dedupWithinWatermark(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("ddw").start()
+    try {
+      // in-batch duplicate + a distinct second key
+      in.addData(b("b1", "Open", 1), b("b1", "Open", 1), b("b2", "Created", 2))
+      q.processAllAvailable()
+      // cross-batch replay of (b1, v1) within the lateness bound + fresh v3
+      in.addData(b("b1", "Open", 1), b("b1", "Closed", 3))
+      q.processAllAvailable()
+      val rows = spark.table("ddw").as[Booking].collect()
+      assert(rows.map(r => (r.booking_id, r.version)).sorted.toSeq ===
+        Seq(("b1", 1L), ("b1", 3L), ("b2", 2L)))
+      // bounded lateness ⇒ the deduped append stream still reaches the
+      // same FINAL table the batch path computes over the raw log
+      val streamedFinal = VersionedUpsert.finalViewAgg(spark.table("ddw"))
+        .select("booking_id", "status").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(streamedFinal === Seq(("b1", "Closed"), ("b2", "Created")))
+    } finally q.stop()
+  }
+
   test("windowedEventCounts: watermark emits closed windows once, bounds state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
