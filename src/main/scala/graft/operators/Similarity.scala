@@ -168,8 +168,17 @@ object Similarity {
     var centroids = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"),
         transform(col("embedding"), x => x.cast("double")).as("c_emb"))
+    // Collect the k=8 centroid rows to the driver between iterations —
+    // the canonical k-means discipline (MLlib does the same): the
+    // centroid set is O(k·dims), collecting it truncates the growing
+    // Lloyd lineage so each pass replans from a tiny LocalRelation
+    // instead of re-checkpointing, and the corpus itself never leaves
+    // the executors.
+    import spark.implicits._
     for (_ <- 1 to lloydIters)
-      centroids = cellMeans(assignCells(emb, centroids)).localCheckpoint()
+      centroids = cellMeans(assignCells(emb, centroids))
+        .as[(Long, Seq[Double])].collect().toSeq
+        .toDF("c_id", "c_emb")
     val assigned = assignCells(emb, centroids).localCheckpoint()
     val queries = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 16)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
