@@ -264,19 +264,20 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      // each node adopts min(own label, neighbors' labels)
+      // each node adopts min(own label, neighbors' labels); the old
+      // label rides along so convergence is a filter on the
+      // checkpointed step, not another join against the previous state
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("n_cluster"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
             .as("cluster"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).isEmpty
-      labels = next
+      converged = stepped.filter(col("cluster") =!= col("old")).isEmpty
+      labels = stepped.select("id", "cluster")
       it += 1
     }
     require(converged, s"label propagation did not converge in $maxIters iters")

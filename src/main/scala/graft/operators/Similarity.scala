@@ -115,16 +115,22 @@ object Similarity {
     * @param centroids (c_id, c_emb: array<double>)
     */
   private def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cent = centroids.withColumn("c_nrm", sqrt(dot(col("c_emb"), col("c_emb"))))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
+    // argmax as a max_by hash aggregate, not a row_number window: the
+    // partial agg collapses the k candidate rows per vector map-side,
+    // so the shuffle carries one row per vector instead of k, and no
+    // sort runs. Tie semantics identical to ORDER BY c_cos DESC, c_id
+    // (max over (c_cos, -c_id)); embedding/nrm are constant per vec_id
+    // so first() is deterministic.
     emb.crossJoin(broadcast(cent))
       .withColumn("c_cos",
         round(dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"),
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
   }
 
   /** Centroid update: element-wise mean per cell. The per-dimension sum

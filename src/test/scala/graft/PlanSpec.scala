@@ -66,6 +66,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ngram_minhash_affine"), s"expected native expression:\n$p")
   }
 
+  test("jaccard df-cap: broadcast anti-join blocklist, no full-width window pass") {
+    val p = plan(Dedup.ngramJaccardPairs(spark, dir))
+    assert(!p.contains("Window"), s"df-cap must not window the gram table:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti-join blocklist:\n$p")
+  }
+
   test("top-k: TakeOrderedAndProject, not a global sort") {
     val p = plan(Analytics.topKOrders(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), p)
