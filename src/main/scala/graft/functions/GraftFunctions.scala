@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for graft's native Catalyst expressions: exposes
+  * `ngram_minhash_md5`, `ngram_minhash_affine`, `rolling_hash`, and
+  * `dot_product_d` to `spark.sql(...)` users, so the engine's custom
+  * kernels are first-class functions, not Column-API-only.
+  *
+  * Two registration paths:
+  *  - [[GraftExtensions]] via `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    at session build (the standard production mechanism);
+  *  - [[GraftFunctions.register]] on a live session (tests, notebooks).
+  */
+object GraftFunctions {
+
+  /** Static parameters (shingle width, hash count, window) must be
+    * integer literals — they parameterize codegen, not per-row data.
+    */
+  private def intArg(e: Expression, fn: String, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got $other")
+  }
+
+  /** name → builder for every native expression. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "ngram_minhash_md5" -> { args =>
+      NgramMinHashMd5(args(0),
+        intArg(args(1), "ngram_minhash_md5", "shingle width n"),
+        intArg(args(2), "ngram_minhash_md5", "numHashes k"))
+    },
+    "ngram_minhash_affine" -> { args =>
+      NgramMinHashAffine(args(0),
+        intArg(args(1), "ngram_minhash_affine", "shingle width n"),
+        intArg(args(2), "ngram_minhash_affine", "numHashes k"))
+    },
+    "rolling_hash" -> { args =>
+      RollingHash(args(0), intArg(args(1), "rolling_hash", "window"))
+    },
+    "dot_product_d" -> (args => DotProductD(args(0), args(1))),
+  )
+
+  /** Register every native function on a live session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      bridge.registerFunction(spark, name, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+}
