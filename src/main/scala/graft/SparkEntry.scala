@@ -83,7 +83,11 @@ object SparkEntry {
     "text_subword_stats" -> (TextAnalysis.subwordStats _),
     "text_rolling_hash" -> (TextAnalysis.rollingHashes _),
     "text_quality_filter" -> (Sampling.qualityFilter _),
+    "text_pii_signals" -> (TextAnalysis.piiSignals _),
     "q_train_split" -> (Sampling.splitSummary _),
+    "q_stratified_sample" ->
+      ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
+    "q_pack_sequences" -> (Sampling.packSequences _),
     // — multimodal binary-column plumbing
     "mm_media_meta" -> (Multimodal.mediaMeta _),
   )
@@ -738,6 +742,36 @@ object SparkEntry {
          |SELECT split, lang, count(*) AS n_docs,
          |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_pii_signals" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_idlike,
+        |  (len(regexp_extract_all(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |   + len(regexp_extract_all(text, 'https?://[^ ]+'))
+        |   + len(regexp_extract_all(text, '[0-9]{6,}'))) > 0 AS has_pii
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT lang, doc_id,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |                     ROWS UNBOUNDED PRECEDING) - n_tok AS pre
+         |  FROM d)
+         |SELECT lang, CAST(floor(pre / ${operators.Sampling.packContextLen}) AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM r GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
     "text_subword_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,

@@ -38,6 +38,54 @@ object Sampling {
         sum(size(split(trim(col("text")), " "))).cast("long").as("n_tokens"))
       .orderBy("split", "lang")
 
+  /** Stratified per-group sample: exactly `perGroup` documents per
+    * language (fewer if the stratum is smaller), chosen by content-hash
+    * rank — deterministic under replay and insertion order, like
+    * [[splitAssign]], but with an exact per-stratum quota instead of a
+    * global rate. The rank is a window per stratum: at scale each
+    * language partition sorts independently (one shuffle on `lang`;
+    * skewed strata would salt-prefilter by [[pctBucket]] first to cut
+    * the sort input to ~quota size).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       perGroup: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perGroup)
+      .select("lang", "rk", "doc_id")
+      .orderBy("lang", "rk")
+  }
+
+  /** Context length for [[packSequences]] — the target token budget of
+    * one packed training sequence.
+    */
+  val packContextLen = 512
+
+  /** Greedy sequence packing: per language, documents in doc_id order
+    * are packed into fixed-budget bins — bin = floor(tokens-before-me /
+    * context) — the standard first-pass packing plan for LLM training
+    * batches (documents spanning a boundary are split downstream; the
+    * plan stage only needs the bin assignment to be deterministic).
+    * One window (running token sum per lang) + one aggregate; both
+    * shuffle on `lang` only.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
+      .withColumn("before", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", floor(col("before") / packContextLen))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("lang", "bin")
+  }
+
   /** Quality-gate filter: keep documents passing the pretraining-corpus
     * heuristics (enough tokens, sane token length, some stopword mass —
     * the thresholds are illustrative; the shape is a conjunctive

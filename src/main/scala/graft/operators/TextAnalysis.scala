@@ -114,6 +114,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII-signal counts per document — the redaction/filter audit every
+    * released training corpus runs: email addresses, URLs, and long
+    * digit runs (account/id-like). Patterns avoid lookaround and
+    * escapes that differ between regex engines, so Java (Spark) and
+    * RE2 (DuckDB oracle) count identically; one narrow codegen'd scan,
+    * three `regexp_count`s.
+    */
+  def piiSignals(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+          .cast("long").as("n_emails"),
+        regexp_count(col("text"), lit("https?://[^ ]+"))
+          .cast("long").as("n_urls"),
+        regexp_count(col("text"), lit("[0-9]{6,}"))
+          .cast("long").as("n_idlike"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_urls") + col("n_idlike") > 0)
+      .orderBy("doc_id")
+
   /** Rolling-hash document fingerprint (Rabin-Karp polynomial, base 31
     * mod 2^31−1): the full-content hash plus the minimum over all
     * 16-char window hashes (the winnowing primitive used for local

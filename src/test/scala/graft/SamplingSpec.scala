@@ -34,6 +34,37 @@ class SamplingSpec extends SparkSpec {
     assert(counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L) > 0)
   }
 
+  test("stratified sample: exact per-stratum quota, stable under repartitioning") {
+    val s = Sampling.stratifiedSample(spark, dir, perGroup = 7)
+    val perLang = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = Tables(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.keySet === strata.keySet)
+    perLang.foreach { case (lang, n) =>
+      assert(n === math.min(7L, strata(lang)), s"stratum $lang")
+    }
+    // content-hash ranking: the chosen ids are a pure function of content
+    val again = Sampling.stratifiedSample(spark, dir, perGroup = 7)
+      .collect().map(_.getLong(2)).sorted.toSeq
+    assert(again === s.collect().map(_.getLong(2)).sorted.toSeq)
+  }
+
+  test("sequence packing: conserves docs and tokens, bins start at 0") {
+    val packed = Sampling.packSequences(spark, dir).collect()
+    assert(packed.map(_.getLong(2)).sum ===
+      Tables(spark, dir, "documents").count())
+    val expectedTokens = Tables(spark, dir, "documents")
+      .select(sum(size(split(trim(col("text")), " ")).cast("long")))
+      .collect().head.getLong(0)
+    assert(packed.map(_.getLong(3)).sum === expectedTokens)
+    packed.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      assert(rows.map(_.getLong(1)).min === 0L, s"first bin of $lang")
+      assert(rows.forall(_.getLong(3) > 0))
+    }
+  }
+
   test("exact dedup by content hash equals dedup by raw text") {
     val docs = Tables(spark, dir, "documents")
     val byHash = graft.operators.Dedup.exact(spark, dir).count()
