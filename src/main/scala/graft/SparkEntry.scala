@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
+    "q_contamination" -> (Dedup.contamination _),
     // — similarity search over embeddings
     "ann_brute_force" -> (Similarity.bruteForceTopK _),
     "ann_bucketed" -> (Similarity.bucketedTopK _),
@@ -625,6 +626,26 @@ object SparkEntry {
         |JOIN sizes cb ON b_id = cb.doc_id
         |WHERE i / (ca.c + cb.c - i) >= 0.1
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_contamination" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, text,
+         |    CASE WHEN ($hex7) % 100 < 90 THEN 'train'
+         |         WHEN ($hex7) % 100 < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents WHERE doc_id % 10 = 0 AND len(text) >= 8),
+         |g0 AS (
+         |  SELECT DISTINCT doc_id, lang, split, substr(text, CAST(i AS INTEGER), 8) AS g
+         |  FROM (SELECT doc_id, lang, split, text,
+         |          unnest(generate_series(1, len(text) - 7)) AS i FROM s)),
+         |keep AS (SELECT lang, g FROM g0 GROUP BY lang, g
+         |         HAVING count(*) <= ${operators.Dedup.maxShingleDf}),
+         |g AS (SELECT g0.* FROM g0 JOIN keep USING (lang, g)),
+         |pairs AS (
+         |  SELECT t.doc_id AS test_id, tr.doc_id AS train_id, count(*) AS shared
+         |  FROM g t JOIN g tr ON t.g = tr.g AND t.lang = tr.lang
+         |  WHERE t.split = 'test' AND tr.split = 'train'
+         |  GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT test_id, count(*) AS n_train_matches, max(shared) AS max_shared
+         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_brute_force" ->
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),

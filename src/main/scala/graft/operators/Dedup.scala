@@ -344,6 +344,43 @@ object Dedup {
     */
   val maxShingleDf = 100
 
+  /** Train→test contamination check — the benchmark-leakage audit every
+    * corpus release runs: test-split documents sharing ≥3 char-8-gram
+    * shingles with any train-split document (splits from
+    * [[Sampling.splitAssign]], sampled to every 10th doc like the
+    * Jaccard verifier). Same scale discipline as [[ngramJaccardPairs]]:
+    * df-capped via the broadcast hot-gram blocklist, so the
+    * cross-split shingle join is linear in corpus size, never
+    * quadratic in a boilerplate shingle's document count.
+    *
+    * @return (test_id, n_train_matches, max_shared) per contaminated
+    *         test document
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 8)
+      .withColumn("split", Sampling.splitAssign(col("text")))
+      .withColumn("gs", array_distinct(shingleExpr(8)))
+      .select(col("doc_id"), col("lang"), col("split"), explode(col("gs")).as("g"))
+      .localCheckpoint()
+    val hot = grams.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select("lang", "g")
+    val kept = grams.join(broadcast(hot), Seq("lang", "g"), "left_anti")
+    val test = kept.filter(col("split") === "test")
+      .select(col("doc_id").as("test_id"), col("lang"), col("g"))
+    val train = kept.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("lang"), col("g"))
+    test.join(train, Seq("lang", "g"))
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+      .groupBy(col("test_id"))
+      .agg(count(lit(1)).as("n_train_matches"), max(col("shared")).as("max_shared"))
+      .orderBy("test_id")
+  }
+
   /** n-gram Jaccard verification on a candidate-restricted subset
     * (every 10th doc, same-language pairs): |A∩B| via a join on shared
     * shingles, |A∪B| = |A|+|B|−|A∩B| — both computed over the
