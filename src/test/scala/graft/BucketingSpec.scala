@@ -41,6 +41,31 @@ class BucketingSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("dynamic partition pruning: runtime filter from a dim join reaches the scan") {
+    import spark.implicits._
+    val layout = Bucketing.prepareDayLayout(spark, "/root/testdata/sf0.001")
+    val facts = spark.read.parquet(layout)
+    // dim known only at runtime (from the optimizer's view): the day
+    // filter sits on the dim side, so static pruning can't fire — DPP
+    // must inject the runtime IN-subquery into the scan's
+    // PartitionFilters for the fact side to skip 29 of 30 day dirs.
+    // The dim is a parquet table, not a LocalRelation: the optimizer
+    // folds filters into LocalTableScan, leaving no selective
+    // predicate for the PartitionPruning rule to key on
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(
+      (java.sql.Date.valueOf("2024-01-15"), "pick"),
+      (java.sql.Date.valueOf("2025-06-01"), "skip")).toDF("day", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = facts.join(dim.filter(col("tag") === "pick"), "day")
+      .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter in the scan:\n$p")
+    assert(joined.collect().map(_.getLong(1)).sum > 0)
+  }
+
   test("same-bucketed tables join with zero exchanges") {
     val dir = "/root/testdata/sf0.001"
     val orders = Tables(spark, dir, "orders")
