@@ -367,7 +367,11 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
       .select("lang", "g")
+    // checkpoint the FILTERED grams too: the test and train sides both
+    // read it, and without the cut Spark would recompute the hot-gram
+    // aggregate (a shuffle of the gram table) once per side
     val kept = grams.join(broadcast(hot), Seq("lang", "g"), "left_anti")
+      .localCheckpoint()
     val test = kept.filter(col("split") === "test")
       .select(col("doc_id").as("test_id"), col("lang"), col("g"))
     val train = kept.filter(col("split") === "train")
@@ -408,7 +412,11 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
       .select("lang", "g")
+    // checkpoint the FILTERED grams too: three consumers (both join
+    // sides + sizes) would otherwise each recompute the hot-gram
+    // aggregate — a shuffle of the gram table per consumer
     val grams = rawGrams.join(broadcast(hot), Seq("lang", "g"), "left_anti")
+      .localCheckpoint()
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     grams.as("a")
       .join(grams.as("b"),

