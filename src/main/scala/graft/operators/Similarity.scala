@@ -168,9 +168,12 @@ object Similarity {
     * same pattern as [[bucketedTopK]] with learned partitions.
     */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    // no checkpoint on emb: its lineage is one parquet scan + a narrow
+    // norm projection — cheaper to recompute per assignment pass than
+    // to materialize eagerly (the expensive thing to pin is the final
+    // assignment, below)
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("nrm", norm(col("embedding")))
-      .localCheckpoint() // feeds 3 assignment passes + the final join
     var centroids = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"),
         transform(col("embedding"), x => x.cast("double")).as("c_emb"))
