@@ -107,6 +107,35 @@ class NgramMinHashSpec extends SparkSpec {
     assert(nulls.forall(_.isNullAt(0)))
   }
 
+  test("affine signature match-rate estimates true shingle Jaccard (k=64)") {
+    import graft.functions.NgramMinHashAffine
+    import spark.implicits._
+    // pairs with controlled overlap: share the first `keep` chars
+    val rnd = new scala.util.Random(7)
+    def randStr(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val pairs = (0 until 5).map { i =>
+      val a = randStr(400)
+      val keep = 80 * i
+      (a, a.take(keep) + randStr(400 - keep))
+    }
+    def shingles(s: String) =
+      (0 to s.length - 8).map(i => s.substring(i, i + 8)).toSet
+    val df = pairs.zipWithIndex
+      .flatMap { case ((a, b), i) => Seq((i, "a", a), (i, "b", b)) }
+      .toDF("pid", "side", "s")
+    val sigs = df.select(col("pid"), col("side"),
+        NgramMinHashAffine.signature(col("s"), 8, 64).as("sig")).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      val (sa, sb) = (shingles(a), shingles(b))
+      val trueJ = (sa & sb).size.toDouble / (sa | sb).size
+      val est = sigs((i, "a")).zip(sigs((i, "b")))
+        .count { case (x, y) => x == y }.toDouble / 64
+      // k=64 ⇒ σ = √(J(1−J)/64) ≤ 0.063; 0.2 is a >3σ tolerance
+      assert(math.abs(est - trueJ) <= 0.2, s"pair $i: est $est vs true $trueJ")
+    }
+  }
+
   test("short and null inputs yield null") {
     import spark.implicits._
     val df = Seq(Some("1234567"), Some(""), None).toDF("s")
