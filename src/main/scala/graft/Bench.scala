@@ -10,7 +10,10 @@ import org.apache.spark.sql.SparkSession
   * would let Catalyst prune projections and undercount the real work. A
   * warmup query runs first so JVM/codegen startup isn't billed to the
   * first measured query; queries run in sorted name order for
-  * round-over-round comparability.
+  * round-over-round comparability, and each query's reported time is
+  * the MIN of two passes — single-pass numbers on a 32-thread local
+  * JVM carry ±10% JIT/GC noise that round-over-round comparisons then
+  * misread as plan changes (the r1→r2 "warmup artifact" lesson).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,7 +51,14 @@ object Bench {
     try materialize(SparkEntry.queries.keys.toSeq.sorted.head)
     catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> materialize(n))
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val pass1 = names.map(n => n -> materialize(n)).toMap
+    val results = names.map { n =>
+      val t2 = materialize(n)
+      val t1 = pass1(n)
+      // min of the two passes; a failed pass (-1) falls back to the other
+      n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

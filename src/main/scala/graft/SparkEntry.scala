@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),
     "dedup_minhash_wide" -> (Dedup.minhashWide _),
+    "dedup_minhash_w128" -> (Dedup.minhashWide128 _),
     "dedup_lsh_pairs" -> (Dedup.lshCandidatePairs _),
     "dedup_lsh_pairs_wide" -> (Dedup.lshWideCandidatePairs _),
     "dedup_clusters" -> (Dedup.clustersQuery _),
@@ -136,11 +137,11 @@ object SparkEntry {
     * minima per doc — mirrors `MinHashUtil.ngramMinHashAffine`.
     */
   private val wideP = graft.functions.MinHashUtil.AffineP
-  private val wideSigsCte = {
+  private def affineSigsCte(k: Int): String = {
     val hex8 = (0 until 8).map(o =>
       s"(strpos('0123456789abcdef', substr(d, ${1 + o}, 1)) - 1) * " +
         s"CAST(${1L << (4 * (7 - o))} AS BIGINT)").mkString(" + ")
-    val cols = (0 until operators.Dedup.wideNumHashes).map { j =>
+    val cols = (0 until k).map { j =>
       val a = graft.functions.MinHashUtil.affineA(j)
       val b = graft.functions.MinHashUtil.affineB(j)
       s"min(($a * hm + $b) % $wideP) AS h$j"
@@ -153,6 +154,7 @@ object SparkEntry {
        |    ${cols.mkString(",\n    ")}
        |  FROM h GROUP BY doc_id)""".stripMargin
   }
+  private val wideSigsCte = affineSigsCte(operators.Dedup.wideNumHashes)
 
   private val wideHashColList = (0 until operators.Dedup.wideNumHashes)
     .map(j => s"h$j").mkString(", ")
@@ -557,6 +559,10 @@ object SparkEntry {
     "dedup_minhash_wide" ->
       s"""$wideSigsCte
          |SELECT doc_id, $wideHashColList FROM sigs ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_w128" ->
+      s"""${affineSigsCte(128)}
+         |SELECT doc_id, ${(0 until 128).map(j => s"h$j").mkString(", ")}
+         |FROM sigs ORDER BY doc_id""".stripMargin,
     "dedup_lsh_pairs_wide" ->
       s"""$wideSigsCte,
          |bands AS (

@@ -133,14 +133,26 @@ object Dedup {
   def minhashWide(spark: SparkSession, dir: String): DataFrame =
     wideSignaturesUnsorted(spark, dir).orderBy("doc_id")
 
+  /** k=128 — the top of the production range. Same single-md5-per-
+    * shingle pass as k=64: the digest dominates, so doubling the
+    * permutation count costs far less than 2× (the bench demonstrates
+    * the near-flat growth the affine family exists for).
+    */
+  def minhashWide128(spark: SparkSession, dir: String): DataFrame =
+    affineSignaturesUnsorted(spark, dir, 128).orderBy("doc_id")
+
   private def wideSignaturesUnsorted(spark: SparkSession, dir: String): DataFrame =
+    affineSignaturesUnsorted(spark, dir, wideNumHashes)
+
+  private def affineSignaturesUnsorted(spark: SparkSession, dir: String,
+                                       k: Int): DataFrame =
     Tables(spark, dir, "documents")
       .filter(length(col("text")) >= 8)
       .withColumn("sig",
-        graft.functions.NgramMinHashAffine.signature(col("text"), 8, wideNumHashes))
+        graft.functions.NgramMinHashAffine.signature(col("text"), 8, k))
       .select(
         col("doc_id") +:
-        (0 until wideNumHashes).map(k => element_at(col("sig"), k + 1).as(s"h$k")): _*)
+        (0 until k).map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
 
   /** Wide-signature LSH candidate pairs: [[wideNumBands]]×[[wideRowsPerBand]]
     * banding over the k=64 affine signature. Band keys are md5 over the
