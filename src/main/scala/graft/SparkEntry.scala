@@ -66,6 +66,7 @@ object SparkEntry {
     "dedup_minhash_w128" -> (Dedup.minhashWide128 _),
     "dedup_lsh_pairs" -> (Dedup.lshCandidatePairs _),
     "dedup_lsh_pairs_wide" -> (Dedup.lshWideCandidatePairs _),
+    "dedup_lsh_incremental" -> (Dedup.lshIncrementalPairs _),
     "dedup_clusters" -> (Dedup.clustersQuery _),
     "dedup_survivors" -> (Dedup.survivors _),
     "dedup_simhash" -> (Dedup.simhash _),
@@ -571,6 +572,15 @@ object SparkEntry {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_lsh_incremental" ->
+      s"""$sigsCte,
+         |bands AS (
+         |  $lshBandsCte)
+         |SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS existing_id
+         |FROM bands n JOIN bands e
+         |  ON n.band = e.band AND n.key = e.key
+         |WHERE n.doc_id % 10 = 0 AND e.doc_id % 10 <> 0
+         |ORDER BY new_id, existing_id""".stripMargin,
     "dedup_clusters" ->
       s"""$clusterLabelsCte
          |SELECT id, cluster FROM labels ORDER BY id""".stripMargin,

@@ -179,6 +179,37 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Incremental LSH dedup — the daily-ingest shape: candidate pairs of
+    * a NEW batch (every 10th doc here) against the EXISTING corpus
+    * only, via the same band→bucket equi-join as [[lshCandidatePairs]]
+    * but with the self-join replaced by new×existing. This is how
+    * dedup actually runs at 100 TB: the existing corpus's band table
+    * is materialized once (here: the checkpointed signature scan), and
+    * each day only the new batch's bands shuffle against it — cost
+    * O(batch), not O(corpus²) and not even O(corpus) per day.
+    *
+    * @return (new_id, existing_id) candidate pairs
+    */
+  def lshIncrementalPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bandKey = (b: Int) =>
+      md5(concat((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => col(s"h$j")): _*).cast("binary")).as(s"b$b")
+    val sigs = signaturesUnsorted(spark, dir)
+      .select(col("doc_id") +: (0 until numBands).map(bandKey): _*)
+      .localCheckpoint()
+    val bands = (0 until numBands).map(b =>
+        sigs.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("key")))
+      .reduce(_ unionByName _)
+    val newSide = bands.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("new_id"), col("band"), col("key"))
+    val existing = bands.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("existing_id"), col("band"), col("key"))
+    newSide.join(existing, Seq("band", "key"))
+      .select(col("new_id"), col("existing_id"))
+      .distinct()
+      .orderBy("new_id", "existing_id")
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
     * ±1 token contributions. The 64-bit token hash is the first 16 hex
     * chars of md5 (two 32-bit halves — the shared-primitive analog of
