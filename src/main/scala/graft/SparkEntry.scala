@@ -93,6 +93,7 @@ object SparkEntry {
     "q_pack_sequences" -> (Sampling.packSequences _),
     // — multimodal binary-column plumbing
     "mm_media_meta" -> (Multimodal.mediaMeta _),
+    "mm_frame_index" -> (Multimodal.frameIndex _),
   )
 
   /** DuckDB shingle CTE shared by the minhash oracles: char 8-grams. */
@@ -832,6 +833,21 @@ object SparkEntry {
         |                       i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
         |      (acc, x) -> (acc * 31 + x) % 2147483647))) AS winnow_min
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // stub frame sampler replayed byte-exactly: the payload window is
+    // compared as hex (DuckDB slices in hex space — 2 chars per byte —
+    // since BLOB slicing isn't available)
+    "mm_frame_index" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS content_hex,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents)
+        |SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(i * 1000 AS BIGINT) AS ts_ms,
+        |  substr(content_hex,
+        |    CAST((i * 1000) % greatest(1, len) AS INTEGER) * 2 + 1, 32) AS frame_hex
+        |FROM m, unnest(generate_series(0,
+        |  CAST(least(8, len // 1000 + 1) AS BIGINT) - 1)) t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "mm_media_meta" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -122,4 +122,20 @@ object Multimodal {
     */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
     extractMeta(mediaFromDocuments(spark, dir)).orderBy("media_id")
+
+  /** Driver-checkable frame-sampling query: the 1→N cardinality change
+    * of [[frameSample]] reduced to a verifiable index (frame position,
+    * timestamp, payload hash) — the stub codec is deterministic, so the
+    * DuckDB oracle replays the byte-window arithmetic exactly and the
+    * hash gate covers the whole mapPartitions/flatMap plumbing, not
+    * just row counts.
+    */
+  def frameIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaFromDocuments(spark, dir).as[MediaRow]
+    frameSample(media).toDF()
+      .select(col("media_id"), col("frame_idx"), col("ts_ms"),
+        hex(col("content")).as("frame_hex"))
+      .orderBy("media_id", "frame_idx")
+  }
 }
