@@ -50,6 +50,7 @@ object SparkEntry {
     "q_corr_above_avg" -> (Analytics.aboveAvgOrders _),
     "q_percentiles" -> (Analytics.orderPercentiles _),
     "q_stats_orders" -> (Analytics.orderStats _),
+    "q_series_correlation" -> (Analytics.seriesCorrelation _),
     "q_range_join_tiers" -> (Analytics.priceTierSummary _),
     "q_order_timeline" -> (Analytics.orderTimeline _),
     "q_approx_distinct" -> (Analytics.approxUserCounts _),
@@ -504,6 +505,23 @@ object SparkEntry {
         |SELECT o_orderstatus, n, round(s1 / n, 4) AS mean_price,
         |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS stddev_price
         |FROM s ORDER BY o_orderstatus""".stripMargin,
+    "q_series_correlation" ->
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type AS et_a, b.event_type AS et_b, count(*) AS n,
+        |    CAST(sum(a.v) AS DOUBLE) AS sx, CAST(sum(b.v) AS DOUBLE) AS sy,
+        |    CAST(sum(a.v * b.v) AS DOUBLE) AS sxy,
+        |    CAST(sum(a.v * a.v) AS DOUBLE) AS sxx,
+        |    CAST(sum(b.v * b.v) AS DOUBLE) AS syy
+        |  FROM h a JOIN h b ON a.hour = b.hour AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT et_a, et_b, n,
+        |  round((n * sxy - sx * sy) /
+        |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS pearson
+        |FROM s ORDER BY et_a, et_b""".stripMargin,
     "q_asof_attribution" ->
       """WITH p AS (
         |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts

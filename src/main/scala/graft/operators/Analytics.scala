@@ -248,6 +248,42 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
+  /** Time-series correlation matrix: Pearson correlation between the
+    * hourly value series of every event-type pair, computed from EXACT
+    * decimal power sums (n, Σx, Σy, Σxy, Σx², Σy²) and assembled in
+    * double — the order-independent formulation that keeps hash parity
+    * with the oracle where a streaming `corr` aggregate (sum-order-
+    * dependent) would not. One hourly rollup, one self-join on the
+    * (small) hour-grain series, one aggregate per pair — the series
+    * table is hours×types, so at 100 TB this is a reduction to a tiny
+    * intermediate before any pairwise work.
+    */
+  def seriesCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(sum(col("value").cast(dec)).as("v"))
+    val joined = hourly.as("a")
+      .join(hourly.as("b"),
+        col("a.hour") === col("b.hour") &&
+          col("a.event_type") < col("b.event_type"))
+    val n = count(lit(1))
+    val stats = joined
+      .groupBy(col("a.event_type").as("et_a"), col("b.event_type").as("et_b"))
+      .agg(
+        n.as("n"),
+        sum(col("a.v")).cast("double").as("sx"),
+        sum(col("b.v")).cast("double").as("sy"),
+        sum(col("a.v") * col("b.v")).cast("double").as("sxy"),
+        sum(col("a.v") * col("a.v")).cast("double").as("sxx"),
+        sum(col("b.v") * col("b.v")).cast("double").as("syy"))
+    stats.select(col("et_a"), col("et_b"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4)
+          .as("pearson"))
+      .orderBy("et_a", "et_b")
+  }
+
   /** Non-equi (range) join: orders classified into price tiers by a
     * BETWEEN condition. The tier table is tiny and broadcast, so the
     * non-equi condition runs as a broadcast nested-loop over 3 rows —
