@@ -508,7 +508,7 @@ object SparkEntry {
     "q_series_correlation" ->
       """WITH h AS (
         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
-        |    sum(CAST(value AS DECIMAL(18,4))) AS v
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v
         |  FROM events GROUP BY 1, 2),
         |s AS (
         |  SELECT a.event_type AS et_a, b.event_type AS et_b, count(*) AS n,

@@ -28,22 +28,32 @@ object GraftFunctions {
       s"$fn: $what must be an integer literal, got $other")
   }
 
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${args.length}")
+
   /** name → builder for every native expression. */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "ngram_minhash_md5" -> { args =>
+      arity("ngram_minhash_md5", args, 3)
       NgramMinHashMd5(args(0),
         intArg(args(1), "ngram_minhash_md5", "shingle width n"),
         intArg(args(2), "ngram_minhash_md5", "numHashes k"))
     },
     "ngram_minhash_affine" -> { args =>
+      arity("ngram_minhash_affine", args, 3)
       NgramMinHashAffine(args(0),
         intArg(args(1), "ngram_minhash_affine", "shingle width n"),
         intArg(args(2), "ngram_minhash_affine", "numHashes k"))
     },
     "rolling_hash" -> { args =>
+      arity("rolling_hash", args, 2)
       RollingHash(args(0), intArg(args(1), "rolling_hash", "window"))
     },
-    "dot_product_d" -> (args => DotProductD(args(0), args(1))),
+    "dot_product_d" -> { args =>
+      arity("dot_product_d", args, 2)
+      DotProductD(args(0), args(1))
+    },
   )
 
   /** Register every native function on a live session. */

@@ -259,9 +259,14 @@ object Analytics {
     * intermediate before any pairwise work.
     */
   def seriesCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    // the hourly total is narrowed back to DECIMAL(18,4): Spark widens
+    // sum(dec(18,4)) to (28,4), whose pairwise product would exceed 38
+    // digits and silently round at scale 6, while DuckDB keeps the
+    // product exact — narrowing both engines to (18,4) keeps every
+    // product and power sum exact on both sides (hash parity)
     val hourly = Tables(spark, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(sum(col("value").cast(dec)).as("v"))
+      .agg(sum(col("value").cast(dec)).cast(dec).as("v"))
     val joined = hourly.as("a")
       .join(hourly.as("b"),
         col("a.hour") === col("b.hour") &&

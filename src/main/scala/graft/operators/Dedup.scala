@@ -90,24 +90,42 @@ object Dedup {
   def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame =
     lshPairsUnsorted(spark, dir).orderBy("a_id", "b_id")
 
-  private[operators] def lshPairsUnsorted(spark: SparkSession, dir: String): DataFrame = {
-    // Materialize signatures once: the band self-join references this
-    // subtree on both sides and Spark would recompute the (md5-heavy)
-    // signature scan 2×numBands times otherwise. At cluster scale the
-    // same pattern is "write the signature table, then join it" —
-    // localCheckpoint is the single-job analog.
-    val bandKey = (b: Int) =>
-      md5(concat((b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(j => col(s"h$j")): _*).cast("binary")).as(s"b$b")
-    val sigs = signaturesUnsorted(spark, dir)
-      .select(col("doc_id") +: (0 until numBands).map(bandKey): _*)
-      .localCheckpoint()
-    val bands = (0 until numBands).map(b =>
+  /** md5 band key over the seeded-slice signature's rows for band `b`:
+    * direct concat is separator-free but safe — every hⱼ is a
+    * fixed-width 8-hex-char slice, so band values can't alias.
+    * (Variable-width values MUST use the '_'-separated form below.)
+    */
+  private def narrowBandKey(b: Int): Column =
+    md5(concat((b * rowsPerBand until (b + 1) * rowsPerBand)
+      .map(j => col(s"h$j")): _*).cast("binary")).as(s"b$b")
+
+  /** (doc_id, b0..b{n-1}) → long (doc_id, band, key) band table — the
+    * shared explode step of every LSH variant.
+    */
+  private def bandTable(sigs: DataFrame, nBands: Int): DataFrame =
+    (0 until nBands).map(b =>
         sigs.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("key")))
       .reduce(_ unionByName _)
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+
+  /** Checkpointed band table over the k=16 seeded-slice signatures.
+    * Materialized once: the band join references this subtree on both
+    * sides and Spark would recompute the (md5-heavy) signature scan
+    * per reference otherwise. At cluster scale the same pattern is
+    * "write the signature/band table, then join it" — localCheckpoint
+    * is the single-job analog.
+    */
+  private def narrowBands(spark: SparkSession, dir: String): DataFrame =
+    bandTable(
+      signaturesUnsorted(spark, dir)
+        .select(col("doc_id") +: (0 until numBands).map(narrowBandKey): _*)
+        .localCheckpoint(),
+      numBands)
+
+  private[operators] def lshPairsUnsorted(spark: SparkSession, dir: String): DataFrame = {
+    val bands = narrowBands(spark, dir)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
@@ -161,15 +179,16 @@ object Dedup {
     * scale shape as [[lshCandidatePairs]], at production width.
     */
   def lshWideCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    // '_' separator is REQUIRED here: the wide signature values are
+    // variable-width decimal bigints ('1_23' vs '12_3' must differ)
     val bandKey = (b: Int) =>
       md5(concat_ws("_", (b * wideRowsPerBand until (b + 1) * wideRowsPerBand)
         .map(j => col(s"h$j").cast("string")): _*).cast("binary")).as(s"b$b")
-    val sigs = wideSignaturesUnsorted(spark, dir)
-      .select(col("doc_id") +: (0 until wideNumBands).map(bandKey): _*)
-      .localCheckpoint()
-    val bands = (0 until wideNumBands).map(b =>
-        sigs.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("key")))
-      .reduce(_ unionByName _)
+    val bands = bandTable(
+      wideSignaturesUnsorted(spark, dir)
+        .select(col("doc_id") +: (0 until wideNumBands).map(bandKey): _*)
+        .localCheckpoint(),
+      wideNumBands)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -191,15 +210,7 @@ object Dedup {
     * @return (new_id, existing_id) candidate pairs
     */
   def lshIncrementalPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bandKey = (b: Int) =>
-      md5(concat((b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(j => col(s"h$j")): _*).cast("binary")).as(s"b$b")
-    val sigs = signaturesUnsorted(spark, dir)
-      .select(col("doc_id") +: (0 until numBands).map(bandKey): _*)
-      .localCheckpoint()
-    val bands = (0 until numBands).map(b =>
-        sigs.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("key")))
-      .reduce(_ unionByName _)
+    val bands = narrowBands(spark, dir)
     val newSide = bands.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("new_id"), col("band"), col("key"))
     val existing = bands.filter(col("doc_id") % 10 =!= 0)
@@ -387,6 +398,39 @@ object Dedup {
     */
   val maxShingleDf = 100
 
+  /** Exploded, per-doc-distinct, df-capped shingle table over the
+    * sampled corpus (every 10th doc) — the shared front half of the
+    * Jaccard verifier and the contamination audit. The df-cap is a
+    * broadcast blocklist: a map-side-combined groupBy(lang, g).count
+    * keeps only hot shingles (tiny output), broadcast as an anti-join
+    * against the gram table — the gram table is never shuffled. Both
+    * stages checkpoint (raw: feeds blocklist + filter once; filtered:
+    * every downstream consumer would otherwise recompute the blocklist
+    * aggregate). Cluster analog: persist the shingle table.
+    *
+    * @param withSplit carry the train/val/test split column
+    */
+  private def dfCappedGrams(spark: SparkSession, dir: String,
+                            withSplit: Boolean): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 8)
+    val tagged =
+      if (withSplit) docs.withColumn("split", Sampling.splitAssign(col("text")))
+      else docs
+    val keyCols = Seq(col("doc_id"), col("lang")) ++
+      (if (withSplit) Seq(col("split")) else Nil)
+    val rawGrams = tagged
+      .withColumn("gs", array_distinct(shingleExpr(8)))
+      .select(keyCols :+ explode(col("gs")).as("g"): _*)
+      .localCheckpoint()
+    val hot = rawGrams.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select("lang", "g")
+    rawGrams.join(broadcast(hot), Seq("lang", "g"), "left_anti")
+      .localCheckpoint()
+  }
+
   /** Train→test contamination check — the benchmark-leakage audit every
     * corpus release runs: test-split documents sharing ≥3 char-8-gram
     * shingles with any train-split document (splits from
@@ -400,21 +444,7 @@ object Dedup {
     *         test document
     */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables(spark, dir, "documents")
-      .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 8)
-      .withColumn("split", Sampling.splitAssign(col("text")))
-      .withColumn("gs", array_distinct(shingleExpr(8)))
-      .select(col("doc_id"), col("lang"), col("split"), explode(col("gs")).as("g"))
-      .localCheckpoint()
-    val hot = grams.groupBy(col("lang"), col("g"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf)
-      .select("lang", "g")
-    // checkpoint the FILTERED grams too: the test and train sides both
-    // read it, and without the cut Spark would recompute the hot-gram
-    // aggregate (a shuffle of the gram table) once per side
-    val kept = grams.join(broadcast(hot), Seq("lang", "g"), "left_anti")
-      .localCheckpoint()
+    val kept = dfCappedGrams(spark, dir, withSplit = true)
     val test = kept.filter(col("split") === "test")
       .select(col("doc_id").as("test_id"), col("lang"), col("g"))
     val train = kept.filter(col("split") === "train")
@@ -435,31 +465,10 @@ object Dedup {
     * stays a true Jaccard of the filtered sets.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    // Dedup is only needed WITHIN a doc, so `array_distinct` does it
-    // narrowly before the explode — no global distinct shuffle. The
-    // df-cap is a broadcast blocklist: a map-side-combined
-    // groupBy(lang, g).count keeps only hot shingles (tiny output — at
-    // most one row per distinct gram over the cap), broadcast as an
-    // anti-join against the gram table. The gram table itself is never
-    // shuffled until the pair join — the former window-based cap
-    // shuffled+sorted the full exploded gram table twice. Per-doc set
-    // sizes join onto the (small) aggregated pair output, not the gram
-    // table. The gram subtree feeds the blocklist and both join sides:
-    // checkpoint once (cluster analog: persist the shingle table).
-    val rawGrams = Tables(spark, dir, "documents")
-      .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 8)
-      .withColumn("gs", array_distinct(shingleExpr(8)))
-      .select(col("doc_id"), col("lang"), explode(col("gs")).as("g"))
-      .localCheckpoint()
-    val hot = rawGrams.groupBy(col("lang"), col("g"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf)
-      .select("lang", "g")
-    // checkpoint the FILTERED grams too: three consumers (both join
-    // sides + sizes) would otherwise each recompute the hot-gram
-    // aggregate — a shuffle of the gram table per consumer
-    val grams = rawGrams.join(broadcast(hot), Seq("lang", "g"), "left_anti")
-      .localCheckpoint()
+    // Per-doc set sizes join onto the (small) aggregated pair output,
+    // not the gram table; see [[dfCappedGrams]] for the blocklist +
+    // checkpoint discipline.
+    val grams = dfCappedGrams(spark, dir, withSplit = false)
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     grams.as("a")
       .join(grams.as("b"),
