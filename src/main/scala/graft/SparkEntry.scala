@@ -78,6 +78,7 @@ object SparkEntry {
     "ann_brute_force" -> (Similarity.bruteForceTopK _),
     "ann_bucketed" -> (Similarity.bucketedTopK _),
     "ann_ivf" -> (Similarity.ivfTopK _),
+    "ann_recall" -> (Similarity.bucketedRecall _),
     "emb_near_dup_pairs" -> (Similarity.nearDupPairs _),
     // — text analysis over documents
     "text_token_stats" -> (TextAnalysis.tokenStats _),
@@ -727,6 +728,36 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
          |  FROM pairs) t
          |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "ann_recall" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |bf AS (
+         |  SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos
+         |  FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+         |truth AS (
+         |  SELECT q_id, vec_id AS true_nn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |    FROM bf) t WHERE rn = 1),
+         |eb AS (
+         |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |qb AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+         |  FROM eb WHERE vec_id < 8),
+         |bk_pairs AS (
+         |  SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos
+         |  FROM qb JOIN eb e ON e.bucket = qb.q_bucket AND e.vec_id <> qb.q_id),
+         |bk AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |    FROM bk_pairs) t WHERE rn <= 3),
+         |hits AS (
+         |  SELECT truth.q_id,
+         |    max(CASE WHEN bk.vec_id = truth.true_nn THEN 1 ELSE 0 END) AS hit
+         |  FROM truth LEFT JOIN bk ON bk.q_id = truth.q_id
+         |  GROUP BY truth.q_id)
+         |SELECT 'bucketed' AS method, count(*) AS n_queries,
+         |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
+         |FROM hits""".stripMargin,
     "emb_near_dup_pairs" ->
       s"""WITH a AS (
          |  SELECT vec_id AS a_id, label, embedding AS a_emb

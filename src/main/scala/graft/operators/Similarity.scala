@@ -101,6 +101,27 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  /** Recall@k of the bucketed ANN path against the exact brute-force
+    * baseline: the fraction of queries whose TRUE nearest neighbor
+    * (brute-force rank-1) appears in the bucketed top-3 — the
+    * measurement every approximate index ships with, as a first-class
+    * query. Both sides reuse the production operators; the aggregate
+    * is one tiny join on (q_id).
+    */
+  def bucketedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = bruteForceTopK(spark, dir)
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("vec_id").as("true_nn"))
+    val approx = bucketedTopK(spark, dir)
+      .select(col("q_id"), col("vec_id"))
+    truth.join(approx, Seq("q_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(max(when(col("vec_id") === col("true_nn"), 1).otherwise(0)).as("hit"))
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(col("hit")).cast("double") / count(lit(1))).as("recall"))
+      .select(lit("bucketed").as("method"), col("n_queries"), col("recall"))
+  }
+
   /** Lloyd iteration count for [[ivfTopK]]'s k-means training. Two
     * iterations move the first-8-vectors seed far enough to balance
     * cells on this corpus; more buys little (near-dup clusters converge
