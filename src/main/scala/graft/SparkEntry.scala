@@ -51,6 +51,7 @@ object SparkEntry {
     "q_percentiles" -> (Analytics.orderPercentiles _),
     "q_stats_orders" -> (Analytics.orderStats _),
     "q_series_correlation" -> (Analytics.seriesCorrelation _),
+    "q_daily_reconciliation" -> (Analytics.dailyReconciliation _),
     "q_range_join_tiers" -> (Analytics.priceTierSummary _),
     "q_order_timeline" -> (Analytics.orderTimeline _),
     "q_approx_distinct" -> (Analytics.approxUserCounts _),
@@ -506,6 +507,18 @@ object SparkEntry {
         |SELECT o_orderstatus, n, round(s1 / n, 4) AS mean_price,
         |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS stddev_price
         |FROM s ORDER BY o_orderstatus""".stripMargin,
+    "q_daily_reconciliation" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_ordered
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n_shipped
+        |  FROM lineitem GROUP BY 1)
+        |SELECT coalesce(o.day, s.day) AS day,
+        |  coalesce(n_ordered, 0) AS n_ordered,
+        |  coalesce(n_shipped, 0) AS n_shipped
+        |FROM o FULL OUTER JOIN s ON o.day = s.day
+        |ORDER BY day""".stripMargin,
     "q_series_correlation" ->
       """WITH h AS (
         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

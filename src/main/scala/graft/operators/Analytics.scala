@@ -248,6 +248,26 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
+  /** Full-outer reconciliation: daily order activity vs daily shipment
+    * activity, keeping days present on either side only (the audit
+    * shape for detecting gaps between two event streams). Both sides
+    * pre-aggregate to day grain BEFORE the join — the full-outer join
+    * runs on two tiny day-grain tables, never on the facts.
+    */
+  def dailyReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val ordered = Tables(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_ordered"))
+    val shipped = Tables(spark, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n_shipped"))
+    ordered.join(shipped, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_ordered"), lit(0L)).as("n_ordered"),
+        coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+      .orderBy("day")
+  }
+
   /** Time-series correlation matrix: Pearson correlation between the
     * hourly value series of every event-type pair, computed from EXACT
     * decimal power sums (n, Σx, Σy, Σxy, Σx², Σy²) and assembled in
