@@ -329,9 +329,21 @@ object Dedup {
         .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
             .as("cluster"))
-        .localCheckpoint()
-      converged = stepped.filter(col("cluster") =!= col("old")).isEmpty
-      labels = stepped.select("id", "cluster")
+        .localCheckpoint() // feeds both sides of the shortcut join
+      // pointer jumping (path halving): cluster := label(cluster).
+      // Plain propagation needs O(diameter) rounds — a pathological
+      // near-dup CHAIN (each doc similar only to its neighbors) would
+      // exhaust maxIters; the shortcut join halves the remaining
+      // distance every round, making convergence O(log diameter).
+      // Every cluster value is itself a node id, so the self-join hits.
+      val jumped = stepped.as("x")
+        .join(stepped.select(col("id").as("cid"), col("cluster").as("cc")).as("y"),
+          col("x.cluster") === col("y.cid"), "left")
+        .select(col("x.id"), col("x.old"),
+          least(col("x.cluster"), coalesce(col("cc"), col("x.cluster")))
+            .as("cluster"))
+      converged = jumped.filter(col("cluster") =!= col("old")).isEmpty
+      labels = jumped.select("id", "cluster").localCheckpoint()
       it += 1
     }
     require(converged, s"label propagation did not converge in $maxIters iters")

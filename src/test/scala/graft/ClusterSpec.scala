@@ -37,6 +37,17 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("long chain converges within maxIters (pointer jumping, O(log diameter))") {
+    import spark.implicits._
+    // a 60-node chain: plain min-label propagation needs 59 rounds and
+    // would blow the default maxIters=10; path halving needs ~log2(60)
+    val edges = (0L until 59L).map(i => (i, i + 1))
+    val got = Dedup.clusters(edges.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 60)
+    assert(got.forall(_._2 === 0L), s"chain must collapse to node 0")
+  }
+
   test("qualitySurvivors: highest-quality member wins, ties to smallest id, singletons survive") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
