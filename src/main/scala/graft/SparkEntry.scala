@@ -94,6 +94,7 @@ object SparkEntry {
     "q_stratified_sample" ->
       ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
     "q_pack_sequences" -> (Sampling.packSequences _),
+    "q_token_budget_mix" -> (Sampling.tokenBudgetMix _),
     // — multimodal binary-column plumbing
     "mm_media_meta" -> (Multimodal.mediaMeta _),
     "mm_frame_index" -> (Multimodal.frameIndex _),
@@ -872,6 +873,25 @@ object SparkEntry {
          |SELECT lang, CAST(floor(pre / ${operators.Sampling.packContextLen}) AS BIGINT) AS bin,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM r GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+    "q_token_budget_mix" ->
+      s"""WITH d AS (
+         |  SELECT lang, doc_id,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(string_split(trim(text), ' ')) AS DOUBLE) *
+         |    (CASE WHEN CAST(len(list_filter(string_split(trim(text), ' '),
+         |            t -> list_contains(['the','a','of','and','in','to','is'], t))) AS DOUBLE)
+         |          / len(string_split(trim(text), ' ')) >= 0.05
+         |     THEN 1.0 ELSE 0.5 END) AS quality
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id, n_tok, quality,
+         |    sum(n_tok) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+         |                     ROWS UNBOUNDED PRECEDING) - n_tok AS pre
+         |  FROM d)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  round(min(quality), 4) AS min_quality
+         |FROM r WHERE pre < ${operators.Sampling.mixBudgetTokens}
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_subword_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,

@@ -86,6 +86,36 @@ object Sampling {
       .orderBy("lang", "bin")
   }
 
+  /** Token budget per language for [[tokenBudgetMix]]. */
+  val mixBudgetTokens = 2000
+
+  /** Token-budget mixture selection: per language, take documents in
+    * descending quality order (ties to smallest doc_id) until the
+    * running token total passes [[mixBudgetTokens]] — the corpus-mixing
+    * primitive behind "N tokens of each language, best documents
+    * first". A document is kept while the budget is not yet exhausted
+    * BEFORE it (so the budget may be overshot by at most one doc —
+    * the standard greedy contract). One window per stratum + one
+    * aggregate; shuffles on `lang` only.
+    */
+  def tokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(col("text")), " ")
+    val quality = TextAnalysis.representativeQuality(col("text"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(toks).cast("long").as("n_tok"), quality.as("quality"))
+      .withColumn("before", sum(col("n_tok")).over(w) - col("n_tok"))
+      .filter(col("before") < mixBudgetTokens)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        round(min(col("quality")), 4).as("min_quality"))
+      .orderBy("lang")
+  }
+
   /** Quality-gate filter: keep documents passing the pretraining-corpus
     * heuristics (enough tokens, sane token length, some stopword mass —
     * the thresholds are illustrative; the shape is a conjunctive
