@@ -90,6 +90,7 @@ object SparkEntry {
     "text_rolling_hash" -> (TextAnalysis.rollingHashes _),
     "text_quality_filter" -> (Sampling.qualityFilter _),
     "text_pii_signals" -> (TextAnalysis.piiSignals _),
+    "text_heavy_hitters" -> (TextAnalysis.heavyHitters _),
     "q_train_split" -> (Sampling.splitSummary _),
     "q_stratified_sample" ->
       ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -873,6 +874,15 @@ object SparkEntry {
          |SELECT lang, CAST(floor(pre / ${operators.Sampling.packContextLen}) AS BIGINT) AS bin,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM r GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+    "text_heavy_hitters" ->
+      """SELECT lang, CAST(rk AS BIGINT) AS rk, token, n FROM (
+        |  SELECT lang, token, count(*) AS n,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY count(*) DESC, token) AS rk
+        |  FROM (SELECT lang, unnest(string_split(trim(text), ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY lang, token) t
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
     "q_token_budget_mix" ->
       s"""WITH d AS (
          |  SELECT lang, doc_id,

@@ -114,6 +114,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Exact heavy hitters: the top-5 most frequent tokens per language —
+    * the vocabulary-inspection pass corpus analysis starts with. One
+    * explode + map-side-combined count on (lang, token), then a tiny
+    * per-language top-k window over the (vocab-sized, not corpus-sized)
+    * count table. At 100 TB the count table is the reduction point;
+    * for a skew-proof variant the same shape runs over a count-min
+    * sketch, but exact counts stay cheap while vocab ≪ corpus.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("token"))
+    Tables(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("lang", "rk", "token", "n")
+      .orderBy("lang", "rk")
+  }
+
   /** PII-signal counts per document — the redaction/filter audit every
     * released training corpus runs: email addresses, URLs, and long
     * digit runs (account/id-like). Patterns avoid lookaround and
