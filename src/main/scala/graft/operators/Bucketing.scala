@@ -87,10 +87,11 @@ object Bucketing {
   }
 
   /** Drop superseded layout dirs so regenerated fixtures don't leak a
-    * full table copy per content version: other content fingerprints of
-    * the SAME source (prefix = source-path hash) go immediately;
-    * orphaned `.tmp*` dirs (crashed writers) only after an hour, in
-    * case a concurrent JVM is still writing one.
+    * full table copy per content version. Everything gets a one-hour
+    * grace period — superseded layouts may still back another JVM's
+    * lazily-evaluated DataFrames, and a slow concurrent writer may
+    * still be filling a `.tmp` dir; only entries untouched for an hour
+    * after a NEWER version exists are reclaimed.
     */
   private def pruneStaleLayouts(current: java.io.File): Unit = {
     val sourcePrefix = current.getName.split("_").dropRight(1).mkString("_")
@@ -98,7 +99,7 @@ object Bucketing {
     Option(current.getParentFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(sourcePrefix + "_") &&
         f.getName != current.getName)
-      .filter(f => !f.getName.contains(".tmp") || f.lastModified < cutoff)
+      .filter(_.lastModified < cutoff)
       .foreach(deleteRecursively)
   }
 

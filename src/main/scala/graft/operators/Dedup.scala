@@ -342,8 +342,9 @@ object Dedup {
         .select(col("x.id"), col("x.old"),
           least(col("x.cluster"), coalesce(col("cc"), col("x.cluster")))
             .as("cluster"))
+        .localCheckpoint() // one materialization serves both consumers:
       converged = jumped.filter(col("cluster") =!= col("old")).isEmpty
-      labels = jumped.select("id", "cluster").localCheckpoint()
+      labels = jumped.select("id", "cluster")
       it += 1
     }
     require(converged, s"label propagation did not converge in $maxIters iters")
