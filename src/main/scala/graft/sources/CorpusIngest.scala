@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Batch corpus ingestion: JSONL documents with an EXPLICIT schema and a
+  * dead-letter side channel for corrupt records — the batch analog of
+  * the CDC path's schema-event dead-lettering (T7), and the shape a
+  * 100 TB web-corpus landing zone actually has (crawler output is never
+  * clean; silently dropping bad lines loses data, failing the job on
+  * them loses the day).
+  *
+  * Discipline mirrors the change stream: schema is DECLARED, never
+  * inferred (inference over 100 TB both costs a pass and drifts with
+  * the data); parsing runs PERMISSIVE with `_corrupt_record` captured,
+  * so one narrow scan splits clean rows from quarantined raw lines.
+  */
+object CorpusIngest {
+
+  val corruptCol = "_corrupt_record"
+
+  /** Read JSONL at `path` against `schema`; returns the full frame with
+    * the corrupt-record column attached (null = parsed cleanly).
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(StructField(corruptCol, StringType, nullable = true)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
+  /** Clean rows only (typed columns, corrupt column dropped). */
+  def clean(ingested: DataFrame): DataFrame =
+    ingested.filter(col(corruptCol).isNull).drop(corruptCol)
+
+  /** Quarantined raw lines, for repair/audit — the dead-letter output.
+    * Spark requires caching the parsed frame before filtering on the
+    * corrupt column (it refuses the query otherwise, since a
+    * corrupt-only projection could skip parsing entirely).
+    */
+  def deadLetter(ingested: DataFrame): DataFrame =
+    ingested.cache().filter(col(corruptCol).isNotNull).select(corruptCol)
+}
