@@ -77,9 +77,19 @@ object Bucketing {
         Tables(spark, dir, "events").withColumn("day", to_date(col("ts"))),
         tmp.getPath, "day")
       if (!tmp.renameTo(layout)) {
-        deleteRecursively(tmp) // lost the race — reuse the winner's layout
-        require(new java.io.File(layout, "_SUCCESS").exists(),
-          s"day layout missing after rename race at $layout")
+        if (new java.io.File(layout, "_SUCCESS").exists()) {
+          deleteRecursively(tmp) // lost the race — reuse the winner's layout
+        } else {
+          // existing dir is a crashed writer's partial copy (no marker):
+          // reclaim it and retry; if a peer raced us to the slot, theirs
+          // must be complete
+          deleteRecursively(layout)
+          if (!tmp.renameTo(layout)) {
+            deleteRecursively(tmp)
+            require(new java.io.File(layout, "_SUCCESS").exists(),
+              s"day layout missing after rename race at $layout")
+          }
+        }
       }
       pruneStaleLayouts(layout)
     }

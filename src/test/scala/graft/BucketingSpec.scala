@@ -66,6 +66,31 @@ class BucketingSpec extends SparkSpec {
     assert(joined.collect().map(_.getLong(1)).sum > 0)
   }
 
+  test("layout pruning: stale same-source versions reclaimed after grace, others kept") {
+    // exercise via the public API: prepare a layout, then plant
+    // sibling dirs that model each pruning case and re-prepare
+    val layoutPath = new java.io.File(
+      Bucketing.prepareDayLayout(spark, "/root/testdata/sf0.001"))
+    val parent = layoutPath.getParentFile
+    val prefix = layoutPath.getName.split("_").dropRight(1).mkString("_")
+    def plant(name: String, ageMs: Long): java.io.File = {
+      val d = new java.io.File(parent, name)
+      d.mkdirs()
+      d.setLastModified(System.currentTimeMillis() - ageMs)
+      d
+    }
+    val staleOld = plant(s"${prefix}_deadbeef", 2L * 60 * 60 * 1000)
+    val staleFresh = plant(s"${prefix}_cafebabe", 0)
+    val otherSource = plant("graft_events_by_day_ffff_eeee", 2L * 60 * 60 * 1000)
+    // force a re-prepare pass by removing the current layout's marker
+    new java.io.File(layoutPath, "_SUCCESS").delete()
+    Bucketing.prepareDayLayout(spark, "/root/testdata/sf0.001")
+    assert(!staleOld.exists(), "old same-source version must be reclaimed")
+    assert(staleFresh.exists(), "fresh same-source version keeps its grace period")
+    assert(otherSource.exists(), "other sources' layouts are never touched")
+    staleFresh.delete(); otherSource.delete()
+  }
+
   test("same-bucketed tables join with zero exchanges") {
     val dir = "/root/testdata/sf0.001"
     val orders = Tables(spark, dir, "orders")

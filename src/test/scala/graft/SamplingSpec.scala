@@ -65,6 +65,17 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("packing and budget mix are stable under repartitioning") {
+    val base = Sampling.packSequences(spark, dir).collect().map(_.toSeq).toSet
+    val mixBase = Sampling.tokenBudgetMix(spark, dir).collect().map(_.toSeq).toSet
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      assert(Sampling.packSequences(spark, dir).collect().map(_.toSeq).toSet === base)
+      assert(Sampling.tokenBudgetMix(spark, dir).collect().map(_.toSeq).toSet === mixBase)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("exact dedup by content hash equals dedup by raw text") {
     val docs = Tables(spark, dir, "documents")
     val byHash = graft.operators.Dedup.exact(spark, dir).count()
