@@ -91,6 +91,11 @@ object SparkEntry {
     "text_quality_filter" -> (Sampling.qualityFilter _),
     "text_pii_signals" -> (TextAnalysis.piiSignals _),
     "text_heavy_hitters" -> (TextAnalysis.heavyHitters _),
+    "text_repetition" -> (TextAnalysis.repetitionSignals _),
+    // — lexical retrieval over documents
+    "text_tfidf_keywords" ->
+      ((s: SparkSession, d: String) => operators.Retrieval.tfidfKeywords(s, d)),
+    "text_bm25" -> (operators.Retrieval.bm25Scores _),
     "q_train_split" -> (Sampling.splitSummary _),
     "q_stratified_sample" ->
       ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -902,6 +907,76 @@ object SparkEntry {
          |  round(min(quality), 4) AS min_quality
          |FROM r WHERE pre < ${operators.Sampling.mixBudgetTokens}
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+        |  WHERE len(string_split(trim(text), ' ')) >= 2),
+        |b AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) AS n_distinct,
+        |    unnest(list_transform(range(1, len(toks)),
+        |                          i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, n_tokens, n_distinct, bg, count(*) AS n
+        |  FROM b GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+        |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_bigram_frac,
+        |  CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_bigram_frac
+        |FROM c GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    "text_tfidf_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |d AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |r AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, d.df, n.n_docs,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, d.df ASC, tf.token ASC) AS rk
+        |  FROM tf JOIN d USING (token), n)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, CAST(tf AS BIGINT) AS tf,
+        |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "text_bm25" ->
+      s"""WITH dl AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS dl
+         |  FROM documents),
+         |g AS (
+         |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |    count(*) AS n_docs FROM dl),
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+         |    FROM documents) x
+         |  WHERE token IN ('dup', 'customer', 'vector')
+         |  GROUP BY 1, 2),
+         |d AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |c AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+         |      (tf.tf * (${operators.Retrieval.bm25K1} + 1.0)) /
+         |      (tf.tf + ${operators.Retrieval.bm25K1} *
+         |        (1.0 - ${operators.Retrieval.bm25B} +
+         |         ${operators.Retrieval.bm25B} * dl.dl / g.avgdl)) AS c
+         |  FROM tf JOIN d USING (token) JOIN dl USING (doc_id), g),
+         |p AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN token = 'dup' THEN c END) AS c0,
+         |    max(CASE WHEN token = 'customer' THEN c END) AS c1,
+         |    max(CASE WHEN token = 'vector' THEN c END) AS c2
+         |  FROM c GROUP BY 1)
+         |SELECT doc_id,
+         |  (CASE WHEN c0 IS NOT NULL THEN 1 ELSE 0 END +
+         |   CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END +
+         |   CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_terms,
+         |  round(coalesce(c0, 0.0) + coalesce(c1, 0.0) + coalesce(c2, 0.0), 4)
+         |    AS bm25
+         |FROM p ORDER BY doc_id""".stripMargin,
     "text_subword_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,

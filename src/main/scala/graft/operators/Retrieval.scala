@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the document corpus: TF-IDF keyword
+  * extraction and BM25 relevance scoring — the term-statistics
+  * counterpart to the embedding-based [[Similarity]] surface (real
+  * corpus tooling runs both: BM25 recalls, vectors re-rank).
+  *
+  * Scale shape (100 TB): the only corpus-sized intermediate is the
+  * exploded token table, reduced immediately by a map-side-combined
+  * (doc, token) count; document frequency and the corpus-size scalar
+  * aggregate FROM that reduction (vocab-sized / 1 row) and come back
+  * as broadcasts — the corpus is scanned once and shuffled once, on
+  * the (doc, token) count key.
+  *
+  * Float parity with the DuckDB oracle: ranking never compares
+  * doubles — TF-IDF ranks on (tf DESC, df ASC, token), integers all
+  * the way down — and every reported score is a fixed-shape
+  * expression over identical integer inputs, rounded to 4 decimals
+  * (ln is the one libm call; one ULP cannot move the 4th decimal off
+  * a boundary). BM25's per-document sum is written as a fixed-order
+  * chain over the query terms, not a float `sum()`, so aggregation
+  * order can't reorder the additions.
+  */
+object Retrieval {
+
+  private def tokens = split(trim(col("text")), " ")
+
+  /** (doc_id, token, tf) — one narrow pass + one map-side-combined
+    * count; the shared front half of both scorers.
+    */
+  private def termFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+
+  /** Top-k keywords per document by TF-IDF. Rank order is
+    * (tf DESC, df ASC, token ASC) — the same ordering tf·idf induces
+    * for a fixed corpus, stated on integers so no float comparison
+    * decides a rank. The reported score is tf · ln(N/df).
+    */
+  def tfidfKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    // materialized once: df aggregates FROM tf — without the checkpoint
+    // the exploded-token scan runs twice (cluster analog: write the tf
+    // table, then derive df from it)
+    val tf = termFreq(spark, dir).localCheckpoint()
+    // df/N aggregate from the (vocab-sized) tf table, not the corpus
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = Tables(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
+          .as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** The fixed query the BM25 row scores the corpus against: one rare
+    * term (high idf) and two common ones — exercises the full idf
+    * range of the synthetic vocabulary.
+    */
+  val bm25QueryTerms = Seq("dup", "customer", "vector")
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+
+  /** Okapi BM25 score of every document matching ≥1 query term, with
+    * the robust idf ln(1 + (N−df+0.5)/(df+0.5)). Term contributions
+    * are pivoted into fixed columns and added in declaration order —
+    * a deterministic float sum (see class doc). `avgdl` is the exact
+    * integer token total divided once, not a running float mean.
+    */
+  def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val dl = docs.select(col("doc_id"), size(tokens).cast("long").as("dl"))
+    val globals = dl.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("n_docs"))
+    val tf = termFreq(spark, dir)
+      .filter(col("token").isInCollection(bm25QueryTerms))
+      .localCheckpoint() // tiny (matched terms only); feeds tf and df
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(globals))
+      .select(col("doc_id"), col("token"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * (bm25K1 + 1.0)) /
+          (col("tf") + lit(bm25K1) *
+            (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / col("avgdl"))))
+          .as("c"))
+    // fixed-order sum: one conditional max per query term, added in
+    // bm25QueryTerms order (each (doc, token) group holds ≤1 row)
+    val perTerm = bm25QueryTerms.zipWithIndex.map { case (t, i) =>
+      max(when(col("token") === t, col("c"))).as(s"c$i")
+    }
+    val total = bm25QueryTerms.indices
+      .map(i => coalesce(col(s"c$i"), lit(0.0)))
+      .reduce(_ + _)
+    contrib.groupBy("doc_id")
+      .agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("n_terms",
+        bm25QueryTerms.indices
+          .map(i => when(col(s"c$i").isNotNull, 1L).otherwise(0L))
+          .reduce(_ + _))
+      .select(col("doc_id"), col("n_terms"), round(total, 4).as("bm25"))
+      .orderBy("doc_id")
+  }
+}

@@ -158,6 +158,48 @@ object TextAnalysis {
         col("n_emails") + col("n_urls") + col("n_idlike") > 0)
       .orderBy("doc_id")
 
+  /** Repetition / diversity signals per document — the Gopher-style
+    * within-document repetition filters corpus cleaning applies after
+    * cross-document dedup: type-token ratio (distinct / total tokens),
+    * duplicate-bigram fraction, and the fraction of bigram mass
+    * claimed by the single most-repeated bigram (top-2-gram coverage).
+    * Docs under 2 tokens have no bigram and are excluded symmetrically
+    * in the oracle.
+    *
+    * Shape: per-token fields are pure expressions; the bigram stats
+    * are one explode + two map-side-combined aggregates keyed on
+    * doc_id — the corpus shuffles once, as (doc, bigram) counts.
+    * Ratios are IEEE divisions of exact integer counts, so they hash
+    * identically cross-engine without rounding.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    Tables(spark, dir, "documents")
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("n")).as("top_n"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_distinct").cast("double") / col("n_tokens"))
+          .as("type_token_ratio"),
+        (lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+          .as("dup_bigram_frac"),
+        (col("top_n").cast("double") / col("n_bigrams"))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash document fingerprint (Rabin-Karp polynomial, base 31
     * mod 2^31−1): the full-content hash plus the minimum over all
     * 16-char window hashes (the winnowing primitive used for local
