@@ -96,6 +96,7 @@ object SparkEntry {
     "text_tfidf_keywords" ->
       ((s: SparkSession, d: String) => operators.Retrieval.tfidfKeywords(s, d)),
     "text_bm25" -> (operators.Retrieval.bm25Scores _),
+    "text_cms_counts" -> (operators.Sketches.cmsTokenCounts _),
     "q_train_split" -> (Sampling.splitSummary _),
     "q_stratified_sample" ->
       ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -977,6 +978,27 @@ object SparkEntry {
          |  round(coalesce(c0, 0.0) + coalesce(c1, 0.0) + coalesce(c2, 0.0), 4)
          |    AS bm25
          |FROM p ORDER BY doc_id""".stripMargin,
+    "text_cms_counts" -> {
+      // first 32 bits of the md5 hex via the shared strpos trick
+      val hex8 = (0 until 8).map(o =>
+        s"(strpos('0123456789abcdef', substr(d, ${1 + o}, 1)) - 1) * " +
+          s"CAST(${1L << (4 * (7 - o))} AS BIGINT)").mkString(" + ")
+      val js = (0 until operators.Sketches.cmsDepth).mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents),
+         |v AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY 1),
+         |h AS (
+         |  SELECT token, exact_n, j,
+         |    ($hex8) % ${operators.Sketches.cmsWidth} AS bucket
+         |  FROM (SELECT token, exact_n, j,
+         |          md5(token || '#' || CAST(j AS VARCHAR)) AS d
+         |        FROM v, unnest([$js]) t(j))),
+         |cells AS (SELECT j, bucket, sum(exact_n) AS cnt FROM h GROUP BY 1, 2)
+         |SELECT h.token, CAST(h.exact_n AS BIGINT) AS exact_n,
+         |  CAST(min(cells.cnt) AS BIGINT) AS cms_est
+         |FROM h JOIN cells ON h.j = cells.j AND h.bucket = cells.bucket
+         |GROUP BY 1, 2 ORDER BY token""".stripMargin
+    },
     "text_subword_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,
