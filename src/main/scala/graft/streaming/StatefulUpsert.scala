@@ -112,6 +112,28 @@ object StatefulUpsert {
       .withWatermark("modified_at", lateness)
       .dropDuplicatesWithinWatermark("booking_id", "version")
 
+  /** Streaming sessionization — the pure-streaming form of
+    * [[graft.operators.Temporal.sessionize]]: per-user session windows
+    * closed by an inactivity gap. `session_window` keeps each event's
+    * candidate window [ts, ts+gap) in the state store and merges
+    * overlapping windows per key within AND across micro-batches, so a
+    * session spanning many batches still lands as one row. The
+    * watermark closes a session once event time passes its end +
+    * lateness: append mode emits it exactly once and evicts its
+    * state — state is O(open sessions), independent of history length.
+    */
+  def sessionizedEventCounts(events: DataFrame,
+                             gap: String = "30 minutes",
+                             lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Watermarked tumbling-window counts over an event stream with an
     * event-time `ts` column: 1-hour windows, 2-hour lateness bound.
     * Append mode emits each window once, when the watermark passes it.

@@ -127,6 +127,39 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizedEventCounts: sessions merge across batches, close at the gap") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String)]
+    val events = in.toDF().toDF("ts", "user_id")
+    val q = StatefulUpsert.sessionizedEventCounts(events)
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    try {
+      def t(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // session A starts (two events within the 30 min gap)
+      in.addData((t(0), "u1"), (t(0, 10), "u1"))
+      q.processAllAvailable()
+      // next batch extends session A (00:20 < 00:10 + gap), then a
+      // quiet period and a separate session B at 02:00
+      in.addData((t(0, 20), "u1"), (t(2), "u1"))
+      q.processAllAvailable()
+      // push the watermark far past both sessions; one more batch so
+      // the advanced watermark takes effect
+      in.addData((t(10), "u2"))
+      q.processAllAvailable()
+      in.addData((t(10, 30), "u2"))
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .sortBy(r => (r._1, r._2.getTime))
+      // session A: ONE row despite spanning two micro-batches; end =
+      // last event + gap. Session B: singleton.
+      assert(rows.toSeq === Seq(
+        ("u1", t(0), t(0, 50), 3L),
+        ("u1", t(2), t(2, 30), 1L)))
+    } finally q.stop()
+  }
+
   test("windowedEventCounts: watermark emits closed windows once, bounds state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
