@@ -78,4 +78,35 @@ class PlanSpec extends SparkSpec {
     val p = plan(Analytics.topKOrders(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("tfidf: df and corpus-size come back as broadcasts over the tf table") {
+    // tf is checkpointed (corpus scanned once); downstream the plan may
+    // only hash-shuffle the tf table for its group-bys and the ranking
+    // window — df and N must join via broadcast, never shuffle tf again
+    val p = plan(operators.Retrieval.tfidfKeywords(spark, dir))
+    assert(p.split("BroadcastHashJoin").length - 1 >= 1, s"df join must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"scalar N must broadcast:\n$p")
+    assert(shuffles(p) <= 2, s"expected <=2 hash shuffles (df agg + window):\n$p")
+  }
+
+  test("bm25: per-term stats broadcast; no corpus self-join") {
+    val p = plan(operators.Retrieval.bm25Scores(spark, dir))
+    assert(p.split("BroadcastHashJoin").length - 1 >= 1, p)
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge join at corpus width:\n$p")
+  }
+
+  test("cms: sketch cells join back as a broadcast") {
+    val p = plan(operators.Sketches.cmsTokenCounts(spark, dir))
+    assert(p.split("BroadcastHashJoin").length - 1 >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("repetition signals: explode reads the materialized projection, not raw expressions") {
+    // the pre-explode checkpoint hides the scan; the visible plan must
+    // contain only the generate + the two aggregates
+    val p = plan(operators.TextAnalysis.repetitionSignals(spark, dir))
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("array_distinct"),
+      s"token-level expressions must be materialized pre-explode:\n$p")
+  }
 }
