@@ -102,6 +102,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
     "q_pack_sequences" -> (Sampling.packSequences _),
     "q_token_budget_mix" -> (Sampling.tokenBudgetMix _),
+    "q_temperature_mix" -> (Sampling.temperatureMix _),
     // — multimodal binary-column plumbing
     "mm_media_meta" -> (Multimodal.mediaMeta _),
     "mm_frame_index" -> (Multimodal.frameIndex _),
@@ -978,6 +979,27 @@ object SparkEntry {
          |  round(coalesce(c0, 0.0) + coalesce(c1, 0.0) + coalesce(c2, 0.0), 4)
          |    AS bm25
          |FROM p ORDER BY doc_id""".stripMargin,
+    "q_temperature_mix" ->
+      s"""WITH c AS (
+         |  SELECT lang,
+         |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |w AS (
+         |  SELECT lang, n_tokens,
+         |    CAST(round(pow(CAST(n_tokens AS DOUBLE), ${operators.Sampling.mixTau}), 6)
+         |      AS DECIMAL(28, 6)) AS w
+         |  FROM c),
+         |s AS (
+         |  SELECT lang, n_tokens,
+         |    CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE) AS p,
+         |    CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS nat
+         |  FROM w)
+         |SELECT lang, n_tokens,
+         |  round(nat, 4) AS natural_share,
+         |  round(p, 4) AS temp_share,
+         |  CAST(round(p * ${operators.Sampling.tempBudgetTokens}, 0) AS BIGINT)
+         |    AS target_tokens
+         |FROM s ORDER BY lang""".stripMargin,
     "text_cms_counts" -> {
       // first 32 bits of the md5 hex via the shared strpos trick
       val hex8 = (0 until 8).map(o =>

@@ -116,6 +116,46 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** Temperature exponent and token budget for [[temperatureMix]]. */
+  val mixTau = 0.7
+  val tempBudgetTokens = 1000000L
+
+  /** Temperature-based language mixture (the mT5/XLM-R resampling
+    * rule): sampling share pₗ ∝ cₗ^τ with τ = [[mixTau]] < 1, which
+    * compresses shares toward uniform so low-resource languages are
+    * upsampled relative to their natural share. Emits natural share,
+    * temperature share, and the token allocation out of
+    * [[tempBudgetTokens]].
+    *
+    * Float-parity discipline: the only cross-engine risks in x^τ
+    * normalization are libm `pow` ULPs and float-sum order. The
+    * weights are rounded to 6 decimals and summed as DECIMAL —
+    * order-independent exactness — then converted to double for ONE
+    * division; the natural share divides exact integer sums. One
+    * corpus scan, one map-side-combined per-language aggregate
+    * (language cardinality is tiny, so the final windows are free).
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(size(split(trim(col("text")), " ")).cast("long")).as("n_tokens"))
+      .withColumn("w",
+        round(pow(col("n_tokens").cast("double"), lit(mixTau)), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+      .withColumn("p",
+        col("w").cast("double") / sum(col("w")).over(all).cast("double"))
+      .withColumn("nat",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(all))
+      .select(col("lang"), col("n_tokens"),
+        round(col("nat"), 4).as("natural_share"),
+        round(col("p"), 4).as("temp_share"),
+        round(col("p") * tempBudgetTokens, 0).cast("long").as("target_tokens"))
+      .orderBy("lang")
+  }
+
   /** Quality-gate filter: keep documents passing the pretraining-corpus
     * heuristics (enough tokens, sane token length, some stopword mass —
     * the thresholds are illustrative; the shape is a conjunctive

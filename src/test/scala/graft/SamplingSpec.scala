@@ -76,6 +76,24 @@ class SamplingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("temperature mix: tau<1 compresses shares toward uniform, budget conserved") {
+    val rows = Sampling.temperatureMix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(rows.length >= 2)
+    val uniform = 1.0 / rows.length
+    rows.foreach { case (lang, _, nat, temp, _) =>
+      assert(math.abs(temp - uniform) <= math.abs(nat - uniform) + 1e-9,
+        s"$lang: temp share $temp further from uniform than natural $nat")
+    }
+    // shares each sum to 1 (within the 4-decimal rounding), targets to
+    // the budget (within one rounding unit per language)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_._5).sum - Sampling.tempBudgetTokens) <=
+      rows.length)
+  }
+
   test("exact dedup by content hash equals dedup by raw text") {
     val docs = Tables(spark, dir, "documents")
     val byHash = graft.operators.Dedup.exact(spark, dir).count()
