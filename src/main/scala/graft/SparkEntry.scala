@@ -81,6 +81,7 @@ object SparkEntry {
     "ann_ivf" -> (Similarity.ivfTopK _),
     "ann_recall" -> (Similarity.bucketedRecall _),
     "emb_near_dup_pairs" -> (Similarity.nearDupPairs _),
+    "emb_norm_outliers" -> (Similarity.normOutliers _),
     // — text analysis over documents
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality" -> (TextAnalysis.qualityScores _),
@@ -780,6 +781,18 @@ object SparkEntry {
          |SELECT 'bucketed' AS method, count(*) AS n_queries,
          |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
          |FROM hits""".stripMargin,
+    "emb_norm_outliers" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    round(sqrt((SELECT sum(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) *
+        |                           CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE))
+        |                FROM unnest(generate_series(1, len(embedding))) t(i))), 4)
+        |      AS nrm
+        |  FROM embeddings),
+        |b AS (SELECT round(quantile_cont(nrm, 0.01), 4) AS lo,
+        |             round(quantile_cont(nrm, 0.99), 4) AS hi FROM n)
+        |SELECT vec_id, nrm AS l2_norm, (nrm < lo OR nrm > hi) AS is_outlier
+        |FROM n, b ORDER BY vec_id""".stripMargin,
     "emb_near_dup_pairs" ->
       s"""WITH a AS (
          |  SELECT vec_id AS a_id, label, embedding AS a_emb

@@ -42,6 +42,26 @@ object Similarity {
       when(element_at(emb, j + 1) > 0f, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Embedding hygiene: flag vectors whose L2 norm falls outside the
+    * exact [p1, p99] corpus percentiles — the degenerate-vector QC
+    * pass (collapsed/exploded embeddings poison both ANN buckets and
+    * cosine near-dup thresholds) a pipeline runs before indexing.
+    * Norms are rounded to 4 decimals BEFORE the percentile + the
+    * comparison, so the outlier predicate compares identical doubles
+    * cross-engine; the two thresholds come back as a 1-row broadcast.
+    */
+  def normOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), round(norm(col("embedding")), 4).as("nrm"))
+    val bounds = emb.agg(
+      round(expr("percentile(nrm, 0.01)"), 4).as("lo"),
+      round(expr("percentile(nrm, 0.99)"), 4).as("hi"))
+    emb.crossJoin(broadcast(bounds))
+      .select(col("vec_id"), col("nrm").as("l2_norm"),
+        (col("nrm") < col("lo") || col("nrm") > col("hi")).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   /** Brute-force cosine top-5 for query vectors vec_id < 8 against the
     * full corpus. Exact baseline for ANN recall measurement.
     */

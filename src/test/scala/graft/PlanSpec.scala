@@ -79,6 +79,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("runtime bloom filter: selective dim predicate reaches the fact scan as might_contain") {
+    import org.apache.spark.sql.functions._
+    // at 100 TB the shuffle-join equivalent of broadcast pruning is the
+    // runtime bloom filter: the selective side's join keys build a
+    // bloom filter that drops fact rows BEFORE the exchange. Thresholds
+    // are sized for production scans, so pin them down for the fixture.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val orders = Tables(spark, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val joined = Tables(spark, dir, "lineitem")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      val p = plan(joined)
+      assert(p.contains("might_contain"), s"expected injected bloom filter:\n$p")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("tfidf: df and corpus-size come back as broadcasts over the tf table") {
     // tf is checkpointed (corpus scanned once); downstream the plan may
     // only hash-shuffle the tf table for its group-bys and the ranking
