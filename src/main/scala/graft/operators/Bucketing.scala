@@ -118,6 +118,48 @@ object Bucketing {
     f.delete()
   }
 
+  /** Morton z-value: bit-interleave of two non-negative ints (a in the
+    * even bit positions, b in the odd). Sorting by z clusters rows
+    * that are close in BOTH dimensions, so min/max file statistics
+    * stay selective for predicates on either column — the
+    * multi-dimensional complement to single-column sort layouts.
+    * Pure shift/mask composition: codegen'd, no UDF.
+    */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             bits: Int = 16): org.apache.spark.sql.Column =
+    (0 until bits).flatMap { j =>
+      Seq(shiftleft(shiftright(a.cast("long"), j).bitwiseAND(lit(1L)), 2 * j),
+        shiftleft(shiftright(b.cast("long"), j).bitwiseAND(lit(1L)), 2 * j + 1))
+    }.reduce(_ + _)
+
+  /** Z-order layout of the events table on (day index, event-type
+    * bucket): range-partition by z-value, sort within partitions, one
+    * file per range — every file covers a small sub-RECTANGLE of the
+    * (day, type) space instead of a day stripe, so file-level min/max
+    * skipping works for day-only, type-only, and combined predicates.
+    *
+    * The day index is coarsened to `2^dayGroupBits`-day groups before
+    * interleaving so both dimensions contribute comparable bit widths —
+    * an unbalanced curve degenerates into a single-dimension sort (the
+    * wide dimension's high bits dominate) and the narrow dimension's
+    * stats go non-selective. The layout op is write-side only (like
+    * [[writeBucketed]]); the either-dimension skipping property is
+    * asserted in BucketingSpec.
+    */
+  def zorderWrite(spark: SparkSession, dir: String, out: String,
+                  files: Int = 8, dayGroupBits: Int = 2): Unit = {
+    val typeBucket = pmod(crc32(col("event_type").cast("binary")), lit(8))
+    Tables(spark, dir, "events")
+      .withColumn("day_idx",
+        datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2024-01-01"))))
+      .withColumn("type_idx", typeBucket.cast("int"))
+      .withColumn("z",
+        zValue(shiftright(col("day_idx"), dayGroupBits), col("type_idx")))
+      .repartitionByRange(files, col("z"), col("day_idx"))
+      .sortWithinPartitions(col("z"), col("day_idx"))
+      .write.mode(SaveMode.Overwrite).parquet(out)
+  }
+
   /** One-day aggregate over the day-partitioned events layout of
     * [[prepareDayLayout]]: a pure pruned read — the scan plans with a
     * `PartitionFilters` entry and touches exactly 1 of ~30 day

@@ -91,6 +91,59 @@ class BucketingSpec extends SparkSpec {
     staleFresh.delete(); otherSource.delete()
   }
 
+  test("z-order layout: files prune on either dimension; single-dim sort cannot") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val zOut = new java.io.File(sys.props("java.io.tmpdir"), "graft_zorder_test")
+    val dayOut = new java.io.File(sys.props("java.io.tmpdir"), "graft_daysort_test")
+    try {
+      Bucketing.zorderWrite(spark, dir, zOut.getPath)
+      // contrast layout: same file count, sorted by day only
+      Tables(spark, dir, "events")
+        .withColumn("day_idx",
+          datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2024-01-01"))))
+        .withColumn("type_idx",
+          pmod(crc32(col("event_type").cast("binary")), lit(8)).cast("int"))
+        .repartitionByRange(8, col("day_idx"))
+        .sortWithinPartitions(col("day_idx"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dayOut.getPath)
+
+      // per-file [min, max] of the type bucket = the footer stats a
+      // reader would consult for a type-only predicate
+      def typeRanges(path: String): Array[(Int, Int)] =
+        spark.read.parquet(path)
+          .groupBy(input_file_name())
+          .agg(min("type_idx").as("lo"), max("type_idx").as("hi"))
+          .collect().map(r => (r.getInt(1), r.getInt(2)))
+      val zRanges = typeRanges(zOut.getPath)
+      val dayRanges = typeRanges(dayOut.getPath)
+      val probe = 0 // a type bucket that exists (crc32 spreads 5 types over 8)
+      def skipped(rs: Array[(Int, Int)]) =
+        rs.count { case (lo, hi) => probe < lo || probe > hi }
+      // day-sorted stripes contain every type: nothing skippable
+      assert(skipped(dayRanges) === 0, dayRanges.mkString(","))
+      // z-order files cover type sub-ranges: a type-only predicate
+      // skips a real fraction of files on stats alone
+      assert(skipped(zRanges) * 4 >= zRanges.length,
+        s"expected >=25% of files skippable, got ${skipped(zRanges)}/${zRanges.length}: " +
+          zRanges.mkString(","))
+      // and day predicates still prune: a late-day probe must miss at
+      // least one file's [min_day, max_day]
+      val zDayRanges = spark.read.parquet(zOut.getPath)
+        .groupBy(input_file_name())
+        .agg(min("day_idx").as("lo"), max("day_idx").as("hi"))
+        .collect().map(r => (r.getInt(1), r.getInt(2)))
+      val lateDay = zDayRanges.map(_._2).max
+      assert(zDayRanges.count { case (lo, hi) => lateDay < lo || lateDay > hi } >= 1,
+        s"day stats must stay selective under z-order: ${zDayRanges.mkString(",")}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(zOut); rm(dayOut)
+    }
+  }
+
   test("same-bucketed tables join with zero exchanges") {
     val dir = "/root/testdata/sf0.001"
     val orders = Tables(spark, dir, "orders")
