@@ -55,6 +55,7 @@ object SparkEntry {
     "q_range_join_tiers" -> (Analytics.priceTierSummary _),
     "q_order_timeline" -> (Analytics.orderTimeline _),
     "q_approx_distinct" -> (Analytics.approxUserCounts _),
+    "q_approx_percentiles" -> (Analytics.approxOrderPercentiles _),
     "q_pivot_status" -> (Analytics.statusPivot _),
     "q_unpivot_status" -> (Analytics.statusUnpivot _),
     // — temporal operators over events (as-of join, sessionization)

@@ -392,6 +392,24 @@ object Analytics {
       .agg(approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"))
       .orderBy("event_type")
 
+  /** Approximate percentiles via the positional error-bounded
+    * histogram (`approx_percentile`): mergeable fixed-size state per
+    * group, the scale path when exact `percentile`'s full sort-buffer
+    * per group is too heavy. Rows-only driver check (sketch internals
+    * are engine-specific, like the HLL row); the accuracy contract —
+    * positional error ≤ 1/accuracy — is spec-asserted against the
+    * exact operator in ExtensionOpsSpec.
+    */
+  def approxOrderPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(expr(
+        "approx_percentile(o_totalprice, array(0.5D, 0.95D), 1000)").as("p"))
+      .select(col("o_orderpriority"),
+        element_at(col("p"), 1).as("med"),
+        element_at(col("p"), 2).as("p95"))
+      .orderBy("o_orderpriority")
+
   /** JSON scalar extraction over the events props column (S3 surface). */
   def eventPropsAgg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")

@@ -64,6 +64,24 @@ object CdcPipeline {
     }
   }
 
+  /** Data-quality metrics riding the upsert stream via
+    * `Dataset.observe`: row count, null-key count, and max version per
+    * micro-batch, computed inside the existing pass (accumulator-
+    * backed — NO second scan, no extra shuffle) and surfaced through
+    * `StreamingQueryProgress.observedMetrics` / the listener bus. The
+    * observability contract every production pipeline wants: the sink
+    * write and its quality counters come from the same rows, so an
+    * alert can never disagree with the data that landed.
+    */
+  def withQualityMetrics(upserts: DataFrame,
+                         name: String = "cdc_quality"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    upserts.observe(name,
+      count(lit(1)).as("rows"),
+      sum(when(col("booking_id").isNull, 1L).otherwise(0L)).as("null_keys"),
+      max(col("version")).as("max_version"))
+  }
+
   /** Transform-side-agnostic sink: append each micro-batch of upsert rows
     * to the log. `foreachBatch` mirrors the reference's
     * insert-block-triggered MV; the batch write itself is a plain

@@ -176,4 +176,27 @@ class ExtensionOpsSpec extends SparkSpec {
       }
     })
   }
+
+  test("approx percentiles: positional error within the accuracy contract") {
+    import graft.operators.Analytics
+    val approx = Analytics.approxOrderPercentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val orders = Tables(spark, dir, "orders")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(approx.keySet === orders.keySet)
+    // approx_percentile(accuracy = 1000) bounds the returned value's
+    // RANK to within n/1000 of the target rank (plus one for the
+    // returned-element discretization)
+    approx.foreach { case (prio, (med, p95)) =>
+      val xs = orders(prio)
+      val tol = xs.length / 1000.0 + 1
+      def rankOf(v: Double): Int = xs.count(_ <= v)
+      assert(math.abs(rankOf(med) - 0.5 * xs.length) <= tol,
+        s"$prio median rank off: $med")
+      assert(math.abs(rankOf(p95) - 0.95 * xs.length) <= tol,
+        s"$prio p95 rank off: $p95")
+    }
+  }
 }

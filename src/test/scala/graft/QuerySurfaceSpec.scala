@@ -22,8 +22,9 @@ class QuerySurfaceSpec extends SparkSpec {
   }
 
   test("every query has an oracle (or is explicitly rows-only)") {
-    // HLL sketch values are engine-specific → rows-only driver check
-    val rowsOnly = Set("q_approx_distinct")
+    // sketch values (HLL, positional-error histogram) are
+    // engine-specific → rows-only driver check
+    val rowsOnly = Set("q_approx_distinct", "q_approx_percentiles")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -127,6 +127,25 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("withQualityMetrics: observed metrics ride the micro-batch, no second scan") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Booking]
+    val q = graft.streaming.CdcPipeline.withQualityMetrics(in.toDS().toDF())
+      .writeStream.outputMode("append").format("memory").queryName("obs").start()
+    try {
+      in.addData(b("b1", "Open", 1), b("b2", "Created", 7))
+      q.processAllAvailable()
+      val m = q.recentProgress
+        .flatMap(p => Option(p.observedMetrics.get("cdc_quality"))).last
+      assert(m.getAs[Long]("rows") === 2L)
+      assert(m.getAs[Long]("null_keys") === 0L)
+      assert(m.getAs[Long]("max_version") === 7L)
+      // the metrics and the sink rows come from the same pass
+      assert(spark.table("obs").count() === 2L)
+    } finally q.stop()
+  }
+
   test("sessionizedEventCounts: sessions merge across batches, close at the gap") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
