@@ -432,8 +432,15 @@ object Dedup {
       else docs
     val keyCols = Seq(col("doc_id"), col("lang")) ++
       (if (withSplit) Seq(col("split")) else Nil)
+    // materialize the per-doc projection BEFORE the explode: the
+    // optimizer otherwise pushes the Generate below the projection and
+    // re-evaluates the text-derived columns (split hash, shingle
+    // array) once per exploded gram instead of once per document —
+    // measured 4.9× slower on the gram build at sf0.1
     val rawGrams = tagged
       .withColumn("gs", array_distinct(shingleExpr(8)))
+      .select(keyCols :+ col("gs"): _*)
+      .localCheckpoint()
       .select(keyCols :+ explode(col("gs")).as("g"): _*)
       .localCheckpoint()
     val hot = rawGrams.groupBy(col("lang"), col("g"))
