@@ -325,11 +325,14 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("n_cluster"))
+      // NOT checkpointed: the shortcut join consumes it twice, but
+      // recomputing the (tiny) join+agg subtree inside one job is
+      // cheaper than materializing an extra intermediate per round —
+      // one checkpoint per round bounds both lineage and job count
       val stepped = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
             .as("cluster"))
-        .localCheckpoint() // feeds both sides of the shortcut join
       // pointer jumping (path halving): cluster := label(cluster).
       // Plain propagation needs O(diameter) rounds — a pathological
       // near-dup CHAIN (each doc similar only to its neighbors) would
