@@ -45,6 +45,8 @@ object SparkEntry {
     "q_distinct_flag_status" -> (Analytics.distinctFlagStatus _),
     "q_rollup_orders" -> (Analytics.orderRollup _),
     "q_cube_orders" -> (Analytics.orderCube _),
+    "q_grouping_sets" -> (Analytics.orderGroupingSets _),
+    "q_rank_stats" -> (Analytics.orderRankStats _),
     "q_monthly_orders" -> (Analytics.monthlyOrders _),
     "q_json_props" -> (Analytics.eventPropsAgg _),
     "q_corr_above_avg" -> (Analytics.aboveAvgOrders _),
@@ -446,6 +448,26 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS turnover
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+        |    AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS turnover
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY status, priority, gid""".stripMargin,
+    "q_rank_stats" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cum_dist
+        |FROM orders WHERE o_orderkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q_monthly_orders" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS turnover

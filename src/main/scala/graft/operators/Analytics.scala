@@ -172,6 +172,47 @@ object Analytics {
         col("n"), col("turnover"))
       .orderBy("status", "priority")
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * per-(status, priority) cells plus per-status margins plus the
+    * grand total — but NOT per-priority margins, which neither rollup
+    * nor cube can express alone. `grouping_id` disambiguates a real
+    * NULL group key from a superaggregate row. One expand + one
+    * aggregate, same single-shuffle shape as rollup.
+    */
+  def orderGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("gs_orders")
+    spark.sql(
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18, 4))) AS DOUBLE) AS turnover
+         |FROM gs_orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         |                        (o_orderstatus), ())
+         |ORDER BY status, priority, gid""".stripMargin)
+  }
+
+  /** Rank-statistic windows completing the window-function surface
+    * next to lag/lead/first_value and row_number: quartile bucket
+    * (`ntile`), relative rank (`percent_rank` = (rank−1)/(n−1)) and
+    * cumulative distribution (`cume_dist` = rank/n) of each order
+    * inside its priority class — exact rationals of integer ranks, so
+    * no rounding is needed for oracle parity.
+    */
+  def orderRankStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 50 === 0) // keep the oracle row set small
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** Time-bucketed aggregate: monthly order volume (F1/F2 time surface). */
   def monthlyOrders(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
