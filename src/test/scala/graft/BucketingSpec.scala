@@ -144,6 +144,23 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("zValue is a bijection: de-interleaving recovers both coordinates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(20240812)
+    val pairs = Seq.fill(1000)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val got = pairs.toDF("a", "b")
+      .withColumn("z", Bucketing.zValue(col("a"), col("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def extract(z: Long, offset: Int): Long =
+      (0 until 16).map(j => ((z >> (2 * j + offset)) & 1L) << j).sum
+    got.foreach { case (a, b, z) =>
+      assert(extract(z, 0) === a && extract(z, 1) === b, s"z=$z")
+    }
+    // distinct inputs stay distinct through the curve
+    assert(got.map(_._3).distinct.length === pairs.distinct.length)
+  }
+
   test("same-bucketed tables join with zero exchanges") {
     val dir = "/root/testdata/sf0.001"
     val orders = Tables(spark, dir, "orders")

@@ -8,6 +8,37 @@ import org.apache.spark.sql.functions._
   */
 class SkewSpec extends SparkSpec {
 
+  test("AQE skew join: oversized sort-merge partition splits at runtime (skew=true)") {
+    import spark.implicits._
+    // the complementary path to salting: AQE detects the hot partition
+    // AFTER the shuffle and splits it; thresholds are production-sized,
+    // so shrink them to fixture scale
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try {
+      val big = ((1 to 20000).map(i => (1L, s"hot-payload-$i")) ++
+        (1 to 2000).map(i => ((i % 20 + 2).toLong, s"cold-$i"))).toDF("k", "payload")
+      val small = (1 to 30).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+      val joined = big.join(small, Seq("k"))
+      // collect() drives THIS queryExecution, so the adaptive plan below
+      // is the final (post-reoptimization) one
+      assert(joined.collect().length === 22000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"expected AQE to mark the skewed join:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin equals plain join on a hot-key distribution") {
     import spark.implicits._
     // 900 rows on one hot key + 100 spread over 10 keys
