@@ -39,8 +39,9 @@ object Analytics {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice").cast(dec) *
-          (lit(1) - col("l_discount")).cast(dec)).cast("double").as("sum_disc_price"),
+        round(sum(col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount")).cast(dec)).cast("double"), 4)
+          .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty", col("sum_qty") / col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -60,8 +61,8 @@ object Analytics {
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(sum(col("l_extendedprice").cast(dec) *
-        (lit(1) - col("l_discount")).cast(dec)).cast("double").as("revenue"))
+      .agg(round(sum(col("l_extendedprice").cast(dec) *
+        (lit(1) - col("l_discount")).cast(dec)).cast("double"), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -88,8 +89,8 @@ object Analytics {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("l_extendedprice").cast(dec) *
-        (lit(1) - col("l_discount")).cast(dec)).cast("double").as("revenue"))
+      .agg(round(sum(col("l_extendedprice").cast(dec) *
+        (lit(1) - col("l_discount")).cast(dec)).cast("double"), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 

@@ -50,8 +50,9 @@ object Skew {
       .groupBy(col("s_name"))
       .agg(
         count(lit(1)).as("n_items"),
-        sum(col("l_extendedprice").cast(dec) *
-          (lit(1) - col("l_discount")).cast(dec)).cast("double").as("revenue"))
+        round(sum(col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount")).cast(dec)).cast("double"), 4)
+          .as("revenue"))
       .orderBy("s_name")
   }
 }
