@@ -96,6 +96,7 @@ object SparkEntry {
     "text_pii_signals" -> (TextAnalysis.piiSignals _),
     "text_heavy_hitters" -> (TextAnalysis.heavyHitters _),
     "text_repetition" -> (TextAnalysis.repetitionSignals _),
+    "text_winnow_pairs" -> (TextAnalysis.winnowPassagePairs _),
     // — lexical retrieval over documents
     "text_tfidf_keywords" ->
       ((s: SparkSession, d: String) => operators.Retrieval.tfidfKeywords(s, d)),
@@ -1065,6 +1066,31 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE)
         |    / len(string_split(trim(text), ' ')) AS fertility
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_winnow_pairs" -> {
+      import operators.TextAnalysis.{winnowK, winnowMaxDf, winnowMinShared, winnowW}
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= $winnowK),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, len(text) - ${winnowK - 1}),
+         |      s -> list_reduce(
+         |             list_prepend(CAST(0 AS BIGINT),
+         |               list_transform(generate_series(s, s + ${winnowK - 1}),
+         |                 i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+         |             (acc, x) -> (acc * 31 + x) % 2147483647)) AS h
+         |  FROM d),
+         |sel AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           range(0, greatest(len(h) - $winnowW, 0) + 1),
+         |           i -> list_min(h[CAST(i + 1 AS INTEGER):CAST(i + $winnowW AS INTEGER)]))))
+         |    AS fp
+         |  FROM hs),
+         |keepfp AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= $winnowMaxDf),
+         |kept AS (SELECT sel.doc_id, sel.fp FROM sel JOIN keepfp USING (fp))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $winnowMinShared
+         |ORDER BY a_id, b_id""".stripMargin
+    },
     "text_rolling_hash" ->
       """SELECT doc_id,
         |  list_reduce(

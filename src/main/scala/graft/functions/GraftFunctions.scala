@@ -8,9 +8,10 @@ import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.IntegerType
 
 /** SQL surface for graft's native Catalyst expressions: exposes
-  * `ngram_minhash_md5`, `ngram_minhash_affine`, `rolling_hash`, and
-  * `dot_product_d` to `spark.sql(...)` users, so the engine's custom
-  * kernels are first-class functions, not Column-API-only.
+  * `ngram_minhash_md5`, `ngram_minhash_affine`, `rolling_hash`,
+  * `dot_product_d`, and `winnow` to `spark.sql(...)` users, so the
+  * engine's custom kernels are first-class functions, not
+  * Column-API-only.
   *
   * Two registration paths:
   *  - [[GraftExtensions]] via `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -53,6 +54,12 @@ object GraftFunctions {
     "dot_product_d" -> { args =>
       arity("dot_product_d", args, 2)
       DotProductD(args(0), args(1))
+    },
+    "winnow" -> { args =>
+      arity("winnow", args, 3)
+      WinnowFingerprints(args(0),
+        intArg(args(1), "winnow", "k-gram width k"),
+        intArg(args(2), "winnow", "selection window w"))
     },
   )
 

@@ -27,6 +27,77 @@ object RollingHashUtil {
   private val M = 2147483647L
   private val B = 31L
 
+  /** Winnowing fingerprint selection (Schleimer et al., MOSS): the k-gram
+    * Rabin-Karp hashes of the text, reduced to the SET of per-window
+    * minima over every `w` consecutive hashes — the guarantee is that
+    * any shared substring of length ≥ k + w − 1 yields at least one
+    * shared selected fingerprint, at ~2/(w+1) of the full hash density.
+    * Returns the distinct selected values sorted ascending (position
+    * data is deliberately dropped: downstream joins need the set, and
+    * a set output keeps the tie-breaking rule out of the contract, so
+    * the DuckDB oracle can state it as `list_distinct(list_transform
+    * (..., i -> list_min(h[i+1:i+w])))`). Texts shorter than k return
+    * an empty array; k ≤ length < k+w−1 selects the single global min.
+    *
+    * O(n) via a monotonic deque over the rolled hashes.
+    */
+  def winnow(s: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val str = s.toString
+    val cp = new Array[Int](str.length)
+    var n = 0
+    var u = 0
+    while (u < str.length) {
+      val c = str.codePointAt(u)
+      cp(n) = c
+      n += 1
+      u += Character.charCount(c)
+    }
+    val nh = n - k + 1
+    if (nh <= 0) return new GenericArrayData(Array.empty[Long])
+
+    val hs = new Array[Long](nh)
+    var bPow = 1L
+    var i = 1
+    while (i < k) { bPow = (bPow * B) % M; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * B + cp(i)) % M; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < nh) {
+      val out = (cp(i - 1).toLong * bPow) % M
+      h = (((h - out + M) % M) * B + cp(i + k - 1)) % M
+      hs(i) = h
+      i += 1
+    }
+
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (nh <= w) {
+      var m = hs(0)
+      i = 1
+      while (i < nh) { if (hs(i) < m) m = hs(i); i += 1 }
+      sel.add(m)
+    } else {
+      // monotonic deque of indices; front = min of the current window
+      val dq = new Array[Int](nh)
+      var head = 0
+      var tail = 0 // exclusive
+      i = 0
+      while (i < nh) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) sel.add(hs(dq(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   def rollingHash(s: UTF8String, window: Int): GenericArrayData = {
     val str = s.toString
     // Decode UTF-16 to code points once; all window arithmetic below is
@@ -99,4 +170,38 @@ object RollingHash {
   /** Column-API entry point: `RollingHash.of($"text", 16)`. */
   def of(text: Column, window: Int): Column =
     bridge.column(RollingHash(bridge.expression(text), window))
+}
+
+/** Native codegen'd `winnow(text, k, w)` → sorted distinct
+  * `array<bigint>` of winnowed k-gram fingerprints (see
+  * [[RollingHashUtil.winnow]]).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 2, s"k and w must be >= 2, got k=$k w=$w")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow needs a string child, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHashUtil.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingHashUtil.winnow($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  /** Column-API entry point: `WinnowFingerprints.of($"text", 16, 8)`. */
+  def of(text: Column, k: Int, w: Int): Column =
+    bridge.column(WinnowFingerprints(bridge.expression(text), k, w))
 }

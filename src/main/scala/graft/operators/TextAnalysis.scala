@@ -206,6 +206,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Winnowing parameters for [[winnowPassagePairs]]: k-gram width,
+    * selection window, df-cap on boilerplate fingerprints, and the
+    * minimum shared-fingerprint count to report a pair. Guarantee: any
+    * shared passage of ≥ k + w − 1 = 23 chars yields ≥ 1 shared
+    * fingerprint.
+    */
+  val winnowK = 16
+  val winnowW = 8
+  val winnowMaxDf = 10
+  val winnowMinShared = 3
+
+  /** Cross-document repeated-passage candidates via winnowed
+    * fingerprints (the MOSS scheme): each doc keeps the per-window
+    * minima of its k-gram rolling hashes (native codegen'd
+    * [[graft.functions.WinnowFingerprints]], ~2/(w+1) the density of
+    * the full hash set), boilerplate fingerprints are dropped by a
+    * broadcast df-cap blocklist (same discipline as the Jaccard
+    * shingle join), and docs sharing ≥ [[winnowMinShared]] fingerprints
+    * become passage-overlap pairs. This detects COPIED SPANS — a
+    * finer-grained signal than whole-document MinHash, and the missing
+    * granularity between exact dedup and near-dup: quotation farms,
+    * template boilerplate, cross-posted passages.
+    *
+    * Scale shape: fingerprint table is ~2/(w+1) of corpus chars, the
+    * join is equi on fingerprint value with df-bounded buckets — never
+    * all-pairs.
+    */
+  def winnowPassagePairs(spark: SparkSession, dir: String): DataFrame = {
+    val sel = Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= winnowK)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFingerprints.of(
+          col("text"), winnowK, winnowW)).as("fp"))
+      .localCheckpoint() // feeds blocklist + both join sides
+    val hot = sel.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > winnowMaxDf)
+      .select("fp")
+    val kept = sel.join(broadcast(hot), Seq("fp"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= winnowMinShared)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Rolling-hash document fingerprint (Rabin-Karp polynomial, base 31
     * mod 2^31−1): the full-content hash plus the minimum over all
     * 16-char window hashes (the winnowing primitive used for local
