@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{Dedup, Retrieval, Sampling, Sketches, TextAnalysis}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Degenerate-corpus robustness: every corpus operator must return an
+  * empty (or singleton) result on an empty / one-document corpus, not
+  * throw — the failure mode iterative pipelines (label propagation) and
+  * join-shaped ops hit first in production when a partition filter
+  * matches nothing.
+  */
+class DegenerateCorpusSpec extends SparkSpec {
+
+  private def writeCorpus(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("degenerate").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def opCounts(dir: String): Seq[(String, Long)] = Seq(
+    "exact" -> Dedup.exact(spark, dir).count(),
+    "minhash" -> Dedup.minhashSignatures(spark, dir).count(),
+    "lsh_pairs" -> Dedup.lshCandidatePairs(spark, dir).count(),
+    "simhash_pairs" -> Dedup.simhashPairs(spark, dir).count(),
+    "jaccard" -> Dedup.ngramJaccardPairs(spark, dir).count(),
+    "survivors" -> Dedup.survivors(spark, dir).count(),
+    "tfidf" -> Retrieval.tfidfKeywords(spark, dir).count(),
+    "bm25" -> Retrieval.bm25Scores(spark, dir).count(),
+    "repetition" -> TextAnalysis.repetitionSignals(spark, dir).count(),
+    "winnow_pairs" -> TextAnalysis.winnowPassagePairs(spark, dir).count(),
+    "cms" -> Sketches.cmsTokenCounts(spark, dir).count(),
+    "quality_filter" -> Sampling.qualityFilter(spark, dir).count(),
+    "temperature_mix" -> Sampling.temperatureMix(spark, dir).count())
+
+  test("empty corpus: every operator returns empty, none throws") {
+    val dir = writeCorpus(Seq.empty)
+    opCounts(dir).foreach { case (name, n) =>
+      assert(n === 0L, s"$name must be empty on an empty corpus")
+    }
+  }
+
+  test("single-document corpus: pair ops empty, per-doc ops singleton") {
+    val dir = writeCorpus(Seq(
+      (7L, "the lone document has plenty of tokens to hash and to score", "en", "s")))
+    val counts = opCounts(dir).toMap
+    Seq("lsh_pairs", "simhash_pairs", "jaccard", "winnow_pairs")
+      .foreach(n => assert(counts(n) === 0L, s"$n must have no pairs"))
+    Seq("exact", "minhash", "repetition", "temperature_mix")
+      .foreach(n => assert(counts(n) === 1L, s"$n must be a singleton"))
+    assert(counts("survivors") === 1L, "the lone doc survives")
+    assert(counts("tfidf") === 3L, "top-3 keywords of the lone doc")
+  }
+}
