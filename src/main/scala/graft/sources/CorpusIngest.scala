@@ -41,4 +41,33 @@ object CorpusIngest {
     */
   def deadLetter(ingested: DataFrame): DataFrame =
     ingested.cache().filter(col(corruptCol).isNotNull).select(corruptCol)
+
+  /** Streaming JSONL landing: tail a directory of corpus files with the
+    * SAME declared schema + PERMISSIVE corrupt-record discipline as the
+    * batch path — new crawler drops become micro-batches, corrupt
+    * lines stay quarantined per batch, and the whole stream is
+    * checkpointable (exactly-once landing). [[clean]] / [[deadLetter]]
+    * apply unchanged to the returned frame.
+    */
+  def streamJsonl(spark: SparkSession, path: String,
+                  schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema.add(StructField(corruptCol, StringType, nullable = true)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
+  /** Running per-language corpus totals over a streaming document
+    * frame — the live ingestion dashboard every corpus build watches
+    * (docs and tokens per language so far). Update-mode aggregate:
+    * state is O(languages), each micro-batch revises only the
+    * languages it touched — the streaming form of
+    * [[graft.operators.TextAnalysis.tokenStats]].
+    */
+  def runningLangTotals(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
 }

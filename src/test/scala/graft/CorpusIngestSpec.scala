@@ -35,4 +35,45 @@ class CorpusIngestSpec extends SparkSpec {
     // conservation: every input line lands exactly once
     assert(clean.length + dead.length === lines.length)
   }
+
+  test("streaming landing: drops become micro-batches, totals revise, corrupt quarantined") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-stream")
+    val dlDir = java.nio.file.Files.createTempDirectory("graft-ingest-dl").toString
+    def drop(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+
+    drop("drop-0.jsonl", Seq(
+      """{"doc_id": 1, "lang": "en", "text": "one two three"}""",
+      """{"doc_id": 2, "lang": "de", "text": "eins zwei"}"""))
+
+    val stream = CorpusIngest.streamJsonl(spark, dir.toString, schema)
+    val totals = CorpusIngest.runningLangTotals(CorpusIngest.clean(stream))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("lang_totals").start()
+    // dead-letter rides a second checkpointed sink off the same landing
+    val dl = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CorpusIngest.deadLetter(batch)
+          .write.mode("append").parquet(dlDir)
+      }.start()
+    try {
+      totals.processAllAvailable(); dl.processAllAvailable()
+      val t1 = spark.table("lang_totals").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(t1 === Set(("en", 1L, 3L), ("de", 1L, 2L)))
+
+      // second crawler drop: one more en doc + a corrupt line
+      drop("drop-1.jsonl", Seq(
+        """{"doc_id": 3, "lang": "en", "text": "four five six seven"}""",
+        """broken { line"""))
+      totals.processAllAvailable(); dl.processAllAvailable()
+      val t2 = spark.table("lang_totals").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(t2 === Set(("en", 2L, 7L), ("de", 1L, 2L)))
+      val dead = spark.read.parquet(dlDir).collect().map(_.getString(0))
+      assert(dead.length === 1 && dead.head.contains("broken"))
+    } finally { totals.stop(); dl.stop() }
+  }
 }
