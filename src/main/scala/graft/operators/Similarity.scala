@@ -208,11 +208,12 @@ object Similarity {
     * The search is an equi-join on cell id — one shuffle by cell, the
     * same pattern as [[bucketedTopK]] with learned partitions.
     */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    // no checkpoint on emb: its lineage is one parquet scan + a narrow
-    // norm projection — cheaper to recompute per assignment pass than
-    // to materialize eagerly (the expensive thing to pin is the final
-    // assignment, below)
+  /** The trained k-means centroids as a driver-side model artifact
+    * (O(k·dims)) — what [[ivfTopK]] indexes with, and what
+    * [[streamingCellScores]] ships into a stream as literals. See
+    * [[ivfTopK]] for the training discipline.
+    */
+  def trainedCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("nrm", norm(col("embedding")))
     var centroids = emb.filter(col("vec_id") < 8)
@@ -225,10 +226,47 @@ object Similarity {
     // instead of re-checkpointing, and the corpus itself never leaves
     // the executors.
     import spark.implicits._
-    for (_ <- 1 to lloydIters)
-      centroids = cellMeans(assignCells(emb, centroids))
+    var out: Seq[(Long, Seq[Double])] = null
+    for (_ <- 1 to lloydIters) {
+      out = cellMeans(assignCells(emb, centroids))
         .as[(Long, Seq[Double])].collect().toSeq
-        .toDF("c_id", "c_emb")
+      centroids = out.toDF("c_id", "c_emb")
+    }
+    out
+  }
+
+  /** Stateless streaming inference over a batch-trained model: assign
+    * every embedding in a STREAM to its nearest trained centroid. The
+    * centroid set rides the plan as literals (a broadcast-sized model
+    * artifact), so the operator is a narrow per-row projection — no
+    * state store, no shuffle, works under any output mode and
+    * arbitrarily late data. Tie rule identical to the batch
+    * assignment: highest rounded cosine, then smallest c_id.
+    */
+  def streamingCellScores(stream: DataFrame,
+                          centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    val nrm = sqrt(dot(col("embedding"), col("embedding")))
+    val scored = centroids.map { case (cid, c) =>
+      val cArr = array(c.map(lit): _*)
+      val cNrm = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+      struct(
+        round(dot(col("embedding"), cArr) / (nrm * lit(cNrm)), 4).as("s"),
+        lit(-cid).as("neg_cid"), lit(cid).as("cid"))
+    }
+    stream.withColumn("best", array_max(array(scored: _*)))
+      .select(col("vec_id"), col("best.cid").as("cell"),
+        col("best.s").as("c_cos"))
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    // no checkpoint on emb: its lineage is one parquet scan + a narrow
+    // norm projection — cheaper to recompute per assignment pass than
+    // to materialize eagerly (the expensive thing to pin is the final
+    // assignment, below)
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("nrm", norm(col("embedding")))
+    import spark.implicits._
+    val centroids = trainedCentroids(spark, dir).toDF("c_id", "c_emb")
     val assigned = assignCells(emb, centroids).localCheckpoint()
     val queries = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 16)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
