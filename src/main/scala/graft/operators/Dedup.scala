@@ -308,10 +308,23 @@ object Dedup {
     * @param pairs columns (a_id, b_id); undirected edges
     * @return (id, cluster) — cluster = min doc_id reachable
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  /** Edge-count ceiling for the driver-side union-find fast path in
+    * [[clusters]]. Near-dup candidate graphs are a small fraction of
+    * the corpus (LSH prunes to O(dup pairs)); below this many directed
+    * edges the whole graph fits driver memory trivially, and
+    * union-find beats several distributed propagation rounds' fixed
+    * job overhead. Above it, the distributed loop runs — the fast
+    * path is an optimization, never a scale ceiling.
+    */
+  val smallGraphEdges = 2000000L
+
+  def clusters(pairs: DataFrame, maxIters: Int = 10,
+               smallGraphLimit: Long = smallGraphEdges): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
+    // count is a cheap action on the materialized checkpoint
+    if (edges.count() <= smallGraphLimit) return unionFindClusters(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
@@ -352,6 +365,35 @@ object Dedup {
     }
     require(converged, s"label propagation did not converge in $maxIters iters")
     labels
+  }
+
+  /** Driver-side union-find over a collected edge list: identical
+    * fixpoint to the propagation loop (every node labeled with the
+    * minimum doc_id in its component — union by min root with path
+    * compression). Only invoked under [[smallGraphEdges]].
+    */
+  private def unionFindClusters(edges: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.select("src", "dst").collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+        parent(hi) = lo
+      }
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "cluster")
   }
 
   /** Quality-weighted representative selection: one survivor per

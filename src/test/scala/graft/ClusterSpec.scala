@@ -23,7 +23,7 @@ class ClusterSpec extends SparkSpec {
     ids.map(i => i -> find(i)).toMap
   }
 
-  test("clusters agree with serial union-find on random graphs") {
+  test("clusters agree with serial union-find on random graphs — BOTH paths") {
     import spark.implicits._
     (1 to 3).foreach { seed =>
       val rnd = new scala.util.Random(seed)
@@ -31,18 +31,26 @@ class ClusterSpec extends SparkSpec {
         val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
         (math.min(a, b), math.max(a, b))
       }.filter(e => e._1 != e._2).distinct
-      val got = Dedup.clusters(edges.toDF("a_id", "b_id"))
+      val expected = unionFind(40, edges)
+      // fast path (driver union-find) and distributed propagation must
+      // land on the identical fixpoint
+      val fast = Dedup.clusters(edges.toDF("a_id", "b_id"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === unionFind(40, edges), s"seed=$seed")
+      val distributed = Dedup.clusters(edges.toDF("a_id", "b_id"),
+          smallGraphLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast === expected, s"seed=$seed (fast path)")
+      assert(distributed === expected, s"seed=$seed (distributed path)")
     }
   }
 
   test("long chain converges within maxIters (pointer jumping, O(log diameter))") {
     import spark.implicits._
     // a 60-node chain: plain min-label propagation needs 59 rounds and
-    // would blow the default maxIters=10; path halving needs ~log2(60)
+    // would blow the default maxIters=10; path halving needs ~log2(60).
+    // smallGraphLimit=0 forces the distributed loop under test.
     val edges = (0L until 59L).map(i => (i, i + 1))
-    val got = Dedup.clusters(edges.toDF("a_id", "b_id"))
+    val got = Dedup.clusters(edges.toDF("a_id", "b_id"), smallGraphLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length === 60)
     assert(got.forall(_._2 === 0L), s"chain must collapse to node 0")
