@@ -102,6 +102,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => operators.Retrieval.tfidfKeywords(s, d)),
     "text_bm25" -> (operators.Retrieval.bm25Scores _),
     "text_cms_counts" -> (operators.Sketches.cmsTokenCounts _),
+    "text_bpe_merges" ->
+      ((s: SparkSession, d: String) => operators.BpeTrainer.train(s, d)),
     "q_train_split" -> (Sampling.splitSummary _),
     "q_stratified_sample" ->
       ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.BpeTrainer
+
+/** BPE merge training against a from-scratch serial reference: the
+  * exact merge sequence (pair, merged symbol, weighted count) must
+  * match Sennrich-style training over the collected word counts.
+  */
+class BpeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Serial reference BPE: same determinism contract (max count, ties
+    * to lexicographically smallest pair; left-to-right non-overlapping
+    * application; stop when no pair repeats).
+    */
+  private def referenceBpe(wordCounts: Map[String, Long],
+                           merges: Int): Seq[(Long, String, String, String, Long)] = {
+    var vocab: Map[List[String], Long] = wordCounts.toSeq
+      .map { case (w, n) => (w.split("").toList :+ "</w>") -> n }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (rank <= merges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (sym, n) =>
+        sym.sliding(2).foreach {
+          case List(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+          case _ =>
+        }
+      }
+      val best = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      best match {
+        case Some(((a, b), n)) if n >= 2 =>
+          out += ((rank, a, b, a + b, n))
+          vocab = vocab.toSeq.map { case (sym, cnt) =>
+            val merged = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < sym.length) {
+              if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+                merged += (a + b); i += 2
+              } else { merged += sym(i); i += 1 }
+            }
+            merged.toList -> cnt
+          }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          rank += 1
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  test("distributed merge sequence equals the serial reference exactly") {
+    val wordCounts = Tables(spark, dir, "documents")
+      .select("text").collect()
+      .flatMap(_.getString(0).trim.split(" "))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = referenceBpe(wordCounts, BpeTrainer.defaultMerges)
+    assert(expected.nonEmpty)
+
+    val got = BpeTrainer.train(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    // merges are usable: ranks contiguous from 1, merged = left+right
+    got.foreach { case (rk, l, r, m, n) =>
+      assert(m === l + r); assert(n >= 2); assert(rk >= 1)
+    }
+  }
+}

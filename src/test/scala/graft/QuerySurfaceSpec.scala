@@ -23,8 +23,11 @@ class QuerySurfaceSpec extends SparkSpec {
 
   test("every query has an oracle (or is explicitly rows-only)") {
     // sketch values (HLL, positional-error histogram) are
-    // engine-specific → rows-only driver check
-    val rowsOnly = Set("q_approx_distinct", "q_approx_percentiles")
+    // engine-specific → rows-only driver check; BPE training is an
+    // iterative driver loop DuckDB SQL cannot express (spec-verified
+    // against a reference implementation instead)
+    val rowsOnly = Set("q_approx_distinct", "q_approx_percentiles",
+      "text_bpe_merges")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
