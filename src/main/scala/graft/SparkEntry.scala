@@ -104,6 +104,8 @@ object SparkEntry {
     "text_cms_counts" -> (operators.Sketches.cmsTokenCounts _),
     "text_bpe_merges" ->
       ((s: SparkSession, d: String) => operators.BpeTrainer.train(s, d)),
+    "text_bpe_fertility" ->
+      ((s: SparkSession, d: String) => operators.BpeTrainer.fertility(s, d)),
     "q_train_split" -> (Sampling.splitSummary _),
     "q_stratified_sample" ->
       ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),

@@ -95,4 +95,39 @@ object BpeTrainer {
     }
     learned.toSeq.toDF("rank", "left", "right", "merged", "n")
   }
+
+  /** Train-then-apply: segment the corpus with the learned merges and
+    * report per-language subword fertility (subwords per whitespace
+    * token) before/after BPE. Application runs on the WORD-TYPE table
+    * (merges applied in rank order), then rejoins the corpus by word
+    * via broadcast — the corpus itself is never re-segmented row by
+    * row. The fertility drop vs raw characters is the metric tokenizer
+    * training optimizes.
+    */
+  def fertility(spark: SparkSession, dir: String,
+                merges: Int = defaultMerges): DataFrame = {
+    val ruleRows = train(spark, dir, merges)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var types = Tables(spark, dir, "documents")
+      .select(explode(split(trim(col("text")), " ")).as("w"))
+      .distinct()
+      .select(col("w"), concat(split(col("w"), ""), array(lit("</w>"))).as("sym"))
+    ruleRows.foreach { case (a, b) =>
+      types = types.select(col("w"), applyMerge(col("sym"), a, b).as("sym"))
+    }
+    val segmented = types
+      .select(col("w"), size(col("sym")).cast("long").as("n_subwords"))
+    Tables(spark, dir, "documents")
+      .select(col("lang"), explode(split(trim(col("text")), " ")).as("w"))
+      .join(broadcast(segmented), "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"),
+        sum(length(col("w")) + 1).cast("long").as("n_chars_eow"))
+      .select(col("lang"), col("n_words"),
+        (col("n_subwords").cast("double") / col("n_words")).as("bpe_fertility"),
+        (col("n_chars_eow").cast("double") / col("n_words")).as("char_fertility"))
+      .orderBy("lang")
+  }
 }

@@ -68,4 +68,21 @@ class BpeSpec extends SparkSpec {
       assert(m === l + r); assert(n >= 2); assert(rk >= 1)
     }
   }
+
+  test("fertility: BPE compresses vs characters, floor of 1 subword/word") {
+    val rows = BpeTrainer.fertility(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nWords, bpe, chars) =>
+      assert(nWords > 0)
+      assert(bpe >= 1.0, s"$lang: fewer than one subword per word")
+      assert(bpe < chars,
+        s"$lang: BPE ($bpe) must compress vs character segmentation ($chars)")
+    }
+    // totals conserve: per-language word counts sum to the corpus total
+    val corpusWords = Tables(spark, dir, "documents")
+      .select("text").collect()
+      .map(_.getString(0).trim.split(" ").length.toLong).sum
+    assert(rows.map(_._2).sum === corpusWords)
+  }
 }

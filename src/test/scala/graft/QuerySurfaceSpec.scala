@@ -27,7 +27,7 @@ class QuerySurfaceSpec extends SparkSpec {
     // iterative driver loop DuckDB SQL cannot express (spec-verified
     // against a reference implementation instead)
     val rowsOnly = Set("q_approx_distinct", "q_approx_percentiles",
-      "text_bpe_merges")
+      "text_bpe_merges", "text_bpe_fertility")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
