@@ -29,7 +29,7 @@ object Skew {
                  saltBuckets: Int): DataFrame = {
     require(saltBuckets >= 2, s"saltBuckets must be >= 2, got $saltBuckets")
     val salted = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(saltBuckets)))
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
     val replicated = small.withColumn("__salt",
       explode(array((0 until saltBuckets).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

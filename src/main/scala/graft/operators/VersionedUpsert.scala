@@ -78,10 +78,10 @@ object VersionedUpsert {
     val out = log.columns.map(col)
     log
       .groupBy(keys.map(col): _*)
-      .agg(max_by(struct(payload: _*), orderKey).as("__latest"))
+      .agg(max_by(struct(payload.toIndexedSeq: _*), orderKey).as("__latest"))
       .select(keys.map(col) ++ log.columns.filterNot(keys.contains)
         .map(c => col(s"__latest.$c").as(c)): _*)
-      .select(out: _*)
+      .select(out.toIndexedSeq: _*)
   }
 
   /** Dedup-on-read view of a Booking-shaped log — `SELECT … FINAL`

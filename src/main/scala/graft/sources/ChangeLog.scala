@@ -29,7 +29,7 @@ object ChangeLog {
     * `debezium_configuration.json:14,47`).
     */
   def toJsonValues(events: DataFrame): DataFrame =
-    events.select(to_json(struct(events.columns.map(col): _*)).as("value"))
+    events.select(to_json(struct(events.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** Kafka change-stream source: the prod path
     * (`spark.readStream.format("kafka")`). Not exercised in tests (no
@@ -87,7 +87,7 @@ object ChangeLog {
     */
   def flatten(df: DataFrame, delimiter: String = "."): DataFrame = {
     def paths(schema: StructType, prefix: Seq[String]): Seq[(Seq[String], String)] =
-      schema.fields.flatMap {
+      schema.fields.toIndexedSeq.flatMap {
         case StructField(name, st: StructType, _, _) => paths(st, prefix :+ name)
         case StructField(name, _, _, _) =>
           Seq((prefix :+ name, (prefix :+ name).mkString(delimiter)))
