@@ -69,6 +69,32 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("random corpora: distributed merges equal the serial reference (3 seeds)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abcd"
+      def word() = (1 to (1 + rnd.nextInt(6)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val docs = (1 to 30).map { i =>
+        (i.toLong, (1 to (3 + rnd.nextInt(10))).map(_ => word()).mkString(" "),
+          "en", "s")
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"bpe-prop-$seed").toString
+      docs.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val wordCounts = docs.flatMap(_._2.split(" "))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = referenceBpe(wordCounts, 6)
+      val got = BpeTrainer.train(spark, dir, merges = 6).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   test("fertility: BPE compresses vs characters, floor of 1 subword/word") {
     val rows = BpeTrainer.fertility(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
