@@ -5,19 +5,23 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata, plus a batch feature-extraction path.
+  * columns with typed metadata, plus batch feature-extraction paths.
   *
-  * The actual codecs (JPEG decode, resampling, frame sampling) are NOT
-  * in this container, so `decodeFeatures` is a clearly-marked
-  * deterministic stub — but the Spark-side plumbing is real and tested:
-  * binary column schema, metadata projection as codegen'd expressions,
-  * and partition-batched typed extraction via `mapPartitions` (the
-  * Scala analog of `mapInPandas`: per-partition batch processing with a
-  * typed row contract, where a real implementation would hand each
-  * batch to a native decoder).
+  * The IMAGE codec path is REAL: [[decodeImages]] and [[resizeImages]]
+  * decode/resample/re-encode PNG/JPEG/GIF/BMP through the JDK's own
+  * `javax.imageio` — no external dependency — with graceful None for
+  * unparseable payloads (mixed corpora always contain junk bytes).
+  * AUDIO/VIDEO demuxing has no in-container library, so
+  * `decodeFeatures`/`frameSample` remain clearly-marked deterministic
+  * stubs around the production plumbing: binary column schema,
+  * metadata projection as codegen'd expressions, and partition-batched
+  * typed extraction via `mapPartitions` (the Scala analog of
+  * `mapInPandas`: per-partition batch processing with a typed row
+  * contract).
   *
   * No binary testdata ships in the harness, so [[mediaFromDocuments]]
-  * fabricates the media table from document text bytes.
+  * fabricates the media table from document text bytes; the image-codec
+  * specs generate real PNG/JPEG payloads via `BufferedImage`.
   */
 object Multimodal {
 
@@ -66,6 +70,80 @@ object Multimodal {
           i += 1
         }
         MediaFeatures(r.media_id, r.content.length.toLong, acc)
+      }
+    }
+  }
+
+  /** A really-decoded image: true dimensions + mean channel values. */
+  case class DecodedImage(media_id: Long, width: Int, height: Int,
+                          n_px: Long, mean_rgb: Array[Float])
+
+  /** REAL image decode (JDK `javax.imageio` — PNG/JPEG/GIF/BMP, zero
+    * external dependencies): per-partition batch decode to true
+    * dimensions and per-channel means (the cheap global feature real
+    * pipelines compute for brightness/color filters). Payloads ImageIO
+    * cannot parse yield no row — a mixed corpus degrades gracefully
+    * instead of failing the job. Narrow (no shuffle); decode cost is
+    * per-partition batch work exactly where a native codec would sit.
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content))
+          if (img == null) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val acc = new Array[Double](3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                acc(0) += (rgb >> 16) & 0xff
+                acc(1) += (rgb >> 8) & 0xff
+                acc(2) += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            Some(DecodedImage(r.media_id, w, h, n,
+              acc.map(s => (s / n / 255.0).toFloat)))
+          }
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /** REAL image resize: decode → `Graphics2D` bilinear resample into
+    * the target dimensions → re-encode as PNG. Same graceful-None
+    * contract and narrow per-partition shape as [[decodeImages]].
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content))
+          if (img == null) None
+          else {
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Some(ResizedRow(r.media_id, w, h, bos.toByteArray))
+          }
+        } catch { case _: Exception => None }
       }
     }
   }
