@@ -83,6 +83,7 @@ object SparkEntry {
     "ann_bucketed" -> (Similarity.bucketedTopK _),
     "ann_ivf" -> (Similarity.ivfTopK _),
     "ann_recall" -> (Similarity.bucketedRecall _),
+    "ann_ivf_recall" -> (Similarity.ivfRecall _),
     "emb_near_dup_pairs" -> (Similarity.nearDupPairs _),
     "emb_norm_outliers" -> (Similarity.normOutliers _),
     // — text analysis over documents
@@ -807,6 +808,41 @@ object SparkEntry {
          |  FROM truth LEFT JOIN bk ON bk.q_id = truth.q_id
          |  GROUP BY truth.q_id)
          |SELECT 'bucketed' AS method, count(*) AS n_queries,
+         |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
+         |FROM hits""".stripMargin,
+    "ann_ivf_recall" ->
+      s"""WITH cent0 AS (
+         |  SELECT vec_id AS c_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+         |  FROM embeddings WHERE vec_id < 8),
+         |${ivfAssignCte(0)},
+         |${ivfMeansCte(0)},
+         |${ivfAssignCte(1)},
+         |${ivfMeansCte(1)},
+         |${ivfAssignCte(2)},
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, cell AS q_cell
+         |  FROM asg2 WHERE vec_id >= 8 AND vec_id < 16),
+         |bf AS (
+         |  SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos
+         |  FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+         |truth AS (
+         |  SELECT q_id, vec_id AS true_nn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |    FROM bf) t WHERE rn = 1),
+         |iv_pairs AS (
+         |  SELECT q_id, a.vec_id, ${cosSql("q_emb", "a.embedding")} AS cos
+         |  FROM q JOIN asg2 a ON a.cell = q.q_cell AND a.vec_id <> q.q_id),
+         |iv AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |    FROM iv_pairs) t WHERE rn <= 3),
+         |hits AS (
+         |  SELECT truth.q_id,
+         |    max(CASE WHEN iv.vec_id = truth.true_nn THEN 1 ELSE 0 END) AS hit
+         |  FROM truth LEFT JOIN iv ON iv.q_id = truth.q_id
+         |  GROUP BY truth.q_id)
+         |SELECT 'ivf' AS method, count(*) AS n_queries,
          |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
          |FROM hits""".stripMargin,
     "emb_norm_outliers" ->

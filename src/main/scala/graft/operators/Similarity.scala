@@ -142,6 +142,33 @@ object Similarity {
       .select(lit("bucketed").as("method"), col("n_queries"), col("recall"))
   }
 
+  /** Rank-1 recall of the TRAINED-IVF search against an exact
+    * brute-force scan over the same query set (vec_id 8–15, the cell
+    * queries [[ivfTopK]] serves) — the honest-measurement companion to
+    * [[bucketedRecall]]: every ANN variant ships with its recall row.
+    */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("nrm", norm(col("embedding")))
+    val queries = emb.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val bf = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 4).as("cos"))
+    val truth = topPerQuery(bf, 1)
+      .select(col("q_id"), col("vec_id").as("true_nn"))
+    val approx = ivfTopK(spark, dir).select(col("q_id"), col("vec_id"))
+    truth.join(approx, Seq("q_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(max(when(col("vec_id") === col("true_nn"), 1).otherwise(0)).as("hit"))
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(col("hit")).cast("double") / count(lit(1))).as("recall"))
+      .select(lit("ivf").as("method"), col("n_queries"), col("recall"))
+  }
+
   /** Lloyd iteration count for [[ivfTopK]]'s k-means training. Two
     * iterations move the first-8-vectors seed far enough to balance
     * cells on this corpus; more buys little (near-dup clusters converge
