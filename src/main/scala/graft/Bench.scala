@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
-  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `SPARK_GRAFT_SF_DIR`, prints the per-query JSON line
+  * `{"queries":{...},"metric":"total","value":N,"unit":"sec","sf":...}`
+  * followed by a short total-only summary line (the driver captures a
+  * bounded stdout tail; round 3 lost the total because it led a
+  * >2000-char line — now the total always lands inside the tail).
   *
   * Each query is fully materialized through the `noop` sink — `.count()`
   * would let Catalyst prune projections and undercount the real work. A
@@ -62,7 +65,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Two lines, total-last: the full per-query JSON first (with the
+    // total fields at the END of the object, so even a tail-truncated
+    // capture of this long line still shows them), then a short
+    // summary line that always fits whole inside a bounded tail
+    // capture. Both are complete JSON objects.
+    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -493,8 +493,19 @@ object SparkEntry {
         |      / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
         |  FROM orders) t
         |WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin,
-    // q_approx_distinct intentionally has NO oracle: HLL sketch values
-    // are engine-specific (driver records rows-only).
+    // Sketch values (HLL, percentile histogram) are engine-specific, so
+    // the approx queries certify their error contract instead: the
+    // Spark side emits the exact aggregate plus a bound-check boolean,
+    // and the oracle replays the exact side with TRUE — a hash-green
+    // per-group bound check rather than a rows-only row.
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_rsd
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_approx_percentiles" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  TRUE AS med_ok, TRUE AS p95_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_order_timeline" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  lag(o_orderdate) OVER w AS prev_date,

@@ -419,38 +419,62 @@ object Analytics {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
-  /** Approximate distinct counting (HyperLogLog++): the sketch surface
-    * for cardinality at 100 TB. Sketch values are engine-specific, so
-    * the driver records a rows-only check (no DuckDB oracle); the spec
-    * asserts the estimate lands within HLL's error bound of an exact
-    * `countDistinct` it computes separately — the benched query runs
-    * the sketch ALONE, so its cost is the sketch's (an exact count in
-    * the same aggregate would dominate and defeat the point of the
-    * approximate operator).
+  /** Approximate distinct counting (HyperLogLog++) with its error
+    * contract certified IN the query: one aggregate computes the HLL
+    * estimate and the exact distinct side by side, and the output
+    * carries the exact count plus a boolean asserting the estimate
+    * landed within 3×rsd of it. Sketch values are engine-specific, so
+    * the estimate drives the check but not the hash — the oracle
+    * replays the exact count and `TRUE`, turning the old rows-only
+    * row into a real per-group bound check. (The production operator
+    * is the sketch alone; this is its certification query.)
     */
   def approxUserCounts(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users").cast("double") - col("exact_users")) <=
+          lit(3 * 0.05) * col("exact_users")).as("within_rsd"))
       .orderBy("event_type")
 
   /** Approximate percentiles via the positional error-bounded
     * histogram (`approx_percentile`): mergeable fixed-size state per
     * group, the scale path when exact `percentile`'s full sort-buffer
-    * per group is too heavy. Rows-only driver check (sketch internals
-    * are engine-specific, like the HLL row); the accuracy contract —
-    * positional error ≤ 1/accuracy — is spec-asserted against the
-    * exact operator in ExtensionOpsSpec.
+    * per group is too heavy. The accuracy contract — rank error ≤
+    * 1/accuracy — is certified in-query: the tiny approx result
+    * broadcasts back onto the table, a second aggregate counts each
+    * group's values strictly-below / at-or-below the returned med and
+    * p95, and the output booleans assert the returned values' rank
+    * windows intersect [q−ε, q+ε]. The oracle replays the group sizes
+    * and `TRUE` — a real per-group bound check instead of the old
+    * rows-only row (sketch internals stay engine-specific and out of
+    * the hash).
     */
-  def approxOrderPercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "orders")
+  def approxOrderPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 2.0 / 1000 // one histogram bin each side of the target rank
+    val approx = Tables(spark, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(expr(
         "approx_percentile(o_totalprice, array(0.5D, 0.95D), 1000)").as("p"))
       .select(col("o_orderpriority"),
-        element_at(col("p"), 1).as("med"),
-        element_at(col("p"), 2).as("p95"))
+        element_at(col("p"), 1).as("med_a"),
+        element_at(col("p"), 2).as("p95_a"))
+    def rankOk(q: Double, v: Column) =
+      (sum(when(col("o_totalprice") < v, 1L).otherwise(0L)) <=
+        lit(q + eps) * count(lit(1))) &&
+      (sum(when(col("o_totalprice") <= v, 1L).otherwise(0L)) >=
+        lit(q - eps) * count(lit(1)))
+    Tables(spark, dir, "orders")
+      .join(broadcast(approx), "o_orderpriority")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        rankOk(0.5, col("med_a")).as("med_ok"),
+        rankOk(0.95, col("p95_a")).as("p95_ok"))
       .orderBy("o_orderpriority")
+  }
 
   /** JSON scalar extraction over the events props column (S3 surface). */
   def eventPropsAgg(spark: SparkSession, dir: String): DataFrame =

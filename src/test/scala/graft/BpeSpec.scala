@@ -51,7 +51,7 @@ class BpeSpec extends SparkSpec {
     out.toSeq
   }
 
-  test("distributed merge sequence equals the serial reference exactly") {
+  test("driver-path merge sequence equals the serial reference exactly") {
     val wordCounts = Tables(spark, dir, "documents")
       .select("text").collect()
       .flatMap(_.getString(0).trim.split(" "))
@@ -87,11 +87,22 @@ class BpeSpec extends SparkSpec {
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val wordCounts = docs.flatMap(_._2.split(" "))
         .groupBy(identity).view.mapValues(_.size.toLong).toMap
-      val expected = referenceBpe(wordCounts, 6)
-      val got = BpeTrainer.train(spark, dir, merges = 6).collect()
+      // 48 merges on a 4-letter alphabet: forces several batched
+      // rounds with shared-left/shared-right pairs, barrier conflicts,
+      // and merged strings colliding with earlier merged symbols —
+      // the adversarial regime for batch selection. Both the driver
+      // fast path and the force-gated distributed rounds must equal
+      // the serial reference.
+      val expected = referenceBpe(wordCounts, 48)
+      val gotDriver = BpeTrainer.train(spark, dir, merges = 48).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2),
           r.getString(3), r.getLong(4))).toSeq
-      assert(got === expected, s"seed=$seed")
+      assert(gotDriver === expected, s"driver path, seed=$seed")
+      val gotDist = BpeTrainer
+        .train(spark, dir, merges = 48, smallTypeLimit = 0L).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      assert(gotDist === expected, s"distributed path, seed=$seed")
     }
   }
 
@@ -110,5 +121,14 @@ class BpeSpec extends SparkSpec {
       .select("text").collect()
       .map(_.getString(0).trim.split(" ").length.toLong).sum
     assert(rows.map(_._2).sum === corpusWords)
+  }
+
+  test("fertility: driver and distributed paths segment identically") {
+    val got = BpeTrainer.fertility(spark, dir, merges = 12).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val dist = BpeTrainer
+      .fertility(spark, dir, merges = 12, smallTypeLimit = 0L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got === dist)
   }
 }
