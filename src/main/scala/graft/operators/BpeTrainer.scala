@@ -201,7 +201,11 @@ object BpeTrainer {
     * accepted pair's left, s is no accepted pair's right, and the
     * merged string s+t is not an existing symbol (else new instances
     * would conflate with an existing pair's count and could jump the
-    * order). The first pair violating any of these sets a barrier B =
+    * order). A SELF-pair (s, s) is special: merging it creates
+    * (ss, ss) instances bounded by its own count — a bound outside
+    * the lefts/rights conflict scan — so it may only ever close a
+    * batch, never sit in the middle of one (see the branch below).
+    * The first pair violating any of these sets a barrier B =
     * its count: every changed pair only decreases, and every created
     * pair is bounded by the count of some (*, a)/(b, *) pair — which
     * either ranks below B or would itself have been the first
@@ -223,6 +227,7 @@ object BpeTrainer {
     val rights = scala.collection.mutable.HashSet.empty[String]
     val merged = scala.collection.mutable.HashSet.empty[String]
     var barrier = -1L // count of the first conflicting pair, if any
+    var selfIdx = -1 // index of an accepted batch-closing self-pair
     val it = top.iterator
     while (it.hasNext && barrier < 0) {
       val (s, t, n) = it.next()
@@ -234,7 +239,21 @@ object BpeTrainer {
         accepted += ((s, t, n)); barrier = n
       } else if (lefts(t) || rights(s) || symbols(s + t) || merged(s + t))
         barrier = n
-      else {
+      else if (s == t) {
+        // self-pair: merging (s,s) creates (ss,ss) instances bounded
+        // only by this pair's OWN count n — a bound the lefts/rights
+        // conflict scan never covers, so nothing ranking at or below n
+        // may join the batch after it. Accept it as the batch's FINAL
+        // member, and only when every earlier member ranks strictly
+        // above n: the accepted list must stay a serial prefix, and
+        // keeping this pair while the count filter drops a tied
+        // earlier member would reorder serial. Otherwise close the
+        // batch at n without it (it wins a later round on its own).
+        if (accepted.forall(_._3 > n)) {
+          selfIdx = accepted.size; accepted += ((s, t, n))
+        }
+        barrier = n
+      } else {
         accepted += ((s, t, n))
         lefts += s; rights += t; merged += (s + t)
       }
@@ -242,7 +261,8 @@ object BpeTrainer {
     if (barrier < 0 && !sawWholeTable && top.nonEmpty)
       barrier = top.last._3 // unseen pairs rank at or below the K-th count
     accepted.zipWithIndex
-      .filter { case (p, i) => i == 0 || barrier < 0 || p._3 > barrier }
+      .filter { case (p, i) =>
+        i == 0 || i == selfIdx || barrier < 0 || p._3 > barrier }
       .map(_._1).take(maxAccept).toSeq
   }
 

@@ -106,6 +106,62 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("self-pair counterexample: distributed path equals serial (ADVICE r4)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // {aaaaaa:60, cde:50, cdf:50}: serial merges (a,a,300), (aa,aa,120),
+    // (c,d,100), … — an unguarded batch accepts (c,d,100) alongside
+    // (a,a,300) because the created (aa,aa) pairs are bounded only by
+    // the self-pair's own count, outside the lefts/rights conflict scan
+    val docs = Seq(
+      (1L, Seq.fill(60)("aaaaaa").mkString(" "), "en", "s"),
+      (2L, Seq.fill(50)("cde").mkString(" "), "en", "s"),
+      (3L, Seq.fill(50)("cdf").mkString(" "), "en", "s"))
+    val dir = java.nio.file.Files.createTempDirectory("bpe-selfpair").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val wordCounts = docs.flatMap(_._2.split(" "))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = referenceBpe(wordCounts, 16)
+    assert(expected.take(3).map(m => (m._2, m._3, m._5)) ===
+      Seq(("a", "a", 300L), ("aa", "aa", 120L), ("c", "d", 100L)))
+    val gotDist = BpeTrainer
+      .train(spark, dir, merges = 16, smallTypeLimit = 0L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(gotDist === expected)
+  }
+
+  test("repeat-heavy random corpora: distributed equals serial (3 seeds)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    (11 to 13).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // two-letter alphabet biased to long 'a' runs: self-pairs (a,a),
+      // (aa,aa), (aaaa,aaaa) dominate round after round — the
+      // adversarial regime for the self-pair batch-closing rule
+      def word() = (1 to (2 + rnd.nextInt(7)))
+        .map(_ => if (rnd.nextInt(4) == 0) "b" else "a").mkString
+      val docs = (1 to 40).map { i =>
+        (i.toLong, (1 to (3 + rnd.nextInt(8))).map(_ => word()).mkString(" "),
+          "en", "s")
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"bpe-self-$seed").toString
+      docs.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val wordCounts = docs.flatMap(_._2.split(" "))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = referenceBpe(wordCounts, 48)
+      val gotDist = BpeTrainer
+        .train(spark, dir, merges = 48, smallTypeLimit = 0L).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      assert(gotDist === expected, s"distributed path, seed=$seed")
+    }
+  }
+
   test("fertility: BPE compresses vs characters, floor of 1 subword/word") {
     val rows = BpeTrainer.fertility(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
