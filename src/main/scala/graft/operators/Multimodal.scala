@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * decode/resample/re-encode PNG/JPEG/GIF/BMP through the JDK's own
   * `javax.imageio` — no external dependency — with graceful None for
   * unparseable payloads (mixed corpora always contain junk bytes).
-  * AUDIO/VIDEO demuxing has no in-container library, so
-  * `decodeFeatures`/`frameSample` remain clearly-marked deterministic
+  * The AUDIO path is REAL too: [[decodeAudio]] parses WAV/AIFF/AU
+  * through the JDK's `javax.sound.sampled` to true sample rate,
+  * channel count, duration, and RMS/peak amplitude features. VIDEO
+  * demuxing has no in-container library, so `frameSample` (and the
+  * generic `decodeFeatures`) remain clearly-marked deterministic
   * stubs around the production plumbing: binary column schema,
   * metadata projection as codegen'd expressions, and partition-batched
   * typed extraction via `mapPartitions` (the Scala analog of
@@ -20,8 +23,9 @@ import org.apache.spark.sql.functions._
   * contract).
   *
   * No binary testdata ships in the harness, so [[mediaFromDocuments]]
-  * fabricates the media table from document text bytes; the image-codec
-  * specs generate real PNG/JPEG payloads via `BufferedImage`.
+  * fabricates the media table from document text bytes; the
+  * image/audio codec specs generate real PNG/JPEG payloads via
+  * `BufferedImage` and real WAV payloads via `AudioSystem.write`.
   */
 object Multimodal {
 
@@ -143,6 +147,66 @@ object Multimodal {
             javax.imageio.ImageIO.write(out, "png", bos)
             Some(ResizedRow(r.media_id, w, h, bos.toByteArray))
           }
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /** A really-decoded audio clip: true container metadata plus the
+    * cheap global amplitude features (RMS, peak) a pipeline filters
+    * on before any expensive model runs.
+    */
+  case class DecodedAudio(media_id: Long, sample_rate: Int, channels: Int,
+                          n_frames: Long, duration_ms: Long,
+                          rms: Float, peak: Float)
+
+  /** REAL audio decode (JDK `javax.sound.sampled` — WAV/AIFF/AU, zero
+    * external dependencies): per-partition batch parse to true sample
+    * rate / channels / frame count, then a pass over the samples
+    * (converted to signed 16-bit PCM when the container isn't already)
+    * for RMS and peak amplitude in [-1, 1]. Payloads the JDK cannot
+    * parse yield no row — the same graceful-degradation contract as
+    * [[decodeImages]]. Narrow (no shuffle); decode cost sits in the
+    * partition function exactly where a native codec would.
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          val fmt = src.getFormat
+          val nFrames = src.getFrameLength
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels,
+            2 * fmt.getChannels, fmt.getSampleRate, false)
+          val pcm =
+            if (fmt.matches(target)) src
+            else javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+          val buf = new Array[Byte](8192)
+          var sumSq = 0.0
+          var peak = 0.0
+          var nSamples = 0L
+          var read = pcm.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i + 1 < read) {
+              val s = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort / 32768.0
+              sumSq += s * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              nSamples += 1
+              i += 2
+            }
+            read = pcm.read(buf)
+          }
+          if (nSamples == 0) None
+          else Some(DecodedAudio(r.media_id, fmt.getSampleRate.toInt,
+            fmt.getChannels, nFrames,
+            (nFrames * 1000.0 / fmt.getSampleRate).toLong,
+            math.sqrt(sumSq / nSamples).toFloat, peak.toFloat))
         } catch { case _: Exception => None }
       }
     }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRow
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** The REAL audio codec path (JDK javax.sound.sampled): decode
+  * recovers true sample rate / channels / duration and amplitude
+  * features from genuine WAV payloads, and junk bytes degrade to no
+  * row instead of failing the job — the audio twin of ImageCodecSpec.
+  */
+class AudioCodecSpec extends SparkSpec {
+
+  /** A real PCM-16 WAV: `seconds` of a sine at `hz`, given amplitude. */
+  private def wav(sampleRate: Int, channels: Int, seconds: Double,
+                  hz: Double, amplitude: Double): Array[Byte] = {
+    val nFrames = (sampleRate * seconds).toInt
+    val bytes = new Array[Byte](nFrames * 2 * channels)
+    var f = 0
+    while (f < nFrames) {
+      val s = (amplitude * math.sin(2 * math.Pi * hz * f / sampleRate) * 32767).toInt
+      var c = 0
+      while (c < channels) {
+        val off = (f * channels + c) * 2
+        bytes(off) = (s & 0xff).toByte
+        bytes(off + 1) = ((s >> 8) & 0xff).toByte
+        c += 1
+      }
+      f += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, channels, 2 * channels, sampleRate.toFloat, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(bytes), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudio: true rate/channels/duration + sine RMS; junk yields no row") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "audio", wav(16000, 1, 0.5, 440.0, 0.8)),
+      MediaRow(2L, "audio", wav(8000, 2, 0.25, 220.0, 0.5)),
+      MediaRow(3L, "audio", "definitely not audio".getBytes("UTF-8"))
+    ).toDS()
+    val got = Multimodal.decodeAudio(media).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(got.keySet === Set(1L, 2L)) // junk row degrades gracefully
+    assert((got(1L).sample_rate, got(1L).channels) === ((16000, 1)))
+    assert(got(1L).n_frames === 8000L)
+    assert(got(1L).duration_ms === 500L)
+    // a sine of amplitude A has RMS A/√2 and peak A
+    assert(math.abs(got(1L).rms - 0.8 / math.sqrt(2)) < 0.01,
+      s"rms ${got(1L).rms}")
+    assert(math.abs(got(1L).peak - 0.8) < 0.01, s"peak ${got(1L).peak}")
+    assert((got(2L).sample_rate, got(2L).channels) === ((8000, 2)))
+    assert(got(2L).n_frames === 2000L)
+    assert(got(2L).duration_ms === 250L)
+    assert(math.abs(got(2L).rms - 0.5 / math.sqrt(2)) < 0.01)
+  }
+
+  test("silence decodes to zero RMS and zero peak") {
+    import spark.implicits._
+    val media = Seq(MediaRow(7L, "audio", wav(8000, 1, 0.1, 100.0, 0.0))).toDS()
+    val d = Multimodal.decodeAudio(media).collect().head
+    assert(d.rms === 0.0f)
+    assert(d.peak === 0.0f)
+    assert(d.n_frames === 800L)
+  }
+
+  test("8-bit unsigned WAV converts through the PCM16 path") {
+    import spark.implicits._
+    // hand-build an 8-bit unsigned mono WAV (constant half-amplitude)
+    val sampleRate = 8000
+    val nFrames = 400
+    val bytes = Array.fill[Byte](nFrames)((128 + 64).toByte)
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(bytes), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val d = Multimodal.decodeAudio(
+      Seq(MediaRow(9L, "audio", bos.toByteArray)).toDS()).collect().head
+    assert(d.sample_rate === 8000)
+    assert(d.channels === 1)
+    assert(d.n_frames === 400L)
+    // constant +0.5 signal: RMS == peak == 0.5 (8-bit quantization slack)
+    assert(math.abs(d.rms - 0.5) < 0.01, s"rms ${d.rms}")
+    assert(math.abs(d.peak - 0.5) < 0.01, s"peak ${d.peak}")
+  }
+}
