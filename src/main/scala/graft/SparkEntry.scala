@@ -20,6 +20,19 @@ object SparkEntry {
     EventsCdc.latestEvents(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
+  /** Bench-only rows — run by `graft.Bench` alongside [[queries]] but
+    * NOT part of the driver correctness surface: the sketch-only
+    * production forms of the two approx operators, whose engine-
+    * specific sketch values carry no DuckDB oracle (their error
+    * contracts are certified by the `q_approx_*` rows in [[queries]]).
+    * Benching them separately keeps the sketches' cost profile visible
+    * instead of burying it under the certification's exact-answer
+    * recomputation (VERDICT r1 #4 / r4 #7).
+    */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct_sketch" -> (Analytics.approxUserCountsSketch _),
+    "q_approx_percentiles_sketch" -> (Analytics.approxOrderPercentilesSketch _))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — CDC operator family over the events change log (SURVEY §2.1-2.4)
     "cdc_final" -> (EventsCdc.latestEvents _),
@@ -73,6 +86,7 @@ object SparkEntry {
     "dedup_lsh_pairs_wide" -> (Dedup.lshWideCandidatePairs _),
     "dedup_lsh_incremental" -> (Dedup.lshIncrementalPairs _),
     "dedup_clusters" -> (Dedup.clustersQuery _),
+    "dedup_clusters_dist" -> (Dedup.clustersDistQuery _),
     "dedup_survivors" -> (Dedup.survivors _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
@@ -81,9 +95,10 @@ object SparkEntry {
     // — similarity search over embeddings
     "ann_brute_force" -> (Similarity.bruteForceTopK _),
     "ann_bucketed" -> (Similarity.bucketedTopK _),
-    "ann_ivf" -> (Similarity.ivfTopK _),
+    "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_recall" -> (Similarity.bucketedRecall _),
-    "ann_ivf_recall" -> (Similarity.ivfRecall _),
+    "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
+    "ann_ivf_recall_np1" -> ((s, d) => Similarity.ivfRecall(s, d, nprobe = 1)),
     "emb_near_dup_pairs" -> (Similarity.nearDupPairs _),
     "emb_norm_outliers" -> (Similarity.normOutliers _),
     // — text analysis over documents
@@ -318,6 +333,68 @@ object SparkEntry {
        |  GROUP BY cell, pos),
        |cent${i + 1} AS (
        |  SELECT cell AS c_id, list(m ORDER BY pos) AS c_emb FROM comp$i GROUP BY cell)""".stripMargin
+
+  /** Shared IVF training prefix: k = min(⌈√N⌉, 65536) seed centroids
+    * (first k vectors), two Lloyd iterations, final assignment —
+    * mirrors `Similarity.trainedCentroids` + `assignCells`.
+    */
+  private def ivfTrainCtes: String =
+    s"""cent0 AS (
+       |  SELECT vec_id AS c_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+       |  FROM embeddings
+       |  WHERE vec_id < (SELECT least(CAST(ceil(sqrt(count(*))) AS BIGINT), 65536)
+       |                  FROM embeddings)),
+       |${ivfAssignCte(0)},
+       |${ivfMeansCte(0)},
+       |${ivfAssignCte(1)},
+       |${ivfMeansCte(1)},
+       |${ivfAssignCte(2)}""".stripMargin
+
+  /** Top-nprobe probe cells per sampled query (vec_id ≡ 3 mod 5, ties
+    * to the smallest c_id) + cell-restricted candidate pairs — mirrors
+    * `Similarity.queryProbes` + `ivfSearch`.
+    */
+  private def ivfProbeCtes(nprobe: Int): String =
+    s"""probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, c_id AS q_cell FROM (
+       |    SELECT vec_id, embedding, c_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+       |    FROM sc2 WHERE vec_id % 5 = 3) t
+       |  WHERE rn <= $nprobe),
+       |iv_pairs AS (
+       |  SELECT q_id, a.vec_id, ${cosSql("q_emb", "a.embedding")} AS cos
+       |  FROM probes p JOIN asg2 a ON a.cell = p.q_cell AND a.vec_id <> p.q_id)""".stripMargin
+
+  /** Rank-1 recall of the trained-IVF search vs exact brute force over
+    * the same query sample, at a given nprobe (mirrors
+    * `Similarity.ivfRecall`).
+    */
+  private def ivfRecallSql(nprobe: Int, label: String): String =
+    s"""WITH $ivfTrainCtes,
+       |${ivfProbeCtes(nprobe)},
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id % 5 = 3),
+       |bf AS (
+       |  SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos
+       |  FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+       |truth AS (
+       |  SELECT q_id, vec_id AS true_nn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+       |    FROM bf) t WHERE rn = 1),
+       |iv AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+       |    FROM iv_pairs) t WHERE rn <= 3),
+       |hits AS (
+       |  SELECT truth.q_id,
+       |    max(CASE WHEN iv.vec_id = truth.true_nn THEN 1 ELSE 0 END) AS hit
+       |  FROM truth LEFT JOIN iv ON iv.q_id = truth.q_id
+       |  GROUP BY truth.q_id)
+       |SELECT '$label' AS method, count(*) AS n_queries,
+       |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
+       |FROM hits""".stripMargin
 
   /** DuckDB-runnable oracle per query (driver compares hashes at sf0.01). */
   def oracleSql: Map[String, String] = Map(
@@ -667,6 +744,11 @@ object SparkEntry {
     "dedup_clusters" ->
       s"""$clusterLabelsCte
          |SELECT id, cluster FROM labels ORDER BY id""".stripMargin,
+    // identical fixpoint to dedup_clusters — the Spark side runs the
+    // distributed propagation loop instead of the union-find fast path
+    "dedup_clusters_dist" ->
+      s"""$clusterLabelsCte
+         |SELECT id, cluster FROM labels ORDER BY id""".stripMargin,
     "dedup_survivors" ->
       s"""$clusterLabelsCte,
          |qual AS (
@@ -768,28 +850,15 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
          |  FROM pairs) t
          |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
-    // k-means training (seed = first 8 vectors, 2 Lloyd iterations)
-    // replayed exactly, then cell-restricted search — mirrors
-    // Similarity.ivfTopK with lloydIters=2.
+    // k-means training (seed = first ⌈√N⌉ vectors, 2 Lloyd iterations)
+    // replayed exactly, then top-2-cell probed search — mirrors
+    // Similarity.ivfTopK with lloydIters=2, nprobe=2.
     "ann_ivf" ->
-      s"""WITH cent0 AS (
-         |  SELECT vec_id AS c_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
-         |  FROM embeddings WHERE vec_id < 8),
-         |${ivfAssignCte(0)},
-         |${ivfMeansCte(0)},
-         |${ivfAssignCte(1)},
-         |${ivfMeansCte(1)},
-         |${ivfAssignCte(2)},
-         |q AS (
-         |  SELECT vec_id AS q_id, embedding AS q_emb, cell AS q_cell
-         |  FROM asg2 WHERE vec_id >= 8 AND vec_id < 16),
-         |pairs AS (
-         |  SELECT q_id, a.vec_id, ${cosSql("q_emb", "a.embedding")} AS cos
-         |  FROM q JOIN asg2 a ON a.cell = q.q_cell AND a.vec_id <> q.q_id)
+      s"""WITH $ivfTrainCtes,
+         |${ivfProbeCtes(2)}
          |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
-         |  FROM pairs) t
+         |  FROM iv_pairs) t
          |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "ann_recall" ->
       s"""WITH q AS (
@@ -821,41 +890,8 @@ object SparkEntry {
          |SELECT 'bucketed' AS method, count(*) AS n_queries,
          |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
          |FROM hits""".stripMargin,
-    "ann_ivf_recall" ->
-      s"""WITH cent0 AS (
-         |  SELECT vec_id AS c_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
-         |  FROM embeddings WHERE vec_id < 8),
-         |${ivfAssignCte(0)},
-         |${ivfMeansCte(0)},
-         |${ivfAssignCte(1)},
-         |${ivfMeansCte(1)},
-         |${ivfAssignCte(2)},
-         |q AS (
-         |  SELECT vec_id AS q_id, embedding AS q_emb, cell AS q_cell
-         |  FROM asg2 WHERE vec_id >= 8 AND vec_id < 16),
-         |bf AS (
-         |  SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos
-         |  FROM q, embeddings e WHERE e.vec_id <> q.q_id),
-         |truth AS (
-         |  SELECT q_id, vec_id AS true_nn FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
-         |    FROM bf) t WHERE rn = 1),
-         |iv_pairs AS (
-         |  SELECT q_id, a.vec_id, ${cosSql("q_emb", "a.embedding")} AS cos
-         |  FROM q JOIN asg2 a ON a.cell = q.q_cell AND a.vec_id <> q.q_id),
-         |iv AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
-         |    FROM iv_pairs) t WHERE rn <= 3),
-         |hits AS (
-         |  SELECT truth.q_id,
-         |    max(CASE WHEN iv.vec_id = truth.true_nn THEN 1 ELSE 0 END) AS hit
-         |  FROM truth LEFT JOIN iv ON iv.q_id = truth.q_id
-         |  GROUP BY truth.q_id)
-         |SELECT 'ivf' AS method, count(*) AS n_queries,
-         |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
-         |FROM hits""".stripMargin,
+    "ann_ivf_recall" -> ivfRecallSql(2, "ivf"),
+    "ann_ivf_recall_np1" -> ivfRecallSql(1, "ivf_np1"),
     "emb_norm_outliers" ->
       """WITH n AS (
         |  SELECT vec_id,

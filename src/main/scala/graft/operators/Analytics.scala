@@ -476,6 +476,35 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** The PRODUCTION (sketch-only) form of [[approxUserCounts]] —
+    * benched as its own row: the certification query computes the
+    * exact distinct alongside the sketch, which at 100 TB costs more
+    * than the operator it certifies, so the benchmark would otherwise
+    * measure certification, not the sketch. Bench-only (no oracle):
+    * HLL estimates are engine-specific; the certification row is the
+    * correctness gate.
+    */
+  def approxUserCountsSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"))
+      .orderBy("event_type")
+
+  /** The PRODUCTION (sketch-only) form of [[approxOrderPercentiles]] —
+    * one pass, mergeable fixed-size state per group, no second
+    * certification scan. Bench-only, same rationale as
+    * [[approxUserCountsSketch]].
+    */
+  def approxOrderPercentilesSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(expr(
+        "approx_percentile(o_totalprice, array(0.5D, 0.95D), 1000)").as("p"))
+      .select(col("o_orderpriority"),
+        element_at(col("p"), 1).as("med_a"),
+        element_at(col("p"), 2).as("p95_a"))
+      .orderBy("o_orderpriority")
+
   /** JSON scalar extraction over the events props column (S3 surface). */
   def eventPropsAgg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")

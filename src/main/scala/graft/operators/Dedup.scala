@@ -445,6 +445,17 @@ object Dedup {
   def clustersQuery(spark: SparkSession, dir: String): DataFrame =
     clusters(lshPairsUnsorted(spark, dir)).orderBy("id")
 
+  /** [[clustersQuery]] with the union-find fast path force-disabled
+    * (`smallGraphLimit = 0`), so the DISTRIBUTED pointer-jumping
+    * propagation loop runs even at test/bench scale. Same fixpoint,
+    * same oracle — shipped as its own driver row so the propagation
+    * path's correctness AND cost stay tracked round over round (at
+    * bench scale the fast path otherwise always wins, leaving the
+    * 100 TB code path unmeasured).
+    */
+  def clustersDistQuery(spark: SparkSession, dir: String): DataFrame =
+    clusters(lshPairsUnsorted(spark, dir), smallGraphLimit = 0L).orderBy("id")
+
   /** Document-frequency cap for the Jaccard shingle join: shingles
     * appearing in more than this many documents are dropped before the
     * self-join (standard practice — they are non-discriminative, all

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Similarity
+
+/** IVF index shape: the √N cell-count rule and Lloyd training must
+  * produce balanced cells at more than one corpus size — the property
+  * that keeps per-query probe cost O(nprobe·√N) as the corpus grows
+  * (a skewed or collapsed cell layout would quietly degrade toward a
+  * full scan at exactly the scale where it matters).
+  */
+class IvfSpec extends SparkSpec {
+
+  test("cell count follows ⌈√N⌉ with the driver-artifact cap") {
+    assert(Similarity.ivfCellCount(500L) === 23)
+    assert(Similarity.ivfCellCount(2000L) === 45)
+    assert(Similarity.ivfCellCount(1000000L) === 1000)
+    assert(Similarity.ivfCellCount(Long.MaxValue) === Similarity.ivfMaxCells)
+  }
+
+  // two corpus sizes: sf0.001 (N=500, k=23) and sf0.1 (N=2000, k=45)
+  Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1").foreach { dir =>
+    test(s"trained cells are balanced at $dir") {
+      val n = Tables(spark, dir, "embeddings").count()
+      val k = Similarity.ivfCellCount(n)
+      val hist = Similarity.ivfAssignments(spark, dir)
+        .groupBy("cell").count().collect().map(_.getLong(1))
+      val mean = n.toDouble / k
+      assert(hist.length === k, s"expected $k non-empty cells, got ${hist.length}")
+      assert(hist.sum === n)
+      assert(hist.max <= 2 * mean,
+        s"largest cell ${hist.max} exceeds 2× the mean $mean")
+      assert(hist.min >= mean / 4,
+        s"smallest cell ${hist.min} below mean/4 ($mean)")
+    }
+  }
+
+  test("nprobe=2 recall strictly improves on nprobe=1 at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    def recall(np: Int): Double =
+      Similarity.ivfRecall(spark, dir, np).collect()(0).getDouble(2)
+    val np1 = recall(1)
+    val np2 = recall(2)
+    assert(np2 > np1, s"nprobe=2 recall $np2 not above nprobe=1 $np1")
+  }
+}

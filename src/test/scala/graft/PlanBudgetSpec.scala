@@ -23,7 +23,7 @@ class PlanBudgetSpec extends SparkSpec {
     new java.io.File("src/test/resources/shuffle_counts.tsv")
 
   private def currentCounts(): Seq[(String, Int)] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       name -> (p.split("Exchange hashpartitioning").length - 1)
     }

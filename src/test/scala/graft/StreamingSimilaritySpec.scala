@@ -18,7 +18,8 @@ class StreamingSimilaritySpec extends SparkSpec {
     import spark.implicits._
 
     val centroids = Similarity.trainedCentroids(spark, dir)
-    assert(centroids.length === 8)
+    assert(centroids.length ===
+      Similarity.ivfCellCount(Tables(spark, dir, "embeddings").count()))
 
     val vecs = Tables(spark, dir, "embeddings")
       .filter($"vec_id" % 37 === 0)
