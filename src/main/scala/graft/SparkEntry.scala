@@ -396,6 +396,90 @@ object SparkEntry {
        |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
        |FROM hits""".stripMargin
 
+  /** Serial BPE training as a DuckDB recursive CTE — the oracle for the
+    * last two formerly rows-only queries. The working table carries one
+    * row per word type (original word, current tokenization as a
+    * space-joined string, corpus count); each recursion step computes
+    * the global argmax pair (max count, ties to the lexicographically
+    * smallest (left, right) — the trainer's determinism contract) via a
+    * derived table over the working rows, and applies it with a greedy
+    * left-to-right non-overlapping fold (`list_reduce` with the
+    * accumulator string-encoded as `done ␁ pending` — the same scan
+    * `BpeTrainer.applyMergeBatch` runs). Recursion stops when no pair
+    * repeats or the merge budget is hit. Mirrors
+    * `BpeTrainer.train`/`trainDriver` exactly — verified merge-for-merge
+    * and bit-for-bit on fertility doubles at sf0.001/0.01/0.1.
+    */
+  private def bpeApplyFold: String =
+    """list_reduce(list_prepend(chr(1), string_split(word, ' ')),
+      |      (acc, x) -> CASE
+      |        WHEN split_part(acc, chr(1), 2) = ''
+      |          THEN split_part(acc, chr(1), 1) || chr(1) || x
+      |        WHEN split_part(acc, chr(1), 2) = best.l AND x = best.r
+      |          THEN (split_part(acc, chr(1), 1) || ' ' || best.l || best.r) || chr(1)
+      |        ELSE (split_part(acc, chr(1), 1) || ' ' ||
+      |              split_part(acc, chr(1), 2)) || chr(1) || x
+      |      END)""".stripMargin
+
+  private def bpeRecursionCte: String =
+    s"""WITH RECURSIVE it(iter, w0, word, n) AS (
+       |  SELECT 0, w,
+       |    array_to_string(list_append(string_split(w, ''), '</w>'), ' '),
+       |    CAST(n AS BIGINT)
+       |  FROM (SELECT w, count(*) n FROM (
+       |          SELECT unnest(string_split(trim(text), ' ')) w FROM documents)
+       |        GROUP BY w)
+       |  UNION ALL
+       |  SELECT iter + 1, w0,
+       |    (SELECT ltrim(CASE WHEN split_part(s, chr(1), 2) = ''
+       |                       THEN split_part(s, chr(1), 1)
+       |                       ELSE replace(s, chr(1), ' ') END)
+       |     FROM (SELECT $bpeApplyFold AS s)),
+       |    n
+       |  FROM it, (
+       |    SELECT lst[i] AS l, lst[i+1] AS r, sum(n) AS c
+       |    FROM (SELECT n, string_split(word, ' ') AS lst FROM it) t,
+       |         unnest(generate_series(1, len(lst) - 1)) s(i)
+       |    GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1
+       |  ) best
+       |  WHERE best.c >= 2 AND iter < ${operators.BpeTrainer.defaultMerges}
+       |)""".stripMargin
+
+  private def bpeMergesOracle: String =
+    s"""$bpeRecursionCte,
+       |pairs AS (
+       |  SELECT iter, lst[i] AS l, lst[i+1] AS r, sum(n) AS c
+       |  FROM (SELECT iter, n, string_split(word, ' ') AS lst FROM it) t,
+       |       unnest(generate_series(1, len(lst) - 1)) s(i)
+       |  GROUP BY 1, 2, 3
+       |),
+       |ranked AS (
+       |  SELECT iter, l, r, c,
+       |    row_number() OVER (PARTITION BY iter ORDER BY c DESC, l, r) AS rn
+       |  FROM pairs
+       |)
+       |SELECT CAST(iter + 1 AS BIGINT) AS rank, l AS "left", r AS "right",
+       |       l || r AS merged, CAST(c AS BIGINT) AS n
+       |FROM ranked
+       |WHERE rn = 1 AND c >= 2 AND iter < (SELECT max(iter) FROM it)
+       |ORDER BY rank""".stripMargin
+
+  private def bpeFertilityOracle: String =
+    s"""$bpeRecursionCte,
+       |final AS (
+       |  SELECT w0 AS w,
+       |    CAST(len(string_split(word, ' ')) AS BIGINT) AS n_subwords
+       |  FROM it WHERE iter = (SELECT max(iter) FROM it)
+       |),
+       |corpus AS (
+       |  SELECT lang, unnest(string_split(trim(text), ' ')) AS w FROM documents
+       |)
+       |SELECT lang, count(*) AS n_words,
+       |  CAST(sum(n_subwords) AS DOUBLE) / count(*) AS bpe_fertility,
+       |  CAST(sum(len(w) + 1) AS DOUBLE) / count(*) AS char_fertility
+       |FROM corpus JOIN final USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** DuckDB-runnable oracle per query (driver compares hashes at sf0.01). */
   def oracleSql: Map[String, String] = Map(
     "cdc_final" ->
@@ -952,6 +1036,8 @@ object SparkEntry {
         |       ELSE 'und' END AS predicted,
         |  count(*) AS n
         |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "text_bpe_merges" -> bpeMergesOracle,
+    "text_bpe_fertility" -> bpeFertilityOracle,
     "text_fingerprints" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS fingerprint

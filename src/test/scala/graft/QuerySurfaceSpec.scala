@@ -21,13 +21,13 @@ class QuerySurfaceSpec extends SparkSpec {
     }
   }
 
-  test("every query has an oracle (or is explicitly rows-only)") {
-    // BPE training is an iterative driver loop (spec-verified against
-    // a serial reference implementation); everything else is
-    // oracle-checked — the approx queries certify their error
-    // contract in-query so the oracle can replay exact values + TRUE
-    val rowsOnly = Set("text_bpe_merges", "text_bpe_fertility")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every query has an oracle — zero rows-only entries") {
+    // since round 5 even BPE training is oracle-checked (a DuckDB
+    // recursive CTE replays the serial trainer), and the approx
+    // queries certify their error contract in-query so the oracle can
+    // replay exact values + TRUE — the driver surface is 100%
+    // hash-gated
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracles without query: $orphaned")
