@@ -159,8 +159,13 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         round(dot(col("q_emb"), col("embedding")) /
           (col("q_nrm") * col("nrm")), 4).as("cos"))
-    val truth = topPerQuery(bf, 1)
-      .select(col("q_id"), col("vec_id").as("true_nn"))
+    // rank-1 as a map-side-combined argmax, not a window: the shuffle
+    // carries one candidate per query per mapper instead of sorting
+    // the full Q×N pair table; tie rule identical to topPerQuery
+    // (max over (cos, -vec_id) = ORDER BY cos DESC, vec_id)
+    val truth = bf.groupBy(col("q_id"))
+      .agg(max_by(col("vec_id"), struct(col("cos"), -col("vec_id")))
+        .as("true_nn"))
     val approx = ivfTopK(spark, dir, nprobe).select(col("q_id"), col("vec_id"))
     truth.join(approx, Seq("q_id"), "left")
       .groupBy(col("q_id"))
@@ -307,12 +312,27 @@ object Similarity {
     * learned partitions, and each probed cell holds ~√N vectors so
     * per-query work stays O(nprobe·√N) as the corpus grows.
     */
+  /** Per-dataset memo of the trained centroid artifact. Training is
+    * deterministic (fixed seed rule, ordered folds), so the artifact
+    * is a pure function of the dataset directory — real deployments
+    * train the index ONCE and serve it, and the memo gives the same
+    * shape: the first IVF query on a dataset pays for training, later
+    * ones (other probe settings, recall audits, streams) reuse the
+    * O(k·dims) driver-side model. Plain driver data — no session-bound
+    * state, safe across SparkSessions.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
+
   /** The trained k-means centroids as a driver-side model artifact
     * (O(k·dims)) — what [[ivfTopK]] indexes with, and what
     * [[streamingCellScores]] ships into a stream as literals. See
     * [[ivfTopK]] for the training discipline.
     */
-  def trainedCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
+  def trainedCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
+    centroidCache.computeIfAbsent(dir, _ => trainCentroids(spark, dir))
+
+  private def trainCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("nrm", norm(col("embedding")))
     val k = ivfCellCount(emb.count())
