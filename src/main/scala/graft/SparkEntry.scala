@@ -131,6 +131,7 @@ object SparkEntry {
     // — multimodal binary-column plumbing
     "mm_media_meta" -> (Multimodal.mediaMeta _),
     "mm_frame_index" -> (Multimodal.frameIndex _),
+    "mm_video_frames" -> (Multimodal.videoFrameIndex _),
   )
 
   /** DuckDB shingle CTE shared by the minhash oracles: char 8-grams. */
@@ -1293,6 +1294,19 @@ object SparkEntry {
         |    CAST((i * 1000) % greatest(1, len) AS INTEGER) * 2 + 1, 32) AS frame_hex
         |FROM m, unnest(generate_series(0,
         |  CAST(least(8, len // 1000 + 1) AS BIGINT) - 1)) t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    // REAL RIFF/AVI demux replayed: the Spark side wraps md5(text#i)
+    // frame chunks into a real AVI container (4 fps) and demuxes it
+    // back with the byte-walking parser; the oracle regenerates the
+    // same content and cadence arithmetic directly.
+    "mm_video_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, 1 + doc_id % 5 AS n
+        |  FROM documents)
+        |SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(i * 250 AS BIGINT) AS ts_ms,
+        |  md5(text || '#' || CAST(i AS VARCHAR)) AS frame_md5
+        |FROM m, unnest(generate_series(0, n - 1)) t(i)
         |ORDER BY media_id, frame_idx""".stripMargin,
     "mm_media_meta" ->
       """SELECT doc_id AS media_id, 'image' AS kind,

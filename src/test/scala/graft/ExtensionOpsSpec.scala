@@ -142,7 +142,7 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(fp(0) === fp(1))
   }
 
-  test("multimodal: stub decoder preserves ids, fixed feature width, deterministic") {
+  test("multimodal: fallback featurizer preserves ids, fixed feature width, deterministic") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocuments(spark, dir)
       .as[Multimodal.MediaRow]
@@ -163,10 +163,10 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out.forall(_.content.length <= 64 * 64 / 64))
   }
 
-  test("multimodal: frame sampler explodes 1→N with monotone timestamps") {
+  test("multimodal: fixture frame sampler explodes 1→N with monotone timestamps") {
     val media = Multimodal.mediaFromDocuments(spark, dir)
       .as[Multimodal.MediaRow](org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
-    val frames = Multimodal.frameSample(media, everyNthMs = 100L, maxFrames = 4)
+    val frames = Multimodal.frameSampleFixture(media, everyNthMs = 100L, maxFrames = 4)
       .collect()
     val srcCount = Tables(spark, dir, "documents").count()
     assert(frames.length >= srcCount) // every media row yields ≥1 frame
