@@ -101,6 +101,7 @@ object SparkEntry {
     "ann_ivf_recall_np1" -> ((s, d) => Similarity.ivfRecall(s, d, nprobe = 1)),
     "emb_near_dup_pairs" -> (Similarity.nearDupPairs _),
     "emb_norm_outliers" -> (Similarity.normOutliers _),
+    "emb_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     // — text analysis over documents
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality" -> (TextAnalysis.qualityScores _),
@@ -977,6 +978,24 @@ object SparkEntry {
          |FROM hits""".stripMargin,
     "ann_ivf_recall" -> ivfRecallSql(2, "ivf"),
     "ann_ivf_recall_np1" -> ivfRecallSql(1, "ivf_np1"),
+    // SemDeDup replayed: the same k-means training CTEs end in asg2
+    // (the final cell assignment); within-cell pairs above tau mark
+    // each victim with its smallest earlier near-duplicate.
+    "emb_semantic_dedup" ->
+      s"""WITH $ivfTrainCtes,
+         |sd_pairs AS (
+         |  SELECT b.vec_id, a.vec_id AS a_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM asg2 a JOIN asg2 b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |sd_dups AS (
+         |  SELECT vec_id, min(a_id) AS dup_of FROM sd_pairs
+         |  WHERE cos >= ${operators.Similarity.semanticDupTau}
+         |  GROUP BY vec_id)
+         |SELECT g.vec_id, g.cell, d.dup_of,
+         |  d.dup_of IS NOT NULL AS is_semantic_dup
+         |FROM asg2 g LEFT JOIN sd_dups d ON g.vec_id = d.vec_id
+         |ORDER BY g.vec_id""".stripMargin,
     "emb_norm_outliers" ->
       """WITH n AS (
         |  SELECT vec_id,

@@ -419,6 +419,52 @@ object Similarity {
     topPerQuery(scored, 3)
   }
 
+  /** Cosine threshold above which two same-cell embeddings count as
+    * semantic duplicates — the ~p99 tail of this corpus's pair-cosine
+    * distribution (global max ≈ 0.48), so dedup prunes genuinely
+    * similar items rather than cluster-mates.
+    */
+  val semanticDupTau = 0.3
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the trained k-means
+    * (k = ⌈√N⌉ — the same memoized [[trainedCentroids]] artifact the
+    * IVF index serves), then within each cell mark every vector that
+    * has an earlier same-cell vector with cosine ≥ [[semanticDupTau]]
+    * as a duplicate of the smallest such id. Keep-the-min-id is the
+    * deterministic representative rule ([[Dedup]] uses the same one),
+    * and the single-hop `dup_of` pointer is the published SemDeDup
+    * greedy — no transitive closure pass.
+    *
+    * Scale shape: pairwise work happens ONLY within a cell (one
+    * shuffle by cell id, never an all-pairs join); cells hold ~√N
+    * vectors, so total pair work is O(N^1.5) spread across N cells —
+    * the published SemDeDup cost profile — and the dup marking is a
+    * map-side-combined min per victim. At 100 TB the cell count rises
+    * as √N, keeping per-cell pair blocks constant-sized.
+    */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    tau: Double = semanticDupTau): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("nrm", norm(col("embedding")))
+    import spark.implicits._
+    val centroids = trainedCentroids(spark, dir).toDF("c_id", "c_emb")
+    val assigned = assignCells(emb, centroids).localCheckpoint()
+    val earlier = assigned.select(col("cell").as("a_cell"),
+      col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("nrm").as("a_nrm"))
+    val dups = assigned.join(earlier,
+        col("a_cell") === col("cell") && col("a_id") < col("vec_id"))
+      .filter(round(dot(col("a_emb"), col("embedding")) /
+        (col("a_nrm") * col("nrm")), 4) >= tau)
+      .groupBy(col("vec_id"))
+      .agg(min(col("a_id")).as("dup_of"))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_semantic_dup"))
+      .orderBy("vec_id")
+  }
+
   /** The untrained stand-in [[ivfTopK]] replaced (first k vectors AS
     * the centroids, no Lloyd iterations, same k and nprobe) — kept for
     * the recall-improvement spec (ExtensionOpsSpec asserts trained

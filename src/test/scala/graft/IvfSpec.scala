@@ -42,4 +42,41 @@ class IvfSpec extends SparkSpec {
     val np2 = recall(2)
     assert(np2 > np1, s"nprobe=2 recall $np2 not above nprobe=1 $np1")
   }
+
+  test("semantic dedup: dup pointers are earlier, same-cell, above threshold") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val sd = Similarity.semanticDedup(spark, dir)
+    val rows = sd.collect()
+    // flag ↔ pointer consistency, pointer strictly earlier
+    assert(rows.forall { r =>
+      r.getBoolean(3) === !r.isNullAt(2) &&
+        (r.isNullAt(2) || r.getLong(2) < r.getLong(0))
+    })
+    val nDup = rows.count(_.getBoolean(3))
+    assert(nDup > 0 && nDup < rows.length,
+      s"degenerate dedup: $nDup of ${rows.length} marked dup")
+    // every (dup_of, vec_id) pair really is same-cell and cos ≥ τ
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    def side(p: String) = emb
+      .select(col("vec_id").as(s"${p}_vid"), col("embedding").as(s"${p}_e"))
+    val asg = Similarity.ivfAssignments(spark, dir)
+    def cellOf(p: String) = asg
+      .select(col("vec_id").as(s"${p}_vid"), col("cell").as(s"${p}_cell"))
+    val checked = sd.filter(col("is_semantic_dup"))
+      .join(side("v"), col("vec_id") === col("v_vid"))
+      .join(side("d"), col("dup_of") === col("d_vid"))
+      .join(cellOf("vc"), col("vec_id") === col("vc_vid"))
+      .join(cellOf("dc"), col("dup_of") === col("dc_vid"))
+      .select(
+        (col("vc_cell") === col("dc_cell")).as("same_cell"),
+        (round(graft.functions.DotProductD(col("v_e"), col("d_e")) /
+          (sqrt(graft.functions.DotProductD(col("v_e"), col("v_e"))) *
+           sqrt(graft.functions.DotProductD(col("d_e"), col("d_e")))), 4)
+          >= Similarity.semanticDupTau).as("above_tau"))
+      .collect()
+    assert(checked.nonEmpty)
+    assert(checked.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+  }
 }
