@@ -112,6 +112,7 @@ object SparkEntry {
     "text_quality_filter" -> (Sampling.qualityFilter _),
     "text_pii_signals" -> (TextAnalysis.piiSignals _),
     "text_heavy_hitters" -> (TextAnalysis.heavyHitters _),
+    "text_unigram_nll" -> (TextAnalysis.unigramNll _),
     "text_repetition" -> (TextAnalysis.repetitionSignals _),
     "text_winnow_pairs" -> (TextAnalysis.winnowPassagePairs _),
     // — lexical retrieval over documents
@@ -1120,6 +1121,37 @@ object SparkEntry {
         |        FROM documents)
         |  GROUP BY lang, token) t
         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+    // CCNet unigram-LM quality: per-token log-likelihoods summed by an
+    // ordered fold (token asc); buckets by RANK (ntile over a total
+    // order), never by interpolated-threshold comparison — engines
+    // interpolate percentiles with different FP shapes and a one-ULP
+    // cutoff difference flips boundary docs (observed at sf0.1)
+    "text_unigram_nll" ->
+      """WITH utf AS (
+        |  SELECT doc_id, lang, token, count(*) AS tf
+        |  FROM (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY doc_id, lang, token),
+        |lm AS (SELECT lang, token, sum(tf) AS cnt FROM utf GROUP BY lang, token),
+        |tot AS (SELECT lang, sum(cnt) AS total FROM lm GROUP BY lang),
+        |term AS (
+        |  SELECT utf.doc_id, utf.lang, utf.token, utf.tf,
+        |    CAST(utf.tf AS DOUBLE) *
+        |      ln(CAST(lm.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)) AS ll
+        |  FROM utf JOIN lm ON utf.lang = lm.lang AND utf.token = lm.token
+        |  JOIN tot ON utf.lang = tot.lang),
+        |scored AS (
+        |  SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    round(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list(ll ORDER BY token)), (acc, x) -> acc + x)
+        |      / sum(tf), 4) AS nll
+        |  FROM term GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, n_tokens, nll,
+        |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+        |  END AS bucket
+        |FROM scored
+        |ORDER BY doc_id""".stripMargin,
     "q_token_budget_mix" ->
       s"""WITH d AS (
          |  SELECT lang, doc_id,

@@ -269,4 +269,61 @@ object TextAnalysis {
         element_at(col("rh"), 1).as("content_hash"),
         element_at(col("rh"), 2).as("winnow_min"))
       .orderBy("doc_id")
+
+  /** CCNet-style unigram-LM quality scoring: train a per-language
+    * unigram model on the corpus itself (token count / language
+    * total), score each document by its mean negative log-likelihood,
+    * and bucket documents into head/middle/tail terciles per language —
+    * the perplexity filter pretraining pipelines run before anything
+    * expensive. No smoothing is needed: the model is trained on the
+    * same corpus it scores, so every token has mass.
+    *
+    * Scale shape: one corpus pass explodes to (doc, lang, token) and
+    * is immediately map-side-combine counted; the LM (vocab-sized) and
+    * language totals (1 row per lang) aggregate FROM that reduction;
+    * scoring joins on the (lang, token) key — one shuffle — and the
+    * terciles are one `ntile` window per language. At 100 TB, swap the
+    * rank window for per-lang `approx_percentile` cutoffs broadcast
+    * back (the [[Similarity.normOutliers]] pattern) — exact tercile
+    * boundaries don't matter there and the per-lang sort disappears.
+    *
+    * Float parity: per-token log-likelihoods are identical-shape
+    * doubles (integer counts → one division → `ln`), summed per doc by
+    * an ordered fold over tokens sorted ascending — the same
+    * order-pinning discipline as the IVF mean update — then rounded to
+    * 4 decimals. Buckets are assigned by RANK (`ntile` over a total
+    * order with doc_id tiebreak), never by comparing a score against
+    * an interpolated threshold: interpolation arithmetic differs in
+    * shape across engines (`a+(b-a)f` vs `a(1-f)+bf`), and a one-ULP
+    * cutoff difference flips boundary documents (observed at sf0.1).
+    */
+  def unigramNll(spark: SparkSession, dir: String): DataFrame = {
+    // (doc_id, lang, token, tf): the only corpus-sized intermediate,
+    // checkpointed once — it feeds the LM counts AND the doc scoring
+    val tf = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val lm = tf.groupBy("lang", "token").agg(sum(col("tf")).as("cnt"))
+    val totals = lm.groupBy("lang").agg(sum(col("cnt")).as("total"))
+    val term = tf.join(lm, Seq("lang", "token"))
+      .join(broadcast(totals), "lang")
+      .select(col("doc_id"), col("lang"), col("token"), col("tf"),
+        (col("tf").cast("double") *
+          log(col("cnt").cast("double") / col("total").cast("double"))).as("ll"))
+    val scored = term.groupBy("doc_id", "lang")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sort_array(collect_list(struct(col("token"), col("ll")))).as("xs"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(-aggregate(col("xs"), lit(0.0),
+          (acc, x) => acc + x.getField("ll")) / col("n_tokens"), 4).as("nll"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("nll"), col("doc_id"))
+    scored
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("nll"),
+        when(ntile(3).over(w) === 1, "head")
+          .when(ntile(3).over(w) === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
 }

@@ -142,6 +142,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(fp(0) === fp(1))
   }
 
+  test("unigram NLL: nonnegative scores, per-lang buckets ordered head ≤ middle ≤ tail") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.unigramNll(spark, dir).collect()
+    assert(rows.length === Tables(spark, dir, "documents").count())
+    // p(token) ≤ 1 ⇒ every log-likelihood ≤ 0 ⇒ mean NLL ≥ 0
+    assert(rows.forall(_.getAs[Double]("nll") >= 0.0))
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      def nlls(b: String) =
+        rs.filter(_.getAs[String]("bucket") == b).map(_.getAs[Double]("nll"))
+      val (h, m, t) = (nlls("head"), nlls("middle"), nlls("tail"))
+      if (rs.length >= 3) {
+        assert(h.nonEmpty && m.nonEmpty && t.nonEmpty, s"$lang: empty tercile")
+        assert(h.max <= m.min, s"$lang: head ${h.max} above middle ${m.min}")
+        assert(m.max <= t.min, s"$lang: middle ${m.max} above tail ${t.min}")
+      }
+    }
+  }
+
   test("multimodal: fallback featurizer preserves ids, fixed feature width, deterministic") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocuments(spark, dir)
