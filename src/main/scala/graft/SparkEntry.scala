@@ -345,9 +345,11 @@ object SparkEntry {
     s"""cent0 AS (
        |  SELECT vec_id AS c_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
-       |  FROM embeddings
-       |  WHERE vec_id < (SELECT least(CAST(ceil(sqrt(count(*))) AS BIGINT), 65536)
-       |                  FROM embeddings)),
+       |  FROM (SELECT vec_id, embedding,
+       |          row_number() OVER (ORDER BY vec_id) AS seed_rn
+       |        FROM embeddings)
+       |  WHERE seed_rn <= (SELECT least(CAST(ceil(sqrt(count(*))) AS BIGINT), 65536)
+       |                    FROM embeddings)),
        |${ivfAssignCte(0)},
        |${ivfMeansCte(0)},
        |${ivfAssignCte(1)},

@@ -336,7 +336,11 @@ object Similarity {
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("nrm", norm(col("embedding")))
     val k = ivfCellCount(emb.count())
-    var centroids = emb.filter(col("vec_id") < k)
+    // seed = the k SMALLEST vec_ids (TakeOrdered top-k, no global
+    // sort), not `vec_id < k`: the latter silently yields an empty
+    // centroid set when ids aren't dense 0..N-1 — identical seeds on
+    // dense ids, robust on sparse ones
+    var centroids = emb.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("c_id"),
         transform(col("embedding"), x => x.cast("double")).as("c_emb"))
     // Collect the k = ⌈√N⌉ (capped) centroid rows to the driver
@@ -474,7 +478,7 @@ object Similarity {
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("nrm", norm(col("embedding")))
     val k = ivfCellCount(emb.count())
-    val centroids = emb.filter(col("vec_id") < k)
+    val centroids = emb.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("c_id"),
         transform(col("embedding"), x => x.cast("double")).as("c_emb"))
     val assigned = assignCells(emb, centroids).localCheckpoint()

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Retrieval, Sampling, Sketches, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
@@ -18,6 +18,12 @@ class DegenerateCorpusSpec extends SparkSpec {
     rows.toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    // matching embeddings table: one 8-dim vector per document
+    rows.map { case (id, _, _, _) =>
+      (id, (0 until 8).map(j => (1.0f + id + j)), s"l${id % 3}")
+    }.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
     dir
   }
 
@@ -34,7 +40,10 @@ class DegenerateCorpusSpec extends SparkSpec {
     "winnow_pairs" -> TextAnalysis.winnowPassagePairs(spark, dir).count(),
     "cms" -> Sketches.cmsTokenCounts(spark, dir).count(),
     "quality_filter" -> Sampling.qualityFilter(spark, dir).count(),
-    "temperature_mix" -> Sampling.temperatureMix(spark, dir).count())
+    "temperature_mix" -> Sampling.temperatureMix(spark, dir).count(),
+    "unigram_nll" -> TextAnalysis.unigramNll(spark, dir).count(),
+    "video_frames" -> Multimodal.videoFrameIndex(spark, dir).count(),
+    "semantic_dedup" -> Similarity.semanticDedup(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -49,9 +58,11 @@ class DegenerateCorpusSpec extends SparkSpec {
     val counts = opCounts(dir).toMap
     Seq("lsh_pairs", "simhash_pairs", "jaccard", "winnow_pairs")
       .foreach(n => assert(counts(n) === 0L, s"$n must have no pairs"))
-    Seq("exact", "minhash", "repetition", "temperature_mix")
+    Seq("exact", "minhash", "repetition", "temperature_mix", "unigram_nll",
+        "semantic_dedup")
       .foreach(n => assert(counts(n) === 1L, s"$n must be a singleton"))
     assert(counts("survivors") === 1L, "the lone doc survives")
     assert(counts("tfidf") === 3L, "top-3 keywords of the lone doc")
+    assert(counts("video_frames") === 3L, "doc_id=7 packs 1 + 7%5 = 3 frames")
   }
 }
