@@ -43,6 +43,11 @@ object SparkEntry {
     "cdc_count_parity" -> (EventsCdc.finalCount _),
     "cdc_hourly_stats" -> (EventsCdc.hourlyEventStats _),
     "cdc_compact" -> (EventsCdc.compactedLog _),
+    // — temporal views derived from the versioned log (SCD2 / time
+    //   travel / snapshot changefeed)
+    "cdc_scd2" -> (operators.CdcHistory.scd2History _),
+    "cdc_asof_final" -> (operators.CdcHistory.asOfFinal _),
+    "cdc_snapshot_diff" -> (operators.CdcHistory.snapshotDiff _),
     "q_partition_pruned_scan" ->
       ((s: SparkSession, d: String) => operators.Bucketing.partitionPrunedDay(s, d)),
     // — generic analytics surface (SURVEY §2.5)
@@ -85,6 +90,7 @@ object SparkEntry {
     "dedup_lsh_pairs" -> (Dedup.lshCandidatePairs _),
     "dedup_lsh_pairs_wide" -> (Dedup.lshWideCandidatePairs _),
     "dedup_lsh_incremental" -> (Dedup.lshIncrementalPairs _),
+    "dedup_bloom" -> (Dedup.bloomIncremental _),
     "dedup_clusters" -> (Dedup.clustersQuery _),
     "dedup_clusters_dist" -> (Dedup.clustersDistQuery _),
     "dedup_survivors" -> (Dedup.survivors _),
@@ -127,6 +133,8 @@ object SparkEntry {
     "q_train_split" -> (Sampling.splitSummary _),
     "q_stratified_sample" ->
       ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
+    "q_source_cap" ->
+      ((s: SparkSession, d: String) => Sampling.sourceCap(s, d)),
     "q_pack_sequences" -> (Sampling.packSequences _),
     "q_token_budget_mix" -> (Sampling.tokenBudgetMix _),
     "q_temperature_mix" -> (Sampling.temperatureMix _),
@@ -541,6 +549,54 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "cdc_scd2" ->
+      """SELECT user_id, event_id AS valid_from,
+        |  lead(event_id) OVER w AS valid_to,
+        |  (lead(event_id) OVER w IS NULL) AS is_current,
+        |  event_type, value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, valid_from""".stripMargin,
+    "cdc_asof_final" ->
+      """WITH cut AS (
+        |  SELECT CAST(floor(max(event_id) / 2.0) AS BIGINT) AS cut FROM events)
+        |SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT e.user_id, e.event_id, e.event_type, e.value,
+        |         row_number() OVER (PARTITION BY e.user_id
+        |                            ORDER BY e.event_id DESC) AS rn
+        |  FROM events e, cut WHERE e.event_id <= cut.cut) t
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+    "cdc_snapshot_diff" ->
+      """WITH mx AS (
+        |  SELECT CAST(floor(max(event_id) / 3.0) AS BIGINT) AS v1,
+        |         CAST(floor(max(event_id) * 2 / 3.0) AS BIGINT) AS v2
+        |  FROM events),
+        |o AS (SELECT user_id, event_id, event_type FROM (
+        |    SELECT e.user_id, e.event_id, e.event_type,
+        |           row_number() OVER (PARTITION BY e.user_id
+        |                              ORDER BY e.event_id DESC) AS rn
+        |    FROM events e, mx WHERE e.event_id <= mx.v1) t WHERE rn = 1),
+        |n AS (SELECT user_id, event_id, event_type FROM (
+        |    SELECT e.user_id, e.event_id, e.event_type,
+        |           row_number() OVER (PARTITION BY e.user_id
+        |                              ORDER BY e.event_id DESC) AS rn
+        |    FROM events e, mx WHERE e.event_id <= mx.v2) t WHERE rn = 1),
+        |j AS (
+        |  SELECT n.user_id,
+        |    (o.user_id IS NOT NULL AND o.event_type <> 'error') AS op_,
+        |    (n.event_type <> 'error') AS np_,
+        |    o.event_id AS old_version, n.event_id AS new_version
+        |  FROM n LEFT JOIN o ON n.user_id = o.user_id)
+        |SELECT user_id,
+        |  CASE WHEN NOT op_ AND np_ THEN 'insert'
+        |       WHEN op_ AND NOT np_ THEN 'delete'
+        |       WHEN op_ AND np_ AND old_version <> new_version THEN 'update'
+        |  END AS change,
+        |  old_version, new_version
+        |FROM j
+        |WHERE (NOT op_ AND np_) OR (op_ AND NOT np_)
+        |   OR (op_ AND np_ AND old_version <> new_version)
+        |ORDER BY user_id""".stripMargin,
     "q_partition_pruned_scan" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
@@ -830,6 +886,24 @@ object SparkEntry {
          |  ON n.band = e.band AND n.key = e.key
          |WHERE n.doc_id % 10 = 0 AND e.doc_id % 10 <> 0
          |ORDER BY new_id, existing_id""".stripMargin,
+    "dedup_bloom" ->
+      """WITH fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+        |pos AS (
+        |  SELECT doc_id, f,
+        |    (strpos('0123456789abcdef', substr(f, 8*j + 1, 1)) - 1) * 4096 +
+        |    (strpos('0123456789abcdef', substr(f, 8*j + 2, 1)) - 1) * 256 +
+        |    (strpos('0123456789abcdef', substr(f, 8*j + 3, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(f, 8*j + 4, 1)) - 1) AS bit
+        |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS j) probes),
+        |corpus_bits AS (SELECT DISTINCT bit FROM pos WHERE doc_id % 10 <> 0),
+        |corpus_fp AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 <> 0),
+        |batch AS (
+        |  SELECT p.doc_id, p.f, bool_and(cb.bit IS NOT NULL) AS maybe_dup
+        |  FROM pos p LEFT JOIN corpus_bits cb ON p.bit = cb.bit
+        |  WHERE p.doc_id % 10 = 0 GROUP BY p.doc_id, p.f)
+        |SELECT b.doc_id, b.maybe_dup, (cf.f IS NOT NULL) AS is_dup
+        |FROM batch b LEFT JOIN corpus_fp cf ON b.f = cf.f
+        |ORDER BY b.doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""$clusterLabelsCte
          |SELECT id, cluster FROM labels ORDER BY id""".stripMargin,
@@ -1101,6 +1175,15 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
         |  FROM documents) t
         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "q_source_cap" ->
+      """SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_tokens FROM (
+        |  SELECT source, doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_tokens DESC, doc_id) AS rk
+        |  FROM (SELECT source, doc_id,
+        |          CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents) d) t
+        |WHERE rk <= 25 ORDER BY source, rk""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH d AS (
          |  SELECT lang, doc_id,

@@ -559,4 +559,57 @@ object Dedup {
       .filter(col("jaccard") >= 0.1)
       .orderBy("a_id", "b_id")
   }
+
+  /** Bloom-filter bit width (2¹⁶ bits) and probe count. Positions are
+    * FOUR DISJOINT 16-bit slices of the document fingerprint's single
+    * md5 digest — zero extra hashing, deterministic, and replayable in
+    * any engine with md5 + substring (the DuckDB oracle rebuilds the
+    * exact filter). With n docs inserting k=4 bits each, the false-
+    * positive rate is (1−e^(−kn/m))^k — at n=50k, m=2¹⁶ the filter
+    * saturates, which is the point of the in-query certification: m is
+    * a per-deployment knob (m ≈ 16·n bits keeps FP < 0.2%), and the
+    * certified row SHOWS the rate instead of assuming it.
+    */
+  val bloomBits = 1 << 16
+  val bloomProbes = 4
+
+  /** Bloom-filter incremental dedup (E14a): the membership-sketch form
+    * of [[lshIncrementalPairs]]'s daily-ingest shape, for EXACT dedup
+    * against a historical corpus too large to semi-join raw. The
+    * existing corpus (doc_id % 10 ≠ 0) inserts [[bloomProbes]] bit
+    * positions per document fingerprint; a new batch (doc_id % 10 = 0)
+    * is flagged `maybe_dup` when ALL its positions are set. The exact
+    * answer (`is_dup`, a fingerprint semi-join) rides alongside as the
+    * certification: Bloom guarantees no false negatives
+    * (is_dup ⇒ maybe_dup, property-tested), and false positives stay
+    * driver-visible as maybe_dup ∧ ¬is_dup rows.
+    *
+    * Scale shape: the bit-position set is at most m = [[bloomBits]]
+    * distinct values — at 100 TB you broadcast it as an m-bit bitmap
+    * (8 KiB here; m ≈ 16n stays megabytes at billions of docs) and the
+    * probe side is a map-side lookup with ZERO shuffle of the batch;
+    * the plan below models exactly that (distinct-bits aggregate →
+    * broadcast hash join → per-doc conjunction).
+    */
+  def bloomIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("f"))
+    // position j = 16-bit integer at hex chars [8j+1, 8j+4] of the digest
+    val posCols = (0 until bloomProbes).map(j =>
+      conv(substring(col("f"), 8 * j + 1, 4), 16, 10).cast("long"))
+    val pos = fp.select(col("doc_id"), col("f"),
+      explode(array(posCols: _*)).as("bit"))
+    val corpusBits = pos.filter(col("doc_id") % 10 =!= 0)
+      .select("bit").distinct().withColumn("hit", lit(true))
+    val corpusFp = fp.filter(col("doc_id") % 10 =!= 0)
+      .select("f").distinct().withColumn("dup", lit(true))
+    pos.filter(col("doc_id") % 10 === 0)
+      .join(broadcast(corpusBits), Seq("bit"), "left")
+      .groupBy(col("doc_id"), col("f"))
+      .agg(min(coalesce(col("hit"), lit(false))).as("maybe_dup"))
+      .join(broadcast(corpusFp), Seq("f"), "left")
+      .select(col("doc_id"), col("maybe_dup"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+      .orderBy("doc_id")
+  }
 }

@@ -173,4 +173,29 @@ object Sampling {
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }
+
+  /** Per-source document cap (the CommonCrawl-style per-domain cap):
+    * keep at most `perSource` documents per source, best-first by token
+    * count with doc_id as the total-order tiebreak. Differs from
+    * [[stratifiedSample]] in WHAT ranks: a quality signal, not a
+    * content hash — the cap keeps the best of an over-represented
+    * domain rather than a uniform sample of it. One window shuffle on
+    * `source`; at scale a skewed source would pre-filter to ~cap size
+    * by a per-partition top-k (`rank <= cap` within each map partition
+    * keeps at most cap·P rows) before the global window — same output,
+    * sort input cut from the domain's size to cap·P.
+    */
+  def sourceCap(spark: SparkSession, dir: String,
+                perSource: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(split(trim(col("text")), " "))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    Tables(spark, dir, "documents")
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perSource)
+      .select("source", "rk", "doc_id", "n_tokens")
+      .orderBy("source", "rk")
+  }
 }
