@@ -119,6 +119,7 @@ object SparkEntry {
     "text_pii_signals" -> (TextAnalysis.piiSignals _),
     "text_heavy_hitters" -> (TextAnalysis.heavyHitters _),
     "text_unigram_nll" -> (TextAnalysis.unigramNll _),
+    "text_quality_classifier" -> (operators.Perceptron.classifier _),
     "text_repetition" -> (TextAnalysis.repetitionSignals _),
     "text_winnow_pairs" -> (TextAnalysis.winnowPassagePairs _),
     // — lexical retrieval over documents
@@ -494,6 +495,52 @@ object SparkEntry {
        |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** DuckDB-runnable oracle per query (driver compares hashes at sf0.01). */
+  /** Batch-perceptron oracle, generated for [[operators.Perceptron.epochs]]
+    * epochs: e1 = full-set sums (w=0 margins are all 0 ≤ 0), then per
+    * epoch a misclassified-set delta (u_e) and the weight update (e_e).
+    * Pure integer arithmetic start to finish.
+    */
+  private def perceptronOracle: String = {
+    val dims = 0 until 6
+    def sums(f: Int => String) = dims.map(f).mkString(", ")
+    def marginOf(e: String) = dims.map(i => s"$e.w$i*x$i").mkString(" + ")
+    val featCte =
+      """f AS (
+        |  SELECT doc_id, (lang = 'en') AS is_en,
+        |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(-1 AS BIGINT) END AS y,
+        |    CAST(1 AS BIGINT) AS x0,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS x1,
+        |    CAST(len(text) AS BIGINT) AS x2,
+        |    CAST(len(list_filter(string_split(trim(text), ' '),
+        |      t -> list_contains(['the','a','of','and','in','to','is'], t)))
+        |      AS BIGINT) AS x3,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS x4,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS x5
+        |  FROM documents)""".stripMargin
+    val epochCtes = (2 to operators.Perceptron.epochs).map { e =>
+      val p = s"e${e - 1}"
+      s"""u$e AS (
+         |  SELECT ${sums(i => s"coalesce(sum(y*x$i), 0) AS d$i")}
+         |  FROM f, $p
+         |  WHERE y*(${marginOf(p)}) <= 0),
+         |e$e AS (
+         |  SELECT ${sums(i => s"$p.w$i+u$e.d$i AS w$i")}
+         |  FROM $p, u$e)""".stripMargin
+    }.mkString(",\n")
+    val last = s"e${operators.Perceptron.epochs}"
+    s"""WITH $featCte,
+       |e1 AS (
+       |  SELECT ${sums(i => s"sum(y*x$i) AS w$i")}
+       |  FROM f),
+       |$epochCtes
+       |SELECT f.doc_id,
+       |  CAST(${marginOf(last)} AS BIGINT) AS score,
+       |  (${marginOf(last)}) > 0 AS pred_en,
+       |  f.is_en
+       |FROM f, $last ORDER BY f.doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "cdc_final" ->
       """SELECT user_id, event_id, event_type, value FROM (
@@ -1169,6 +1216,13 @@ object SparkEntry {
         |   + len(regexp_extract_all(text, 'https?://[^ ]+'))
         |   + len(regexp_extract_all(text, '[0-9]{6,}'))) > 0 AS has_pii
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Batch-perceptron training unrolled: epoch 1 from w=0 updates on
+    // every row (margin 0 ≤ 0); each later epoch adds the
+    // misclassified-set sums (empty set → coalesce'd zero delta, the
+    // SQL image of the trainer's converged no-op epoch). All-integer
+    // arithmetic — the trained model is replayed exactly, not
+    // approximately (mirrors operators.Perceptron.train).
+    "text_quality_classifier" -> perceptronOracle,
     "q_stratified_sample" ->
       """SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
         |  SELECT lang, doc_id,

@@ -70,4 +70,33 @@ object CorpusIngest {
         size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+
+  /** Streaming first-occurrence dedup: emit each distinct document text
+    * ONCE across the whole stream, suppressing later copies — the
+    * streaming form of [[graft.operators.Dedup.exact]], and the online
+    * half of the incremental-dedup story: a live ingest keeps the
+    * corpus exact-deduped as drops arrive instead of re-running a batch
+    * pass. Keyed by the md5 fingerprint, never the body, so the state
+    * store holds 16-byte digests.
+    *
+    * With `lateness` set (and an event-time column on the stream),
+    * state is bounded by the replay horizon
+    * (`dropDuplicatesWithinWatermark` — a duplicate arriving later than
+    * the watermark delay can slip through, the at-least-once trade
+    * every bounded-state dedup makes); with `lateness = None` the dedup
+    * is exact and state grows O(distinct fingerprints) — 16 bytes per
+    * distinct doc, ~1.6 GB per 100M docs, the documented cost of
+    * exactness.
+    */
+  def streamingFirstOccurrence(docs: DataFrame,
+                               eventTimeCol: String = "ingest_ts",
+                               lateness: Option[String] = Some("10 minutes")): DataFrame = {
+    val fingerprinted = docs.withColumn("fp", md5(col("text").cast("binary")))
+    lateness match {
+      case Some(l) => fingerprinted
+        .withWatermark(eventTimeCol, l)
+        .dropDuplicatesWithinWatermark("fp")
+      case None => fingerprinted.dropDuplicates("fp")
+    }
+  }
 }

@@ -76,4 +76,50 @@ class CorpusIngestSpec extends SparkSpec {
       assert(dead.length === 1 && dead.head.contains("broken"))
     } finally { totals.stop(); dl.stop() }
   }
+
+  test("streaming first-occurrence dedup: later copies suppressed across batches") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ingest_ts", "text")
+    val q = CorpusIngest.streamingFirstOccurrence(docs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("first_occ").start()
+    def at(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    try {
+      in.addData((1L, at(0), "alpha text"), (2L, at(1), "beta text"))
+      q.processAllAvailable()
+      // batch 2: exact copy of doc 1 under a new id + a fresh doc;
+      // the copy must be suppressed by state carried across batches
+      in.addData((3L, at(2), "alpha text"), (4L, at(3), "gamma text"))
+      q.processAllAvailable()
+      val emitted = spark.table("first_occ").collect()
+        .map(r => r.getLong(0)).toSet
+      assert(emitted === Set(1L, 2L, 4L), "doc 3 is a suppressed duplicate")
+    } finally q.stop()
+  }
+
+  test("exact-mode dedup (no watermark) deduplicates regardless of arrival time") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ingest_ts", "text")
+    val q = CorpusIngest.streamingFirstOccurrence(docs, lateness = None)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("first_occ_exact").start()
+    def at(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    try {
+      in.addData((1L, at(1000), "alpha text"))
+      q.processAllAvailable()
+      // a copy arriving with a FAR older event time still deduplicates
+      // (no watermark horizon to fall behind)
+      in.addData((2L, at(0), "alpha text"), (3L, at(2), "delta text"))
+      q.processAllAvailable()
+      val emitted = spark.table("first_occ_exact").collect()
+        .map(r => r.getLong(0)).toSet
+      assert(emitted === Set(1L, 3L))
+    } finally q.stop()
+  }
 }
