@@ -48,6 +48,7 @@ object SparkEntry {
     "cdc_scd2" -> (operators.CdcHistory.scd2History _),
     "cdc_asof_final" -> (operators.CdcHistory.asOfFinal _),
     "cdc_snapshot_diff" -> (operators.CdcHistory.snapshotDiff _),
+    "cdc_merge_apply" -> (operators.MergeInto.mergeApply _),
     "q_partition_pruned_scan" ->
       ((s: SparkSession, d: String) => operators.Bucketing.partitionPrunedDay(s, d)),
     // — generic analytics surface (SURVEY §2.5)
@@ -644,6 +645,19 @@ object SparkEntry {
         |WHERE (NOT op_ AND np_) OR (op_ AND NOT np_)
         |   OR (op_ AND np_ AND old_version <> new_version)
         |ORDER BY user_id""".stripMargin,
+    // MERGE correctness contract: applying the (v1, v2] change slice to
+    // FINAL@v1 must land exactly on FINAL@v2 — so the oracle IS the
+    // time-travel read at v2, computed directly
+    "cdc_merge_apply" ->
+      """WITH mx AS (
+        |  SELECT CAST(floor(max(event_id) * 2 / 3.0) AS BIGINT) AS v2
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT e.user_id, e.event_id, e.event_type, e.value,
+        |         row_number() OVER (PARTITION BY e.user_id
+        |                            ORDER BY e.event_id DESC) AS rn
+        |  FROM events e, mx WHERE e.event_id <= mx.v2) t
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
     "q_partition_pruned_scan" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{CdcHistory, Dedup, MergeInto, Multimodal, Perceptron, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
@@ -43,7 +43,10 @@ class DegenerateCorpusSpec extends SparkSpec {
     "temperature_mix" -> Sampling.temperatureMix(spark, dir).count(),
     "unigram_nll" -> TextAnalysis.unigramNll(spark, dir).count(),
     "video_frames" -> Multimodal.videoFrameIndex(spark, dir).count(),
-    "semantic_dedup" -> Similarity.semanticDedup(spark, dir).count())
+    "semantic_dedup" -> Similarity.semanticDedup(spark, dir).count(),
+    "bloom" -> Dedup.bloomIncremental(spark, dir).count(),
+    "source_cap" -> Sampling.sourceCap(spark, dir).count(),
+    "classifier" -> Perceptron.classifier(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -64,5 +67,40 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("survivors") === 1L, "the lone doc survives")
     assert(counts("tfidf") === 3L, "top-3 keywords of the lone doc")
     assert(counts("video_frames") === 3L, "doc_id=7 packs 1 + 7%5 = 3 frames")
+    assert(counts("bloom") === 0L, "doc_id=7 is corpus-side; batch empty")
+    assert(counts("source_cap") === 1L)
+    assert(counts("classifier") === 1L)
+  }
+
+  private def writeEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("degenerate-ev").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def cdcCounts(dir: String): Seq[(String, Long)] = Seq(
+    "scd2" -> CdcHistory.scd2History(spark, dir).count(),
+    "asof" -> CdcHistory.asOfFinal(spark, dir).count(),
+    "snapshot_diff" -> CdcHistory.snapshotDiff(spark, dir).count(),
+    "merge_apply" -> MergeInto.mergeApply(spark, dir).count())
+
+  test("empty change log: every temporal view is empty, none throws on a null max-version") {
+    val dir = writeEvents(Seq.empty)
+    cdcCounts(dir).foreach { case (name, n) =>
+      assert(n === 0L, s"$name must be empty on an empty log")
+    }
+  }
+
+  test("single-event log: cuts exclude everything below them without throwing") {
+    val dir = writeEvents(Seq(
+      (5L, new java.sql.Timestamp(1700000000000L), 7L, "click", 1.5)))
+    val counts = cdcCounts(dir).toMap
+    assert(counts("scd2") === 1L, "one open interval")
+    // cut = floor(5/2) = 2 excludes the only event — empty, not an error
+    assert(counts("asof") === 0L)
+    assert(counts("snapshot_diff") === 0L, "both cuts below the only event")
+    assert(counts("merge_apply") === 0L)
   }
 }
