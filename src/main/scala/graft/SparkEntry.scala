@@ -106,6 +106,8 @@ object SparkEntry {
     "ann_recall" -> (Similarity.bucketedRecall _),
     "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "ann_ivf_recall_np1" -> ((s, d) => Similarity.ivfRecall(s, d, nprobe = 1)),
+    "ann_pq_codes" -> (operators.Pq.pqCodes _),
+    "ann_pq_recall" -> (operators.Pq.pqRecall _),
     "emb_near_dup_pairs" -> (Similarity.nearDupPairs _),
     "emb_norm_outliers" -> (Similarity.normOutliers _),
     "emb_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
@@ -410,6 +412,139 @@ object SparkEntry {
        |SELECT '$label' AS method, count(*) AS n_queries,
        |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
        |FROM hits""".stripMargin
+
+  /** Rounded squared-L2 between two DOUBLE[] lists from three ordered
+    * ascending-index sums — mirrors `Pq.dist2` (‖a‖² − 2a·b + ‖b‖²,
+    * each term an ordered fold, rounded to 4 decimals).
+    */
+  private def pqD2Sql(a: String, b: String): String = {
+    def s(x: String, y: String) =
+      s"""(SELECT sum($x[CAST(i AS INTEGER)] * $y[CAST(i AS INTEGER)])
+         | FROM unnest(generate_series(1, len($a))) t(i))""".stripMargin
+    s"round(${s(a, a)} - 2 * ${s(a, b)} + ${s(b, b)}, 4)"
+  }
+
+  /** PQ subspace rows + seed codebook: each embedding split into
+    * [[operators.Pq.numSubspaces]] contiguous DOUBLE[] subvectors;
+    * seeds = the subvectors of the K smallest vec_ids (c_id = vec_id) —
+    * mirrors `Pq.subspaceRows` / `Pq.trainCodebook`.
+    */
+  private def pqPrefixCtes: String = {
+    val m = operators.Pq.numSubspaces
+    val k = operators.Pq.codebookSize
+    s"""psub AS (
+       |  SELECT vec_id, CAST(ms.m AS INTEGER) AS m,
+       |    list_transform(
+       |      list_slice(embedding, ms.m * (len(embedding) // $m) + 1,
+       |                 (ms.m + 1) * (len(embedding) // $m)),
+       |      x -> CAST(x AS DOUBLE)) AS sub
+       |  FROM embeddings, (SELECT unnest(range($m)) AS m) ms),
+       |pcb0 AS (
+       |  SELECT m, vec_id AS c_id, sub AS c_emb FROM psub
+       |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k))""".stripMargin
+  }
+
+  /** One PQ Lloyd assignment against codebook `pcb$i`: nearest entry by
+    * rounded squared-L2, ties to the smallest c_id (mirrors
+    * `Pq.assign`).
+    */
+  private def pqAssignCte(i: Int): String =
+    s"""pd$i AS (
+       |  SELECT s.vec_id, s.m, c.c_id, ${pqD2Sql("s.sub", "c.c_emb")} AS d2
+       |  FROM psub s JOIN pcb$i c ON c.m = s.m),
+       |pasg$i AS (
+       |  SELECT vec_id, m, c_id AS code, d2 AS qerr FROM (
+       |    SELECT vec_id, m, c_id, d2,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c_id) AS rn
+       |    FROM pd$i) t WHERE rn = 1)""".stripMargin
+
+  /** One PQ Lloyd update: per-(subspace, cell, dim) mean via the
+    * ordered (vec_id, value) fold — mirrors `Pq.means`.
+    */
+  private def pqMeansCte(i: Int): String =
+    s"""pmean$i AS (
+       |  SELECT m, code AS c_id, pos,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY vec_id)),
+       |                (acc, x) -> acc + x) / count(*) AS mean
+       |  FROM (SELECT a.m, a.code, a.vec_id, i AS pos,
+       |          s.sub[CAST(i AS INTEGER)] AS v
+       |        FROM pasg$i a
+       |        JOIN psub s ON s.vec_id = a.vec_id AND s.m = a.m,
+       |             unnest(generate_series(1, len(s.sub))) t(i))
+       |  GROUP BY m, code, pos),
+       |pcb${i + 1} AS (
+       |  SELECT m, c_id, list(mean ORDER BY pos) AS c_emb
+       |  FROM pmean$i GROUP BY m, c_id)""".stripMargin
+
+  /** Full PQ training replay: seeds, two Lloyd rounds, final encode. */
+  private def pqTrainCtes: String =
+    s"""$pqPrefixCtes,
+       |${pqAssignCte(0)},
+       |${pqMeansCte(0)},
+       |${pqAssignCte(1)},
+       |${pqMeansCte(1)},
+       |${pqAssignCte(2)}""".stripMargin
+
+  private def pqCodesSql: String =
+    s"""WITH $pqTrainCtes
+       |SELECT vec_id, m, code, qerr FROM pasg2 ORDER BY vec_id, m""".stripMargin
+
+  private def pqRecallSql: String =
+    s"""WITH $pqTrainCtes,
+       |plut AS (
+       |  SELECT s.vec_id AS q_id, s.m, c.c_id,
+       |    ${pqD2Sql("s.sub", "c.c_emb")} AS term
+       |  FROM psub s JOIN pcb2 c ON c.m = s.m WHERE s.vec_id % 25 = 3),
+       |padc AS (
+       |  SELECT l.q_id, a.vec_id,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |                                   list(l.term ORDER BY a.m)),
+       |                      (acc, x) -> acc + x), 4) AS adc
+       |  FROM pasg2 a JOIN plut l ON l.m = a.m AND l.c_id = a.code
+       |  WHERE a.vec_id <> l.q_id
+       |  GROUP BY l.q_id, a.vec_id),
+       |pshort AS (
+       |  SELECT q_id, vec_id, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+       |    FROM padc) t WHERE rn <= ${operators.Pq.pqShortlist}),
+       |pquery AS (
+       |  SELECT vec_id AS q_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+       |  FROM embeddings WHERE vec_id % 25 = 3),
+       |prerank AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT s.q_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.q_id
+       |                         ORDER BY ${pqD2Sql("e.ee", "q.q_emb")}, s.vec_id) AS rrn
+       |    FROM pshort s
+       |    JOIN (SELECT vec_id,
+       |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+       |          FROM embeddings) e ON e.vec_id = s.vec_id
+       |    JOIN pquery q ON q.q_id = s.q_id) t WHERE rrn <= 3),
+       |pbf AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    ${pqD2Sql("e.ee", "q.q_emb")} AS d2
+       |  FROM pquery q, (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+       |      FROM embeddings) e
+       |  WHERE e.vec_id <> q.q_id),
+       |ptruth AS (
+       |  SELECT q_id, vec_id AS true_nn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn
+       |    FROM pbf) t WHERE rn = 1),
+       |phits AS (
+       |  SELECT ptruth.q_id,
+       |    max(CASE WHEN ps.vec_id = ptruth.true_nn AND ps.rn <= 3
+       |             THEN 1 ELSE 0 END) AS hit_adc,
+       |    max(CASE WHEN pr.vec_id = ptruth.true_nn THEN 1 ELSE 0 END) AS hit_rr
+       |  FROM ptruth
+       |  LEFT JOIN pshort ps ON ps.q_id = ptruth.q_id
+       |  LEFT JOIN prerank pr ON pr.q_id = ptruth.q_id
+       |  GROUP BY ptruth.q_id)
+       |SELECT 'pq' AS method, count(*) AS n_queries,
+       |  CAST(sum(hit_adc) AS DOUBLE) / count(*) AS recall_adc,
+       |  CAST(sum(hit_rr) AS DOUBLE) / count(*) AS recall
+       |FROM phits""".stripMargin
 
   /** Serial BPE training as a DuckDB recursive CTE — the oracle for the
     * last two formerly rows-only queries. The working table carries one
@@ -1115,6 +1250,8 @@ object SparkEntry {
          |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
          |FROM hits""".stripMargin,
     "ann_ivf_recall" -> ivfRecallSql(2, "ivf"),
+    "ann_pq_codes" -> pqCodesSql,
+    "ann_pq_recall" -> pqRecallSql,
     "ann_ivf_recall_np1" -> ivfRecallSql(1, "ivf_np1"),
     // SemDeDup replayed: the same k-means training CTEs end in asg2
     // (the final cell assignment); within-cell pairs above tau mark

@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the vector-compression half of the
+  * IVF-PQ index every billion-scale ANN deployment runs: split each
+  * d-dim embedding into [[numSubspaces]] contiguous subvectors, train a
+  * [[codebookSize]]-centroid codebook per subspace (k-means), and
+  * represent each vector by its M nearest-centroid codes — d floats
+  * become M small ints (64×4 bytes → 8 codes here, a 32× compression),
+  * and query-time distance is a table lookup per subspace (ADC,
+  * asymmetric distance computation) instead of d multiplies.
+  *
+  * Training mirrors the [[Similarity]] IVF discipline exactly: seeds =
+  * the subvectors of the K smallest vec_ids, two Lloyd iterations,
+  * assignment by ROUNDED squared-L2 (4 decimals, ties to the smallest
+  * centroid id), per-(subspace, cell, dim) means via an ordered fold —
+  * every float op deterministic, so the DuckDB oracle replays the
+  * whole codebook bit-for-bit. The trained codebook is an
+  * O(M·K·d/M) = O(K·d) driver artifact (1 KB here), memoized per
+  * dataset like the IVF centroids.
+  *
+  * Scale shape (100 TB): training touches each vector once per Lloyd
+  * pass (narrow, map-side-combined argmin, broadcast codebook);
+  * encoding is one broadcast-join pass emitting M codes per vector;
+  * ADC search in this SQL-expressible form is a (query-LUT × codes)
+  * equi-join on (subspace, code) with an ordered-fold sum — the shape
+  * a real deployment replaces with per-query lookup tables inside
+  * `mapPartitions` over packed code arrays, same dataflow, no shuffle
+  * change.
+  */
+object Pq {
+
+  /** M subspaces × (d/M) dims; d=64 here → 8-dim subvectors. */
+  val numSubspaces = 8
+
+  /** K centroids per subspace codebook (codes fit a byte with room to
+    * grow toward the production K=256).
+    */
+  val codebookSize = 32
+
+  /** Lloyd iterations per subspace — the IVF setting. */
+  val pqLloydIters = 2
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.DotProductD(a, b)
+
+  /** Rounded squared-L2 between a subvector and a centroid, from three
+    * ordered-fold dots (‖a‖² − 2a·b + ‖b‖², each ascending-index) —
+    * the formula the oracle mirrors term-for-term before rounding.
+    */
+  private def dist2(sub: Column, cent: Column): Column =
+    round(dot(sub, sub) - lit(2.0) * dot(sub, cent) + dot(cent, cent), 4)
+
+  /** (vec_id, m, sub) — one row per vector per subspace. */
+  private def subspaceRows(emb: DataFrame): DataFrame = {
+    val subDim = expr(s"size(embedding) div $numSubspaces")
+    emb.select(col("vec_id"),
+        explode(array((0 until numSubspaces).map(m =>
+          struct(lit(m).as("m"),
+            slice(col("embedding"), (lit(m) * subDim + 1).cast("int"),
+              subDim.cast("int")).as("sub"))
+        ): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+  }
+
+  /** Nearest-codebook-entry assignment: min over rounded dist2, ties to
+    * the smallest centroid id — one broadcast×rows pass collapsed by a
+    * map-side-combined `min_by` (one row per (vector, subspace) reaches
+    * the shuffle).
+    */
+  private def assign(sub: DataFrame, codebook: DataFrame): DataFrame =
+    sub.join(broadcast(codebook), "m")
+      .withColumn("d2", dist2(col("sub"), col("c_emb")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(
+        min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("code"),
+        min(struct(col("d2"), col("c_id"))).getField("d2").as("qerr"),
+        first(col("sub")).as("sub"))
+
+  /** Per-(subspace, cell, dim) centroid means via the ordered
+    * (vec_id, value) fold — deterministic doubles, mirrored by the
+    * oracle's `list_reduce` (same discipline as `Similarity.cellMeans`).
+    */
+  private def means(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("m"), col("code").as("c_id"), col("vec_id"),
+        posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("c_id"), col("pos"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("v").cast("double").as("v")))).as("xs"))
+      .withColumn("mean",
+        expr("aggregate(xs, CAST(0 AS DOUBLE), (acc, x) -> acc + x.v)") / size(col("xs")))
+      .groupBy(col("m"), col("c_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mean")))).as("ps"))
+      .select(col("m"), col("c_id"),
+        expr("transform(ps, p -> p.mean)").as("c_emb"))
+
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Long, Seq[Double])]]()
+
+  /** The trained codebook as a driver-side model artifact:
+    * (subspace, centroid id, centroid) — O(K·d) doubles, memoized per
+    * dataset dir.
+    */
+  def trainedCodebook(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
+    codebookCache.computeIfAbsent(dir, _ => trainCodebook(spark, dir))
+
+  private def trainCodebook(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val sub = subspaceRows(emb).localCheckpoint(true)
+    // seeds: the subvectors of the K smallest vec_ids, c_id = vec_id
+    // (TakeOrdered over distinct ids — robust on sparse id spaces)
+    val seedIds = emb.select("vec_id").orderBy("vec_id")
+      .limit(codebookSize).as[Long].collect().toSet
+    var codebook = sub.filter(col("vec_id").isInCollection(seedIds))
+      .select(col("m"), col("vec_id").as("c_id"),
+        expr("transform(sub, x -> CAST(x AS DOUBLE))").as("c_emb"))
+    var out: Seq[(Int, Long, Seq[Double])] = null
+    for (_ <- 1 to pqLloydIters) {
+      out = means(assign(sub, codebook))
+        .as[(Int, Long, Seq[Double])].collect().toSeq
+      codebook = out.toDF("m", "c_id", "c_emb")
+    }
+    out
+  }
+
+  private def codebookDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainedCodebook(spark, dir).toDF("m", "c_id", "c_emb")
+  }
+
+  /** Driver-checked encode pass: every vector's M codes plus the
+    * per-subspace quantization error — the compression audit row.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    assign(subspaceRows(Tables(spark, dir, "embeddings")),
+        codebookDf(spark, dir))
+      .select(col("vec_id"), col("m"), col("code"), col("qerr"))
+      .orderBy("vec_id", "m")
+
+  /** Deterministic PQ query sample: sparser than the IVF rows' 1-in-5
+    * (the ADC join fans out Q·N·M rows in this SQL-expressible form —
+    * honest recall at 1/25 of the corpus keeps the measurement row
+    * proportionate; a deployment runs per-query LUTs instead).
+    */
+  private val pqQueryPredicate = col("vec_id") % 25 === 3
+
+  /** ADC shortlist size for the exact re-rank stage. */
+  val pqShortlist = 10
+
+  /** Recall of PQ search vs exact squared-L2 over the sampled queries
+    * — BOTH stages of the canonical two-stage retrieval, so the
+    * re-rank lever stays driver-visible: `recall_adc` is rank-3 recall
+    * of the raw compressed-domain ranking, `recall` is rank-3 after
+    * exact re-scoring of the ADC top-[[pqShortlist]] shortlist (the
+    * re-rank touches [[pqShortlist]] full vectors per query — the
+    * 100 TB pattern: compressed scan first, exact arithmetic on a
+    * constant-size shortlist). ADC per (query, candidate) =
+    * ordered-fold sum over the M distance-table terms; truth =
+    * full-vector L2 argmin.
+    */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val codebook = codebookDf(spark, dir)
+    val codes = assign(subspaceRows(emb), codebook)
+      .select(col("vec_id"), col("m"), col("code"))
+    // per-query distance table: rounded dist2 to EVERY codebook entry
+    val lut = subspaceRows(emb.filter(pqQueryPredicate))
+      .withColumnRenamed("vec_id", "q_id")
+      .join(broadcast(codebook), "m")
+      .select(col("q_id"), col("m"), col("c_id"),
+        dist2(col("sub"), col("c_emb")).as("term"))
+    // ADC: join candidates' codes against the LUT, ordered-fold the M
+    // terms so the double sum is cross-engine deterministic
+    val adc = codes
+      .join(lut, codes("m") === lut("m") && codes("code") === lut("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(codes("m"), col("term")))).as("ts"))
+      .select(col("q_id"), col("vec_id"),
+        round(expr("aggregate(ts, CAST(0 AS DOUBLE), (acc, t) -> acc + t.term)"), 4).as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val shortlist = adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= pqShortlist)
+    val adcTop3 = shortlist.filter(col("rn") <= 3)
+      .groupBy(col("q_id"))
+      .agg(collect_set(col("vec_id")).as("adc_cands"))
+    // stage 2: exact re-score of the shortlist (full vectors, rounded
+    // d2, same tie rule), then rank-3
+    val queries = emb.filter(pqQueryPredicate)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val rescored = shortlist.select("q_id", "vec_id")
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("d2", dist2(col("embedding"), col("q_emb")))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    val rerankTop3 = rescored.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= 3)
+      .groupBy(col("q_id"))
+      .agg(collect_set(col("vec_id")).as("rr_cands"))
+    // exact truth over the same sample: full-vector squared L2 argmin
+    val truth = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2", dist2(col("embedding"), col("q_emb")))
+      .groupBy(col("q_id"))
+      .agg(min_by(col("vec_id"), struct(col("d2"), col("vec_id"))).as("true_nn"))
+    truth
+      .join(adcTop3, Seq("q_id"), "left")
+      .join(rerankTop3, Seq("q_id"), "left")
+      .select(col("q_id"),
+        when(array_contains(col("adc_cands"), col("true_nn")), 1).otherwise(0).as("hit_adc"),
+        when(array_contains(col("rr_cands"), col("true_nn")), 1).otherwise(0).as("hit_rr"))
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(col("hit_adc")).cast("double") / count(lit(1))).as("recall_adc"),
+        (sum(col("hit_rr")).cast("double") / count(lit(1))).as("recall"))
+      .select(lit("pq").as("method"), col("n_queries"),
+        col("recall_adc"), col("recall"))
+  }
+}

@@ -45,6 +45,7 @@ class DegenerateCorpusSpec extends SparkSpec {
     "video_frames" -> Multimodal.videoFrameIndex(spark, dir).count(),
     "semantic_dedup" -> Similarity.semanticDedup(spark, dir).count(),
     "bloom" -> Dedup.bloomIncremental(spark, dir).count(),
+    "pq_codes" -> graft.operators.Pq.pqCodes(spark, dir).count(),
     "source_cap" -> Sampling.sourceCap(spark, dir).count(),
     "classifier" -> Perceptron.classifier(spark, dir).count())
 
@@ -70,6 +71,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("bloom") === 0L, "doc_id=7 is corpus-side; batch empty")
     assert(counts("source_cap") === 1L)
     assert(counts("classifier") === 1L)
+    assert(counts("pq_codes") === graft.operators.Pq.numSubspaces.toLong,
+      "one code per subspace for the lone vector")
   }
 
   private def writeEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): String = {
