@@ -108,6 +108,7 @@ object SparkEntry {
     "ann_ivf_recall_np1" -> ((s, d) => Similarity.ivfRecall(s, d, nprobe = 1)),
     "ann_pq_codes" -> (operators.Pq.pqCodes _),
     "ann_pq_recall" -> (operators.Pq.pqRecall _),
+    "ann_ivfpq_recall" -> (operators.IvfPq.ivfPqRecall _),
     "emb_near_dup_pairs" -> (Similarity.nearDupPairs _),
     "emb_norm_outliers" -> (Similarity.normOutliers _),
     "emb_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
@@ -545,6 +546,78 @@ object SparkEntry {
        |  CAST(sum(hit_adc) AS DOUBLE) / count(*) AS recall_adc,
        |  CAST(sum(hit_rr) AS DOUBLE) / count(*) AS recall
        |FROM phits""".stripMargin
+
+  /** IVF-PQ composition oracle: IVF cell training + PQ codebook
+    * training (both CTE chains above, disjoint names), top-2-cell
+    * probing over the 1-in-5 query sample, ADC scoring of the
+    * cell-restricted candidates, exact re-rank of the top-10
+    * shortlist, truth = exact squared-L2 argmin — mirrors
+    * `operators.IvfPq.ivfPqRecall` stage for stage.
+    */
+  private def ivfPqRecallSql: String =
+    s"""WITH $ivfTrainCtes,
+       |$pqTrainCtes,
+       |cprobes AS (
+       |  SELECT vec_id AS q_id, c_id AS q_cell FROM (
+       |    SELECT vec_id, c_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+       |    FROM sc2 WHERE vec_id % 5 = 3) t
+       |  WHERE rn <= 2),
+       |ccand AS (
+       |  SELECT p.q_id, a.vec_id FROM cprobes p
+       |  JOIN asg2 a ON a.cell = p.q_cell AND a.vec_id <> p.q_id),
+       |cqlut AS (
+       |  SELECT s.vec_id AS q_id, s.m, c.c_id,
+       |    ${pqD2Sql("s.sub", "c.c_emb")} AS term
+       |  FROM psub s JOIN pcb2 c ON c.m = s.m WHERE s.vec_id % 5 = 3),
+       |cadc AS (
+       |  SELECT cd.q_id, cd.vec_id,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |                                   list(l.term ORDER BY a.m)),
+       |                      (acc, x) -> acc + x), 4) AS adc
+       |  FROM ccand cd
+       |  JOIN pasg2 a ON a.vec_id = cd.vec_id
+       |  JOIN cqlut l ON l.q_id = cd.q_id AND l.m = a.m AND l.c_id = a.code
+       |  GROUP BY cd.q_id, cd.vec_id),
+       |cshort AS (
+       |  SELECT q_id, vec_id, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+       |    FROM cadc) t WHERE rn <= ${operators.Pq.pqShortlist}),
+       |cemb AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+       |  FROM embeddings),
+       |cquery AS (
+       |  SELECT vec_id AS q_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+       |  FROM embeddings WHERE vec_id % 5 = 3),
+       |crerank AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT s.q_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.q_id
+       |                         ORDER BY ${pqD2Sql("e.ee", "q.q_emb")}, s.vec_id) AS rrn
+       |    FROM cshort s
+       |    JOIN cemb e ON e.vec_id = s.vec_id
+       |    JOIN cquery q ON q.q_id = s.q_id) t WHERE rrn <= 3),
+       |cbf AS (
+       |  SELECT q.q_id, e.vec_id, ${pqD2Sql("e.ee", "q.q_emb")} AS d2
+       |  FROM cquery q, cemb e WHERE e.vec_id <> q.q_id),
+       |ctruth AS (
+       |  SELECT q_id, vec_id AS true_nn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn
+       |    FROM cbf) t WHERE rn = 1),
+       |chits AS (
+       |  SELECT ctruth.q_id,
+       |    max(CASE WHEN cs.vec_id = ctruth.true_nn AND cs.rn <= 3
+       |             THEN 1 ELSE 0 END) AS hit_adc,
+       |    max(CASE WHEN cr.vec_id = ctruth.true_nn THEN 1 ELSE 0 END) AS hit_rr
+       |  FROM ctruth
+       |  LEFT JOIN cshort cs ON cs.q_id = ctruth.q_id
+       |  LEFT JOIN crerank cr ON cr.q_id = ctruth.q_id
+       |  GROUP BY ctruth.q_id)
+       |SELECT 'ivfpq' AS method, count(*) AS n_queries,
+       |  CAST(sum(hit_adc) AS DOUBLE) / count(*) AS recall_adc,
+       |  CAST(sum(hit_rr) AS DOUBLE) / count(*) AS recall
+       |FROM chits""".stripMargin
 
   /** Serial BPE training as a DuckDB recursive CTE — the oracle for the
     * last two formerly rows-only queries. The working table carries one
@@ -1252,6 +1325,7 @@ object SparkEntry {
     "ann_ivf_recall" -> ivfRecallSql(2, "ivf"),
     "ann_pq_codes" -> pqCodesSql,
     "ann_pq_recall" -> pqRecallSql,
+    "ann_ivfpq_recall" -> ivfPqRecallSql,
     "ann_ivf_recall_np1" -> ivfRecallSql(1, "ivf_np1"),
     // SemDeDup replayed: the same k-means training CTEs end in asg2
     // (the final cell assignment); within-cell pairs above tau mark

@@ -51,11 +51,11 @@ object Pq {
     * ordered-fold dots (‖a‖² − 2a·b + ‖b‖², each ascending-index) —
     * the formula the oracle mirrors term-for-term before rounding.
     */
-  private def dist2(sub: Column, cent: Column): Column =
+  private[operators] def dist2(sub: Column, cent: Column): Column =
     round(dot(sub, sub) - lit(2.0) * dot(sub, cent) + dot(cent, cent), 4)
 
   /** (vec_id, m, sub) — one row per vector per subspace. */
-  private def subspaceRows(emb: DataFrame): DataFrame = {
+  private[operators] def subspaceRows(emb: DataFrame): DataFrame = {
     val subDim = expr(s"size(embedding) div $numSubspaces")
     emb.select(col("vec_id"),
         explode(array((0 until numSubspaces).map(m =>
@@ -71,7 +71,7 @@ object Pq {
     * map-side-combined `min_by` (one row per (vector, subspace) reaches
     * the shuffle).
     */
-  private def assign(sub: DataFrame, codebook: DataFrame): DataFrame =
+  private[operators] def assign(sub: DataFrame, codebook: DataFrame): DataFrame =
     sub.join(broadcast(codebook), "m")
       .withColumn("d2", dist2(col("sub"), col("c_emb")))
       .groupBy(col("vec_id"), col("m"))
@@ -128,7 +128,7 @@ object Pq {
     out
   }
 
-  private def codebookDf(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def codebookDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     trainedCodebook(spark, dir).toDF("m", "c_id", "c_emb")
   }

@@ -227,7 +227,7 @@ object Similarity {
     * best cell excluded — O(1) aggregate state per query, no Q×k
     * window sort. Output: one row per (query, probe cell).
     */
-  private def queryProbes(assigned: DataFrame, centroids: DataFrame,
+  private[operators] def queryProbes(assigned: DataFrame, centroids: DataFrame,
                           nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= 2,
       "probe ranks beyond 2 need an exclusion set, not a single argmax")
@@ -256,7 +256,7 @@ object Similarity {
     *
     * @param centroids (c_id, c_emb: array<double>)
     */
-  private def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
+  private[operators] def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val cent = centroids.withColumn("c_nrm", sqrt(dot(col("c_emb"), col("c_emb"))))
     // argmax as a max_by hash aggregate, not a row_number window: the
     // partial agg collapses the k candidate rows per vector map-side,

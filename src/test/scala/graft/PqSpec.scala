@@ -72,4 +72,18 @@ class PqSpec extends SparkSpec {
     // can only add hits, never lose them
     assert(rr >= adc)
   }
+
+  test("ivf-pq composition: same theorem, cell-bounded candidate sets") {
+    val r = graft.operators.IvfPq.ivfPqRecall(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "ivfpq")
+    val (nQ, adc, rr) = (row.getLong(1), row.getDouble(2), row.getDouble(3))
+    // the IVF rows' 1-in-5 sample
+    val expectedQ = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % 5 === 3).count()
+    assert(nQ === expectedQ)
+    assert(adc >= 0.0 && adc <= 1.0 && rr >= 0.0 && rr <= 1.0)
+    assert(rr >= adc, "exact re-rank of the shortlist never loses a hit")
+  }
 }
