@@ -1,0 +1,53 @@
+package graft.examples
+
+import graft.operators.{IvfPq, Pq, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end similarity-search walkthrough — the ANN counterpart to
+  * [[CdcDemo]] and [[DedupDemo]]: train the IVF cells and PQ codebooks
+  * on the sf0.001 embeddings, encode the corpus (32× compression),
+  * search it three ways (trained-cell IVF, PQ with exact re-rank, and
+  * the composed IVF-PQ), and print each method's measured recall next
+  * to the brute-force truth. Every stage is the same operator the
+  * library exposes individually; the demo is just their composition.
+  *
+  *   sbt "runMain graft.examples.AnnDemo"
+  */
+object AnnDemo {
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ann-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val n = graft.Tables(spark, dir, "embeddings").count()
+    val cells = Similarity.trainedCentroids(spark, dir)
+    println(s"[demo] corpus: $n vectors; trained ${cells.size} IVF cells")
+
+    val codebook = Pq.trainedCodebook(spark, dir)
+    val codes = Pq.pqCodes(spark, dir)
+    val meanErr = codes.agg(avg("qerr")).head.getDouble(0)
+    println(f"[demo] PQ codebook: ${codebook.size} entries " +
+      f"(${Pq.numSubspaces} subspaces x <=${Pq.codebookSize}); " +
+      f"encoded ${codes.count()} codes, mean quantization error $meanErr%.4f")
+
+    val ivf = Similarity.ivfRecall(spark, dir).head
+    println(f"[demo] IVF     nprobe=2      recall@3 = ${ivf.getDouble(2)}%.3f " +
+      s"over ${ivf.getLong(1)} queries")
+    val pq = Pq.pqRecall(spark, dir).head
+    println(f"[demo] PQ      adc/re-rank   recall@3 = ${pq.getDouble(2)}%.3f / " +
+      f"${pq.getDouble(3)}%.3f over ${pq.getLong(1)} queries")
+    val ivfpq = IvfPq.ivfPqRecall(spark, dir).head
+    println(f"[demo] IVF-PQ  adc/re-rank   recall@3 = ${ivfpq.getDouble(2)}%.3f / " +
+      f"${ivfpq.getDouble(3)}%.3f over ${ivfpq.getLong(1)} queries")
+
+    spark.stop()
+  }
+}
