@@ -140,4 +140,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("array_distinct"),
       s"token-level expressions must be materialized pre-explode:\n$p")
   }
+
+  test("bloom dedup: bit-set and fingerprint-set probes are broadcast joins") {
+    val p = plan(Dedup.bloomIncremental(spark, dir))
+    // the two membership probes must broadcast (the m-bit bitmap shape
+    // at scale), never sort-merge the batch against the corpus sets
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2, p)
+    assert(!p.contains("SortMergeJoin"), s"probe side must not shuffle-sort:\n$p")
+  }
+
+  test("merge apply: version cuts ride as broadcast, source collapse is a partial agg") {
+    val p = plan(operators.MergeInto.mergeApply(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row cut aggregate must broadcast:\n$p")
+    // max_by collapse of the change slice runs with map-side combine
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      p.contains("ObjectHashAggregate"), s"source collapse must combine map-side:\n$p")
+  }
+
+  test("snapshot diff: single aggregation pass, no self-join of the log") {
+    val p = plan(operators.CdcHistory.snapshotDiff(spark, dir))
+    assert(!p.contains("SortMergeJoin"), s"no snapshot self-join:\n$p")
+    assert(shuffles(p) === 1, s"one key shuffle only (${shuffles(p)}):\n$p")
+  }
+
+  test("pq encode: codebook joins as a broadcast, one shuffle to collapse codes") {
+    val p = plan(operators.Pq.pqCodes(spark, dir))
+    assert(p.split("BroadcastHashJoin").length - 1 >= 1, p)
+    assert(!p.contains("SortMergeJoin"), s"codebook must broadcast:\n$p")
+  }
 }
