@@ -110,4 +110,26 @@ object Perceptron {
     */
   def trainedWeights(spark: SparkSession, dir: String): Array[Long] =
     train(features(spark, dir).localCheckpoint(true))
+
+  /** Score a STREAM of documents with batch-trained weights — the
+    * train-batch/serve-stream half of the classifier (same pattern as
+    * `Similarity.streamingCellScores`): the weight vector rides the
+    * plan as literals, so scoring is a stateless narrow projection a
+    * live ingest applies per micro-batch with zero shuffles and
+    * per-row parity with the batch scorer. `docs` needs (doc_id, text,
+    * lang) — works on streaming and batch frames alike.
+    */
+  def streamingScores(docs: DataFrame, w: Array[Long]): DataFrame = {
+    require(w.length == dims, s"expected $dims weights")
+    val toks = split(trim(col("text")), " ")
+    val xs: Seq[Column] = Seq(
+      lit(1L),
+      size(toks).cast("long"),
+      length(col("text")).cast("long"),
+      size(filter(toks, t => t.isInCollection(stopwords))).cast("long"),
+      regexp_count(col("text"), lit("[0-9]")).cast("long"),
+      regexp_count(col("text"), lit("[.,!?;:]")).cast("long"))
+    val score = xs.zipWithIndex.map { case (x, i) => lit(w(i)) * x }.reduce(_ + _)
+    docs.select(col("doc_id"), score.as("score"), (score > 0).as("pred_en"))
+  }
 }

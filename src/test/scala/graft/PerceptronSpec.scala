@@ -44,6 +44,36 @@ class PerceptronSpec extends SparkSpec {
     assert(w1.toSeq === expected, "epoch-1 weights are the full-set sums")
   }
 
+  test("streaming scorer: per-row parity with the batch classifier across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val w = Perceptron.trainedWeights(spark, dir)
+    // batch truth over a slice of the corpus
+    val batch = Perceptron.classifier(spark, dir)
+      .select("doc_id", "score", "pred_en").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text", "lang").limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val in = MemoryStream[(Long, String, String)]
+    val q = Perceptron.streamingScores(
+        in.toDF().toDF("doc_id", "text", "lang"), w)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("perc_stream").start()
+    try {
+      val (wave1, wave2) = docs.splitAt(20)
+      in.addData(wave1.toIndexedSeq); q.processAllAvailable()
+      in.addData(wave2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("perc_stream").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(streamed.size === 40)
+      streamed.foreach { case (id, sp) =>
+        assert(sp === batch(id), s"doc $id diverges from the batch scorer")
+      }
+    } finally q.stop()
+  }
+
   test("learns a separable signal to >95% accuracy that majority vote cannot reach") {
     import spark.implicits._
     // en docs carry stopwords + punctuation; non-en carry digits —
