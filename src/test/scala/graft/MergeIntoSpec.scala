@@ -41,6 +41,30 @@ class MergeIntoSpec extends SparkSpec {
     assert(merged(4L) === ((24L, "signup", Some(3.0))), "insert")
   }
 
+  test("merge chains: applying two consecutive slices == applying their union") {
+    // the incremental-apply contract a nightly MERGE job relies on:
+    // state after slice (a,b] then slice (b,c] must equal state after
+    // one slice (a,c]
+    val events = Tables(spark, dir, "events")
+      .select("user_id", "event_id", "event_type", "value")
+    val mx = events.agg(max("event_id")).head.getLong(0)
+    val (a, b, c) = (mx / 4, mx / 2, mx * 3 / 4)
+    def slice(lo: Long, hi: Long) =
+      events.filter(col("event_id") > lo && col("event_id") <= hi)
+    val start = graft.operators.VersionedUpsert.latestRows(
+      events.filter(col("event_id") <= a), Seq("user_id"),
+      Seq(col("event_id").desc))
+      .filter(col("event_type") =!= "error")
+    val del = col("event_type") === "error"
+    val chained = MergeInto(
+      MergeInto(start, slice(a, b), "user_id", "event_id", del),
+      slice(b, c), "user_id", "event_id", del)
+    val direct = MergeInto(start, slice(a, c), "user_id", "event_id", del)
+    assert(chained.exceptAll(direct).isEmpty &&
+      direct.exceptAll(chained).isEmpty)
+    assert(direct.count() > 0)
+  }
+
   test("merge(FINAL@v1, slice(v1,v2]) == time-travel FINAL@v2") {
     val events = Tables(spark, dir, "events")
       .select("user_id", "event_id", "event_type", "value")
