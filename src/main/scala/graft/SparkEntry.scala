@@ -369,16 +369,25 @@ object SparkEntry {
        |${ivfMeansCte(1)},
        |${ivfAssignCte(2)}""".stripMargin
 
-  /** Top-nprobe probe cells per sampled query (vec_id ≡ 3 mod 5, ties
-    * to the smallest c_id) + cell-restricted candidate pairs — mirrors
-    * `Similarity.queryProbes` + `ivfSearch`.
+  /** The fixed-size ANN audit query sample as an IN-subquery: the
+    * `Similarity.annQuerySampleSize` smallest vec_ids satisfying the
+    * modulo predicate — mirrors `Similarity.sampleQueries` /
+    * `Pq.pqSampleQueries` (TakeOrdered on the Spark side).
+    */
+  private def annSampleIds(modulo: Int): String =
+    s"(SELECT vec_id FROM embeddings WHERE vec_id % $modulo = 3" +
+      s" ORDER BY vec_id LIMIT ${operators.Similarity.annQuerySampleSize})"
+
+  /** Top-nprobe probe cells per sampled query (the fixed-size 1-in-5
+    * sample, ties to the smallest c_id) + cell-restricted candidate
+    * pairs — mirrors `Similarity.queryProbes` + `ivfSearch`.
     */
   private def ivfProbeCtes(nprobe: Int): String =
     s"""probes AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb, c_id AS q_cell FROM (
        |    SELECT vec_id, embedding, c_id,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
-       |    FROM sc2 WHERE vec_id % 5 = 3) t
+       |    FROM sc2 WHERE vec_id IN ${annSampleIds(5)}) t
        |  WHERE rn <= $nprobe),
        |iv_pairs AS (
        |  SELECT q_id, a.vec_id, ${cosSql("q_emb", "a.embedding")} AS cos
@@ -393,7 +402,7 @@ object SparkEntry {
        |${ivfProbeCtes(nprobe)},
        |q AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb
-       |  FROM embeddings WHERE vec_id % 5 = 3),
+       |  FROM embeddings WHERE vec_id IN ${annSampleIds(5)}),
        |bf AS (
        |  SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos
        |  FROM q, embeddings e WHERE e.vec_id <> q.q_id),
@@ -495,7 +504,8 @@ object SparkEntry {
        |plut AS (
        |  SELECT s.vec_id AS q_id, s.m, c.c_id,
        |    ${pqD2Sql("s.sub", "c.c_emb")} AS term
-       |  FROM psub s JOIN pcb2 c ON c.m = s.m WHERE s.vec_id % 25 = 3),
+       |  FROM psub s JOIN pcb2 c ON c.m = s.m
+       |  WHERE s.vec_id IN ${annSampleIds(25)}),
        |padc AS (
        |  SELECT l.q_id, a.vec_id,
        |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -511,7 +521,7 @@ object SparkEntry {
        |pquery AS (
        |  SELECT vec_id AS q_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
-       |  FROM embeddings WHERE vec_id % 25 = 3),
+       |  FROM embeddings WHERE vec_id IN ${annSampleIds(25)}),
        |prerank AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT s.q_id, s.vec_id,
@@ -561,7 +571,7 @@ object SparkEntry {
        |  SELECT vec_id AS q_id, c_id AS q_cell FROM (
        |    SELECT vec_id, c_id,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
-       |    FROM sc2 WHERE vec_id % 5 = 3) t
+       |    FROM sc2 WHERE vec_id IN ${annSampleIds(5)}) t
        |  WHERE rn <= 2),
        |ccand AS (
        |  SELECT p.q_id, a.vec_id FROM cprobes p
@@ -569,7 +579,8 @@ object SparkEntry {
        |cqlut AS (
        |  SELECT s.vec_id AS q_id, s.m, c.c_id,
        |    ${pqD2Sql("s.sub", "c.c_emb")} AS term
-       |  FROM psub s JOIN pcb2 c ON c.m = s.m WHERE s.vec_id % 5 = 3),
+       |  FROM psub s JOIN pcb2 c ON c.m = s.m
+       |  WHERE s.vec_id IN ${annSampleIds(5)}),
        |cadc AS (
        |  SELECT cd.q_id, cd.vec_id,
        |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -589,7 +600,7 @@ object SparkEntry {
        |cquery AS (
        |  SELECT vec_id AS q_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
-       |  FROM embeddings WHERE vec_id % 5 = 3),
+       |  FROM embeddings WHERE vec_id IN ${annSampleIds(5)}),
        |crerank AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT s.q_id, s.vec_id,

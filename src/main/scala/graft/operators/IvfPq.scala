@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * and re-rank end-to-end.
   *
   * Truth metric: exact squared-L2 argmin (the quantity ADC
-  * approximates), over the same 1-in-5 query sample as the IVF rows —
-  * affordable here because the candidate sets are cell-bounded.
+  * approximates), over the same fixed-size query sample as the IVF
+  * rows ([[Similarity.annQuerySampleSize]] smallest ids matching the
+  * 1-in-5 predicate) — the truth cartesian is O(N·sample) with a
+  * constant-size query broadcast at any corpus scale.
   */
 object IvfPq {
 
@@ -50,7 +52,7 @@ object IvfPq {
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id")
     // stage 2: ADC over the candidates (query LUT × candidate codes)
-    val lut = Pq.subspaceRows(emb.filter(col("vec_id") % 5 === 3))
+    val lut = Pq.subspaceRows(Similarity.sampleQueries(emb))
       .withColumnRenamed("vec_id", "q_id")
       .join(broadcast(codebook), "m")
       .select(col("q_id"), col("m"), col("c_id"),
@@ -70,7 +72,7 @@ object IvfPq {
     val adcTop3 = shortlist.filter(col("rn") <= 3)
       .groupBy(col("q_id")).agg(collect_set(col("vec_id")).as("adc_cands"))
     // stage 3: exact re-rank of the shortlist
-    val queries = emb.filter(col("vec_id") % 5 === 3)
+    val queries = Similarity.sampleQueries(emb)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val rescored = shortlist.select("q_id", "vec_id")
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")

@@ -142,12 +142,21 @@ object Pq {
       .select(col("vec_id"), col("m"), col("code"), col("qerr"))
       .orderBy("vec_id", "m")
 
-  /** Deterministic PQ query sample: sparser than the IVF rows' 1-in-5
-    * (the ADC join fans out Q·N·M rows in this SQL-expressible form —
-    * honest recall at 1/25 of the corpus keeps the measurement row
-    * proportionate; a deployment runs per-query LUTs instead).
+  /** Deterministic PQ query sample predicate: sparser than the IVF
+    * rows' 1-in-5 (the ADC join fans out Q·N·M rows in this
+    * SQL-expressible form — a sparse sample keeps the measurement row
+    * proportionate; a deployment runs per-query LUTs instead). Like
+    * the IVF sample, the audit set is capped at a FIXED
+    * [[Similarity.annQuerySampleSize]] queries (smallest matching ids,
+    * TakeOrdered) so the truth-side cartesian is O(N·sample), not
+    * O(N²/25), and the query broadcast stays constant-size as the
+    * corpus grows.
     */
   private val pqQueryPredicate = col("vec_id") % 25 === 3
+
+  private[operators] def pqSampleQueries(df: DataFrame): DataFrame =
+    df.filter(pqQueryPredicate).sort("vec_id")
+      .limit(Similarity.annQuerySampleSize)
 
   /** ADC shortlist size for the exact re-rank stage. */
   val pqShortlist = 10
@@ -169,7 +178,7 @@ object Pq {
     val codes = assign(subspaceRows(emb), codebook)
       .select(col("vec_id"), col("m"), col("code"))
     // per-query distance table: rounded dist2 to EVERY codebook entry
-    val lut = subspaceRows(emb.filter(pqQueryPredicate))
+    val lut = subspaceRows(pqSampleQueries(emb))
       .withColumnRenamed("vec_id", "q_id")
       .join(broadcast(codebook), "m")
       .select(col("q_id"), col("m"), col("c_id"),
@@ -192,7 +201,7 @@ object Pq {
       .agg(collect_set(col("vec_id")).as("adc_cands"))
     // stage 2: exact re-score of the shortlist (full vectors, rounded
     // d2, same tie rule), then rank-3
-    val queries = emb.filter(pqQueryPredicate)
+    val queries = pqSampleQueries(emb)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val rescored = shortlist.select("q_id", "vec_id")
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")

@@ -206,16 +206,36 @@ object Similarity {
     */
   val ivfNprobe = 2
 
-  /** Deterministic query sample for the ANN search + recall rows:
-    * every fifth vector (vec_id ≡ 3 mod 5). Unbiased w.r.t. the
+  /** Fixed size of the ANN search/recall-audit query sample. A
+    * production recall audit runs a CONSTANT number of queries — a
+    * sample that is a constant FRACTION of the corpus makes the audit's
+    * exact-truth side (a queries×corpus cartesian) scale as O(N²) and
+    * its broadcast grow linearly with N, which is a scale-killer the
+    * production search paths never pay. 256 queries keeps the recall
+    * estimate's standard error under ~3% while the truth work stays
+    * O(N·256) with a constant-size broadcast at any corpus size.
+    */
+  val annQuerySampleSize = 256
+
+  /** Deterministic query sample predicate for the ANN search + recall
+    * rows: every fifth vector (vec_id ≡ 3 mod 5). Unbiased w.r.t. the
     * centroid seeds (vec_id < k), unlike a prefix range whose members
     * ARE seeds and trivially find their own cell — recall measured
     * here is honest out-of-seed behavior.
     */
   private val querySamplePredicate = col("vec_id") % 5 === 3
 
+  /** The fixed-size sample: the [[annQuerySampleSize]] SMALLEST ids
+    * satisfying [[querySamplePredicate]] — a TakeOrdered (O(N) scan,
+    * O(sample) result, no global sort), same trick as the centroid
+    * seeds. Column-agnostic so callers can sample the raw table or the
+    * assigned one.
+    */
+  private[operators] def sampleQueries(df: DataFrame): DataFrame =
+    df.filter(querySamplePredicate).sort("vec_id").limit(annQuerySampleSize)
+
   private def querySample(emb: DataFrame): DataFrame =
-    emb.filter(querySamplePredicate)
+    sampleQueries(emb)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
 
@@ -231,7 +251,7 @@ object Similarity {
                           nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= 2,
       "probe ranks beyond 2 need an exclusion set, not a single argmax")
-    val queries = assigned.filter(querySamplePredicate)
+    val queries = sampleQueries(assigned)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("cell").as("q_cell"))
     if (nprobe == 1) queries
@@ -409,13 +429,13 @@ object Similarity {
 
   /** Cell-restricted search: candidates equi-joined to the query's
     * probe cells, then exact rounded cosine + top-3 per query. The
-    * join is deliberately NOT broadcast-hinted: the query sample is a
-    * constant fraction of the corpus, so at scale both sides shuffle
-    * once by cell id (cells are ~√N rows each, balance spec-checked);
-    * AQE upgrades it to broadcast at test scale on its own.
+    * probe side is broadcast-hinted: it holds at most
+    * [[annQuerySampleSize]]·nprobe rows regardless of corpus size, so
+    * the corpus side never shuffles — each candidate streams past the
+    * constant-size probe table map-side.
     */
   private def ivfSearch(assigned: DataFrame, probes: DataFrame): DataFrame = {
-    val scored = assigned.join(probes,
+    val scored = assigned.join(broadcast(probes),
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dot(col("q_emb"), col("embedding")) /
