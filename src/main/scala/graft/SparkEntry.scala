@@ -107,7 +107,10 @@ object SparkEntry {
     "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "ann_ivf_recall_np1" -> ((s, d) => Similarity.ivfRecall(s, d, nprobe = 1)),
     "ann_pq_codes" -> (operators.Pq.pqCodes _),
+    "ann_pq_codes_k256" -> ((s, d) => operators.Pq.pqCodesPacked(s, d)),
     "ann_pq_recall" -> (operators.Pq.pqRecall _),
+    "ann_pq_recall_k256" -> ((s, d) =>
+      operators.Pq.pqRecallAtK(s, d, operators.Pq.productionCodebookSize)),
     "ann_ivfpq_recall" -> (operators.IvfPq.ivfPqRecall _),
     "emb_near_dup_pairs" -> (Similarity.nearDupPairs _),
     "emb_norm_outliers" -> (Similarity.normOutliers _),
@@ -439,9 +442,8 @@ object SparkEntry {
     * seeds = the subvectors of the K smallest vec_ids (c_id = vec_id) —
     * mirrors `Pq.subspaceRows` / `Pq.trainCodebook`.
     */
-  private def pqPrefixCtes: String = {
+  private def pqPrefixCtes(k: Int): String = {
     val m = operators.Pq.numSubspaces
-    val k = operators.Pq.codebookSize
     s"""psub AS (
        |  SELECT vec_id, CAST(ms.m AS INTEGER) AS m,
        |    list_transform(
@@ -487,8 +489,8 @@ object SparkEntry {
        |  FROM pmean$i GROUP BY m, c_id)""".stripMargin
 
   /** Full PQ training replay: seeds, two Lloyd rounds, final encode. */
-  private def pqTrainCtes: String =
-    s"""$pqPrefixCtes,
+  private def pqTrainCtes(k: Int = operators.Pq.codebookSize): String =
+    s"""${pqPrefixCtes(k)},
        |${pqAssignCte(0)},
        |${pqMeansCte(0)},
        |${pqAssignCte(1)},
@@ -496,11 +498,29 @@ object SparkEntry {
        |${pqAssignCte(2)}""".stripMargin
 
   private def pqCodesSql: String =
-    s"""WITH $pqTrainCtes
+    s"""WITH ${pqTrainCtes()}
        |SELECT vec_id, m, code, qerr FROM pasg2 ORDER BY vec_id, m""".stripMargin
 
-  private def pqRecallSql: String =
-    s"""WITH $pqTrainCtes,
+  /** Byte-packed production-width encode (mirrors `Pq.pqCodesPacked`):
+    * K=256 training replayed, surviving codebook entries dense-ranked
+    * to [0, K) per subspace, each vector's M codes packed into an
+    * M-byte lowercase hex word in subspace order.
+    */
+  private def pqCodesPackedSql(k: Int): String =
+    s"""WITH ${pqTrainCtes(k)},
+       |pdense AS (
+       |  SELECT m, c_id,
+       |    CAST(row_number() OVER (PARTITION BY m ORDER BY c_id) - 1 AS INTEGER)
+       |      AS dense
+       |  FROM pcb2)
+       |SELECT a.vec_id,
+       |  string_agg(printf('%02x', d.dense), '' ORDER BY a.m) AS code_packed
+       |FROM pasg2 a JOIN pdense d ON d.m = a.m AND d.c_id = a.code
+       |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin
+
+  private def pqRecallSql(k: Int = operators.Pq.codebookSize,
+      label: String = "pq"): String =
+    s"""WITH ${pqTrainCtes(k)},
        |plut AS (
        |  SELECT s.vec_id AS q_id, s.m, c.c_id,
        |    ${pqD2Sql("s.sub", "c.c_emb")} AS term
@@ -552,7 +572,7 @@ object SparkEntry {
        |  LEFT JOIN pshort ps ON ps.q_id = ptruth.q_id
        |  LEFT JOIN prerank pr ON pr.q_id = ptruth.q_id
        |  GROUP BY ptruth.q_id)
-       |SELECT 'pq' AS method, count(*) AS n_queries,
+       |SELECT '$label' AS method, count(*) AS n_queries,
        |  CAST(sum(hit_adc) AS DOUBLE) / count(*) AS recall_adc,
        |  CAST(sum(hit_rr) AS DOUBLE) / count(*) AS recall
        |FROM phits""".stripMargin
@@ -566,7 +586,7 @@ object SparkEntry {
     */
   private def ivfPqRecallSql: String =
     s"""WITH $ivfTrainCtes,
-       |$pqTrainCtes,
+       |${pqTrainCtes()},
        |cprobes AS (
        |  SELECT vec_id AS q_id, c_id AS q_cell FROM (
        |    SELECT vec_id, c_id,
@@ -1335,7 +1355,12 @@ object SparkEntry {
          |FROM hits""".stripMargin,
     "ann_ivf_recall" -> ivfRecallSql(2, "ivf"),
     "ann_pq_codes" -> pqCodesSql,
-    "ann_pq_recall" -> pqRecallSql,
+    "ann_pq_codes_k256" ->
+      pqCodesPackedSql(operators.Pq.productionCodebookSize),
+    "ann_pq_recall" -> pqRecallSql(),
+    "ann_pq_recall_k256" ->
+      pqRecallSql(operators.Pq.productionCodebookSize,
+        s"pq_k${operators.Pq.productionCodebookSize}"),
     "ann_ivfpq_recall" -> ivfPqRecallSql,
     "ann_ivf_recall_np1" -> ivfRecallSql(1, "ivf_np1"),
     // SemDeDup replayed: the same k-means training CTEs end in asg2

@@ -36,10 +36,19 @@ object Pq {
   /** M subspaces × (d/M) dims; d=64 here → 8-dim subvectors. */
   val numSubspaces = 8
 
-  /** K centroids per subspace codebook (codes fit a byte with room to
-    * grow toward the production K=256).
+  /** Default K centroids per subspace codebook. 32 keeps the
+    * SQL-replayed training cheap for the certified default rows;
+    * [[productionCodebookSize]] is the standard byte-code width.
     */
   val codebookSize = 32
+
+  /** The production codebook width: K=256 entries per subspace, so a
+    * code is exactly one byte and the M codes of a vector pack into an
+    * M-byte word — the canonical PQ layout (Jégou et al. 2011). The
+    * `ann_pq_codes_k256` / `ann_pq_recall_k256` rows certify training,
+    * byte-packed encoding, and the recall gain over K=32.
+    */
+  val productionCodebookSize = 256
 
   /** Lloyd iterations per subspace — the IVF setting. */
   val pqLloydIters = 2
@@ -103,19 +112,21 @@ object Pq {
 
   /** The trained codebook as a driver-side model artifact:
     * (subspace, centroid id, centroid) — O(K·d) doubles, memoized per
-    * dataset dir.
+    * (dataset dir, K).
     */
-  def trainedCodebook(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
-    codebookCache.computeIfAbsent(dir, _ => trainCodebook(spark, dir))
+  def trainedCodebook(spark: SparkSession, dir: String,
+      k: Int = codebookSize): Seq[(Int, Long, Seq[Double])] =
+    codebookCache.computeIfAbsent(s"$dir#$k", _ => trainCodebook(spark, dir, k))
 
-  private def trainCodebook(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] = {
+  private def trainCodebook(spark: SparkSession, dir: String,
+      k: Int): Seq[(Int, Long, Seq[Double])] = {
     import spark.implicits._
     val emb = Tables(spark, dir, "embeddings")
     val sub = subspaceRows(emb).localCheckpoint(true)
     // seeds: the subvectors of the K smallest vec_ids, c_id = vec_id
     // (TakeOrdered over distinct ids — robust on sparse id spaces)
     val seedIds = emb.select("vec_id").orderBy("vec_id")
-      .limit(codebookSize).as[Long].collect().toSet
+      .limit(k).as[Long].collect().toSet
     var codebook = sub.filter(col("vec_id").isInCollection(seedIds))
       .select(col("m"), col("vec_id").as("c_id"),
         expr("transform(sub, x -> CAST(x AS DOUBLE))").as("c_emb"))
@@ -128,9 +139,10 @@ object Pq {
     out
   }
 
-  private[operators] def codebookDf(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def codebookDf(spark: SparkSession, dir: String,
+      k: Int = codebookSize): DataFrame = {
     import spark.implicits._
-    trainedCodebook(spark, dir).toDF("m", "c_id", "c_emb")
+    trainedCodebook(spark, dir, k).toDF("m", "c_id", "c_emb")
   }
 
   /** Driver-checked encode pass: every vector's M codes plus the
@@ -141,6 +153,49 @@ object Pq {
         codebookDf(spark, dir))
       .select(col("vec_id"), col("m"), col("code"), col("qerr"))
       .orderBy("vec_id", "m")
+
+  /** Dense [0, K) code ids for a trained codebook: rank of the
+    * surviving entry's c_id within its subspace. Training keeps seed
+    * vec_ids as centroid ids; byte-packing needs codes in [0, 256), so
+    * the dense remap is part of the production encode path.
+    */
+  private[operators] def denseCodebookIds(cb: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("m")).orderBy(col("c_id"))
+    cb.select(col("m"), col("c_id"), (row_number().over(w) - 1).as("dense"))
+  }
+
+  /** Byte-packed encode at production width (K=256 by default): every
+    * vector reduced to ONE row holding its M codes as an M-byte hex
+    * word (two hex chars per subspace, subspace order) — 64 floats →
+    * 8 bytes, the 32× compression a billion-scale index actually
+    * stores. The dense remap + pack is one broadcast join + one
+    * map-side-combined aggregate; no extra shuffle over the encode
+    * pass itself.
+    */
+  def pqCodesPacked(spark: SparkSession, dir: String,
+      k: Int = productionCodebookSize): DataFrame = {
+    val cb = codebookDf(spark, dir, k)
+    val codes = assign(subspaceRows(Tables(spark, dir, "embeddings")), cb)
+      .select(col("vec_id"), col("m"), col("code"))
+    val dense = denseCodebookIds(cb)
+    codes.join(broadcast(dense),
+        codes("m") === dense("m") && codes("code") === dense("c_id"))
+      .select(col("vec_id"), codes("m").as("sm"), col("dense"))
+      .groupBy(col("vec_id"))
+      .agg(concat_ws("",
+        transform(sort_array(collect_list(struct(col("sm"), col("dense")))),
+          x => format_string("%02x", x.getField("dense")))).as("code_packed"))
+      .orderBy("vec_id")
+  }
+
+  /** Two-stage recall at an explicit codebook width — certifies the
+    * accuracy gain of the production K over the default (same sample,
+    * same scaffolding, so the two rows differ only in K).
+    */
+  def pqRecallAtK(spark: SparkSession, dir: String, k: Int): DataFrame =
+    twoStageRecall(spark, dir, pqSampleQueries, candidatePairs = None,
+      method = s"pq_k$k", codebook = codebookDf(spark, dir, k))
 
   /** Deterministic PQ query sample predicate: sparser than the IVF
     * rows' 1-in-5 (the ADC join fans out Q·N·M rows in this
@@ -172,26 +227,57 @@ object Pq {
     * ordered-fold sum over the M distance-table terms; truth =
     * full-vector L2 argmin.
     */
-  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+  def pqRecall(spark: SparkSession, dir: String): DataFrame =
+    twoStageRecall(spark, dir, pqSampleQueries, candidatePairs = None,
+      method = "pq")
+
+  /** Shared two-stage retrieval + recall scaffolding — the ONE copy of
+    * the delicate ADC ordered-fold / shortlist-window / exact-re-rank /
+    * truth-argmin logic both [[pqRecall]] and [[IvfPq.ivfPqRecall]]
+    * replay against the oracle (keeping two copies of the rounding/tie
+    * rules in sync was an audit hazard).
+    *
+    * @param sample  fixed-size deterministic query sampler (applied to
+    *                the raw embeddings table)
+    * @param candidatePairs  optional (q_id, vec_id) candidate
+    *                restriction (IVF cell probing); None scores the
+    *                sample against the whole corpus
+    * @param codebook  trained codebook override (defaults to the
+    *                memoized [[codebookSize]] training)
+    */
+  private[operators] def twoStageRecall(spark: SparkSession, dir: String,
+      sample: DataFrame => DataFrame,
+      candidatePairs: Option[DataFrame], method: String,
+      codebook: DataFrame = null): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val codebook = codebookDf(spark, dir)
-    val codes = assign(subspaceRows(emb), codebook)
+    val cb = Option(codebook).getOrElse(codebookDf(spark, dir))
+    val codes = assign(subspaceRows(emb), cb)
       .select(col("vec_id"), col("m"), col("code"))
     // per-query distance table: rounded dist2 to EVERY codebook entry
-    val lut = subspaceRows(pqSampleQueries(emb))
+    val lut = subspaceRows(sample(emb))
       .withColumnRenamed("vec_id", "q_id")
-      .join(broadcast(codebook), "m")
+      .join(broadcast(cb), "m")
       .select(col("q_id"), col("m"), col("c_id"),
         dist2(col("sub"), col("c_emb")).as("term"))
     // ADC: join candidates' codes against the LUT, ordered-fold the M
     // terms so the double sum is cross-engine deterministic
-    val adc = codes
-      .join(lut, codes("m") === lut("m") && codes("code") === lut("c_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sort_array(collect_list(struct(codes("m"), col("term")))).as("ts"))
-      .select(col("q_id"), col("vec_id"),
-        round(expr("aggregate(ts, CAST(0 AS DOUBLE), (acc, t) -> acc + t.term)"), 4).as("adc"))
+    val adcPairs = candidatePairs match {
+      case None =>
+        codes
+          .join(lut, codes("m") === lut("m") && codes("code") === lut("c_id"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sort_array(collect_list(struct(codes("m"), col("term")))).as("ts"))
+      case Some(cand) =>
+        cand
+          .join(codes, "vec_id")
+          .join(lut, Seq("q_id", "m"))
+          .filter(col("c_id") === col("code"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sort_array(collect_list(struct(col("m"), col("term")))).as("ts"))
+    }
+    val adc = adcPairs.select(col("q_id"), col("vec_id"),
+      round(expr("aggregate(ts, CAST(0 AS DOUBLE), (acc, t) -> acc + t.term)"), 4).as("adc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
     val shortlist = adc.withColumn("rn", row_number().over(w))
@@ -201,7 +287,7 @@ object Pq {
       .agg(collect_set(col("vec_id")).as("adc_cands"))
     // stage 2: exact re-score of the shortlist (full vectors, rounded
     // d2, same tie rule), then rank-3
-    val queries = pqSampleQueries(emb)
+    val queries = sample(emb)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val rescored = shortlist.select("q_id", "vec_id")
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
@@ -228,7 +314,7 @@ object Pq {
       .agg(count(lit(1)).as("n_queries"),
         (sum(col("hit_adc")).cast("double") / count(lit(1))).as("recall_adc"),
         (sum(col("hit_rr")).cast("double") / count(lit(1))).as("recall"))
-      .select(lit("pq").as("method"), col("n_queries"),
+      .select(lit(method).as("method"), col("n_queries"),
         col("recall_adc"), col("recall"))
   }
 }
