@@ -31,7 +31,12 @@ object SparkEntry {
     */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct_sketch" -> (Analytics.approxUserCountsSketch _),
-    "q_approx_percentiles_sketch" -> (Analytics.approxOrderPercentilesSketch _))
+    "q_approx_percentiles_sketch" -> (Analytics.approxOrderPercentilesSketch _),
+    // packed-LUT ADC vs its SQL join-form baseline, both at K=256:
+    // same shortlist rows (parity spec-pinned), so the delta is purely
+    // the scan form — table lookups over packed bytes vs an equi-join
+    "ann_pq_adc_packed" -> ((s, d) => operators.Pq.pqAdcPacked(s, d)),
+    "ann_pq_adc_join" -> ((s, d) => operators.Pq.pqAdcJoin(s, d)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — CDC operator family over the events change log (SURVEY §2.1-2.4)

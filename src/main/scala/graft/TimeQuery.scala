@@ -23,9 +23,10 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val benched = SparkEntry.queries ++ SparkEntry.benchOnly
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
+      benched(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }

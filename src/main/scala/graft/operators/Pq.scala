@@ -174,10 +174,13 @@ object Pq {
     * pass itself.
     */
   def pqCodesPacked(spark: SparkSession, dir: String,
-      k: Int = productionCodebookSize): DataFrame = {
-    val cb = codebookDf(spark, dir, k)
-    val codes = assign(subspaceRows(Tables(spark, dir, "embeddings")), cb)
-      .select(col("vec_id"), col("m"), col("code"))
+      k: Int = productionCodebookSize): DataFrame =
+    packedCodes(spark, dir, k).orderBy("vec_id")
+
+  /** Dense-remap + pack a (vec_id, m, code) table into one hex word
+    * per vector (no presentation sort).
+    */
+  private def packFrom(codes: DataFrame, cb: DataFrame): DataFrame = {
     val dense = denseCodebookIds(cb)
     codes.join(broadcast(dense),
         codes("m") === dense("m") && codes("code") === dense("c_id"))
@@ -186,8 +189,43 @@ object Pq {
       .agg(concat_ws("",
         transform(sort_array(collect_list(struct(col("sm"), col("dense")))),
           x => format_string("%02x", x.getField("dense")))).as("code_packed"))
-      .orderBy("vec_id")
   }
+
+  private def packedCodes(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val cb = codebookDf(spark, dir, k)
+    packFrom(assign(subspaceRows(Tables(spark, dir, "embeddings")), cb)
+      .select(col("vec_id"), col("m"), col("code")), cb)
+  }
+
+  /** Session-scoped stored-index memos. A deployment encodes the
+    * corpus ONCE at index-build time and serves every query against
+    * the stored code table — so the ADC bench rows measure the QUERY
+    * path (scan + shortlist merge), not a per-query re-encode. Unlike
+    * the codebook artifact these stay DISTRIBUTED (eager
+    * localCheckpoint pins executor-side blocks); nothing is collected.
+    * Keyed by session identity so a dead session's frames are never
+    * served to a live one.
+    */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def indexKey(spark: SparkSession, dir: String, k: Int, form: String) =
+    s"${System.identityHashCode(spark)}#$dir#$k#$form"
+
+  /** The stored (vec_id, m, code) index the join-form ADC scans. */
+  private def indexedCodes(spark: SparkSession, dir: String, k: Int): DataFrame =
+    indexCache.computeIfAbsent(indexKey(spark, dir, k, "codes"), _ =>
+      assign(subspaceRows(Tables(spark, dir, "embeddings")),
+          codebookDf(spark, dir, k))
+        .select(col("vec_id"), col("m"), col("code"))
+        .localCheckpoint(true))
+
+  /** The stored byte-packed index the packed-LUT scan reads. */
+  private def indexedPacked(spark: SparkSession, dir: String, k: Int): DataFrame =
+    indexCache.computeIfAbsent(indexKey(spark, dir, k, "packed"), _ =>
+      packFrom(indexedCodes(spark, dir, k), codebookDf(spark, dir, k))
+        .select(col("vec_id"), unhex(col("code_packed")).as("codes"))
+        .localCheckpoint(true))
 
   /** Two-stage recall at an explicit codebook width — certifies the
     * accuracy gain of the production K over the default (same sample,
@@ -196,6 +234,110 @@ object Pq {
   def pqRecallAtK(spark: SparkSession, dir: String, k: Int): DataFrame =
     twoStageRecall(spark, dir, pqSampleQueries, candidatePairs = None,
       method = s"pq_k$k", codebook = codebookDf(spark, dir, k))
+
+  /** Join-form ADC shortlist as a standalone (bench) query over the
+    * STORED code index — the SQL-expressible baseline [[pqAdcPacked]]
+    * is measured against (same index-build amortization, so the bench
+    * delta is purely the scan form).
+    */
+  def pqAdcJoin(spark: SparkSession, dir: String,
+      k: Int = productionCodebookSize): DataFrame =
+    adcJoinShortlist(Tables(spark, dir, "embeddings"),
+        codebookDf(spark, dir, k), pqSampleQueries, candidatePairs = None,
+        codesOverride = indexedCodes(spark, dir, k))
+      .orderBy("q_id", "rn")
+
+  /** Spark `round(_, 4)` replicated exactly for driver/executor-side
+    * scalar code: `BigDecimal.valueOf` (shortest-decimal semantics,
+    * what Spark's Round uses for doubles), HALF_UP.
+    */
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Rounded squared-L2 between two double vectors with the exact
+    * [[dist2]] arithmetic (three independent ascending-order
+    * accumulators, then ‖a‖² − 2a·b + ‖b‖², rounded) — the scalar twin
+    * the packed-LUT path uses to build lookup tables.
+    */
+  private def dist2Scalar(a: Array[Double], b: Array[Double]): Double = {
+    var aa = 0.0; var ab = 0.0; var bb = 0.0; var i = 0
+    while (i < a.length) {
+      aa += a(i) * a(i); ab += a(i) * b(i); bb += b(i) * b(i); i += 1
+    }
+    round4(aa - 2.0 * ab + bb)
+  }
+
+  /** Production ADC: per-query float lookup tables over BYTE-PACKED
+    * code arrays inside `mapPartitions` — the form the [[Pq]] doc
+    * promises a deployment swaps the join for. The LUT set (one
+    * K-entry table per query per subspace, built from the driver-side
+    * codebook artifact with [[dist2Scalar]]) rides an executor
+    * broadcast; each partition streams its packed codes once, scores a
+    * candidate with M table lookups + M adds (no joins, no per-pair
+    * shuffle), and keeps a bounded per-query top-[[pqShortlist]] heap,
+    * so a partition emits at most queries×shortlist rows. The final
+    * per-query window merges partition champions — identical dataflow
+    * to the join form (one pass over codes, one tiny shuffle), with
+    * the arithmetic pinned to the same rounded doubles and (adc,
+    * vec_id) tie rule; the parity spec asserts row-exact agreement.
+    */
+  def pqAdcPacked(spark: SparkSession, dir: String,
+      k: Int = productionCodebookSize): DataFrame = {
+    import spark.implicits._
+    val m0 = numSubspaces
+    val shortN = pqShortlist
+    // dense-ordered centroids per subspace: cents(m)(dense)(dim)
+    val byM = trainedCodebook(spark, dir, k).groupBy(_._1)
+    val cents: Array[Array[Array[Double]]] = Array.tabulate(m0)(m =>
+      byM(m).sortBy(_._2).map(_._3.toArray).toArray)
+    val emb = Tables(spark, dir, "embeddings")
+    // per-query LUTs: luts(m)(dense) = rounded dist2(query sub, centroid)
+    val queries: Array[(Long, Array[Array[Double]])] =
+      pqSampleQueries(emb).select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+        .map { case (qid, e) =>
+          val d = e.length / m0
+          (qid, Array.tabulate(m0) { m =>
+            val sub = Array.tabulate(d)(i => e(m * d + i).toDouble)
+            cents(m).map(c => dist2Scalar(sub, c))
+          })
+        }
+    val bq = spark.sparkContext.broadcast(queries)
+    val partTop = indexedPacked(spark, dir, k)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (vid, codes) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, lut) = qs(qi)
+            if (qid != vid) {
+              var s = 0.0; var m = 0
+              while (m < m0) { s += lut(m)(codes(m) & 0xff); m += 1 }
+              val adc = round4(s)
+              val h = heaps.getOrElseUpdate(qid,
+                scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+              if (h.size < shortN) h.enqueue((adc, vid))
+              else if (ord.lt((adc, vid), h.head)) { h.dequeue(); h.enqueue((adc, vid)) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.flatMap { case (q, h) =>
+          h.iterator.map { case (a, v) => (q, v, a) } }
+      }
+      .toDF("q_id", "vec_id", "adc")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    partTop.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortN)
+      .select("q_id", "vec_id", "adc", "rn")
+      .orderBy("q_id", "rn")
+  }
 
   /** Deterministic PQ query sample predicate: sparser than the IVF
     * rows' 1-in-5 (the ADC join fans out Q·N·M rows in this
@@ -245,14 +387,20 @@ object Pq {
     * @param codebook  trained codebook override (defaults to the
     *                memoized [[codebookSize]] training)
     */
-  private[operators] def twoStageRecall(spark: SparkSession, dir: String,
+  /** ADC shortlist in the SQL-expressible JOIN form: per-query
+    * distance tables equi-joined against candidate codes, the M terms
+    * ordered-folded (cross-engine deterministic doubles), then the
+    * top-[[pqShortlist]] window per query. Output (q_id, vec_id, adc,
+    * rn) — the one copy of the rounding/tie rules [[twoStageRecall]],
+    * [[pqAdcJoin]] and the packed-LUT parity spec all share.
+    */
+  private[operators] def adcJoinShortlist(emb: DataFrame, cb: DataFrame,
       sample: DataFrame => DataFrame,
-      candidatePairs: Option[DataFrame], method: String,
-      codebook: DataFrame = null): DataFrame = {
-    val emb = Tables(spark, dir, "embeddings")
-    val cb = Option(codebook).getOrElse(codebookDf(spark, dir))
-    val codes = assign(subspaceRows(emb), cb)
-      .select(col("vec_id"), col("m"), col("code"))
+      candidatePairs: Option[DataFrame],
+      codesOverride: DataFrame = null): DataFrame = {
+    val codes = Option(codesOverride).getOrElse(
+      assign(subspaceRows(emb), cb)
+        .select(col("vec_id"), col("m"), col("code")))
     // per-query distance table: rounded dist2 to EVERY codebook entry
     val lut = subspaceRows(sample(emb))
       .withColumnRenamed("vec_id", "q_id")
@@ -280,8 +428,18 @@ object Pq {
       round(expr("aggregate(ts, CAST(0 AS DOUBLE), (acc, t) -> acc + t.term)"), 4).as("adc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-    val shortlist = adc.withColumn("rn", row_number().over(w))
+    adc.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= pqShortlist)
+      .select("q_id", "vec_id", "adc", "rn")
+  }
+
+  private[operators] def twoStageRecall(spark: SparkSession, dir: String,
+      sample: DataFrame => DataFrame,
+      candidatePairs: Option[DataFrame], method: String,
+      codebook: DataFrame = null): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cb = Option(codebook).getOrElse(codebookDf(spark, dir))
+    val shortlist = adcJoinShortlist(emb, cb, sample, candidatePairs)
     val adcTop3 = shortlist.filter(col("rn") <= 3)
       .groupBy(col("q_id"))
       .agg(collect_set(col("vec_id")).as("adc_cands"))

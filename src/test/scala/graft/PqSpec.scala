@@ -73,6 +73,32 @@ class PqSpec extends SparkSpec {
     assert(rr >= adc)
   }
 
+  test("packed codes: one row per vector, M bytes each, dense ids below K") {
+    val k = Pq.productionCodebookSize
+    val packed = Pq.pqCodesPacked(spark, dir, k).collect()
+    val n = Tables(spark, dir, "embeddings").count()
+    assert(packed.length === n)
+    packed.foreach { r =>
+      val hexWord = r.getString(1)
+      assert(hexWord.length === 2 * Pq.numSubspaces,
+        s"vec ${r.getLong(0)}: ${hexWord.length} hex chars")
+      val denseIds = hexWord.grouped(2).map(Integer.parseInt(_, 16)).toSeq
+      assert(denseIds.forall(d => d >= 0 && d < k))
+    }
+  }
+
+  test("packed-LUT ADC shortlist equals the SQL join-form shortlist row-exactly") {
+    // same rounded doubles, same (adc, vec_id) tie rule — at BOTH the
+    // default and production codebook widths
+    for (k <- Seq(Pq.codebookSize, Pq.productionCodebookSize)) {
+      val join = Pq.pqAdcJoin(spark, dir, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val packed = Pq.pqAdcPacked(spark, dir, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(packed === join, s"packed vs join shortlist diverged at K=$k")
+    }
+  }
+
   test("ivf-pq composition: same theorem, cell-bounded candidate sets") {
     val r = graft.operators.IvfPq.ivfPqRecall(spark, dir).collect()
     assert(r.length === 1)
