@@ -36,7 +36,12 @@ object SparkEntry {
     // same shortlist rows (parity spec-pinned), so the delta is purely
     // the scan form — table lookups over packed bytes vs an equi-join
     "ann_pq_adc_packed" -> ((s, d) => operators.Pq.pqAdcPacked(s, d)),
-    "ann_pq_adc_join" -> ((s, d) => operators.Pq.pqAdcJoin(s, d)))
+    "ann_pq_adc_join" -> ((s, d) => operators.Pq.pqAdcJoin(s, d)),
+    // production IVF training (plain-avg mean updates, no per-member
+    // collect_list) + final assignment — un-memoized so the full
+    // index-build cost stays bench-visible; equivalence to the
+    // certified ordered-fold path is spec-pinned
+    "ann_ivf_assign_prod" -> (operators.Similarity.ivfAssignProd _))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — CDC operator family over the events change log (SURVEY §2.1-2.4)

@@ -276,7 +276,7 @@ object Similarity {
     *
     * @param centroids (c_id, c_emb: array<double>)
     */
-  private[operators] def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val cent = centroids.withColumn("c_nrm", sqrt(dot(col("c_emb"), col("c_emb"))))
     // argmax as a max_by hash aggregate, not a row_number window: the
     // partial agg collapses the k candidate rows per vector map-side,
@@ -310,6 +310,31 @@ object Similarity {
       .select(col("cell"), col("pos"),
         (aggregate(col("xs"), lit(0.0),
           (acc, x) => acc + x.getField("v").cast("double")) / col("n")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("c_emb"))
+      .select(col("cell").as("c_id"), col("c_emb"))
+
+  /** PRODUCTION centroid update: plain per-(cell, dim) `avg` — O(1)
+    * aggregation state per group and a map-side-combined partial sum,
+    * regardless of cell size. The oracle-parity path above holds a
+    * whole cell's members in one `collect_list` buffer so the DuckDB
+    * oracle can replay the double sum bit-for-bit — fine at ~√N cell
+    * sizes, hostile past the [[ivfMaxCells]] cap where cells grow
+    * linearly with the corpus. This form is not bit-reproducible
+    * across partition orders (float reassociation), so the CERTIFIED
+    * rows keep the ordered fold; the equivalence spec pins both paths
+    * to the same centroids within reassociation tolerance at test
+    * scale, and `ann_ivf_assign_prod` benches this plan so the
+    * production training cost stays tracked. The final per-cell
+    * vector assembly's collect_list is over DIMS (bounded by
+    * dimensionality), never over members.
+    */
+  private[graft] def cellMeansProd(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("m"))
       .groupBy(col("cell"))
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("c_emb"))
@@ -352,7 +377,8 @@ object Similarity {
   def trainedCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
     centroidCache.computeIfAbsent(dir, _ => trainCentroids(spark, dir))
 
-  private def trainCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
+  private def trainCentroids(spark: SparkSession, dir: String,
+      means: DataFrame => DataFrame = cellMeans): Seq[(Long, Seq[Double])] = {
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("nrm", norm(col("embedding")))
     val k = ivfCellCount(emb.count())
@@ -372,11 +398,32 @@ object Similarity {
     import spark.implicits._
     var out: Seq[(Long, Seq[Double])] = null
     for (_ <- 1 to lloydIters) {
-      out = cellMeans(assignCells(emb, centroids))
+      out = means(assignCells(emb, centroids))
         .as[(Long, Seq[Double])].collect().toSeq
       centroids = out.toDF("c_id", "c_emb")
     }
     out
+  }
+
+  /** [[trainCentroids]] on the production mean path ([[cellMeansProd]])
+    * — same seeds, same assignment argmax, plain-avg updates. NOT
+    * memoized: the bench row exists to keep the production training
+    * cost visible every run.
+    */
+  private[graft] def trainCentroidsProd(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
+    trainCentroids(spark, dir, cellMeansProd)
+
+  /** Bench row for the production training path: train with plain-avg
+    * updates, then materialize the final cell assignment (the inverted
+    * file an index build writes). No per-member collect_list anywhere
+    * in the measured plans.
+    */
+  def ivfAssignProd(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("nrm", norm(col("embedding")))
+    import spark.implicits._
+    val centroids = trainCentroidsProd(spark, dir).toDF("c_id", "c_emb")
+    assignCells(emb, centroids).select("vec_id", "cell")
   }
 
   /** Stateless streaming inference over a batch-trained model: assign

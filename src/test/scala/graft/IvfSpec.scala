@@ -34,6 +34,45 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("production plain-avg training matches the ordered-fold path") {
+    val dir = "/root/testdata/sf0.001"
+    val oracle = Similarity.trainedCentroids(spark, dir).toMap
+    val prod = Similarity.trainCentroidsProd(spark, dir).toMap
+    // same surviving cells, same dims, elementwise agreement within
+    // float-reassociation tolerance (the two paths differ only in
+    // double summation order)
+    assert(prod.keySet === oracle.keySet)
+    prod.foreach { case (cid, p) =>
+      val o = oracle(cid)
+      assert(p.length === o.length)
+      p.zip(o).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"cell $cid diverged: $a vs $b")
+      }
+    }
+    // the production assignment (what ann_ivf_assign_prod benches)
+    // lands every vector in the same cell as the certified index
+    val certified = Similarity.ivfAssignments(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prodAsg = Similarity.ivfAssignProd(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prodAsg === certified)
+    // and the production MEAN-UPDATE plan carries no per-member fold:
+    // its only collect_list is the per-cell dim assembly (bounded by
+    // dimensionality), so aggregation state is O(1) per (cell, dim)
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("nrm", org.apache.spark.sql.functions.expr(
+        "sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, b) -> a + b))"))
+    import spark.implicits._
+    val cents = oracle.toSeq.toDF("c_id", "c_emb")
+    val meansPlan = Similarity.cellMeansProd(
+      Similarity.assignCells(emb, cents))
+      .queryExecution.optimizedPlan.toString
+    assert(!meansPlan.contains("collect_list(struct(vec_id"),
+      "production mean update must not collect per-member lists")
+    assert(meansPlan.contains("avg("),
+      "production mean update is a plain avg aggregate")
+  }
+
   test("nprobe=2 recall strictly improves on nprobe=1 at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     def recall(np: Int): Double =
