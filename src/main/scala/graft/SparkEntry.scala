@@ -1198,13 +1198,18 @@ object SparkEntry {
          |ORDER BY new_id, existing_id""".stripMargin,
     "dedup_bloom" ->
       """WITH fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+        |mp AS (
+        |  SELECT coalesce(min(CASE WHEN (CAST(1 AS BIGINT) << p) >= 16 * n
+        |                       THEN (CAST(1 AS BIGINT) << p) END), 65536) AS m
+        |  FROM (SELECT count(*) AS n FROM fp WHERE doc_id % 10 <> 0),
+        |       (SELECT unnest(range(1, 17)) AS p)),
         |pos AS (
         |  SELECT doc_id, f,
-        |    (strpos('0123456789abcdef', substr(f, 8*j + 1, 1)) - 1) * 4096 +
-        |    (strpos('0123456789abcdef', substr(f, 8*j + 2, 1)) - 1) * 256 +
-        |    (strpos('0123456789abcdef', substr(f, 8*j + 3, 1)) - 1) * 16 +
-        |    (strpos('0123456789abcdef', substr(f, 8*j + 4, 1)) - 1) AS bit
-        |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS j) probes),
+        |    ((strpos('0123456789abcdef', substr(f, 8*j + 1, 1)) - 1) * 4096 +
+        |     (strpos('0123456789abcdef', substr(f, 8*j + 2, 1)) - 1) * 256 +
+        |     (strpos('0123456789abcdef', substr(f, 8*j + 3, 1)) - 1) * 16 +
+        |     (strpos('0123456789abcdef', substr(f, 8*j + 4, 1)) - 1)) % mp.m AS bit
+        |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS j) probes, mp),
         |corpus_bits AS (SELECT DISTINCT bit FROM pos WHERE doc_id % 10 <> 0),
         |corpus_fp AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 <> 0),
         |batch AS (

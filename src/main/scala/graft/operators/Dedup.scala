@@ -560,18 +560,32 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Bloom-filter bit width (2¹⁶ bits) and probe count. Positions are
-    * FOUR DISJOINT 16-bit slices of the document fingerprint's single
-    * md5 digest — zero extra hashing, deterministic, and replayable in
-    * any engine with md5 + substring (the DuckDB oracle rebuilds the
-    * exact filter). With n docs inserting k=4 bits each, the false-
-    * positive rate is (1−e^(−kn/m))^k — at n=50k, m=2¹⁶ the filter
-    * saturates, which is the point of the in-query certification: m is
-    * a per-deployment knob (m ≈ 16·n bits keeps FP < 0.2%), and the
-    * certified row SHOWS the rate instead of assuming it.
+  /** Bloom-filter probe count and bit-width rule. Positions are FOUR
+    * DISJOINT 16-bit slices of the document fingerprint's single md5
+    * digest, reduced mod the filter width m — zero extra hashing,
+    * deterministic, and replayable in any engine with md5 + substring
+    * (the DuckDB oracle rebuilds the exact filter). m is DERIVED from
+    * the corpus count as the smallest power of two ≥ 16·n (capped at
+    * the 2¹⁶ slice width): with k=4 probes the false-positive rate
+    * (1−e^(−kn/m))^k stays < 0.2% at every scale factor instead of
+    * saturating once n outgrows a fixed width — so the certified
+    * maybe_dup∧¬is_dup rate keeps measuring the filter's real
+    * discrimination. Past the slice cap a deployment widens the
+    * digest slices; the rule and the oracle CTE stay the same shape.
     */
-  val bloomBits = 1 << 16
   val bloomProbes = 4
+
+  /** Slice width cap: positions are 16-bit digest slices, so m ≤ 2¹⁶
+    * without re-slicing.
+    */
+  val bloomBitsCap = 1 << 16
+
+  /** Smallest power of two ≥ 16·n, capped at [[bloomBitsCap]] —
+    * mirrored by the oracle's parameterized CTE (integer logic only,
+    * no float log2, so both engines agree exactly).
+    */
+  def bloomBitsFor(n: Long): Long =
+    (1 to 16).map(1L << _).find(_ >= 16L * n).getOrElse(bloomBitsCap.toLong)
 
   /** Bloom-filter incremental dedup (E14a): the membership-sketch form
     * of [[lshIncrementalPairs]]'s daily-ingest shape, for EXACT dedup
@@ -594,9 +608,13 @@ object Dedup {
   def bloomIncremental(spark: SparkSession, dir: String): DataFrame = {
     val fp = Tables(spark, dir, "documents")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("f"))
-    // position j = 16-bit integer at hex chars [8j+1, 8j+4] of the digest
+    // size the filter to the historical corpus (one count job — the
+    // same O(1)-result pass a deployment's filter build starts with)
+    val m = bloomBitsFor(fp.filter(col("doc_id") % 10 =!= 0).count())
+    // position j = 16-bit integer at hex chars [8j+1, 8j+4] of the
+    // digest, reduced into the m-bit filter
     val posCols = (0 until bloomProbes).map(j =>
-      conv(substring(col("f"), 8 * j + 1, 4), 16, 10).cast("long"))
+      conv(substring(col("f"), 8 * j + 1, 4), 16, 10).cast("long") % m)
     val pos = fp.select(col("doc_id"), col("f"),
       explode(array(posCols: _*)).as("bit"))
     val corpusBits = pos.filter(col("doc_id") % 10 =!= 0)

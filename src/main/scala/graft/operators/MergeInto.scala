@@ -39,8 +39,12 @@ object MergeInto {
     */
   def apply(target: DataFrame, source: DataFrame, key: String,
             versionCol: String, deleteWhen: Column): DataFrame = {
+    // SQL MERGE treats a NULL `WHEN MATCHED AND cond` as NOT satisfied
+    // (the row falls through to UPDATE/INSERT) — coalesce pins that:
+    // without it a null predicate would negate to null and silently
+    // act as DELETE
     val latest = VersionedUpsert.latestRowsAgg(source, Seq(key), col(versionCol))
-      .withColumn("__delete", deleteWhen)
+      .withColumn("__delete", coalesce(deleteWhen, lit(false)))
     val cols = target.columns
     target.as("t")
       .join(latest.as("s"), col(s"t.$key") === col(s"s.$key"), "full_outer")

@@ -48,25 +48,34 @@ object Perceptron {
     */
   private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
 
+  /** The six integer feature expressions over a `text` column — the
+    * ONE definition both the batch trainer and the streaming scorer
+    * build from, so batch/stream per-row parity is structural (the
+    * parity spec remains as a regression tripwire, but an edit here
+    * cannot desynchronize the two paths).
+    */
+  private def featureColumns: Seq[Column] = {
+    val toks = split(trim(col("text")), " ")
+    Seq(
+      lit(1L),
+      size(toks).cast("long"),
+      length(col("text")).cast("long"),
+      size(filter(toks, t => t.isInCollection(stopwords))).cast("long"),
+      regexp_count(col("text"), lit("[0-9]")).cast("long"),
+      regexp_count(col("text"), lit("[.,!?;:]")).cast("long"))
+  }
+
   /** Integer feature vector per document: bias, token count, char
     * count, stopword hits, digit chars, punctuation chars. All BIGINT
     * — no ratios, so cross-engine parity is exact.
     */
-  private[graft] def features(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(col("text")), " ")
+  private[graft] def features(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .select(
+      .select(Seq(
         col("doc_id"),
         (col("lang") === "en").as("is_en"),
-        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
-        lit(1L).as("x0"),
-        size(toks).cast("long").as("x1"),
-        length(col("text")).cast("long").as("x2"),
-        size(filter(toks, t => t.isInCollection(stopwords)))
-          .cast("long").as("x3"),
-        regexp_count(col("text"), lit("[0-9]")).cast("long").as("x4"),
-        regexp_count(col("text"), lit("[.,!?;:]")).cast("long").as("x5"))
-  }
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y")) ++
+        featureColumns.zipWithIndex.map { case (x, i) => x.as(s"x$i") }: _*)
 
   private val dims = 6
 
@@ -121,15 +130,8 @@ object Perceptron {
     */
   def streamingScores(docs: DataFrame, w: Array[Long]): DataFrame = {
     require(w.length == dims, s"expected $dims weights")
-    val toks = split(trim(col("text")), " ")
-    val xs: Seq[Column] = Seq(
-      lit(1L),
-      size(toks).cast("long"),
-      length(col("text")).cast("long"),
-      size(filter(toks, t => t.isInCollection(stopwords))).cast("long"),
-      regexp_count(col("text"), lit("[0-9]")).cast("long"),
-      regexp_count(col("text"), lit("[.,!?;:]")).cast("long"))
-    val score = xs.zipWithIndex.map { case (x, i) => lit(w(i)) * x }.reduce(_ + _)
+    val score = featureColumns.zipWithIndex
+      .map { case (x, i) => lit(w(i)) * x }.reduce(_ + _)
     docs.select(col("doc_id"), score.as("score"), (score > 0).as("pred_en"))
   }
 }

@@ -120,8 +120,19 @@ class CdcHistorySpec extends SparkSpec {
     val out = Dedup.bloomIncremental(spark, tmp)
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
     assert(out.contains((10L, true, true)), "exact dup flagged by both paths")
-    // 9 docs × 4 probes in 2^16 bits: P(false positive) ≈ (36/65536)^4 ≈ 0
+    // 9 corpus docs → m = 256 (smallest pow2 ≥ 16·9): ≤36 of 256 bits
+    // set, P(all 4 fresh probes hit) ≈ (36/256)^4 ≈ 4e-4 — and the
+    // fixture is fixed, so this is deterministic, not probabilistic
     assert(out.contains((20L, false, false)), "fresh text passes the filter")
+  }
+
+  test("bloom sizing rule: smallest power of two ≥ 16·n, capped at the slice width") {
+    assert(Dedup.bloomBitsFor(0L) === 2L)
+    assert(Dedup.bloomBitsFor(9L) === 256L)
+    assert(Dedup.bloomBitsFor(450L) === 8192L)
+    assert(Dedup.bloomBitsFor(4096L) === 65536L)
+    assert(Dedup.bloomBitsFor(1000000L) === Dedup.bloomBitsCap.toLong,
+      "past the cap a deployment widens the digest slices")
   }
 
   test("source cap: at most N per source, best-first by token count") {

@@ -41,6 +41,23 @@ class MergeIntoSpec extends SparkSpec {
     assert(merged(4L) === ((24L, "signup", Some(3.0))), "insert")
   }
 
+  test("a NULL delete condition means no-delete, matching SQL MERGE clause semantics") {
+    import spark.implicits._
+    val target = Seq((1L, 10L, "click", Some(5.0)))
+      .toDF("user_id", "event_id", "event_type", "value")
+    val source = Seq(
+      // value NULL makes `value < 0` evaluate to NULL — the row must
+      // fall through to UPDATE, not silently DELETE
+      (1L, 20L, "update", None: Option[Double]),
+      (2L, 21L, "insert", None: Option[Double])
+    ).toDF("user_id", "event_id", "event_type", "value")
+    val merged = MergeInto(target, source, key = "user_id",
+        versionCol = "event_id", deleteWhen = col("value") < 0)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(merged === Map(1L -> "update", 2L -> "insert"),
+      "null WHEN MATCHED AND cond falls through to UPDATE/INSERT")
+  }
+
   test("merge chains: applying two consecutive slices == applying their union") {
     // the incremental-apply contract a nightly MERGE job relies on:
     // state after slice (a,b] then slice (b,c] must equal state after
