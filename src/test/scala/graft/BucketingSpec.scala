@@ -161,6 +161,50 @@ class BucketingSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length === pairs.distinct.length)
   }
 
+  test("MERGE over a bucketed target adds zero target-side exchanges") {
+    // proves the MergeInto doc claim: the full-outer apply join pays
+    // the key shuffle ONCE for the (small) collapsed change set; a
+    // target laid out bucketed on the merge key joins in place — the
+    // nightly-apply shape where re-shuffling the big table every run
+    // is the cost that matters at scale
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables(spark, dir, "events")
+      .select("user_id", "event_id", "event_type", "value")
+    val state = operators.VersionedUpsert.latestRows(
+      events, Seq("user_id"), Seq(col("event_id").desc))
+    Bucketing.writeBucketed(state, "merge_target_b", "user_id", 4)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.toString
+          .split("Exchange hashpartitioning").length - 1
+      val overBucketed = operators.MergeInto(
+        spark.table("merge_target_b"), events,
+        key = "user_id", versionCol = "event_id",
+        deleteWhen = col("event_type") === "error")
+      val overPlain = operators.MergeInto(
+        state, events,
+        key = "user_id", versionCol = "event_id",
+        deleteWhen = col("event_type") === "error")
+      // shuffle budget: source collapse + its join exchange only — the
+      // bucketed target side reads matching buckets in place, while
+      // the plain target pays one more full-table exchange
+      assert(exchanges(overBucketed) === exchanges(overPlain) - 1,
+        "bucketed target must save exactly the target-side exchange")
+      val plan = overBucketed.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"target scan must be bucket-aware:\n$plan")
+      // same merged state either way
+      val a = overBucketed.orderBy("user_id").collect().map(_.toString)
+      val b = overPlain.orderBy("user_id").collect().map(_.toString)
+      assert(a.sameElements(b))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS merge_target_b")
+    }
+  }
+
   test("same-bucketed tables join with zero exchanges") {
     val dir = "/root/testdata/sf0.001"
     val orders = Tables(spark, dir, "orders")
