@@ -70,6 +70,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // per-query budget guard: the aggregate 2×-of-baseline bar can hide
+    // per-row drift under surface growth, so every query is also held
+    // to 1.5× its recorded time (src/main/resources/bench_budget.tsv,
+    // re-recorded via tools/check_bench_budget.py --update after an
+    // intentional change). Regressions are reported, not fatal — the
+    // bench must still emit its contract line on a noisy host.
+    val budget: Map[String, Double] = {
+      val in = getClass.getResourceAsStream("/bench_budget.tsv")
+      if (in == null) Map.empty
+      else scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { l =>
+          val Array(n, t) = l.split("\t"); n -> t.toDouble
+        }.toMap
+    }
+    val regressions = results.collect {
+      case (n, t) if t >= 0 && budget.get(n).exists(b => t > 1.5 * b) =>
+        "\"" + n + f"(${t}%.2f>1.5x${budget(n)}%.2f)" + "\""
+    }
     // Two lines, total-last: the full per-query JSON first (with the
     // total fields at the END of the object, so even a tail-truncated
     // capture of this long line still shows them), then a short
@@ -78,7 +96,7 @@ object Bench {
     // the summary's metric name is distinct so a consumer grepping for
     // the "total" contract line can never match two objects
     println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"regressions":${regressions.mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }

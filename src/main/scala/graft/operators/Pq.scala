@@ -233,7 +233,7 @@ object Pq {
     */
   def pqRecallAtK(spark: SparkSession, dir: String, k: Int): DataFrame =
     twoStageRecall(spark, dir, pqSampleQueries, candidatePairs = None,
-      method = s"pq_k$k", codebook = codebookDf(spark, dir, k))
+      method = s"pq_k$k", k = k)
 
   /** Join-form ADC shortlist as a standalone (bench) query over the
     * STORED code index — the SQL-expressible baseline [[pqAdcPacked]]
@@ -371,22 +371,8 @@ object Pq {
     */
   def pqRecall(spark: SparkSession, dir: String): DataFrame =
     twoStageRecall(spark, dir, pqSampleQueries, candidatePairs = None,
-      method = "pq")
+      method = "pq", k = codebookSize)
 
-  /** Shared two-stage retrieval + recall scaffolding — the ONE copy of
-    * the delicate ADC ordered-fold / shortlist-window / exact-re-rank /
-    * truth-argmin logic both [[pqRecall]] and [[IvfPq.ivfPqRecall]]
-    * replay against the oracle (keeping two copies of the rounding/tie
-    * rules in sync was an audit hazard).
-    *
-    * @param sample  fixed-size deterministic query sampler (applied to
-    *                the raw embeddings table)
-    * @param candidatePairs  optional (q_id, vec_id) candidate
-    *                restriction (IVF cell probing); None scores the
-    *                sample against the whole corpus
-    * @param codebook  trained codebook override (defaults to the
-    *                memoized [[codebookSize]] training)
-    */
   /** ADC shortlist in the SQL-expressible JOIN form: per-query
     * distance tables equi-joined against candidate codes, the M terms
     * ordered-folded (cross-engine deterministic doubles), then the
@@ -433,13 +419,30 @@ object Pq {
       .select("q_id", "vec_id", "adc", "rn")
   }
 
+  /** Shared two-stage retrieval + recall scaffolding — the ONE copy of
+    * the delicate ADC ordered-fold / shortlist-window / exact-re-rank /
+    * truth-argmin logic both [[pqRecall]] and [[IvfPq.ivfPqRecall]]
+    * replay against the oracle (keeping two copies of the rounding/tie
+    * rules in sync was an audit hazard).
+    *
+    * @param sample  fixed-size deterministic query sampler (applied to
+    *                the raw embeddings table)
+    * @param candidatePairs  optional (q_id, vec_id) candidate
+    *                restriction (IVF cell probing); None scores the
+    *                sample against the whole corpus
+    * @param k  codebook width; the audit scans the STORED code index
+    *                at this width — a production recall audit measures
+    *                the index as served, and the encode/pack build
+    *                cost stays bench-visible via the codes rows
+    */
   private[operators] def twoStageRecall(spark: SparkSession, dir: String,
       sample: DataFrame => DataFrame,
       candidatePairs: Option[DataFrame], method: String,
-      codebook: DataFrame = null): DataFrame = {
+      k: Int = codebookSize): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val cb = Option(codebook).getOrElse(codebookDf(spark, dir))
-    val shortlist = adcJoinShortlist(emb, cb, sample, candidatePairs)
+    val cb = codebookDf(spark, dir, k)
+    val shortlist = adcJoinShortlist(emb, cb, sample, candidatePairs,
+      codesOverride = indexedCodes(spark, dir, k))
     val adcTop3 = shortlist.filter(col("rn") <= 3)
       .groupBy(col("q_id"))
       .agg(collect_set(col("vec_id")).as("adc_cands"))
