@@ -288,9 +288,10 @@ object Pq {
     val m0 = numSubspaces
     val shortN = pqShortlist
     // dense-ordered centroids per subspace: cents(m)(dense)(dim)
+    // (a subspace can be absent entirely on a degenerate/empty corpus)
     val byM = trainedCodebook(spark, dir, k).groupBy(_._1)
     val cents: Array[Array[Array[Double]]] = Array.tabulate(m0)(m =>
-      byM(m).sortBy(_._2).map(_._3.toArray).toArray)
+      byM.getOrElse(m, Seq.empty).sortBy(_._2).map(_._3.toArray).toArray)
     val emb = Tables(spark, dir, "embeddings")
     // per-query LUTs: luts(m)(dense) = rounded dist2(query sub, centroid)
     val queries: Array[(Long, Array[Array[Double]])] =

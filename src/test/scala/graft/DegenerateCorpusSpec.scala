@@ -46,6 +46,10 @@ class DegenerateCorpusSpec extends SparkSpec {
     "semantic_dedup" -> Similarity.semanticDedup(spark, dir).count(),
     "bloom" -> Dedup.bloomIncremental(spark, dir).count(),
     "pq_codes" -> graft.operators.Pq.pqCodes(spark, dir).count(),
+    "pq_codes_packed" -> graft.operators.Pq.pqCodesPacked(spark, dir).count(),
+    "pq_adc_join" -> graft.operators.Pq.pqAdcJoin(spark, dir).count(),
+    "pq_adc_packed" -> graft.operators.Pq.pqAdcPacked(spark, dir).count(),
+    "ivf_assign_prod" -> Similarity.ivfAssignProd(spark, dir).count(),
     "source_cap" -> Sampling.sourceCap(spark, dir).count(),
     "classifier" -> Perceptron.classifier(spark, dir).count())
 
@@ -73,6 +77,10 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("classifier") === 1L)
     assert(counts("pq_codes") === graft.operators.Pq.numSubspaces.toLong,
       "one code per subspace for the lone vector")
+    assert(counts("pq_codes_packed") === 1L, "one packed word for the lone vector")
+    Seq("pq_adc_join", "pq_adc_packed").foreach(n =>
+      assert(counts(n) === 0L, s"$n: doc_id=7 is not in the query sample"))
+    assert(counts("ivf_assign_prod") === 1L)
   }
 
   private def writeEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): String = {
