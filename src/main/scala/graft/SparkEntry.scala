@@ -41,7 +41,13 @@ object SparkEntry {
     // collect_list) + final assignment — un-memoized so the full
     // index-build cost stays bench-visible; equivalence to the
     // certified ordered-fold path is spec-pinned
-    "ann_ivf_assign_prod" -> (operators.Similarity.ivfAssignProd _))
+    "ann_ivf_assign_prod" -> (operators.Similarity.ivfAssignProd _),
+    // two-level IVF build+search: level-2 centroids stay a DISTRIBUTED
+    // table (equi-joined on the coarse cell, never collected or
+    // broadcast) — the cap-free architecture past 65536 flat cells;
+    // float-reassociation in the distributed avg makes it bench+spec
+    // covered rather than hash-oracled
+    "ann_ivf2_search" -> (operators.IvfTwoLevel.search _))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — CDC operator family over the events change log (SURVEY §2.1-2.4)
