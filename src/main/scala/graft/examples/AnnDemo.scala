@@ -48,6 +48,21 @@ object AnnDemo {
     println(f"[demo] IVF-PQ  adc/re-rank   recall@3 = ${ivfpq.getDouble(2)}%.3f / " +
       f"${ivfpq.getDouble(3)}%.3f over ${ivfpq.getLong(1)} queries")
 
+    // production-width PQ (K=256, byte-packed) + the packed-LUT scan:
+    // same shortlist as the SQL join form, scan-form speedup benched
+    val k256 = Pq.pqRecallAtK(spark, dir, Pq.productionCodebookSize).head
+    println(f"[demo] PQ K=256 adc/re-rank  recall@3 = ${k256.getDouble(2)}%.3f / " +
+      f"${k256.getDouble(3)}%.3f over ${k256.getLong(1)} queries")
+    val packed = Pq.pqAdcPacked(spark, dir).count()
+    println(s"[demo] packed-LUT ADC shortlist: $packed rows " +
+      "(row-exact with the join form, spec-pinned)")
+
+    // two-level IVF: distributed level-2 cells, no driver-side cap
+    val idx = graft.operators.IvfTwoLevel.buildIndex(spark, dir)
+    val buckets = idx.select("cell", "sub").distinct().count()
+    println(s"[demo] two-level IVF: ${cells.size} coarse cells -> " +
+      s"$buckets (cell, sub) buckets, level-2 table never collected")
+
     spark.stop()
   }
 }
