@@ -50,6 +50,7 @@ class DegenerateCorpusSpec extends SparkSpec {
     "pq_adc_join" -> graft.operators.Pq.pqAdcJoin(spark, dir).count(),
     "pq_adc_packed" -> graft.operators.Pq.pqAdcPacked(spark, dir).count(),
     "ivf_assign_prod" -> Similarity.ivfAssignProd(spark, dir).count(),
+    "ivf2_search" -> graft.operators.IvfTwoLevel.search(spark, dir).count(),
     "source_cap" -> Sampling.sourceCap(spark, dir).count(),
     "classifier" -> Perceptron.classifier(spark, dir).count())
 
@@ -78,7 +79,7 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("pq_codes") === graft.operators.Pq.numSubspaces.toLong,
       "one code per subspace for the lone vector")
     assert(counts("pq_codes_packed") === 1L, "one packed word for the lone vector")
-    Seq("pq_adc_join", "pq_adc_packed").foreach(n =>
+    Seq("pq_adc_join", "pq_adc_packed", "ivf2_search").foreach(n =>
       assert(counts(n) === 0L, s"$n: doc_id=7 is not in the query sample"))
     assert(counts("ivf_assign_prod") === 1L)
   }
