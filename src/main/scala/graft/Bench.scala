@@ -74,18 +74,23 @@ object Bench {
     // per-row drift under surface growth, so every query is also held
     // to 1.5× its recorded time (src/main/resources/bench_budget.tsv,
     // re-recorded via tools/check_bench_budget.py --update after an
-    // intentional change). Regressions are reported, not fatal — the
-    // bench must still emit its contract line on a noisy host.
+    // intentional change). Budgets are recorded at sf0.1 (the driver's
+    // official bench scale); at any other SF the comparison would be
+    // all-noise (or vacuous), so the guard only arms there. Regressions
+    // are reported, not fatal — the bench must still emit its contract
+    // line on a noisy host. A query that FAILED (time −1) is always
+    // reported, at any scale.
     val budget: Map[String, Double] = {
       val in = getClass.getResourceAsStream("/bench_budget.tsv")
-      if (in == null) Map.empty
+      if (in == null || !sfDir.endsWith("sf0.1")) Map.empty
       else scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filter(_.nonEmpty).map { l =>
           val Array(n, t) = l.split("\t"); n -> t.toDouble
         }.toMap
     }
     val regressions = results.collect {
-      case (n, t) if t >= 0 && budget.get(n).exists(b => t > 1.5 * b) =>
+      case (n, t) if t < 0 => "\"" + n + "(failed)\""
+      case (n, t) if budget.get(n).exists(b => t > 1.5 * b) =>
         "\"" + n + f"(${t}%.2f>1.5x${budget(n)}%.2f)" + "\""
     }
     // Two lines, total-last: the full per-query JSON first (with the

@@ -598,9 +598,10 @@ object Dedup {
     * (is_dup ⇒ maybe_dup, property-tested), and false positives stay
     * driver-visible as maybe_dup ∧ ¬is_dup rows.
     *
-    * Scale shape: the bit-position set is at most m = [[bloomBits]]
-    * distinct values — at 100 TB you broadcast it as an m-bit bitmap
-    * (8 KiB here; m ≈ 16n stays megabytes at billions of docs) and the
+    * Scale shape: the bit-position set is at most m = [[bloomBitsFor]]
+    * (corpus count) distinct values, the smallest power of two ≥ 16·n —
+    * at 100 TB you broadcast it as an m-bit bitmap
+    * (m ≈ 16n stays megabytes at billions of docs) and the
     * probe side is a map-side lookup with ZERO shuffle of the batch;
     * the plan below models exactly that (distinct-bits aggregate →
     * broadcast hash join → per-doc conjunction).

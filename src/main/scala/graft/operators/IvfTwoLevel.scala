@@ -67,17 +67,12 @@ object IvfTwoLevel {
         first(col("nrm")).as("nrm"))
 
   /** Level-2 centroid update: plain avg per (cell, sub, dim) — the
-    * production mean path; the result STAYS a DataFrame.
+    * shared [[Similarity.groupedMeansProd]] plan with (cell, sub) as
+    * the group key; the result STAYS a DataFrame.
     */
   private def subMeans(subAssigned: DataFrame): DataFrame =
-    subAssigned
-      .select(col("cell"), col("sub"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("cell"), col("sub"), col("pos"))
-      .agg(avg(col("v").cast("double")).as("m"))
-      .groupBy(col("cell"), col("sub"))
-      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
-        x => x.getField("m")).as("s_emb"))
-      .select(col("cell"), col("sub").as("s_id"), col("s_emb"))
+    Similarity.groupedMeansProd(subAssigned, Seq("cell", "sub"))
+      .select(col("cell"), col("sub").as("s_id"), col("c_emb").as("s_emb"))
 
   /** Build the two-level index: (vec_id, cell, sub) for every vector,
     * with the level-2 table trained distributed. The returned frame is

@@ -203,29 +203,42 @@ object Pq {
     * path (scan + shortlist merge), not a per-query re-encode. Unlike
     * the codebook artifact these stay DISTRIBUTED (eager
     * localCheckpoint pins executor-side blocks); nothing is collected.
-    * Keyed by session identity so a dead session's frames are never
-    * served to a live one.
+    * The outer map is WEAK-keyed by the owning SparkSession instance —
+    * identity semantics with no hash-collision risk, and a stopped
+    * session's entries (whose checkpointed blocks died with it) are
+    * GC-evicted instead of lingering or being served to a live session.
     */
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  private def indexKey(spark: SparkSession, dir: String, k: Int, form: String) =
-    s"${System.identityHashCode(spark)}#$dir#$k#$form"
+  private def sessionIndex(spark: SparkSession) = indexCache.synchronized {
+    var m = indexCache.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+      indexCache.put(spark, m)
+    }
+    m
+  }
 
   /** The stored (vec_id, m, code) index the join-form ADC scans. */
   private def indexedCodes(spark: SparkSession, dir: String, k: Int): DataFrame =
-    indexCache.computeIfAbsent(indexKey(spark, dir, k, "codes"), _ =>
+    sessionIndex(spark).computeIfAbsent(s"$dir#$k#codes", _ =>
       assign(subspaceRows(Tables(spark, dir, "embeddings")),
           codebookDf(spark, dir, k))
         .select(col("vec_id"), col("m"), col("code"))
         .localCheckpoint(true))
 
   /** The stored byte-packed index the packed-LUT scan reads. */
-  private def indexedPacked(spark: SparkSession, dir: String, k: Int): DataFrame =
-    indexCache.computeIfAbsent(indexKey(spark, dir, k, "packed"), _ =>
-      packFrom(indexedCodes(spark, dir, k), codebookDf(spark, dir, k))
+  private def indexedPacked(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    // resolve the codes index BEFORE entering computeIfAbsent: a nested
+    // computeIfAbsent on the same map is a recursive update CHM forbids
+    val codes = indexedCodes(spark, dir, k)
+    sessionIndex(spark).computeIfAbsent(s"$dir#$k#packed", _ =>
+      packFrom(codes, codebookDf(spark, dir, k))
         .select(col("vec_id"), unhex(col("code_packed")).as("codes"))
         .localCheckpoint(true))
+  }
 
   /** Two-stage recall at an explicit codebook width — certifies the
     * accuracy gain of the production K over the default (same sample,
@@ -442,14 +455,18 @@ object Pq {
       k: Int = codebookSize): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val cb = codebookDf(spark, dir, k)
-    val shortlist = adcJoinShortlist(emb, cb, sample, candidatePairs,
+    // evaluate the query sampler ONCE — each evaluation is a full-scan
+    // TakeOrdered job; the fixed-size result is checkpointed and feeds
+    // both the ADC LUT build and the truth/re-rank query frame
+    val sampled = sample(emb).localCheckpoint(true)
+    val shortlist = adcJoinShortlist(emb, cb, _ => sampled, candidatePairs,
       codesOverride = indexedCodes(spark, dir, k))
     val adcTop3 = shortlist.filter(col("rn") <= 3)
       .groupBy(col("q_id"))
       .agg(collect_set(col("vec_id")).as("adc_cands"))
     // stage 2: exact re-score of the shortlist (full vectors, rounded
     // d2, same tie rule), then rank-3
-    val queries = sample(emb)
+    val queries = sampled
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val rescored = shortlist.select("q_id", "vec_id")
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")

@@ -331,14 +331,26 @@ object Similarity {
     * dimensionality), never over members.
     */
   private[graft] def cellMeansProd(assigned: DataFrame): DataFrame =
+    groupedMeansProd(assigned, Seq("cell"))
+      .select(col("cell").as("c_id"), col("c_emb"))
+
+  /** The plain-avg mean plan itself, generic over the group key — ONE
+    * copy of the posexplode → per-dim avg → dim-reassembly shape shared
+    * by the flat trainer ([[cellMeansProd]], key = cell) and
+    * [[IvfTwoLevel]]'s level-2 update (key = (cell, sub)). The final
+    * collect_list is over DIMS, never members.
+    */
+  private[graft] def groupedMeansProd(assigned: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
     assigned
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("cell"), col("pos"))
+      .select(gs :+ posexplode(col("embedding")).as(Seq("pos", "v")): _*)
+      .groupBy(gs :+ col("pos"): _*)
       .agg(avg(col("v").cast("double")).as("m"))
-      .groupBy(col("cell"))
+      .groupBy(gs: _*)
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("c_emb"))
-      .select(col("cell").as("c_id"), col("c_emb"))
+  }
 
   /** IVF (inverted-file) ANN with TRAINED centroids: k-means over the
     * corpus, k = [[ivfCellCount]] (⌈√N⌉, capped) — seeded
