@@ -78,11 +78,18 @@ object Pq {
   /** Nearest-codebook-entry assignment: min over rounded dist2, ties to
     * the smallest centroid id — one broadcast×rows pass collapsed by a
     * map-side-combined `min_by` (one row per (vector, subspace) reaches
-    * the shuffle).
+    * the shuffle). The self-dot terms are hoisted OUT of the pair loop
+    * (‖a‖² once per subvector row, ‖b‖² once per codebook entry — the
+    * K-fold fan-out evaluates ONE dot per pair instead of three, the
+    * same precompute the oracle replay runs); each dot stays its own
+    * ascending fold and the combine + rounding are [[dist2]]'s exactly,
+    * so assignments are bit-identical.
     */
   private[operators] def assign(sub: DataFrame, codebook: DataFrame): DataFrame =
-    sub.join(broadcast(codebook), "m")
-      .withColumn("d2", dist2(col("sub"), col("c_emb")))
+    sub.withColumn("aa", dot(col("sub"), col("sub")))
+      .join(broadcast(codebook.withColumn("bb", dot(col("c_emb"), col("c_emb")))), "m")
+      .withColumn("d2", round(
+        col("aa") - lit(2.0) * dot(col("sub"), col("c_emb")) + col("bb"), 4))
       .groupBy(col("vec_id"), col("m"))
       .agg(
         min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("code"),
@@ -478,10 +485,16 @@ object Pq {
       .filter(col("rn") <= 3)
       .groupBy(col("q_id"))
       .agg(collect_set(col("vec_id")).as("rr_cands"))
-    // exact truth over the same sample: full-vector squared L2 argmin
-    val truth = emb.crossJoin(broadcast(queries))
+    // exact truth over the same sample: full-vector squared L2 argmin,
+    // self-dots hoisted out of the O(N·sample) cartesian (same
+    // term-identical split as [[assign]])
+    val truth = emb
+      .withColumn("aa", dot(col("embedding"), col("embedding")))
+      .crossJoin(broadcast(queries
+        .withColumn("bb", dot(col("q_emb"), col("q_emb")))))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("d2", dist2(col("embedding"), col("q_emb")))
+      .withColumn("d2", round(
+        col("aa") - lit(2.0) * dot(col("embedding"), col("q_emb")) + col("bb"), 4))
       .groupBy(col("q_id"))
       .agg(min_by(col("vec_id"), struct(col("d2"), col("vec_id"))).as("true_nn"))
     truth
