@@ -42,6 +42,13 @@ object SparkEntry {
     // index-build cost stays bench-visible; equivalence to the
     // certified ordered-fold path is spec-pinned
     "ann_ivf_assign_prod" -> (operators.Similarity.ivfAssignProd _),
+    // production PQ index build: scalar mapPartitions encode (broadcast
+    // codebook, one narrow corpus pass, no K-fold join fan-out) +
+    // plain-avg codebook training at K=256 + byte-pack — the complete
+    // index-build pipeline with no per-member collect_list anywhere;
+    // bit-identical assignment and near-identical means vs the
+    // certified ordered-fold trainer are spec-pinned (PqSpec)
+    "ann_pq_build_prod" -> ((s, d) => operators.Pq.pqBuildProd(s, d)),
     // two-level IVF build+search: level-2 centroids stay a DISTRIBUTED
     // table (equi-joined on the coarse cell, never collected or
     // broadcast) — the cap-free architecture past 65536 flat cells;

@@ -57,6 +57,12 @@ object AnnDemo {
     println(s"[demo] packed-LUT ADC shortlist: $packed rows " +
       "(row-exact with the join form, spec-pinned)")
 
+    // production index build: scalar mapPartitions encode + plain-avg
+    // training, byte-packed output (bit-equal to the certified path)
+    val built = Pq.pqBuildProd(spark, dir).count()
+    println(s"[demo] production PQ build: $built packed code words " +
+      "(scalar encode, plain-avg training — no join fan-out, no per-member fold)")
+
     // two-level IVF: distributed level-2 cells, no driver-side cap
     val idx = graft.operators.IvfTwoLevel.buildIndex(spark, dir)
     val buckets = idx.select("cell", "sub").distinct().count()

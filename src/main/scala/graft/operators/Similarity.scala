@@ -346,10 +346,10 @@ object Similarity {
     assigned
       .select(gs :+ posexplode(col("embedding")).as(Seq("pos", "v")): _*)
       .groupBy(gs :+ col("pos"): _*)
-      .agg(avg(col("v").cast("double")).as("m"))
+      .agg(avg(col("v").cast("double")).as("dim_mean"))
       .groupBy(gs: _*)
-      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
-        x => x.getField("m")).as("c_emb"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("dim_mean")))),
+        x => x.getField("dim_mean")).as("c_emb"))
   }
 
   /** IVF (inverted-file) ANN with TRAINED centroids: k-means over the

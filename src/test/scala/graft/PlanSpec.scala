@@ -164,9 +164,13 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) === 1, s"one key shuffle only (${shuffles(p)}):\n$p")
   }
 
-  test("pq encode: codebook joins as a broadcast, one shuffle to collapse codes") {
+  test("pq encode: one narrow corpus pass — no join, no hash shuffle") {
+    // the production encode streams the corpus once against the
+    // broadcast codebook artifact inside mapPartitions: the only
+    // exchange in the whole plan is the presentation sort
     val p = plan(operators.Pq.pqCodes(spark, dir))
-    assert(p.split("BroadcastHashJoin").length - 1 >= 1, p)
-    assert(!p.contains("SortMergeJoin"), s"codebook must broadcast:\n$p")
+    assert(p.contains("MapPartitions"), s"scalar encode must be a mapPartitions pass:\n$p")
+    assert(!p.contains("Join"), s"no codebook join on the encode path:\n$p")
+    assert(shuffles(p) === 0, s"no hash exchange (${shuffles(p)}):\n$p")
   }
 }

@@ -99,6 +99,45 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("production build: scalar encode bit-matches assign; prod trainer tracks the certified one") {
+    // 1) the mapPartitions encode emits EXACTLY the SQL assign's codes
+    //    against the same (certified, ordered-fold-trained) codebook —
+    //    bit-identical arithmetic and tie rule, both widths
+    for (k <- Seq(Pq.codebookSize, Pq.productionCodebookSize)) {
+      val cb = Pq.trainedCodebook(spark, dir, k)
+      val emb = Tables(spark, dir, "embeddings")
+      val sql = Pq.assign(Pq.subspaceRows(emb), Pq.codebookDf(spark, dir, k))
+        .select("vec_id", "m", "code", "qerr").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val scalar = Pq.encodeScalar(emb, cb)
+        .select("vec_id", "m", "code", "qerr").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(scalar === sql, s"scalar encode diverged from assign at K=$k")
+    }
+    // 2) the plain-avg production trainer lands on the same codebook
+    //    within float-reassociation tolerance (summation order is the
+    //    ONLY difference on the means path)
+    val oracle = Pq.trainedCodebook(spark, dir, Pq.productionCodebookSize)
+      .map { case (m, c, e) => (m, c) -> e }.toMap
+    val prod = Pq.trainCodebookProd(spark, dir)
+      .map { case (m, c, e) => (m, c) -> e }.toMap
+    assert(prod.keySet === oracle.keySet)
+    prod.foreach { case (key, p) =>
+      val o = oracle(key)
+      assert(p.length === o.length)
+      p.zip(o).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"entry $key diverged: $a vs $b")
+      }
+    }
+    // 3) end to end: the production build emits the same packed code
+    //    table as the certified encode+pack path
+    val certified = Pq.pqCodesPacked(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val prodPacked = Pq.pqBuildProd(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(prodPacked === certified)
+  }
+
   test("ivf-pq composition: same theorem, cell-bounded candidate sets") {
     val r = graft.operators.IvfPq.ivfPqRecall(spark, dir).collect()
     assert(r.length === 1)
