@@ -161,6 +161,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => operators.BpeTrainer.train(s, d)),
     "text_bpe_fertility" ->
       ((s: SparkSession, d: String) => operators.BpeTrainer.fertility(s, d)),
+    "text_bpe_encode" ->
+      ((s: SparkSession, d: String) => operators.BpeTrainer.encode(s, d)),
     "q_train_split" -> (Sampling.splitSummary _),
     "q_stratified_sample" ->
       ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -771,6 +773,30 @@ object SparkEntry {
        |  CAST(sum(len(w) + 1) AS DOUBLE) / count(*) AS char_fertility
        |FROM corpus JOIN final USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Corpus-encoding oracle: the recursion's final iteration already
+    * carries each word type's segmentation (`word` = space-joined
+    * subwords), so encoding is a positional word join + an ordered
+    * string_agg — mirroring `BpeTrainer.encode`'s posexplode +
+    * broadcast-join + array_sort reassembly.
+    */
+  private def bpeEncodeOracle: String =
+    s"""$bpeRecursionCte,
+       |final AS (
+       |  SELECT w0 AS w, word AS seg,
+       |    CAST(len(string_split(word, ' ')) AS BIGINT) AS ns
+       |  FROM it WHERE iter = (SELECT max(iter) FROM it)
+       |),
+       |corpus AS (
+       |  SELECT doc_id, lst[i] AS w, i
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS lst
+       |        FROM documents) t,
+       |       unnest(generate_series(1, len(lst))) s(i)
+       |)
+       |SELECT doc_id, CAST(sum(ns) AS BIGINT) AS n_tokens,
+       |       string_agg(seg, ' ' ORDER BY i) AS tokens
+       |FROM corpus JOIN final USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB-runnable oracle per query (driver compares hashes at sf0.01). */
   /** Batch-perceptron oracle, generated for [[operators.Perceptron.epochs]]
@@ -1486,6 +1512,7 @@ object SparkEntry {
         |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
     "text_bpe_merges" -> bpeMergesOracle,
     "text_bpe_fertility" -> bpeFertilityOracle,
+    "text_bpe_encode" -> bpeEncodeOracle,
     "text_fingerprints" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS fingerprint

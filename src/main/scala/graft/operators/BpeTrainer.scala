@@ -372,39 +372,49 @@ object BpeTrainer {
     learned.toDF("rank", "left", "right", "merged", "n")
   }
 
-  /** Train-then-apply: segment the corpus with the learned merges and
-    * report per-language subword fertility (subwords per whitespace
-    * token) before/after BPE. Application runs on the WORD-TYPE table
-    * (driver path: the training state IS the segmentation; distributed
-    * path: one batched pass per training round), then rejoins the
-    * corpus by word via broadcast — the corpus itself is never
-    * re-segmented row by row. The fertility drop vs raw characters is
-    * the metric tokenizer training optimizes.
+  /** Train-then-segment: the per-word-TYPE subword arrays under the
+    * learned merges — the tokenizer model artifact every downstream
+    * consumer (fertility, corpus encoding, streaming serving) reuses.
+    * Application runs on the word-type table only (driver path: the
+    * training state IS the segmentation; distributed path: one batched
+    * pass per training round) — the corpus itself is never re-segmented
+    * row by row, the 1000× type-table reduction again.
+    */
+  private[operators] def segmentation(spark: SparkSession, dir: String,
+      merges: Int = defaultMerges,
+      smallTypeLimit: Long = driverTypeLimit): DataFrame = {
+    import spark.implicits._
+    val vocab = wordTypes(spark, dir)
+    if (vocab.count() <= smallTypeLimit) {
+      val rows = vocab.select("w", "sym", "n").collect()
+      val types = rows.map(r => (r.getSeq[String](1).toArray, r.getLong(2)))
+      val (_, finalSyms) = trainDriver(types, merges)
+      rows.map(_.getString(0)).zip(finalSyms.map(_.toSeq))
+        .toSeq.toDF("w", "sub")
+    } else {
+      val batches = trainBatches(vocab, merges)._2
+      var t = vocab.select(col("w"), col("sym"))
+      // replay the training batches: one pass (and one lineage cut)
+      // per ROUND, not per merge — a 256-rule vocabulary would
+      // otherwise nest 256 aggregate expressions in one plan
+      batches.foreach { batch =>
+        t = t.select(col("w"), applyMergeBatch(col("sym"), batch).as("sym"))
+          .localCheckpoint()
+      }
+      t.withColumnRenamed("sym", "sub")
+    }
+  }
+
+  /** Per-language subword fertility (subwords per whitespace token)
+    * before/after BPE: the [[segmentation]] artifact rejoined to the
+    * corpus by word via broadcast. The fertility drop vs raw characters
+    * is the metric tokenizer training optimizes.
     */
   def fertility(spark: SparkSession, dir: String,
                 merges: Int = defaultMerges,
                 smallTypeLimit: Long = driverTypeLimit): DataFrame = {
-    import spark.implicits._
-    val vocab = wordTypes(spark, dir)
-    val segmented: DataFrame =
-      if (vocab.count() <= smallTypeLimit) {
-        val rows = vocab.select("w", "sym", "n").collect()
-        val types = rows.map(r => (r.getSeq[String](1).toArray, r.getLong(2)))
-        val (_, finalSyms) = trainDriver(types, merges)
-        rows.map(_.getString(0)).zip(finalSyms.map(_.length.toLong))
-          .toSeq.toDF("w", "n_subwords")
-      } else {
-        val batches = trainBatches(vocab, merges)._2
-        var t = vocab.select(col("w"), col("sym"))
-        // replay the training batches: one pass (and one lineage cut)
-        // per ROUND, not per merge — a 256-rule vocabulary would
-        // otherwise nest 256 aggregate expressions in one plan
-        batches.foreach { batch =>
-          t = t.select(col("w"), applyMergeBatch(col("sym"), batch).as("sym"))
-            .localCheckpoint()
-        }
-        t.select(col("w"), size(col("sym")).cast("long").as("n_subwords"))
-      }
+    val segmented = segmentation(spark, dir, merges, smallTypeLimit)
+      .select(col("w"), size(col("sub")).cast("long").as("n_subwords"))
     Tables(spark, dir, "documents")
       .select(col("lang"), explode(split(trim(col("text")), " ")).as("w"))
       .join(broadcast(segmented), "w")
@@ -416,5 +426,35 @@ object BpeTrainer {
         (col("n_subwords").cast("double") / col("n_words")).as("bpe_fertility"),
         (col("n_chars_eow").cast("double") / col("n_words")).as("char_fertility"))
       .orderBy("lang")
+  }
+
+  /** Corpus ENCODING with the trained tokenizer — the step a pipeline
+    * actually ships: every document rendered as its subword-token
+    * sequence (with `</w>` end-of-word markers), plus its token count.
+    *
+    * Scale shape: the document side is one narrow pass (posexplode of
+    * whitespace words — position kept so the sequence reassembles in
+    * order); the model side is the word-type [[segmentation]] artifact,
+    * broadcast here (post-count type tables are ~1000× smaller than
+    * the corpus; past broadcast range the same plan runs as a shuffle
+    * equi-join on `w` — no step is corpus×vocab). Reassembly is one
+    * groupBy(doc_id) with an order-canonical `array_sort` on (pos,
+    * subwords), so the output is partition-count-independent.
+    */
+  def encode(spark: SparkSession, dir: String,
+             merges: Int = defaultMerges,
+             smallTypeLimit: Long = driverTypeLimit): DataFrame = {
+    val segmented = segmentation(spark, dir, merges, smallTypeLimit)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), " ")).as(Seq("pos", "w")))
+      .join(broadcast(segmented), "w")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(size(col("sub"))).cast("long").as("n_tokens"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("sub")))),
+          x => x.getField("sub"))), " ").as("tokens"))
+      .orderBy("doc_id")
   }
 }

@@ -187,4 +187,46 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
     assert(got === dist)
   }
+
+  test("encode: tokens are lossless — stripping markers reconstructs each document") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val encoded = BpeTrainer.encode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(encoded.length === docs.size)
+    encoded.foreach { case (id, nTokens, tokens) =>
+      assert(nTokens === tokens.split(" ").length.toLong)
+      // BPE segmentation only regroups characters: folding tokens back
+      // together (word boundary at each end-of-word marker) recovers
+      // the trimmed text exactly
+      val words = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      tokens.split(" ").foreach { t =>
+        if (t.endsWith("</w>")) {
+          sb.append(t.dropRight(4)); words += sb.toString(); sb.clear()
+        } else sb.append(t)
+      }
+      assert(sb.isEmpty, s"doc $id: dangling subwords after the last marker")
+      assert(words.mkString(" ") === docs(id).trim, s"doc $id does not reconstruct")
+    }
+  }
+
+  test("encode: token counts agree with the fertility segmentation totals") {
+    val nTokens = BpeTrainer.encode(spark, dir).collect().map(_.getLong(1)).sum
+    val fert = BpeTrainer.fertility(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    val fertTokens = fert.map { case (w, f) => f * w }.sum
+    assert(math.abs(nTokens - fertTokens) < 1e-6 * fertTokens + 1e-6,
+      s"encode total $nTokens vs fertility total $fertTokens")
+  }
+
+  test("encode: driver and distributed paths produce identical sequences") {
+    val got = BpeTrainer.encode(spark, dir, merges = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val dist = BpeTrainer
+      .encode(spark, dir, merges = 12, smallTypeLimit = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === dist)
+  }
 }

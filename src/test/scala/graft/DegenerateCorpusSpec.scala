@@ -52,7 +52,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     "ivf_assign_prod" -> Similarity.ivfAssignProd(spark, dir).count(),
     "ivf2_search" -> graft.operators.IvfTwoLevel.search(spark, dir).count(),
     "source_cap" -> Sampling.sourceCap(spark, dir).count(),
-    "classifier" -> Perceptron.classifier(spark, dir).count())
+    "classifier" -> Perceptron.classifier(spark, dir).count(),
+    "bpe_encode" -> graft.operators.BpeTrainer.encode(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -76,6 +77,7 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("bloom") === 0L, "doc_id=7 is corpus-side; batch empty")
     assert(counts("source_cap") === 1L)
     assert(counts("classifier") === 1L)
+    assert(counts("bpe_encode") === 1L, "the lone doc encodes to one row")
     assert(counts("pq_codes") === graft.operators.Pq.numSubspaces.toLong,
       "one code per subspace for the lone vector")
     assert(counts("pq_codes_packed") === 1L, "one packed word for the lone vector")
