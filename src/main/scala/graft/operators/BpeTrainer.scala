@@ -457,4 +457,42 @@ object BpeTrainer {
           x => x.getField("sub"))), " ").as("tokens"))
       .orderBy("doc_id")
   }
+
+  /** Streaming tokenizer SERVING: the trained segmentation rides the
+    * plan as one literal map (the vocab-sized model artifact — the same
+    * "trained artifacts ride plans as literals" discipline as the
+    * streaming classifier and cell-assignment paths), so encoding a
+    * document stream is a stateless narrow projection: no join, no
+    * aggregation state, watermark-free append mode. Words absent from
+    * the training corpus (possible on a live stream; impossible in
+    * [[encode]]'s batch closed-world) fall back to character
+    * segmentation + the end-of-word marker — the standard
+    * open-vocabulary degradation, which keeps serving total.
+    *
+    * Scale shape: the map literal is bounded by [[driverTypeLimit]]
+    * (the driver-path gate); a beyond-gate vocabulary serves via the
+    * batch [[encode]] join instead. Per-row cost is O(words · lookup).
+    */
+  def encodeServe(docs: DataFrame, segmented: Map[String, Seq[String]]): DataFrame = {
+    require(segmented.size <= driverTypeLimit,
+      "vocabulary exceeds the literal-artifact gate; serve via the batch join")
+    val segLit = typedLit(segmented)
+    val words = split(trim(col("text")), " ")
+    docs
+      .withColumn("__toks", flatten(transform(words, w =>
+        coalesce(element_at(segLit, w),
+          concat(split(w, ""), array(lit("</w>")))))))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        array_join(col("__toks"), " ").as("tokens"))
+  }
+
+  /** The serving artifact for [[encodeServe]]: word → subwords, trained
+    * and collected once (driver-path scale only — the same bound as the
+    * training fast path).
+    */
+  def trainedSegmentation(spark: SparkSession, dir: String,
+      merges: Int = defaultMerges): Map[String, Seq[String]] =
+    segmentation(spark, dir, merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
 }

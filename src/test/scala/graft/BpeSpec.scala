@@ -221,6 +221,36 @@ class BpeSpec extends SparkSpec {
       s"encode total $nTokens vs fertility total $fertTokens")
   }
 
+  test("streaming serve: per-row parity with batch encode, OOV falls back to characters") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val seg = BpeTrainer.trainedSegmentation(spark, dir)
+    val batch = BpeTrainer.encode(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").limit(30)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = BpeTrainer.encodeServe(in.toDF().toDF("doc_id", "text"), seg)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bpe_stream").start()
+    try {
+      val (wave1, wave2) = docs.splitAt(15)
+      in.addData(wave1.toIndexedSeq); q.processAllAvailable()
+      // wave 2 plus an out-of-vocabulary document: every word unseen
+      in.addData(wave2.toIndexedSeq :+ (-1L, "zqzq xyxy")); q.processAllAvailable()
+      val streamed = spark.table("bpe_stream").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(streamed.size === 31)
+      docs.foreach { case (id, _) =>
+        assert(streamed(id) === batch(id), s"doc $id diverges from batch encode")
+      }
+      // OOV degradation: pure character segmentation with markers
+      assert(streamed(-1L) === ((10L, "z q z q </w> x y x y </w>")))
+    } finally q.stop()
+  }
+
   test("encode: driver and distributed paths produce identical sequences") {
     val got = BpeTrainer.encode(spark, dir, merges = 12).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
