@@ -163,6 +163,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => operators.BpeTrainer.fertility(s, d)),
     "text_bpe_encode" ->
       ((s: SparkSession, d: String) => operators.BpeTrainer.encode(s, d)),
+    "text_bpe_vocab" ->
+      ((s: SparkSession, d: String) => operators.BpeTrainer.vocab(s, d)),
     "q_train_split" -> (Sampling.splitSummary _),
     "q_stratified_sample" ->
       ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -797,6 +799,42 @@ object SparkEntry {
        |       string_agg(seg, ' ' ORDER BY i) AS tokens
        |FROM corpus JOIN final USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Vocabulary-export oracle: base alphabet (distinct characters of
+    * distinct words + the end-of-word marker, lexicographic ids from 1)
+    * followed by the recursion's merges at offset |alphabet|.
+    */
+  private def bpeVocabOracle: String =
+    s"""$bpeRecursionCte,
+       |pairs AS (
+       |  SELECT iter, lst[i] AS l, lst[i+1] AS r, sum(n) AS c
+       |  FROM (SELECT iter, n, string_split(word, ' ') AS lst FROM it) t,
+       |       unnest(generate_series(1, len(lst) - 1)) s(i)
+       |  GROUP BY 1, 2, 3
+       |),
+       |ranked AS (
+       |  SELECT iter, l, r, c,
+       |    row_number() OVER (PARTITION BY iter ORDER BY c DESC, l, r) AS rn
+       |  FROM pairs
+       |),
+       |alpha AS (
+       |  SELECT DISTINCT token FROM (
+       |    SELECT unnest(list_append(string_split(w, ''), '</w>')) AS token
+       |    FROM (SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS w
+       |          FROM documents))
+       |),
+       |base AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS token_id,
+       |         token, 'base' AS kind
+       |  FROM alpha
+       |)
+       |SELECT token_id, token, kind FROM base
+       |UNION ALL
+       |SELECT (SELECT count(*) FROM alpha) + CAST(iter + 1 AS BIGINT) AS token_id,
+       |       l || r AS token, 'merged' AS kind
+       |FROM ranked
+       |WHERE rn = 1 AND c >= 2 AND iter < (SELECT max(iter) FROM it)
+       |ORDER BY token_id""".stripMargin
 
   /** DuckDB-runnable oracle per query (driver compares hashes at sf0.01). */
   /** Batch-perceptron oracle, generated for [[operators.Perceptron.epochs]]
@@ -1513,6 +1551,7 @@ object SparkEntry {
     "text_bpe_merges" -> bpeMergesOracle,
     "text_bpe_fertility" -> bpeFertilityOracle,
     "text_bpe_encode" -> bpeEncodeOracle,
+    "text_bpe_vocab" -> bpeVocabOracle,
     "text_fingerprints" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS fingerprint

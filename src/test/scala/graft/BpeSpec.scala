@@ -221,6 +221,24 @@ class BpeSpec extends SparkSpec {
       s"encode total $nTokens vs fertility total $fertTokens")
   }
 
+  test("vocab: contiguous ids, base-then-merged, and encode is closed over it") {
+    val rows = BpeTrainer.vocab(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.map(_._1).toSeq === (1L to rows.length).toSeq, "ids contiguous from 1")
+    val (base, merged) = rows.partition(_._3 == "base")
+    assert(base.map(_._1).max < merged.map(_._1).min, "base ids precede merge ids")
+    assert(base.map(_._2).toSeq === base.map(_._2).toSeq.sorted, "alphabet lexicographic")
+    assert(base.exists(_._2 == "</w>"))
+    val trained = BpeTrainer.train(spark, dir).collect().map(_.getString(3)).toSeq
+    assert(merged.map(_._2).toSeq === trained, "merge section = training order")
+    // closure: every token the encoder emits is a vocab entry
+    val vocabTokens = rows.map(_._2).toSet
+    val emitted = BpeTrainer.encode(spark, dir).collect()
+      .flatMap(_.getString(2).split(" ")).toSet
+    val missing = emitted -- vocabTokens
+    assert(missing.isEmpty, s"encoded tokens missing from vocab: ${missing.take(5)}")
+  }
+
   test("streaming serve: per-row parity with batch encode, OOV falls back to characters") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
