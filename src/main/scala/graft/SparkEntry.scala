@@ -32,9 +32,12 @@ object SparkEntry {
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct_sketch" -> (Analytics.approxUserCountsSketch _),
     "q_approx_percentiles_sketch" -> (Analytics.approxOrderPercentilesSketch _),
-    // packed-LUT ADC vs its SQL join-form baseline, both at K=256:
-    // same shortlist rows (parity spec-pinned), so the delta is purely
-    // the scan form — table lookups over packed bytes vs an equi-join
+    // packed-LUT ADC vs its SQL join-form baseline, both at K=256 over
+    // the SAME quarter-size query sample (Pq.pqBenchSampleSize — both
+    // forms are linear in the query count, so the per-query delta is
+    // unchanged and the comparison costs a quarter): same shortlist
+    // rows (parity spec-pinned), so the delta is purely the scan form
+    // — table lookups over packed bytes vs an equi-join
     "ann_pq_adc_packed" -> ((s, d) => operators.Pq.pqAdcPacked(s, d)),
     "ann_pq_adc_join" -> ((s, d) => operators.Pq.pqAdcJoin(s, d)),
     // production IVF training (plain-avg mean updates, no per-member
@@ -115,6 +118,7 @@ object SparkEntry {
     "dedup_lsh_pairs_wide" -> (Dedup.lshWideCandidatePairs _),
     "dedup_lsh_incremental" -> (Dedup.lshIncrementalPairs _),
     "dedup_bloom" -> (Dedup.bloomIncremental _),
+    "dedup_dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
     "dedup_clusters" -> (Dedup.clustersQuery _),
     "dedup_clusters_dist" -> (Dedup.clustersDistQuery _),
     "dedup_survivors" -> (Dedup.survivors _),
@@ -1311,6 +1315,42 @@ object SparkEntry {
         |SELECT b.doc_id, b.maybe_dup, (cf.f IS NOT NULL) AS is_dup
         |FROM batch b LEFT JOIN corpus_fp cf ON b.f = cf.f
         |ORDER BY b.doc_id""".stripMargin,
+    // per-window Rabin-Karp hashes replayed by direct fold (the rolled
+    // Spark kernel is arithmetic-identical: the roll commutes with the
+    // modulus), then one count-over-hash + gaps-and-islands per doc
+    "dedup_dup_spans" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id, CAST(s AS BIGINT) AS pos,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(s, s + ${operators.Dedup.dupSpanK} - 1),
+         |        i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+         |      (acc, x) -> (acc * 31 + x) % 2147483647) AS h
+         |  FROM documents,
+         |       unnest(generate_series(1, len(text) - ${operators.Dedup.dupSpanK} + 1)) t(s)
+         |),
+         |flagged AS (
+         |  SELECT doc_id, pos
+         |  FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM hs)
+         |  WHERE c >= 2
+         |),
+         |lagged AS (
+         |  SELECT doc_id, pos,
+         |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM flagged
+         |),
+         |grp AS (
+         |  SELECT doc_id, pos,
+         |    sum(CASE WHEN prev IS NULL OR pos - prev <= ${operators.Dedup.dupSpanK}
+         |             THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |  FROM lagged
+         |)
+         |SELECT doc_id, min(pos) AS span_start,
+         |  max(pos) + ${operators.Dedup.dupSpanK} - 1 AS span_end,
+         |  max(pos) + ${operators.Dedup.dupSpanK} - min(pos) AS span_len,
+         |  CAST(count(*) AS BIGINT) AS n_windows
+         |FROM grp GROUP BY doc_id, g
+         |ORDER BY doc_id, span_start""".stripMargin,
     "dedup_clusters" ->
       s"""$clusterLabelsCte
          |SELECT id, cluster FROM labels ORDER BY id""".stripMargin,

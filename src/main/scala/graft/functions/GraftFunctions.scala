@@ -9,7 +9,8 @@ import org.apache.spark.sql.types.IntegerType
 
 /** SQL surface for graft's native Catalyst expressions: exposes
   * `ngram_minhash_md5`, `ngram_minhash_affine`, `rolling_hash`,
-  * `dot_product_d`, and `winnow` to `spark.sql(...)` users, so the
+  * `dot_product_d`, `winnow`, and `window_hashes` to `spark.sql(...)`
+  * users, so the
   * engine's custom kernels are first-class functions, not
   * Column-API-only.
   *
@@ -60,6 +61,10 @@ object GraftFunctions {
       WinnowFingerprints(args(0),
         intArg(args(1), "winnow", "k-gram width k"),
         intArg(args(2), "winnow", "selection window w"))
+    },
+    "window_hashes" -> { args =>
+      arity("window_hashes", args, 2)
+      WindowHashes(args(0), intArg(args(1), "window_hashes", "k-gram width k"))
     },
   )
 

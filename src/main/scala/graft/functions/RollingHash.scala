@@ -41,8 +41,10 @@ object RollingHashUtil {
     *
     * O(n) via a monotonic deque over the rolled hashes.
     */
-  def winnow(s: UTF8String, k: Int, w: Int): GenericArrayData = {
-    val str = s.toString
+  /** UTF-16 → code points (all window arithmetic is in code points so
+    * alignment matches DuckDB's `generate_series`/`len` semantics).
+    */
+  private def codePoints(str: String): (Array[Int], Int) = {
     val cp = new Array[Int](str.length)
     var n = 0
     var u = 0
@@ -52,9 +54,16 @@ object RollingHashUtil {
       n += 1
       u += Character.charCount(c)
     }
-    val nh = n - k + 1
-    if (nh <= 0) return new GenericArrayData(Array.empty[Long])
+    (cp, n)
+  }
 
+  /** The rolled per-position k-gram hashes hs(0 .. n−k) — the shared
+    * core of [[winnow]] and [[windowHashes]]. Empty when the text is
+    * shorter than k.
+    */
+  private def positionHashes(cp: Array[Int], n: Int, k: Int): Array[Long] = {
+    val nh = n - k + 1
+    if (nh <= 0) return Array.empty[Long]
     val hs = new Array[Long](nh)
     var bPow = 1L
     var i = 1
@@ -70,6 +79,24 @@ object RollingHashUtil {
       hs(i) = h
       i += 1
     }
+    hs
+  }
+
+  /** Every per-position k-gram hash of the text, in position order —
+    * the duplicate-span primitive: position i (0-based) hashes code
+    * points [i, i+k). Empty array when the text is shorter than k.
+    */
+  def windowHashes(s: UTF8String, k: Int): GenericArrayData = {
+    val (cp, n) = codePoints(s.toString)
+    new GenericArrayData(positionHashes(cp, n, k))
+  }
+
+  def winnow(s: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val (cp, n) = codePoints(s.toString)
+    val hs = positionHashes(cp, n, k)
+    val nh = hs.length
+    if (nh == 0) return new GenericArrayData(Array.empty[Long])
+    var i = 0
 
     val sel = new java.util.TreeSet[java.lang.Long]()
     if (nh <= w) {
@@ -170,6 +197,43 @@ object RollingHash {
   /** Column-API entry point: `RollingHash.of($"text", 16)`. */
   def of(text: Column, window: Int): Column =
     bridge.column(RollingHash(bridge.expression(text), window))
+}
+
+/** Native codegen'd `window_hashes(text, k)` → `array<bigint>` of the
+  * per-position k-gram Rabin-Karp hashes in position order (element i
+  * hashes code points [i, i+k); empty when the text is shorter than
+  * k) — the duplicate-span primitive: O(n) rolled, vs the O(k·n)
+  * interpreted `transform(sequence(...), aggregate(...))` pipeline it
+  * replaces in hot paths.
+  */
+case class WindowHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"window_hashes needs a string child, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "window_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHashUtil.windowHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingHashUtil.windowHashes($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+}
+
+object WindowHashes {
+  /** Column-API entry point: `WindowHashes.of($"text", 16)`. */
+  def of(text: Column, k: Int): Column =
+    bridge.column(WindowHashes(bridge.expression(text), k))
 }
 
 /** Native codegen'd `winnow(text, k, w)` → sorted distinct

@@ -631,4 +631,56 @@ object Dedup {
         coalesce(col("dup"), lit(false)).as("is_dup"))
       .orderBy("doc_id")
   }
+
+  /** k-gram width for [[dupSpans]]: 32 code points ≈ 5-6 words — wide
+    * enough that a match is a genuinely repeated passage rather than an
+    * incidental shared n-gram (at the [[TextAnalysis.winnowK]] width of
+    * 16 the synthetic corpus's small vocabulary marks ~70% of ALL
+    * windows as duplicated, which drowns the signal and the plan).
+    */
+  val dupSpanK = 32
+
+  /** Exact duplicate-SPAN detection (the substring-level dedup of Lee
+    * et al., "Deduplicating Training Data Makes Language Models
+    * Better"): every maximal character span covered by length-k
+    * windows whose rolling hash occurs ≥ 2 times in the corpus
+    * (cross-document or self-repetition) — the cut list a pipeline
+    * feeds to span removal, finer-grained than whole-document dedup.
+    *
+    * Scale shape: one narrow codegen'd corpus pass emits the rolled
+    * per-position hashes ([[graft.functions.WindowHashes]], O(n) per
+    * doc); duplication is ONE count-over-hash window (single shuffle
+    * by hash, never an all-pairs join); span assembly is
+    * gaps-and-islands per document (lag + running sum + group — one
+    * shuffle by doc). Positions are 1-based code points.
+    */
+  def dupSpans(spark: SparkSession, dir: String,
+               k: Int = dupSpanK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val windows = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.WindowHashes.of(col("text"), k))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+    val flagged = windows
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("c") >= 2)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      // two dup windows at p < p' cover one contiguous span iff
+      // p' − p ≤ k; a larger gap starts a new island
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") <= k, 0)
+          .otherwise(1))
+      .withColumn("g", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k - 1).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_windows"))
+      .orderBy("doc_id", "span_start")
+  }
 }

@@ -420,7 +420,7 @@ object Pq {
   def pqAdcJoin(spark: SparkSession, dir: String,
       k: Int = productionCodebookSize): DataFrame =
     adcJoinShortlist(Tables(spark, dir, "embeddings"),
-        codebookDf(spark, dir, k), pqSampleQueries, candidatePairs = None,
+        codebookDf(spark, dir, k), pqBenchQueries, candidatePairs = None,
         codesOverride = indexedCodes(spark, dir, k))
       .orderBy("q_id", "rn")
 
@@ -461,7 +461,7 @@ object Pq {
     */
   def pqAdcPacked(spark: SparkSession, dir: String,
       k: Int = productionCodebookSize): DataFrame =
-    adcPackedShortlist(spark, dir, pqSampleQueries, k)
+    adcPackedShortlist(spark, dir, pqBenchQueries, k)
       .orderBy("q_id", "rn")
 
   /** The packed-LUT shortlist without the presentation sort — the form
@@ -543,6 +543,18 @@ object Pq {
   private[operators] def pqSampleQueries(df: DataFrame): DataFrame =
     df.filter(pqQueryPredicate).sort("vec_id")
       .limit(Similarity.annQuerySampleSize)
+
+  /** Query-sample size for the two scan-form COMPARISON bench rows
+    * ([[pqAdcJoin]] vs [[pqAdcPacked]]): both scale linearly in the
+    * query count, so the join-vs-packed delta is per-query and a
+    * quarter sample prices it at a quarter of the bench cost. The
+    * certified recall rows keep the full
+    * [[Similarity.annQuerySampleSize]] sample.
+    */
+  val pqBenchSampleSize = 64
+
+  private[operators] def pqBenchQueries(df: DataFrame): DataFrame =
+    df.filter(pqQueryPredicate).sort("vec_id").limit(pqBenchSampleSize)
 
   /** ADC shortlist size for the exact re-rank stage. */
   val pqShortlist = 10

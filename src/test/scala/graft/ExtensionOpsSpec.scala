@@ -19,6 +19,47 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out.agg(sum("n_copies")).head().getLong(0) === total)
   }
 
+  test("dup spans: a planted shared sentence is found in both docs; unique corpus is span-free") {
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    val shared = "exact duplicated sentence planted here"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon", "en", "s"),
+      (2L, s"zeta eta $shared theta iota kappa", "en", "s"),
+      (3L, "a wholly different record with no repeats at all", "en", "s"))
+    val tmp = java.nio.file.Files.createTempDirectory("dupspan").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val spans = Dedup.dupSpans(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the span cover in each doc contains the full planted sentence
+    Seq(1L, 2L).foreach { id =>
+      val text = docs.find(_._1 == id).get._2
+      val expectStart = text.indexOf(shared) + 1 // 1-based
+      val mine = spans.filter(_._1 == id)
+      assert(mine.nonEmpty, s"doc $id has no span")
+      assert(mine.exists { case (_, s, e, _, _) =>
+        s <= expectStart && e >= expectStart + shared.length - 1
+      }, s"doc $id span does not cover the planted sentence")
+    }
+    assert(!spans.exists(_._1 == 3L), "the unique doc must be span-free")
+    // invariants: spans ordered, non-overlapping, length >= k
+    spans.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      assert(ss.toSeq === sorted.toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._3, "spans must not overlap")
+        case _ =>
+      }
+      ss.foreach { case (_, s, e, len, nw) =>
+        assert(len === e - s + 1)
+        assert(len >= Dedup.dupSpanK.toLong)
+        assert(nw >= 1L && nw <= len - Dedup.dupSpanK + 1)
+      }
+    }
+  }
+
   test("minhash signatures: identical text ⇒ identical signature") {
     import spark.implicits._
     val docs = Seq(

@@ -55,4 +55,32 @@ class RollingHashSpec extends SparkSpec {
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("window_hashes == per-position naive folds, incl. non-BMP; short text empty") {
+    samples.foreach { s =>
+      val got = RollingHashUtil
+        .windowHashes(UTF8String.fromString(s), 16).toLongArray().toSeq
+      val cps = s.codePoints().toArray
+      val expected =
+        if (cps.length < 16) Seq.empty[Long]
+        else cps.sliding(16).map(
+          _.foldLeft(0L)((acc, c) => (acc * B + c) % M)).toSeq
+      assert(got === expected, s"text: $s")
+    }
+    assert(RollingHashUtil.windowHashes(UTF8String.fromString(""), 16)
+      .toLongArray().isEmpty)
+  }
+
+  test("window_hashes: column API and SQL registration agree") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = samples.toDF("s")
+    df.createOrReplaceTempView("wh_samples")
+    val viaCol = df.select(graft.functions.WindowHashes.of(col("s"), 16))
+      .collect().map(_.getSeq[Long](0).toList).toList
+    val viaSql = spark.sql(
+        "SELECT window_hashes(s, 16) FROM wh_samples")
+      .collect().map(_.getSeq[Long](0).toList).toList
+    assert(viaCol === viaSql)
+  }
 }
