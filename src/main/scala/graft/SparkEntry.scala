@@ -119,6 +119,7 @@ object SparkEntry {
     "dedup_lsh_incremental" -> (Dedup.lshIncrementalPairs _),
     "dedup_bloom" -> (Dedup.bloomIncremental _),
     "dedup_dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
+    "dedup_span_clean" -> ((s: SparkSession, d: String) => Dedup.spanClean(s, d)),
     "dedup_clusters" -> (Dedup.clustersQuery _),
     "dedup_clusters_dist" -> (Dedup.clustersDistQuery _),
     "dedup_survivors" -> (Dedup.survivors _),
@@ -804,6 +805,50 @@ object SparkEntry {
        |FROM corpus JOIN final USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Shared CTE chain for the duplicate-span rows: per-window
+    * Rabin-Karp hashes by direct fold (the rolled Spark kernel is
+    * arithmetic-identical — the roll commutes with the modulus), one
+    * count-over-hash duplication mark, and gaps-and-islands span
+    * assembly per document. Ends with a `spans(doc_id, span_start,
+    * span_end, span_len, n_windows)` CTE.
+    */
+  private def dupSpansCtes: String = {
+    val k = operators.Dedup.dupSpanK
+    s"""WITH hs AS (
+       |  SELECT doc_id, CAST(s AS BIGINT) AS pos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(s, s + $k - 1),
+       |        i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 2147483647) AS h
+       |  FROM documents,
+       |       unnest(generate_series(1, len(text) - $k + 1)) t(s)
+       |),
+       |flagged AS (
+       |  SELECT doc_id, pos
+       |  FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM hs)
+       |  WHERE c >= 2
+       |),
+       |lagged AS (
+       |  SELECT doc_id, pos,
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM flagged
+       |),
+       |grp AS (
+       |  SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NULL OR pos - prev <= $k
+       |             THEN 0 ELSE 1 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |  FROM lagged
+       |),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start,
+       |    max(pos) + $k - 1 AS span_end,
+       |    max(pos) + $k - min(pos) AS span_len,
+       |    CAST(count(*) AS BIGINT) AS n_windows
+       |  FROM grp GROUP BY doc_id, g
+       |)""".stripMargin
+  }
+
   /** Vocabulary-export oracle: base alphabet (distinct characters of
     * distinct words + the end-of-word marker, lexicographic ids from 1)
     * followed by the recursion's merges at offset |alphabet|.
@@ -1319,38 +1364,42 @@ object SparkEntry {
     // Spark kernel is arithmetic-identical: the roll commutes with the
     // modulus), then one count-over-hash + gaps-and-islands per doc
     "dedup_dup_spans" ->
-      s"""WITH hs AS (
-         |  SELECT doc_id, CAST(s AS BIGINT) AS pos,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(generate_series(s, s + ${operators.Dedup.dupSpanK} - 1),
-         |        i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
-         |      (acc, x) -> (acc * 31 + x) % 2147483647) AS h
-         |  FROM documents,
-         |       unnest(generate_series(1, len(text) - ${operators.Dedup.dupSpanK} + 1)) t(s)
+      s"""$dupSpansCtes
+         |SELECT doc_id, span_start, span_end, span_len, n_windows
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+    // the cut list applied: the kept text is the ordered concatenation
+    // of the complement segments (before each span via lag, plus the
+    // per-doc tail) — same string the Spark side's ordered span fold
+    // stitches
+    "dedup_span_clean" ->
+      s"""$dupSpansCtes,
+         |pre AS (
+         |  SELECT doc_id,
+         |    coalesce(lag(span_end)
+         |      OVER (PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS st,
+         |    span_start - 1 AS en
+         |  FROM spans
          |),
-         |flagged AS (
-         |  SELECT doc_id, pos
-         |  FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM hs)
-         |  WHERE c >= 2
+         |tails AS (
+         |  SELECT s.doc_id, max(s.span_end) + 1 AS st, len(d.text) AS en
+         |  FROM spans s JOIN documents d USING (doc_id)
+         |  GROUP BY s.doc_id, len(d.text)
          |),
-         |lagged AS (
-         |  SELECT doc_id, pos,
-         |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-         |  FROM flagged
-         |),
-         |grp AS (
-         |  SELECT doc_id, pos,
-         |    sum(CASE WHEN prev IS NULL OR pos - prev <= ${operators.Dedup.dupSpanK}
-         |             THEN 0 ELSE 1 END)
-         |      OVER (PARTITION BY doc_id ORDER BY pos) AS g
-         |  FROM lagged
+         |segs AS (SELECT * FROM pre UNION ALL SELECT * FROM tails),
+         |stitched AS (
+         |  SELECT g.doc_id,
+         |    string_agg(substr(d.text, CAST(g.st AS INTEGER),
+         |        greatest(CAST(g.en - g.st + 1 AS INTEGER), 0)),
+         |      '' ORDER BY g.st) AS clean_text
+         |  FROM segs g JOIN documents d USING (doc_id)
+         |  GROUP BY g.doc_id
          |)
-         |SELECT doc_id, min(pos) AS span_start,
-         |  max(pos) + ${operators.Dedup.dupSpanK} - 1 AS span_end,
-         |  max(pos) + ${operators.Dedup.dupSpanK} - min(pos) AS span_len,
-         |  CAST(count(*) AS BIGINT) AS n_windows
-         |FROM grp GROUP BY doc_id, g
-         |ORDER BY doc_id, span_start""".stripMargin,
+         |SELECT d.doc_id,
+         |  coalesce(s.clean_text, d.text) AS clean_text,
+         |  CAST(len(d.text) - len(coalesce(s.clean_text, d.text)) AS BIGINT)
+         |    AS n_chars_removed
+         |FROM documents d LEFT JOIN stitched s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""$clusterLabelsCte
          |SELECT id, cluster FROM labels ORDER BY id""".stripMargin,

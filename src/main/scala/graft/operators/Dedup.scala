@@ -683,4 +683,43 @@ object Dedup {
         col("n_windows"))
       .orderBy("doc_id", "span_start")
   }
+
+  /** Duplicate-span REMOVAL — [[dupSpans]]' cut list applied: each
+    * document's text with every duplicated span excised (the
+    * aggressive variant of Lee et al.'s substring dedup; a keep-first
+    * policy is a downstream choice over the same cut list), plus the
+    * removed-character count. Stitching is one ordered fold over the
+    * doc's span array (spans are disjoint and sorted, so each step
+    * appends the kept segment before the span and advances the cursor
+    * past it) — per-document work is O(spans), and the interpreted
+    * lambda runs once per DOC, not per token, so it stays off the hot
+    * path.
+    */
+  def spanClean(spark: SparkSession, dir: String,
+                k: Int = dupSpanK): DataFrame = {
+    val spans = dupSpans(spark, dir, k)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("spans"))
+    Tables(spark, dir, "documents")
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("clean_text",
+        when(col("spans").isNull, col("text")).otherwise(
+          aggregate(
+            col("spans"),
+            struct(lit("").cast("string").as("acc"), lit(1L).as("cur")),
+            (st, sp) => struct(
+              concat(st.getField("acc"),
+                col("text").substr(st.getField("cur").cast("int"),
+                  (sp.getField("s") - st.getField("cur")).cast("int"))).as("acc"),
+              (sp.getField("e") + 1L).as("cur")),
+            st => concat(st.getField("acc"),
+              col("text").substr(st.getField("cur").cast("int"),
+                greatest(lit(0),
+                  length(col("text")) - st.getField("cur") + 1).cast("int"))))))
+      .select(col("doc_id"), col("clean_text"),
+        (length(col("text")) - length(col("clean_text"))).cast("long")
+          .as("n_chars_removed"))
+      .orderBy("doc_id")
+  }
 }

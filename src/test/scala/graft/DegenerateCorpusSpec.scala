@@ -54,7 +54,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     "source_cap" -> Sampling.sourceCap(spark, dir).count(),
     "classifier" -> Perceptron.classifier(spark, dir).count(),
     "bpe_encode" -> graft.operators.BpeTrainer.encode(spark, dir).count(),
-    "dup_spans" -> Dedup.dupSpans(spark, dir).count())
+    "dup_spans" -> Dedup.dupSpans(spark, dir).count(),
+    "span_clean" -> Dedup.spanClean(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -79,7 +80,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("source_cap") === 1L)
     assert(counts("classifier") === 1L)
     assert(counts("bpe_encode") === 1L, "the lone doc encodes to one row")
-    assert(counts("dup_spans") === 0L, "no 16-gram repeats in the lone doc")
+    assert(counts("dup_spans") === 0L, "no k-gram repeats in the lone doc")
+    assert(counts("span_clean") === 1L, "the lone doc passes through uncut")
     assert(counts("pq_codes") === graft.operators.Pq.numSubspaces.toLong,
       "one code per subspace for the lone vector")
     assert(counts("pq_codes_packed") === 1L, "one packed word for the lone vector")

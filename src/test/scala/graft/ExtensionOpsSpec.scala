@@ -44,6 +44,19 @@ class ExtensionOpsSpec extends SparkSpec {
       }, s"doc $id span does not cover the planted sentence")
     }
     assert(!spans.exists(_._1 == 3L), "the unique doc must be span-free")
+    // span removal: the planted sentence is gone, untouched docs pass
+    // through, and removed-char counts reconcile with the span lengths
+    val cleaned = Dedup.spanClean(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(cleaned.length === docs.length)
+    cleaned.foreach { case (id, clean, removed) =>
+      assert(!clean.contains(shared), s"doc $id still contains the planted span")
+      val spanSum = spans.filter(_._1 == id).map(_._4).sum
+      assert(removed === spanSum, s"doc $id removed $removed != span sum $spanSum")
+      assert(clean.length === docs.find(_._1 == id).get._2.length - removed)
+    }
+    assert(cleaned.find(_._1 == 3L).get._2 ===
+      docs.find(_._1 == 3L).get._2, "span-free doc must pass through verbatim")
     // invariants: spans ordered, non-overlapping, length >= k
     spans.groupBy(_._1).foreach { case (_, ss) =>
       val sorted = ss.sortBy(_._2)
