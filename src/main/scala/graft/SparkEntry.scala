@@ -146,6 +146,7 @@ object SparkEntry {
     // — text analysis over documents
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality" -> (TextAnalysis.qualityScores _),
+    "text_gopher_rules" -> (TextAnalysis.gopherRules _),
     "text_langid_confusion" -> (TextAnalysis.langIdConfusion _),
     "text_fingerprints" -> (TextAnalysis.fingerprints _),
     "text_subword_stats" -> (TextAnalysis.subwordStats _),
@@ -1617,6 +1618,45 @@ object SparkEntry {
         |         t -> list_contains(['the','a','of','and','in','to','is'], t))) AS DOUBLE)
         |    / len(string_split(trim(text), ' ')) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // every Gopher threshold restated in integer arithmetic on both
+    // sides (mean word length in [3,10] ⇔ 3·words ≤ chars ≤ 10·words),
+    // so the row carries no floats at all
+    "text_gopher_rules" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(trim(text))
+        |      - (len(string_split(trim(text), ' ')) - 1) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(string_split(trim(text), ' '),
+        |        w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_intersect(
+        |        list_distinct(list_transform(string_split(trim(text), ' '),
+        |          w -> lower(w))),
+        |        ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+        |      AS n_stop,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |        l -> regexp_matches(l, '^[-*•] '))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |        l -> regexp_matches(l, '\.\.\.$'))) AS BIGINT) AS n_ell_lines,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_symbols
+        |  FROM documents),
+        |checks AS (
+        |  SELECT doc_id, n_words,
+        |    (n_words >= 50 AND n_words <= 100000) AS wordcount_ok,
+        |    (sum_len >= n_words * 3 AND sum_len <= n_words * 10) AS mean_wl_ok,
+        |    (n_symbols * 10 < n_words) AS symbol_ok,
+        |    (n_bullet * 10 < n_lines * 9) AS bullet_ok,
+        |    (n_ell_lines * 10 < n_lines * 3) AS ellipsis_ok,
+        |    (n_alpha * 5 >= n_words * 4) AS alpha_ok,
+        |    (n_stop >= 2) AS stop_ok
+        |  FROM f)
+        |SELECT doc_id, n_words, wordcount_ok, mean_wl_ok, symbol_ok,
+        |  bullet_ok, ellipsis_ok, alpha_ok, stop_ok,
+        |  (wordcount_ok AND mean_wl_ok AND symbol_ok AND bullet_ok
+        |   AND ellipsis_ok AND alpha_ok AND stop_ok) AS gopher_pass
+        |FROM checks ORDER BY doc_id""".stripMargin,
     "text_langid_confusion" ->
       """WITH scored AS (
         |  SELECT lang,

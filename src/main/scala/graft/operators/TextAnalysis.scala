@@ -326,4 +326,56 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
   }
+
+  /** Stop list for the Gopher "contains ≥ 2 stop words" rule — the
+    * paper's eight (Rae et al. 2021, A1.1).
+    */
+  val gopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rule document filters (Rae et al. 2021, appendix A1.1) —
+    * the canonical pretraining quality gate, complementing the
+    * trained-classifier and perplexity filters with hand rules. Every
+    * threshold is evaluated in INTEGER arithmetic (e.g. mean word
+    * length ∈ [3, 10] as `3·words ≤ chars ≤ 10·words`), so the row is
+    * ratio-free and engine-exact. One narrow codegen'd pass per doc;
+    * the two per-word filters run DuckDB-matching list lambdas (per
+    * doc, off the hot path).
+    *
+    * Word-length accounting uses the single-space convention the
+    * corpus follows (`sum(word lengths) = len(trim) − (words − 1)`),
+    * stated identically on both sides.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(trim(col("text")), " ")
+    val lines = split(col("text"), "\n")
+    val nWords = size(words).cast("long")
+    val nLines = size(lines).cast("long")
+    val sumLen = (length(trim(col("text"))) - (size(words) - 1)).cast("long")
+    val nAlpha = size(expr(
+      """filter(split(trim(text), ' '), w -> w rlike '[A-Za-z]')""")).cast("long")
+    val nStop = size(array_intersect(
+      array_distinct(transform(words, w => lower(w))),
+      array(gopherStopWords.map(lit): _*))).cast("long")
+    val nBullet = size(expr(
+      """filter(split(text, '\n'), l -> l rlike '^[-*•] ')""")).cast("long")
+    val nEllLines = size(expr(
+      """filter(split(text, '\n'), l -> l rlike '\\.\\.\\.$')""")).cast("long")
+    val nSymbols = (regexp_count(col("text"), lit("#")) +
+      regexp_count(col("text"), lit("\\.\\.\\."))).cast("long")
+    val checks = Seq(
+      "wordcount_ok" -> (nWords >= 50L && nWords <= 100000L),
+      "mean_wl_ok" -> (sumLen >= nWords * 3L && sumLen <= nWords * 10L),
+      "symbol_ok" -> (nSymbols * 10L < nWords),
+      "bullet_ok" -> (nBullet * 10L < nLines * 9L),
+      "ellipsis_ok" -> (nEllLines * 10L < nLines * 3L),
+      "alpha_ok" -> (nAlpha * 5L >= nWords * 4L),
+      "stop_ok" -> (nStop >= 2L))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id") +: nWords.as("n_words") +:
+        checks.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("gopher_pass",
+        checks.map(c => col(c._1)).reduce(_ && _))
+      .orderBy("doc_id")
+  }
 }

@@ -55,7 +55,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     "classifier" -> Perceptron.classifier(spark, dir).count(),
     "bpe_encode" -> graft.operators.BpeTrainer.encode(spark, dir).count(),
     "dup_spans" -> Dedup.dupSpans(spark, dir).count(),
-    "span_clean" -> Dedup.spanClean(spark, dir).count())
+    "span_clean" -> Dedup.spanClean(spark, dir).count(),
+    "gopher" -> TextAnalysis.gopherRules(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -82,6 +83,7 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("bpe_encode") === 1L, "the lone doc encodes to one row")
     assert(counts("dup_spans") === 0L, "no k-gram repeats in the lone doc")
     assert(counts("span_clean") === 1L, "the lone doc passes through uncut")
+    assert(counts("gopher") === 1L, "rules score the lone doc")
     assert(counts("pq_codes") === graft.operators.Pq.numSubspaces.toLong,
       "one code per subspace for the lone vector")
     assert(counts("pq_codes_packed") === 1L, "one packed word for the lone vector")

@@ -180,6 +180,30 @@ class ExtensionOpsSpec extends SparkSpec {
       s"trained recall $trained < stand-in recall $standin")
   }
 
+  test("gopher rules: each constructed violation trips exactly its rule") {
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    val good = (("the quick brown fox jumps with energy and " * 7) +
+      "grace that we have seen of late").trim // ~50+ clean words
+    val docs = Seq(
+      (1L, good, "en", "s"),
+      (2L, good + " " + Seq.fill(9)("###").mkString(" "), "en", "s"), // symbol-heavy
+      (3L, (1 to 60).map(_ => "12345").mkString(" "), "en", "s"),     // no alpha, no stops
+      (4L, (1 to 60).map(i => s"- bullet $i the of and that be with have to").mkString("\n"), "en", "s"),
+      (5L, "too short to pass the word count gate", "en", "s"))
+    val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.gopherRules(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(9), "the clean doc must pass all rules")
+    assert(!out(2L).getBoolean(4) && !out(2L).getBoolean(9), "symbols must trip symbol_ok")
+    assert(!out(3L).getBoolean(7) && !out(3L).getBoolean(8), "digit words trip alpha_ok and stop_ok")
+    assert(!out(4L).getBoolean(5), "bullet lines trip bullet_ok")
+    assert(!out(5L).getBoolean(2), "a short doc trips wordcount_ok")
+  }
+
   test("quality scores: ratios in [0,1], avg token length positive") {
     val q = TextAnalysis.qualityScores(spark, dir).collect()
     assert(q.forall(r => r.getDouble(3) >= 0 && r.getDouble(3) <= 1))
