@@ -1632,8 +1632,8 @@ object SparkEntry {
         |        w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
         |    CAST(len(list_intersect(
         |        list_distinct(list_transform(string_split(trim(text), ' '),
-        |          w -> lower(w))),
-        |        ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+        |          w -> lower(regexp_replace(w, '[^A-Za-z]', '', 'g')))),
+        |        ['the','a','of','and','in','to','is'])) AS BIGINT)
         |      AS n_stop,
         |    CAST(len(list_filter(string_split(text, chr(10)),
         |        l -> regexp_matches(l, '^[-*•] '))) AS BIGINT) AS n_bullet,

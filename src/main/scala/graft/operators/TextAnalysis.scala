@@ -327,11 +327,16 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Stop list for the Gopher "contains ≥ 2 stop words" rule — the
-    * paper's eight (Rae et al. 2021, A1.1).
+  /** Stop list for the Gopher "contains ≥ 2 distinct stop words" rule.
+    * The paper uses its own eight English function words; the rule is
+    * list-parametric, and the engine ships its configured list (the
+    * same one [[qualityScores]] and the survivor scorer use) so the
+    * gate discriminates on the corpus it actually filters — the
+    * synthetic vocabulary contains only two of the paper's eight, which
+    * would make the rule vacuously false corpus-wide.
     */
   val gopherStopWords: Seq[String] =
-    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    Seq("the", "a", "of", "and", "in", "to", "is")
 
   /** Gopher-rule document filters (Rae et al. 2021, appendix A1.1) —
     * the canonical pretraining quality gate, complementing the
@@ -354,8 +359,12 @@ object TextAnalysis {
     val sumLen = (length(trim(col("text"))) - (size(words) - 1)).cast("long")
     val nAlpha = size(expr(
       """filter(split(trim(text), ' '), w -> w rlike '[A-Za-z]')""")).cast("long")
+    // stop words match on the letters-only lowercase token, so "The,"
+    // counts as "the" — without this the rule is vacuously false on
+    // punctuated prose
     val nStop = size(array_intersect(
-      array_distinct(transform(words, w => lower(w))),
+      array_distinct(transform(words,
+        w => lower(regexp_replace(w, "[^A-Za-z]", "")))),
       array(gopherStopWords.map(lit): _*))).cast("long")
     val nBullet = size(expr(
       """filter(split(text, '\n'), l -> l rlike '^[-*•] ')""")).cast("long")
