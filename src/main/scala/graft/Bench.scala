@@ -33,8 +33,16 @@ object Bench {
 
     // the full benched surface: every driver-checked query plus the
     // bench-only rows (sketch-only approx forms — no oracle, but their
-    // cost profile is the thing the approx operators exist for)
-    val benched = SparkEntry.queries ++ SparkEntry.benchOnly
+    // cost profile is the thing the approx operators exist for).
+    // SPARK_GRAFT_ONLY (comma-separated names) restricts the run — a
+    // local iteration aid; the driver never sets it.
+    val all = SparkEntry.queries ++ SparkEntry.benchOnly
+    val benched = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(names) if names.nonEmpty =>
+        val keep = names.split(",").map(_.trim).toSet
+        all.filter { case (k, _) => keep(k) }
+      case _ => all
+    }
 
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
