@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Dedup, EventsCdc, Multimodal, Sampling, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Dsir, EventsCdc, Multimodal, RandomProjection, Sampling, Similarity, Skew, Temporal, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -143,6 +143,11 @@ object SparkEntry {
     "emb_near_dup_pairs" -> (Similarity.nearDupPairs _),
     "emb_norm_outliers" -> (Similarity.normOutliers _),
     "emb_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "emb_srp_signatures" -> (RandomProjection.signatures _),
+    "emb_srp_pairs" -> (RandomProjection.pairs _),
+    "emb_srp_recall" -> (RandomProjection.recall _),
+    "emb_jl_topk" -> ((s, d) => RandomProjection.jlTopK(s, d)),
+    "emb_jl_recall" -> (RandomProjection.jlRecall _),
     // — text analysis over documents
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality" -> (TextAnalysis.qualityScores _),
@@ -162,6 +167,8 @@ object SparkEntry {
     "text_tfidf_keywords" ->
       ((s: SparkSession, d: String) => operators.Retrieval.tfidfKeywords(s, d)),
     "text_bm25" -> (operators.Retrieval.bm25Scores _),
+    "text_rrf_fusion" -> (operators.Retrieval.rrfFusion _),
+    "text_dsir_weights" -> (Dsir.weights _),
     "text_cms_counts" -> (operators.Sketches.cmsTokenCounts _),
     "text_bpe_merges" ->
       ((s: SparkSession, d: String) => operators.BpeTrainer.train(s, d)),
@@ -330,6 +337,70 @@ object SparkEntry {
          | FROM unnest(generate_series(1, len($a))) t(i))""".stripMargin
     s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 4)"
   }
+
+  /** SRP / JL projection matrices ([[operators.RandomProjection]]'s
+    * LCG weights) inlined as integer list literals — exact in double
+    * on both engines, so no cross-engine RNG exists to disagree.
+    */
+  private def planeRowsSql(n: Int, row: Int => Array[Double]): String =
+    (0 until n).map { j =>
+      s"($j, [${row(j).map(_.toLong).mkString(", ")}])"
+    }.mkString(",\n  ")
+
+  /** Ordered fold Σ w[d]·emb[d] in double — the dotFD kernel of
+    * [[graft.functions.VectorKernel]] stated in SQL (acc starts at
+    * 0.0, index ascending).
+    */
+  private def planeDotSql(wv: String, e: String, dim: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, $dim),
+       |        d -> CAST($wv[CAST(d AS INTEGER)] AS DOUBLE)
+       |             * CAST($e[CAST(d AS INTEGER)] AS DOUBLE))),
+       |      (acc, x) -> acc + x)""".stripMargin
+
+  /** Σ a[d]·b[d] over two DOUBLE lists (the dotDD kernel). */
+  private def projDotSql(a: String, b: String, dim: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, $dim),
+       |        d -> $a[CAST(d AS INTEGER)] * $b[CAST(d AS INTEGER)])),
+       |      (acc, x) -> acc + x)""".stripMargin
+
+  private val srpBandMod = 1L << operators.RandomProjection.srpBandBits
+
+  /** `srp_sigs(vec_id, sig)`: the 32-bit SRP signature — bit b = sign
+    * of the plane-b fold, packed via BIGINT shifts (sum of the 32 bit
+    * rows per vector; DuckDB's integer `sum` widens to HUGEINT, cast
+    * back).
+    */
+  private val srpSigCtes =
+    s"""srp_w(b, wv) AS (VALUES
+       |  ${planeRowsSql(operators.RandomProjection.srpBits,
+            operators.RandomProjection.srpPlane)}),
+       |srp_sigs AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN ${planeDotSql("wv", "embedding",
+              operators.RandomProjection.dim)} > 0
+       |      THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)
+       |      AS BIGINT) AS sig
+       |  FROM embeddings CROSS JOIN srp_w GROUP BY vec_id)""".stripMargin
+
+  /** `jl_n(vec_id, proj, pnrm)`: the 16-wide JL projection (one fold
+    * per output coordinate, assembled in j order) and its norm.
+    */
+  private val jlProjCtes =
+    s"""jl_w(j, wv) AS (VALUES
+       |  ${planeRowsSql(operators.RandomProjection.jlDim,
+            operators.RandomProjection.jlRow)}),
+       |jl_proj AS (
+       |  SELECT vec_id,
+       |    list(${planeDotSql("wv", "embedding",
+              operators.RandomProjection.dim)} ORDER BY j) AS proj
+       |  FROM embeddings CROSS JOIN jl_w GROUP BY vec_id),
+       |jl_n AS (
+       |  SELECT vec_id, proj,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(proj, x -> x * x)), (acc, x) -> acc + x)) AS pnrm
+       |  FROM jl_proj)""".stripMargin
 
   private val bucketSql = (0 until 6).map(j =>
     s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
@@ -1602,6 +1673,130 @@ object SparkEntry {
          |  FROM a JOIN b ON label = b_label AND a_id < b_id)
          |SELECT a_id, b_id, label, cos FROM p WHERE cos >= 0.25
          |ORDER BY a_id, b_id""".stripMargin,
+    "emb_srp_signatures" ->
+      s"""WITH $srpSigCtes
+         |SELECT vec_id, sig AS srp_sig, sig % $srpBandMod AS band_lo,
+         |  sig // $srpBandMod AS band_hi
+         |FROM srp_sigs ORDER BY vec_id""".stripMargin,
+    "emb_srp_pairs" ->
+      s"""WITH $srpSigCtes,
+         |bands AS (
+         |  SELECT vec_id, 0 AS band, sig % $srpBandMod AS key FROM srp_sigs
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS band, sig // $srpBandMod AS key FROM srp_sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT a_id, b_id, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.a_id
+         |            JOIN embeddings eb ON eb.vec_id = cand.b_id)
+         |SELECT a_id, b_id, cos FROM scored
+         |WHERE cos >= ${operators.RandomProjection.srpTau}
+         |ORDER BY a_id, b_id""".stripMargin,
+    "emb_srp_recall" ->
+      s"""WITH $srpSigCtes,
+         |ta AS (
+         |  SELECT vec_id AS a_id, label, embedding AS a_emb
+         |  FROM embeddings WHERE vec_id % 7 = 0),
+         |tb AS (
+         |  SELECT vec_id AS b_id, label AS b_label, embedding AS b_emb
+         |  FROM embeddings WHERE vec_id % 7 = 1),
+         |truth AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id, ${cosSql("a_emb", "b_emb")} AS cos
+         |    FROM ta JOIN tb ON label = b_label AND a_id < b_id) p
+         |  WHERE cos >= ${operators.RandomProjection.srpTau}),
+         |hits AS (
+         |  SELECT (sa.sig % $srpBandMod = sb.sig % $srpBandMod OR
+         |          sa.sig // $srpBandMod = sb.sig // $srpBandMod) AS hit
+         |  FROM truth JOIN srp_sigs sa ON sa.vec_id = truth.a_id
+         |             JOIN srp_sigs sb ON sb.vec_id = truth.b_id)
+         |SELECT 'srp${operators.RandomProjection.srpBits}x2' AS method,
+         |  count(*) AS n_true,
+         |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+         |  CASE WHEN count(*) = 0 THEN NULL
+         |       ELSE round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+         |                  / count(*), 4) END AS recall
+         |FROM hits""".stripMargin,
+    "emb_jl_topk" ->
+      s"""WITH $jlProjCtes,
+         |q AS (
+         |  SELECT vec_id AS q_id, proj AS q_proj, pnrm AS q_pnrm
+         |  FROM jl_n WHERE vec_id IN ${annSampleIds(5)}),
+         |scored AS (
+         |  SELECT q_id, e.vec_id,
+         |    round(${projDotSql("q_proj", "e.proj",
+                operators.RandomProjection.jlDim)}
+         |      / (q_pnrm * e.pnrm), 4) AS cos
+         |  FROM q, jl_n e WHERE e.vec_id <> q.q_id),
+         |jshort AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |                                 ORDER BY cos DESC, vec_id) AS rn
+         |    FROM scored) t
+         |  WHERE rn <= ${operators.RandomProjection.jlShortlist}),
+         |qf AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id IN ${annSampleIds(5)}),
+         |jre AS (
+         |  SELECT s.q_id, s.vec_id, ${cosSql("qf.q_emb", "e.embedding")} AS cos
+         |  FROM jshort s JOIN embeddings e ON e.vec_id = s.vec_id
+         |                JOIN qf ON qf.q_id = s.q_id)
+         |SELECT q_id, rn, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |                               ORDER BY cos DESC, vec_id) AS rn
+         |  FROM jre) t WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "emb_jl_recall" ->
+      s"""WITH $jlProjCtes,
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id IN ${annSampleIds(5)}),
+         |bf AS (
+         |  SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos
+         |  FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+         |truth AS (
+         |  SELECT q_id, vec_id AS true_nn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |                                 ORDER BY cos DESC, vec_id) AS rn
+         |    FROM bf) t WHERE rn = 1),
+         |jq AS (
+         |  SELECT vec_id AS q_id, proj AS q_proj, pnrm AS q_pnrm
+         |  FROM jl_n WHERE vec_id IN ${annSampleIds(5)}),
+         |js AS (
+         |  SELECT q_id, e.vec_id,
+         |    round(${projDotSql("q_proj", "e.proj",
+                operators.RandomProjection.jlDim)}
+         |      / (q_pnrm * e.pnrm), 4) AS cos
+         |  FROM jq, jl_n e WHERE e.vec_id <> jq.q_id),
+         |jshort AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |                                 ORDER BY cos DESC, vec_id) AS rn
+         |    FROM js) t
+         |  WHERE rn <= ${operators.RandomProjection.jlShortlist}),
+         |jre AS (
+         |  SELECT s.q_id, s.vec_id, ${cosSql("qf.q_emb", "e.embedding")} AS cos
+         |  FROM jshort s JOIN embeddings e ON e.vec_id = s.vec_id
+         |                JOIN (SELECT vec_id AS q_id, embedding AS q_emb
+         |                      FROM embeddings
+         |                      WHERE vec_id IN ${annSampleIds(5)}) qf
+         |                  ON qf.q_id = s.q_id),
+         |jt AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |                                 ORDER BY cos DESC, vec_id) AS rn
+         |    FROM jre) t WHERE rn <= 3),
+         |hits AS (
+         |  SELECT truth.q_id,
+         |    max(CASE WHEN jt.vec_id = truth.true_nn THEN 1 ELSE 0 END) AS hit
+         |  FROM truth LEFT JOIN jt ON jt.q_id = truth.q_id
+         |  GROUP BY truth.q_id)
+         |SELECT 'jl${operators.RandomProjection.jlDim}' AS method,
+         |  count(*) AS n_queries,
+         |  round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS recall
+         |FROM hits""".stripMargin,
     "text_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,

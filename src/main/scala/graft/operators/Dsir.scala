@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+  * arXiv:2302.03169): score every document by the log importance
+  * weight log p_target(doc) / p_raw(doc) under hashed-unigram bag
+  * models of a target domain vs the raw corpus — the standard
+  * "select web data that looks like the quality domain" pass of a
+  * training-data pipeline.
+  *
+  * Determinism contract with the oracle: the only float steps are the
+  * 256 per-bucket log-ratios, each a fixed-shape expression over exact
+  * integer counts, rounded to 4 decimals and SCALED TO AN INTEGER
+  * (×10⁴) before they ever meet an aggregation — the per-document
+  * score is then an exact integer dot product Σ c_b · lwi_b, immune to
+  * float summation order. The reported weight divides once at the end.
+  *
+  * Scale shape (100 TB): one corpus scan explodes tokens into a
+  * map-side-combined (doc, source, bucket) count — the only
+  * corpus-sized shuffle, on that composite key. Bucket marginals,
+  * corpus totals, and the 256-row log-weight table all aggregate FROM
+  * that reduction and come back as broadcasts; the per-document score
+  * is a broadcast join + one more map-side-combined sum. The hashed
+  * feature space (256 buckets) is constant-size regardless of
+  * vocabulary, which is the point of hashed DSIR.
+  */
+object Dsir {
+
+  /** Hashed-unigram feature width. */
+  val numBuckets = 256
+
+  /** The stand-in "quality/target domain": a fixed source allowlist
+    * (the synthetic corpus has no real quality tiers; any fixed subset
+    * exercises the estimator end-to-end).
+    */
+  val targetSources = Seq("src1", "src2", "src3")
+
+  /** Token → bucket: first 4 hex chars of md5, mod [[numBuckets]] —
+    * the md5-prefix integer hash every cross-engine kernel here uses.
+    */
+  private def bucketOf(token: Column): Column =
+    conv(substring(md5(token.cast("binary")), 1, 4), 16, 10)
+      .cast("long") % numBuckets
+
+  /** Per-document DSIR log importance weight over the whole corpus:
+    * (doc_id, n_tokens, dsir_logw, selected) — `selected` is the
+    * importance-resampling acceptance direction (weight > 0 ⇔ doc
+    * looks more target-like than raw-average).
+    */
+  def weights(spark: SparkSession, dir: String): DataFrame = {
+    val b = lit(numBuckets.toDouble)
+    // the single corpus-sized pass, reduced immediately (source rides
+    // along for free — it is functionally dependent on doc_id)
+    val cnt = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(trim(col("text")), " ")).as("token"))
+      .withColumn("bucket", bucketOf(col("token")))
+      .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds 4 aggregates below; one explode, not four
+    val isTarget = col("source").isInCollection(targetSources)
+    val raw = cnt.groupBy("bucket").agg(sum(col("c")).as("r_cnt"))
+    val tgt = cnt.filter(isTarget)
+      .groupBy("bucket").agg(sum(col("c")).as("t_cnt"))
+    val totals = cnt.agg(
+      sum(col("c")).as("n_r"),
+      sum(when(isTarget, col("c")).otherwise(0L)).as("n_t"))
+    // 256-row table: add-1-smoothed log-ratio, rounded then ×10⁴ → exact
+    // integer weight (see class doc)
+    val lw = raw
+      .join(tgt, Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(round(
+          log((coalesce(col("t_cnt"), lit(0L)) + 1.0) / (col("n_t") + b)) -
+            log((col("r_cnt") + 1.0) / (col("n_r") + b)), 4) * 10000)
+          .cast("long").as("lwi"))
+    cnt.join(broadcast(lw), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("lwi")).as("sc"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sc").cast("double") / 10000.0).as("dsir_logw"),
+        (col("sc") > 0L).as("selected"))
+      .orderBy("doc_id")
+  }
+}

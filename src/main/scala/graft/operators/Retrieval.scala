@@ -114,4 +114,65 @@ object Retrieval {
       .select(col("doc_id"), col("n_terms"), round(total, 4).as("bm25"))
       .orderBy("doc_id")
   }
+
+  /** Reciprocal-rank-fusion constants: the standard k=60 damping, two
+    * top-50 input lists, top-20 fused output. The dense side's query
+    * is the embedding of a fixed corpus vector (doc ids and vec ids
+    * share the id space in the synthetic corpus).
+    */
+  val rrfK = 60
+  val rrfDepth = 50
+  val rrfTop = 20
+  val rrfQueryVec = 42L
+
+  /** Hybrid retrieval: BM25 (lexical, the fixed [[bm25QueryTerms]]
+    * query) fused with cosine nearest-neighbors of a fixed query
+    * vector by reciprocal-rank fusion, rrf = Σ 1/(k + rank) — the
+    * recall-then-fuse pattern every hybrid search stack runs.
+    *
+    * Determinism: both input rankings order by (rounded score DESC,
+    * id) — integer ranks come out; the fused score is a fixed
+    * two-term sum of exact-operand divisions (dense term + sparse
+    * term, in that order), rounded to 6, with id as the final
+    * tiebreak. No float aggregation anywhere.
+    *
+    * Scale shape: each side is its production operator (BM25's one
+    * scan + one (doc, token) shuffle; the dense side a 1-row
+    * broadcast against the corpus) followed by a global top-depth —
+    * TakeOrdered-sized results (50 rows) that join and re-rank on the
+    * driver-scale, not corpus-scale.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val wS = Window.orderBy(col("bm25").desc, col("id"))
+    val sparse = bm25Scores(spark, dir)
+      .select(col("doc_id").as("id"), col("bm25"))
+      .withColumn("r_sparse", row_number().over(wS).cast("long"))
+      .filter(col("r_sparse") <= rrfDepth)
+      .select("id", "r_sparse")
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("nrm",
+        sqrt(graft.functions.DotProductD(col("embedding"), col("embedding"))))
+    val q = emb.filter(col("vec_id") === rrfQueryVec)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val wD = Window.orderBy(col("cos").desc, col("id"))
+    val dense = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= rrfQueryVec)
+      .select(col("vec_id").as("id"),
+        round(graft.functions.DotProductD(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 4).as("cos"))
+      .withColumn("r_dense", row_number().over(wD).cast("long"))
+      .filter(col("r_dense") <= rrfDepth)
+      .select("id", "r_dense")
+    val wF = Window.orderBy(col("rrf").desc, col("id"))
+    dense.join(sparse, Seq("id"), "full_outer")
+      .select(col("id"), col("r_dense"), col("r_sparse"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_dense")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("r_sparse")), lit(0.0)), 6)
+          .as("rrf"))
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= rrfTop)
+      .select("rank", "id", "r_dense", "r_sparse", "rrf")
+      .orderBy("rank")
+  }
 }

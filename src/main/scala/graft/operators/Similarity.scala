@@ -564,7 +564,7 @@ object Similarity {
     ivfSearch(assigned, queryProbes(assigned, centroids, ivfNprobe))
   }
 
-  private def topPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def topPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.RandomProjection
+import org.apache.spark.sql.functions._
+
+/** Sign-random-projection LSH + JL two-stage search: internal
+  * consistency properties a hash mismatch with the oracle would not
+  * localize — signature determinism, band/pair algebra, the
+  * no-false-negative direction of the exact verify, and the exactness
+  * of the JL rerank stage.
+  */
+class RandomProjectionSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("weights are integer-valued, bounded, and stream-disjoint") {
+    val srp = (0 until RandomProjection.srpBits).flatMap(RandomProjection.srpPlane)
+    val jl = (0 until RandomProjection.jlDim).flatMap(RandomProjection.jlRow)
+    (srp ++ jl).foreach { w =>
+      assert(w == w.floor, "LCG weight must be integer-valued")
+      assert(w >= -1024 && w <= 1023)
+    }
+    // not all weights one sign (a degenerate stream would make every
+    // signature bit constant)
+    assert(srp.exists(_ > 0) && srp.exists(_ < 0))
+    assert(jl.exists(_ > 0) && jl.exists(_ < 0))
+  }
+
+  test("signatures: one row per vector, bands recompose the signature") {
+    val sig = RandomProjection.signatures(spark, dir)
+    val n = Tables(spark, dir, "embeddings").count()
+    assert(sig.count() === n)
+    val bad = sig.filter(
+      col("band_lo") + shiftleft(col("band_hi"), RandomProjection.srpBandBits)
+        =!= col("srp_sig")).count()
+    assert(bad === 0L)
+    val range = sig.agg(min("srp_sig"), max("srp_sig")).head()
+    assert(range.getLong(0) >= 0L)
+    assert(range.getLong(1) < (1L << RandomProjection.srpBits))
+  }
+
+  test("pairs: every reported pair collides in a band and clears tau") {
+    val sigs = RandomProjection.signatures(spark, dir)
+      .select(col("vec_id"), col("band_lo"), col("band_hi"))
+    val pairs = RandomProjection.pairs(spark, dir)
+    val joined = pairs
+      .join(sigs.select(col("vec_id").as("a_id"), col("band_lo").as("alo"),
+        col("band_hi").as("ahi")), "a_id")
+      .join(sigs.select(col("vec_id").as("b_id"), col("band_lo").as("blo"),
+        col("band_hi").as("bhi")), "b_id")
+    assert(joined.filter(col("alo") =!= col("blo") &&
+      col("ahi") =!= col("bhi")).count() === 0L)
+    assert(pairs.filter(col("cos") < RandomProjection.srpTau).count() === 0L)
+    assert(pairs.filter(col("a_id") >= col("b_id")).count() === 0L)
+  }
+
+  test("recall audit counts are consistent") {
+    val r = RandomProjection.recall(spark, dir).head()
+    val nTrue = r.getLong(1)
+    assert(r.getString(0) === s"srp${RandomProjection.srpBits}x2")
+    if (nTrue > 0) {
+      val nCaught = r.getLong(2)
+      assert(nCaught >= 0L && nCaught <= nTrue)
+      assert(math.abs(r.getDouble(3) - nCaught.toDouble / nTrue) < 1e-3)
+    }
+  }
+
+  test("JL two-stage top-k: reported cosines are the exact full-width " +
+    "cosines (rerank stage is exact)") {
+    import graft.functions.DotProductD
+    val topk = RandomProjection.jlTopK(spark, dir)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(DotProductD(col("embedding"), col("embedding"))).as("nrm"))
+    val recomputed = topk
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn")), "q_id")
+      .join(emb.select(col("vec_id"), col("embedding").as("ce"),
+        col("nrm").as("cn")), "vec_id")
+      .withColumn("expect",
+        round(DotProductD(col("qe"), col("ce")) / (col("qn") * col("cn")), 4))
+    assert(recomputed.filter(col("cos") =!= col("expect")).count() === 0L)
+    // per query: at most k rows, ranks are 1..k without gaps
+    val byQ = topk.groupBy("q_id")
+      .agg(count(lit(1)).as("n"), max("rn").as("mx"), min("rn").as("mn"))
+    assert(byQ.filter(col("n") > 3 || col("mx") =!= col("n") ||
+      col("mn") =!= 1L).count() === 0L)
+  }
+
+  test("JL recall is a valid fraction over the query sample") {
+    val r = RandomProjection.jlRecall(spark, dir).head()
+    assert(r.getString(0) === s"jl${RandomProjection.jlDim}")
+    assert(r.getLong(1) > 0L)
+    val rec = r.getDouble(2)
+    assert(rec >= 0.0 && rec <= 1.0)
+  }
+}
