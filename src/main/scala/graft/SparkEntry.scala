@@ -365,6 +365,16 @@ object SparkEntry {
        |        d -> $a[CAST(d AS INTEGER)] * $b[CAST(d AS INTEGER)])),
        |      (acc, x) -> acc + x)""".stripMargin
 
+  /** First 4 hex chars of an md5 digest (`dg`) as an integer — the
+    * oracle side of [[operators.Dsir]]'s token bucket hash.
+    */
+  private val dsirHex4 = (0 until 4).map(o =>
+    s"(strpos('0123456789abcdef', substr(dg, ${1 + o}, 1)) - 1) * " +
+      s"${1L << (4 * (3 - o))}").mkString(" + ")
+
+  private val dsirTargetIn = operators.Dsir.targetSources
+    .map(x => s"'$x'").mkString("(", ", ", ")")
+
   private val srpBandMod = 1L << operators.RandomProjection.srpBandBits
 
   /** `srp_sigs(vec_id, sig)`: the 32-bit SRP signature — bit b = sign
@@ -1003,6 +1013,39 @@ object SparkEntry {
        |  f.is_en
        |FROM f, $last ORDER BY f.doc_id""".stripMargin
   }
+
+  /** BM25 oracle CTE chain ending in `p(doc_id, c0, c1, c2)` — shared
+    * by the `text_bm25` row and the RRF fusion's sparse side.
+    */
+  private val bm25Ctes =
+    s"""dl AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS dl
+         |  FROM documents),
+         |g AS (
+         |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |    count(*) AS n_docs FROM dl),
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+         |    FROM documents) x
+         |  WHERE token IN ('dup', 'customer', 'vector')
+         |  GROUP BY 1, 2),
+         |d AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |c AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+         |      (tf.tf * (${operators.Retrieval.bm25K1} + 1.0)) /
+         |      (tf.tf + ${operators.Retrieval.bm25K1} *
+         |        (1.0 - ${operators.Retrieval.bm25B} +
+         |         ${operators.Retrieval.bm25B} * dl.dl / g.avgdl)) AS c
+         |  FROM tf JOIN d USING (token) JOIN dl USING (doc_id), g),
+         |p AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN token = 'dup' THEN c END) AS c0,
+         |    max(CASE WHEN token = 'customer' THEN c END) AS c1,
+         |    max(CASE WHEN token = 'vector' THEN c END) AS c2
+         |  FROM c GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "cdc_final" ->
@@ -1797,6 +1840,76 @@ object SparkEntry {
          |  count(*) AS n_queries,
          |  round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS recall
          |FROM hits""".stripMargin,
+    "text_dsir_weights" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |    unnest(string_split(trim(text), ' ')) AS token
+         |  FROM documents),
+         |tb AS (
+         |  SELECT doc_id, source, ($dsirHex4) % ${operators.Dsir.numBuckets}
+         |    AS bucket
+         |  FROM (SELECT doc_id, source, substr(md5(token), 1, 4) AS dg
+         |        FROM tok)),
+         |cnt AS (
+         |  SELECT doc_id, source, bucket, count(*) AS c
+         |  FROM tb GROUP BY 1, 2, 3),
+         |r AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS r_cnt
+         |      FROM cnt GROUP BY 1),
+         |t AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS t_cnt
+         |      FROM cnt WHERE source IN $dsirTargetIn GROUP BY 1),
+         |g AS (SELECT CAST(sum(c) AS BIGINT) AS n_r,
+         |        CAST(sum(CASE WHEN source IN $dsirTargetIn THEN c ELSE 0 END)
+         |          AS BIGINT) AS n_t
+         |      FROM cnt),
+         |lw AS (
+         |  SELECT r.bucket,
+         |    CAST(round(round(
+         |      ln((coalesce(t.t_cnt, 0) + 1.0)
+         |         / (g.n_t + ${operators.Dsir.numBuckets}.0)) -
+         |      ln((r.r_cnt + 1.0)
+         |         / (g.n_r + ${operators.Dsir.numBuckets}.0)), 4) * 10000)
+         |      AS BIGINT) AS lwi
+         |  FROM r LEFT JOIN t USING (bucket) CROSS JOIN g),
+         |s AS (
+         |  SELECT c.doc_id, CAST(sum(c.c) AS BIGINT) AS n_tokens,
+         |         CAST(sum(c.c * lw.lwi) AS BIGINT) AS sc
+         |  FROM cnt c JOIN lw USING (bucket) GROUP BY 1)
+         |SELECT doc_id, n_tokens, sc / 10000.0 AS dsir_logw, sc > 0 AS selected
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_rrf_fusion" ->
+      s"""WITH $bm25Ctes,
+         |bm AS (
+         |  SELECT doc_id,
+         |    round(coalesce(c0, 0.0) + coalesce(c1, 0.0) + coalesce(c2, 0.0), 4)
+         |      AS bm25
+         |  FROM p),
+         |sparse AS (
+         |  SELECT id, r_sparse FROM (
+         |    SELECT doc_id AS id,
+         |      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_sparse
+         |    FROM bm) t
+         |  WHERE r_sparse <= ${operators.Retrieval.rrfDepth}),
+         |qv AS (SELECT embedding AS q_emb FROM embeddings
+         |       WHERE vec_id = ${operators.Retrieval.rrfQueryVec}),
+         |dcos AS (
+         |  SELECT e.vec_id AS id, ${cosSql("qv.q_emb", "e.embedding")} AS cos
+         |  FROM embeddings e CROSS JOIN qv
+         |  WHERE e.vec_id <> ${operators.Retrieval.rrfQueryVec}),
+         |dense AS (
+         |  SELECT id, r_dense FROM (
+         |    SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS r_dense
+         |    FROM dcos) t
+         |  WHERE r_dense <= ${operators.Retrieval.rrfDepth}),
+         |fused AS (
+         |  SELECT coalesce(d.id, sp.id) AS id, d.r_dense, sp.r_sparse,
+         |    round(coalesce(1.0 / (${operators.Retrieval.rrfK} + d.r_dense), 0.0)
+         |      + coalesce(1.0 / (${operators.Retrieval.rrfK} + sp.r_sparse), 0.0),
+         |      6) AS rrf
+         |  FROM dense d FULL OUTER JOIN sparse sp ON d.id = sp.id)
+         |SELECT rank, id, r_dense, r_sparse, rrf FROM (
+         |  SELECT *, row_number() OVER (ORDER BY rrf DESC, id) AS rank
+         |  FROM fused) t
+         |WHERE rank <= ${operators.Retrieval.rrfTop} ORDER BY rank""".stripMargin,
     "text_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
@@ -2039,34 +2152,7 @@ object SparkEntry {
         |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "text_bm25" ->
-      s"""WITH dl AS (
-         |  SELECT doc_id,
-         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS dl
-         |  FROM documents),
-         |g AS (
-         |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-         |    count(*) AS n_docs FROM dl),
-         |tf AS (
-         |  SELECT doc_id, token, count(*) AS tf FROM (
-         |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
-         |    FROM documents) x
-         |  WHERE token IN ('dup', 'customer', 'vector')
-         |  GROUP BY 1, 2),
-         |d AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-         |c AS (
-         |  SELECT tf.doc_id, tf.token,
-         |    ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5)) *
-         |      (tf.tf * (${operators.Retrieval.bm25K1} + 1.0)) /
-         |      (tf.tf + ${operators.Retrieval.bm25K1} *
-         |        (1.0 - ${operators.Retrieval.bm25B} +
-         |         ${operators.Retrieval.bm25B} * dl.dl / g.avgdl)) AS c
-         |  FROM tf JOIN d USING (token) JOIN dl USING (doc_id), g),
-         |p AS (
-         |  SELECT doc_id,
-         |    max(CASE WHEN token = 'dup' THEN c END) AS c0,
-         |    max(CASE WHEN token = 'customer' THEN c END) AS c1,
-         |    max(CASE WHEN token = 'vector' THEN c END) AS c2
-         |  FROM c GROUP BY 1)
+      s"""WITH $bm25Ctes
          |SELECT doc_id,
          |  (CASE WHEN c0 IS NOT NULL THEN 1 ELSE 0 END +
          |   CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END +
