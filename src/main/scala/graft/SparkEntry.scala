@@ -184,6 +184,8 @@ object SparkEntry {
     "q_source_cap" ->
       ((s: SparkSession, d: String) => Sampling.sourceCap(s, d)),
     "q_pack_sequences" -> (Sampling.packSequences _),
+    "text_chunk_windows" -> (Sampling.chunkWindows _),
+    "q_shuffle_order" -> (Sampling.shuffleOrder _),
     "q_token_budget_mix" -> (Sampling.tokenBudgetMix _),
     "q_temperature_mix" -> (Sampling.temperatureMix _),
     // — multimodal binary-column plumbing
@@ -2160,6 +2162,37 @@ object SparkEntry {
          |  round(coalesce(c0, 0.0) + coalesce(c1, 0.0) + coalesce(c2, 0.0), 4)
          |    AS bm25
          |FROM p ORDER BY doc_id""".stripMargin,
+    "text_chunk_windows" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(trim(text), ' ') AS toks,
+         |    len(string_split(trim(text), ' ')) AS nt
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, 1 + CASE WHEN nt > ${operators.Sampling.chunkSize}
+         |      THEN CAST((nt - ${operators.Sampling.chunkSize}
+         |                 + ${operators.Sampling.chunkStride - 1})
+         |                // ${operators.Sampling.chunkStride} AS INT)
+         |      ELSE 0 END)) AS k
+         |  FROM d)
+         |SELECT doc_id, k AS chunk_id,
+         |  k * ${operators.Sampling.chunkStride} AS start_tok,
+         |  CAST(len(toks[CAST(k * ${operators.Sampling.chunkStride} + 1 AS INT)
+         |    : CAST(k * ${operators.Sampling.chunkStride}
+         |           + ${operators.Sampling.chunkSize} AS INT)]) AS BIGINT)
+         |    AS n_tok,
+         |  array_to_string(
+         |    toks[CAST(k * ${operators.Sampling.chunkStride} + 1 AS INT)
+         |      : CAST(k * ${operators.Sampling.chunkStride}
+         |             + ${operators.Sampling.chunkSize} AS INT)], ' ')
+         |    AS chunk_text
+         |FROM k ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_shuffle_order" ->
+      """SELECT row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '#graft-shuffle-1'),
+        |             doc_id) AS position,
+        |  doc_id
+        |FROM documents ORDER BY position""".stripMargin,
     "q_temperature_mix" ->
       s"""WITH c AS (
          |  SELECT lang,

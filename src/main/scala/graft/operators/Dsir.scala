@@ -45,21 +45,25 @@ object Dsir {
     conv(substring(md5(token.cast("binary")), 1, 4), 16, 10)
       .cast("long") % numBuckets
 
-  /** Per-document DSIR log importance weight over the whole corpus:
-    * (doc_id, n_tokens, dsir_logw, selected) — `selected` is the
-    * importance-resampling acceptance direction (weight > 0 ⇔ doc
-    * looks more target-like than raw-average).
+  /** The per-(doc, source, bucket) token-count reduction — the single
+    * corpus-sized pass everything else aggregates from (source rides
+    * along for free; it is functionally dependent on doc_id).
     */
-  def weights(spark: SparkSession, dir: String): DataFrame = {
-    val b = lit(numBuckets.toDouble)
-    // the single corpus-sized pass, reduced immediately (source rides
-    // along for free — it is functionally dependent on doc_id)
-    val cnt = Tables(spark, dir, "documents")
+  private def bucketCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         explode(split(trim(col("text")), " ")).as("token"))
       .withColumn("bucket", bucketOf(col("token")))
       .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // feeds 4 aggregates below; one explode, not four
+      .localCheckpoint() // feeds 4 aggregates; one explode, not four
+
+  /** The trained estimator: 256 rows of (bucket, lwi) — the add-1
+    * smoothed log-ratio per bucket, rounded then ×10⁴ into an exact
+    * integer weight (see class doc). The O(buckets) artifact a
+    * pipeline stores and every scorer broadcasts.
+    */
+  private def bucketWeights(cnt: DataFrame): DataFrame = {
+    val b = lit(numBuckets.toDouble)
     val isTarget = col("source").isInCollection(targetSources)
     val raw = cnt.groupBy("bucket").agg(sum(col("c")).as("r_cnt"))
     val tgt = cnt.filter(isTarget)
@@ -67,9 +71,7 @@ object Dsir {
     val totals = cnt.agg(
       sum(col("c")).as("n_r"),
       sum(when(isTarget, col("c")).otherwise(0L)).as("n_t"))
-    // 256-row table: add-1-smoothed log-ratio, rounded then ×10⁴ → exact
-    // integer weight (see class doc)
-    val lw = raw
+    raw
       .join(tgt, Seq("bucket"), "left_outer")
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
@@ -77,7 +79,16 @@ object Dsir {
           log((coalesce(col("t_cnt"), lit(0L)) + 1.0) / (col("n_t") + b)) -
             log((col("r_cnt") + 1.0) / (col("n_r") + b)), 4) * 10000)
           .cast("long").as("lwi"))
-    cnt.join(broadcast(lw), "bucket")
+  }
+
+  /** Per-document DSIR log importance weight over the whole corpus:
+    * (doc_id, n_tokens, dsir_logw, selected) — `selected` is the
+    * importance-resampling acceptance direction (weight > 0 ⇔ doc
+    * looks more target-like than raw-average).
+    */
+  def weights(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = bucketCounts(spark, dir)
+    cnt.join(broadcast(bucketWeights(cnt)), "bucket")
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_tokens"),
         sum(col("c") * col("lwi")).as("sc"))
@@ -85,5 +96,35 @@ object Dsir {
         (col("sc").cast("double") / 10000.0).as("dsir_logw"),
         (col("sc") > 0L).as("selected"))
       .orderBy("doc_id")
+  }
+
+  /** The trained weights as a dense array indexed by bucket (0 for a
+    * bucket no corpus token hashed into) — the driver-side artifact
+    * [[streamingScores]] serves, mirroring the perceptron's
+    * train-batch/serve-stream split.
+    */
+  def trainedWeights(spark: SparkSession, dir: String): Array[Long] = {
+    val w = new Array[Long](numBuckets)
+    bucketWeights(bucketCounts(spark, dir)).collect().foreach { r =>
+      w(r.getLong(0).toInt) = r.getLong(1)
+    }
+    w
+  }
+
+  /** Batch-trained model → streaming inference: score arriving
+    * documents with the stored bucket weights — a stateless narrow
+    * projection (hash, look up, integer-sum per row; no shuffle, no
+    * state), so it runs identically on a stream or a batch frame.
+    * Per-document scores are exactly [[weights]]' `sc` (the integer
+    * dot product commutes with per-row accumulation).
+    */
+  def streamingScores(docs: DataFrame, lwi: Array[Long]): DataFrame = {
+    require(lwi.length == numBuckets, s"expected $numBuckets weights")
+    val perTok = transform(split(trim(col("text")), " "),
+      t => element_at(typedLit(lwi), (bucketOf(t) + 1).cast("int")))
+    val sc = aggregate(perTok, lit(0L), (acc, x) => acc + x)
+    docs.select(col("doc_id"), sc.as("sc_scaled"))
+      .withColumn("dsir_logw", col("sc_scaled").cast("double") / 10000.0)
+      .withColumn("selected", col("sc_scaled") > 0L)
   }
 }

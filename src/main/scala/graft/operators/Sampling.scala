@@ -198,4 +198,58 @@ object Sampling {
       .select("source", "rk", "doc_id", "n_tokens")
       .orderBy("source", "rk")
   }
+
+  /** Context-window chunking: size / stride in tokens (16-token
+    * overlap) — the fixed-window segmentation that prepares documents
+    * for a bounded-context trainer or a RAG index.
+    */
+  val chunkSize = 64
+  val chunkStride = 48
+
+  /** Overlapping fixed-token windows per document: window k covers
+    * tokens [k·stride, k·stride + size); the window count is exactly
+    * enough that the final window reaches the document's tail (no
+    * degenerate all-overlap windows after it). Map-only shape — one
+    * scan, a per-row `sequence` explode, slices from the already-split
+    * token array; no shuffle anywhere but the output presentation
+    * sort.
+    */
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("nt"))
+    val nChunks = lit(1) + when(col("nt") > chunkSize,
+      floor((col("nt") - chunkSize + (chunkStride - 1)) /
+        lit(chunkStride)).cast("int")).otherwise(lit(0))
+    d.withColumn("k", explode(sequence(lit(0), nChunks - 1)))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
+        (col("k") * chunkStride).cast("long").as("start_tok"),
+        slice(col("toks"), col("k") * chunkStride + 1, lit(chunkSize)).as("c"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("c")).cast("long").as("n_tok"),
+        array_join(col("c"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Deterministic global shuffle order — the reproducible permutation
+    * a training run reads the corpus in: position = rank under
+    * (md5(doc_id ‖ salt), doc_id). A pure function of identity, so
+    * re-runs and incremental rebuilds reproduce the same order on any
+    * cluster at any parallelism (the same property [[splitAssign]]
+    * gives splits). At scale the rank IS a range-partitioned sort on
+    * the hash key — the standard one-shuffle total order; nothing
+    * collects centrally.
+    */
+  def shuffleOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(col("doc_id").cast("string"),
+      lit("#graft-shuffle-1")).cast("binary"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), key.as("skey"))
+      .withColumn("position",
+        row_number().over(Window.orderBy(col("skey"), col("doc_id")))
+          .cast("long"))
+      .select("position", "doc_id")
+      .orderBy("position")
+  }
 }
