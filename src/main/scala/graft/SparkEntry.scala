@@ -169,6 +169,7 @@ object SparkEntry {
     "text_bm25" -> (operators.Retrieval.bm25Scores _),
     "text_rrf_fusion" -> (operators.Retrieval.rrfFusion _),
     "text_dsir_weights" -> (Dsir.weights _),
+    "text_dsir_resample" -> (Dsir.resample _),
     "text_cms_counts" -> (operators.Sketches.cmsTokenCounts _),
     "text_bpe_merges" ->
       ((s: SparkSession, d: String) => operators.BpeTrainer.train(s, d)),
@@ -298,10 +299,14 @@ object SparkEntry {
        |labels AS (
        |  SELECT id, least(id, min(m)) AS cluster FROM r GROUP BY id)""".stripMargin
 
-  /** First 7 hex chars of md5(text) → bigint (mirrors Sampling.pctBucket). */
-  private val hex7 = (1 to 7).map(p =>
-    s"(strpos('0123456789abcdef', substr(md5(text), $p, 1)) - 1) * ${1L << (4 * (7 - p))}")
+  /** First 7 hex chars of md5(`e`) → bigint (mirrors Sampling.pctBucket
+    * / the 28-bit content-hash uniforms).
+    */
+  private def hex7Of(e: String): String = (1 to 7).map(p =>
+    s"(strpos('0123456789abcdef', substr(md5($e), $p, 1)) - 1) * ${1L << (4 * (7 - p))}")
     .mkString(" + ")
+
+  private val hex7 = hex7Of("text")
 
   /** Shared simhash CTE chain ending in `sh(doc_id, simhash)` — 64-bit
     * fingerprint from the two 32-bit halves of md5's first 16 hex chars
@@ -1015,6 +1020,44 @@ object SparkEntry {
        |  f.is_en
        |FROM f, $last ORDER BY f.doc_id""".stripMargin
   }
+
+  /** DSIR oracle CTE chain ending in `s(doc_id, n_tokens, sc)` —
+    * shared by the weights row and the resampling row.
+    */
+  private val dsirCtes =
+    s"""tok AS (
+         |  SELECT doc_id, source,
+         |    unnest(string_split(trim(text), ' ')) AS token
+         |  FROM documents),
+         |tb AS (
+         |  SELECT doc_id, source, ($dsirHex4) % ${operators.Dsir.numBuckets}
+         |    AS bucket
+         |  FROM (SELECT doc_id, source, substr(md5(token), 1, 4) AS dg
+         |        FROM tok)),
+         |cnt AS (
+         |  SELECT doc_id, source, bucket, count(*) AS c
+         |  FROM tb GROUP BY 1, 2, 3),
+         |r AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS r_cnt
+         |      FROM cnt GROUP BY 1),
+         |t AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS t_cnt
+         |      FROM cnt WHERE source IN $dsirTargetIn GROUP BY 1),
+         |g AS (SELECT CAST(sum(c) AS BIGINT) AS n_r,
+         |        CAST(sum(CASE WHEN source IN $dsirTargetIn THEN c ELSE 0 END)
+         |          AS BIGINT) AS n_t
+         |      FROM cnt),
+         |lw AS (
+         |  SELECT r.bucket,
+         |    CAST(round(round(
+         |      ln((coalesce(t.t_cnt, 0) + 1.0)
+         |         / (g.n_t + ${operators.Dsir.numBuckets}.0)) -
+         |      ln((r.r_cnt + 1.0)
+         |         / (g.n_r + ${operators.Dsir.numBuckets}.0)), 4) * 10000)
+         |      AS BIGINT) AS lwi
+         |  FROM r LEFT JOIN t USING (bucket) CROSS JOIN g),
+         |s AS (
+         |  SELECT c.doc_id, CAST(sum(c.c) AS BIGINT) AS n_tokens,
+         |         CAST(sum(c.c * lw.lwi) AS BIGINT) AS sc
+         |  FROM cnt c JOIN lw USING (bucket) GROUP BY 1)""".stripMargin
 
   /** BM25 oracle CTE chain ending in `p(doc_id, c0, c1, c2)` — shared
     * by the `text_bm25` row and the RRF fusion's sparse side.
@@ -1843,41 +1886,22 @@ object SparkEntry {
          |  round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS recall
          |FROM hits""".stripMargin,
     "text_dsir_weights" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, source,
-         |    unnest(string_split(trim(text), ' ')) AS token
-         |  FROM documents),
-         |tb AS (
-         |  SELECT doc_id, source, ($dsirHex4) % ${operators.Dsir.numBuckets}
-         |    AS bucket
-         |  FROM (SELECT doc_id, source, substr(md5(token), 1, 4) AS dg
-         |        FROM tok)),
-         |cnt AS (
-         |  SELECT doc_id, source, bucket, count(*) AS c
-         |  FROM tb GROUP BY 1, 2, 3),
-         |r AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS r_cnt
-         |      FROM cnt GROUP BY 1),
-         |t AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS t_cnt
-         |      FROM cnt WHERE source IN $dsirTargetIn GROUP BY 1),
-         |g AS (SELECT CAST(sum(c) AS BIGINT) AS n_r,
-         |        CAST(sum(CASE WHEN source IN $dsirTargetIn THEN c ELSE 0 END)
-         |          AS BIGINT) AS n_t
-         |      FROM cnt),
-         |lw AS (
-         |  SELECT r.bucket,
-         |    CAST(round(round(
-         |      ln((coalesce(t.t_cnt, 0) + 1.0)
-         |         / (g.n_t + ${operators.Dsir.numBuckets}.0)) -
-         |      ln((r.r_cnt + 1.0)
-         |         / (g.n_r + ${operators.Dsir.numBuckets}.0)), 4) * 10000)
-         |      AS BIGINT) AS lwi
-         |  FROM r LEFT JOIN t USING (bucket) CROSS JOIN g),
-         |s AS (
-         |  SELECT c.doc_id, CAST(sum(c.c) AS BIGINT) AS n_tokens,
-         |         CAST(sum(c.c * lw.lwi) AS BIGINT) AS sc
-         |  FROM cnt c JOIN lw USING (bucket) GROUP BY 1)
+      s"""WITH $dsirCtes
          |SELECT doc_id, n_tokens, sc / 10000.0 AS dsir_logw, sc > 0 AS selected
          |FROM s ORDER BY doc_id""".stripMargin,
+    "text_dsir_resample" ->
+      s"""WITH $dsirCtes,
+         |u AS (
+         |  SELECT doc_id, sc,
+         |    ${hex7Of("CAST(doc_id AS VARCHAR) || '#dsir-u'")} AS u28,
+         |    CAST(round(exp(least(sc, 0) / 10000.0) * 1000000) AS BIGINT)
+         |      AS p_scaled
+         |  FROM s)
+         |SELECT doc_id, sc / 10000.0 AS dsir_logw,
+         |  p_scaled / 1000000.0 AS p_accept, u28,
+         |  u28 * 1000000 < p_scaled * 268435456 AS accepted
+         |FROM u ORDER BY doc_id""".stripMargin,
+
     "text_rrf_fusion" ->
       s"""WITH $bm25Ctes,
          |bm AS (

@@ -111,6 +111,36 @@ object Dsir {
     w
   }
 
+  /** The "R" of DSIR — importance RESAMPLING: accept each document
+    * with probability min(1, exp(logw)) (positive-weight documents
+    * always; the rest in proportion to how target-like they look),
+    * decided DETERMINISTICALLY by comparing a 28-bit content-hash
+    * uniform against the acceptance probability — the same
+    * never-`rand()` discipline as [[Sampling.splitAssign]], so re-runs
+    * and incremental rebuilds accept exactly the same documents.
+    *
+    * Cross-engine contract: the only float step is one `exp`, rounded
+    * to an integer at 10⁻⁶; the acceptance test is then a pure
+    * integer comparison u·10⁶ < p·2²⁸ (no float ever meets the
+    * hash). Map-only on top of [[weights]]' aggregation.
+    */
+  def resample(spark: SparkSession, dir: String): DataFrame = {
+    val sc = round(col("dsir_logw") * 10000).cast("long")
+    val u28 = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("#dsir-u")).cast("binary")), 1, 7), 16, 10).cast("long")
+    val pScaled = round(exp(least(sc, lit(0L)).cast("double") / 10000.0)
+      * 1000000).cast("long")
+    weights(spark, dir)
+      .select(col("doc_id"), col("dsir_logw"), pScaled.as("p_scaled"),
+        u28.as("u28"))
+      .select(col("doc_id"), col("dsir_logw"),
+        (col("p_scaled").cast("double") / 1000000.0).as("p_accept"),
+        col("u28"),
+        (col("u28") * 1000000L < col("p_scaled") * 268435456L)
+          .as("accepted"))
+      .orderBy("doc_id")
+  }
+
   /** Batch-trained model → streaming inference: score arriving
     * documents with the stored bucket weights — a stateless narrow
     * projection (hash, look up, integer-sum per row; no shuffle, no

@@ -38,6 +38,30 @@ class DsirSpec extends SparkSpec {
     assert(w.filter(col("selected") =!= (col("dsir_logw") > 0)).count() === 0L)
   }
 
+  test("dsir resample: positive-weight docs always accepted, acceptance " +
+    "monotone in weight given the hash, deterministic under recompute") {
+    val r1 = Dsir.resample(spark, dir)
+    // p_accept = 1 exactly for every positively-weighted doc, and such
+    // docs are always accepted (u28 < 2^28 strictly)
+    assert(r1.filter(col("dsir_logw") > 0 && col("p_accept") =!= 1.0)
+      .count() === 0L)
+    assert(r1.filter(col("p_accept") === 1.0 && !col("accepted"))
+      .count() === 0L)
+    // acceptance test is the stated integer comparison
+    assert(r1.filter(col("accepted") =!=
+      (col("u28") * 1000000L <
+        round(col("p_accept") * 1000000).cast("long") * 268435456L))
+      .count() === 0L)
+    // deterministic: a second run accepts the identical set
+    val r2 = Dsir.resample(spark, dir)
+    assert(r1.select("doc_id", "accepted")
+      .exceptAll(r2.select("doc_id", "accepted")).count() === 0L)
+    // both directions occur on this corpus
+    val n = r1.count()
+    val acc = r1.filter(col("accepted")).count()
+    assert(acc > 0 && acc < n)
+  }
+
   test("rrf: ranks are dense 1..top, every row carries at least one side") {
     val f = Retrieval.rrfFusion(spark, dir)
     val n = f.count()
