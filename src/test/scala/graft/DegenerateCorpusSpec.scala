@@ -56,12 +56,23 @@ class DegenerateCorpusSpec extends SparkSpec {
     "bpe_encode" -> graft.operators.BpeTrainer.encode(spark, dir).count(),
     "dup_spans" -> Dedup.dupSpans(spark, dir).count(),
     "span_clean" -> Dedup.spanClean(spark, dir).count(),
-    "gopher" -> TextAnalysis.gopherRules(spark, dir).count())
+    "gopher" -> TextAnalysis.gopherRules(spark, dir).count(),
+    "srp_sigs" -> graft.operators.RandomProjection.signatures(spark, dir).count(),
+    "srp_pairs" -> graft.operators.RandomProjection.pairs(spark, dir).count(),
+    "srp_recall" -> graft.operators.RandomProjection.recall(spark, dir).count(),
+    "jl_topk" -> graft.operators.RandomProjection.jlTopK(spark, dir).count(),
+    "dsir" -> graft.operators.Dsir.weights(spark, dir).count(),
+    "dsir_resample" -> graft.operators.Dsir.resample(spark, dir).count(),
+    "rrf" -> Retrieval.rrfFusion(spark, dir).count(),
+    "chunks" -> Sampling.chunkWindows(spark, dir).count(),
+    "shuffle_order" -> Sampling.shuffleOrder(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
     opCounts(dir).foreach { case (name, n) =>
-      assert(n === 0L, s"$name must be empty on an empty corpus")
+      // recall/audit rows are global aggregates: one row even when empty
+      val expect = if (Set("srp_recall")(name)) 1L else 0L
+      assert(n === expect, s"$name must be ${expect} on an empty corpus")
     }
   }
 
@@ -90,6 +101,17 @@ class DegenerateCorpusSpec extends SparkSpec {
     Seq("pq_adc_join", "pq_adc_packed", "ivf2_search").foreach(n =>
       assert(counts(n) === 0L, s"$n: doc_id=7 is not in the query sample"))
     assert(counts("ivf_assign_prod") === 1L)
+    assert(counts("srp_sigs") === 1L)
+    assert(counts("srp_pairs") === 0L, "no pair universe with one vector")
+    assert(counts("srp_recall") === 1L, "audit row exists with n_true = 0")
+    assert(counts("jl_topk") === 0L, "vec_id=7 is not in the query sample")
+    assert(counts("dsir") === 1L)
+    assert(counts("dsir_resample") === 1L)
+    assert(counts("rrf") === 0L,
+      "no query term matches and the fixed query vector is absent — " +
+        "fusing two empty ranked lists is empty, not an error")
+    assert(counts("chunks") === 1L, "one window covers the lone doc")
+    assert(counts("shuffle_order") === 1L)
   }
 
   private def writeEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): String = {
