@@ -146,6 +146,7 @@ object SparkEntry {
     "emb_srp_signatures" -> (RandomProjection.signatures _),
     "emb_srp_pairs" -> (RandomProjection.pairs _),
     "emb_srp_recall" -> (RandomProjection.recall _),
+    "emb_srp_incremental" -> (RandomProjection.incremental _),
     "emb_jl_topk" -> ((s, d) => RandomProjection.jlTopK(s, d)),
     "emb_jl_recall" -> (RandomProjection.jlRecall _),
     // — text analysis over documents
@@ -1808,6 +1809,31 @@ object SparkEntry {
          |       ELSE round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
          |                  / count(*), 4) END AS recall
          |FROM hits""".stripMargin,
+    "emb_srp_incremental" ->
+      s"""WITH $srpSigCtes,
+         |bands AS (
+         |  SELECT vec_id, 0 AS band, sig % $srpBandMod AS key FROM srp_sigs
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS band, sig // $srpBandMod AS key FROM srp_sigs),
+         |cand AS (
+         |  SELECT DISTINCT n.vec_id AS new_id, e.vec_id AS ex_id
+         |  FROM bands n JOIN bands e
+         |    ON n.band = e.band AND n.key = e.key
+         |  WHERE n.vec_id % 11 = 5 AND e.vec_id % 11 <> 5),
+         |verified AS (
+         |  SELECT new_id, ex_id FROM (
+         |    SELECT new_id, ex_id,
+         |      ${cosSql("en.embedding", "ee.embedding")} AS cos
+         |    FROM cand JOIN embeddings en ON en.vec_id = cand.new_id
+         |              JOIN embeddings ee ON ee.vec_id = cand.ex_id) t
+         |  WHERE cos >= ${operators.RandomProjection.srpTau}),
+         |dups AS (
+         |  SELECT new_id AS vec_id, min(ex_id) AS dup_of
+         |  FROM verified GROUP BY 1)
+         |SELECT e.vec_id, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+         |FROM embeddings e LEFT JOIN dups d ON d.vec_id = e.vec_id
+         |WHERE e.vec_id % 11 = 5
+         |ORDER BY e.vec_id""".stripMargin,
     "emb_jl_topk" ->
       s"""WITH $jlProjCtes,
          |q AS (

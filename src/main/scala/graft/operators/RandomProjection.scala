@@ -138,6 +138,60 @@ object RandomProjection {
       .orderBy("a_id", "b_id")
   }
 
+  /** Incremental SRP dedup — the arriving-shard form of [[pairs]]:
+    * vectors of a new batch (vec_id ≡ 5 mod 11, the deterministic
+    * stand-in for "today's shard") are checked against the existing
+    * corpus only. Candidates are the same ids-only (band, key) LSH
+    * join (never new×existing all-pairs), verified with the exact
+    * cosine at [[srpTau]]; every new vector reports its earliest
+    * existing duplicate or passes clean. The index side is exactly the
+    * persisted [[signatures]] artifact, so at scale this is one band
+    * join against a stored table plus id-keyed vector fetches.
+    */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = col("vec_id") % 11 === 5
+    val bands = banded(spark, dir)
+    val cand = bands.filter(isNew)
+      .select(col("vec_id").as("new_id"), col("band"), col("key"))
+      .join(bands.filter(!isNew)
+        .select(col("vec_id").as("ex_id"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select("new_id", "ex_id")
+      .distinct()
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(DotProductD(col("embedding"), col("embedding"))).as("nrm"))
+    val dups = cand
+      .join(emb.select(col("vec_id").as("new_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm")), "new_id")
+      .join(emb.select(col("vec_id").as("ex_id"), col("embedding").as("e_emb"),
+        col("nrm").as("e_nrm")), "ex_id")
+      .select(col("new_id"), col("ex_id"),
+        round(DotProductD(col("n_emb"), col("e_emb")) /
+          (col("n_nrm") * col("e_nrm")), 4).as("cos"))
+      .filter(col("cos") >= srpTau)
+      .groupBy("new_id").agg(min(col("ex_id")).as("dup_of"))
+    emb.filter(isNew).select(col("vec_id"))
+      .join(dups.withColumnRenamed("new_id", "vec_id"), Seq("vec_id"),
+        "left_outer")
+      .select(col("vec_id"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  /** Batch-built index → streaming assignment: arriving vectors get
+    * their SRP signature and band keys in a stateless narrow
+    * projection (the same compile-time planes; no shuffle, no state),
+    * ready to probe a stored [[signatures]] index — the streaming half
+    * of [[incremental]]. Runs identically on a stream or batch frame;
+    * per-row batch parity is spec-pinned.
+    */
+  def streamingSignatures(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), sigCol(col("embedding")).as("srp_sig"))
+      .select(col("vec_id"), col("srp_sig"),
+        (col("srp_sig") % (1L << srpBandBits)).as("band_lo"),
+        shiftright(col("srp_sig"), srpBandBits).as("band_hi"))
+
   /** Recall of the SRP banding against the exact near-duplicate truth
     * of [[Similarity.nearDupPairs]] (label-blocked sample, cosine ≥
     * [[srpTau]]): the fraction of true pairs whose signatures collide

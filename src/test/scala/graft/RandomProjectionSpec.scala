@@ -87,6 +87,43 @@ class RandomProjectionSpec extends SparkSpec {
       col("mn") =!= 1L).count() === 0L)
   }
 
+  test("incremental: new-batch vectors only, dup targets are existing, " +
+    "verified candidates only") {
+    val inc = RandomProjection.incremental(spark, dir)
+    assert(inc.filter(col("vec_id") % 11 =!= 5).count() === 0L)
+    assert(inc.filter(col("dup_of") % 11 === 5).count() === 0L,
+      "a duplicate target must be an existing-corpus vector")
+    assert(inc.filter(col("is_dup") =!= col("dup_of").isNotNull)
+      .count() === 0L)
+    val expected = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % 11 === 5).count()
+    assert(inc.count() === expected, "every new vector gets a verdict")
+  }
+
+  test("streaming signatures match the batch index per arriving vector") {
+    implicit val sqlc = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val vecs = Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = RandomProjection.streamingSignatures(
+        in.toDF().toDF("vec_id", "embedding"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("srp_stream").start()
+    try {
+      val (w1, w2) = vecs.splitAt(vecs.length / 2)
+      in.addData(w1.toSeq); q.processAllAvailable()
+      in.addData(w2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("srp_stream")
+      val batch = RandomProjection.signatures(spark, dir)
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).count() === 0L,
+        "per-row signature + band parity with the batch index")
+    } finally q.stop()
+  }
+
   test("JL recall is a valid fraction over the query sample") {
     val r = RandomProjection.jlRecall(spark, dir).head()
     assert(r.getString(0) === s"jl${RandomProjection.jlDim}")
