@@ -69,6 +69,23 @@ object AnnDemo {
     println(s"[demo] two-level IVF: ${cells.size} coarse cells -> " +
       s"$buckets (cell, sub) buckets, level-2 table never collected")
 
+    // SRP cosine LSH: one-pass signature index, banded candidate pairs
+    // with exact-cosine verify, incremental shard-vs-index dedup
+    import graft.operators.RandomProjection
+    val nSigs = RandomProjection.signatures(spark, dir).count()
+    val nPairs = RandomProjection.pairs(spark, dir).count()
+    val inc = RandomProjection.incremental(spark, dir)
+    println(s"[demo] SRP LSH: $nSigs 32-bit signatures (map-only), " +
+      s"$nPairs verified near-dup pairs; incremental shard check: " +
+      s"${inc.count()} new vectors, ${inc.filter(col("is_dup")).count()} " +
+      "duplicate-flagged against the stored index")
+
+    // JL two-stage search: 16-dim shortlist scan, exact re-rank
+    val jl = RandomProjection.jlRecall(spark, dir).head
+    println(f"[demo] JL 16-dim shortlist+re-rank recall@3 = " +
+      f"${jl.getDouble(2)}%.3f over ${jl.getLong(1)} queries " +
+      "(4x fewer mult-adds per scanned candidate)")
+
     spark.stop()
   }
 }
