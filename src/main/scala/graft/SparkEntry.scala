@@ -164,6 +164,7 @@ object SparkEntry {
     "text_quality_classifier" -> (operators.Perceptron.classifier _),
     "text_repetition" -> (TextAnalysis.repetitionSignals _),
     "text_winnow_pairs" -> (TextAnalysis.winnowPassagePairs _),
+    "q_pagerank_dupgraph" -> (operators.GraphRank.pagerankDupGraph _),
     // — lexical retrieval over documents
     "text_tfidf_keywords" ->
       ((s: SparkSession, d: String) => operators.Retrieval.tfidfKeywords(s, d)),
@@ -1059,6 +1060,36 @@ object SparkEntry {
          |  SELECT c.doc_id, CAST(sum(c.c) AS BIGINT) AS n_tokens,
          |         CAST(sum(c.c * lw.lwi) AS BIGINT) AS sc
          |  FROM cnt c JOIN lw USING (bucket) GROUP BY 1)""".stripMargin
+
+  /** Winnowed passage-overlap oracle CTE chain ending in
+    * `wp(a_id, b_id, n_shared)` — shared by the pairs row and the
+    * duplication-graph PageRank.
+    */
+  private val winnowPairsCtes = {
+    import operators.TextAnalysis.{winnowK, winnowMaxDf, winnowMinShared, winnowW}
+    s"""d AS (SELECT doc_id, text FROM documents WHERE len(text) >= $winnowK),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, len(text) - ${winnowK - 1}),
+         |      s -> list_reduce(
+         |             list_prepend(CAST(0 AS BIGINT),
+         |               list_transform(generate_series(s, s + ${winnowK - 1}),
+         |                 i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+         |             (acc, x) -> (acc * 31 + x) % 2147483647)) AS h
+         |  FROM d),
+         |sel AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           range(0, greatest(len(h) - $winnowW, 0) + 1),
+         |           i -> list_min(h[CAST(i + 1 AS INTEGER):CAST(i + $winnowW AS INTEGER)]))))
+         |    AS fp
+         |  FROM hs),
+         |keepfp AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= $winnowMaxDf),
+         |kept AS (SELECT sel.doc_id, sel.fp FROM sel JOIN keepfp USING (fp)),
+       |wp AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+       |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $winnowMinShared)""".stripMargin
+  }
 
   /** BM25 oracle CTE chain ending in `p(doc_id, c0, c1, c2)` — shared
     * by the `text_bm25` row and the RRF fusion's sparse side.
@@ -2293,31 +2324,53 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE)
         |    / len(string_split(trim(text), ' ')) AS fertility
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "text_winnow_pairs" -> {
-      import operators.TextAnalysis.{winnowK, winnowMaxDf, winnowMinShared, winnowW}
-      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= $winnowK),
-         |hs AS (
-         |  SELECT doc_id,
-         |    list_transform(generate_series(1, len(text) - ${winnowK - 1}),
-         |      s -> list_reduce(
-         |             list_prepend(CAST(0 AS BIGINT),
-         |               list_transform(generate_series(s, s + ${winnowK - 1}),
-         |                 i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
-         |             (acc, x) -> (acc * 31 + x) % 2147483647)) AS h
-         |  FROM d),
-         |sel AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |           range(0, greatest(len(h) - $winnowW, 0) + 1),
-         |           i -> list_min(h[CAST(i + 1 AS INTEGER):CAST(i + $winnowW AS INTEGER)]))))
-         |    AS fp
-         |  FROM hs),
-         |keepfp AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= $winnowMaxDf),
-         |kept AS (SELECT sel.doc_id, sel.fp FROM sel JOIN keepfp USING (fp))
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
-         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING count(*) >= $winnowMinShared
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+    "q_pagerank_dupgraph" ->
+      s"""WITH $winnowPairsCtes,
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM wp
+         |  UNION ALL
+         |  SELECT b_id AS src, a_id AS dst FROM wp),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT src AS id, CAST(${operators.GraphRank.prScale} AS BIGINT) AS r
+         |       FROM deg),
+         |c1 AS (
+         |  SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+         |  FROM edges e JOIN r0 r ON r.id = e.src
+         |               JOIN deg d ON d.src = e.src
+         |  GROUP BY 1),
+         |r1 AS (
+         |  SELECT n.src AS id,
+         |    ${operators.GraphRank.teleport} + (${operators.GraphRank.dampNum} * coalesce(c1.s, 0))
+         |      // ${operators.GraphRank.dampDen} AS r
+         |  FROM deg n LEFT JOIN c1 ON c1.dst = n.src),
+         |c2 AS (
+         |  SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+         |  FROM edges e JOIN r1 r ON r.id = e.src
+         |               JOIN deg d ON d.src = e.src
+         |  GROUP BY 1),
+         |r2 AS (
+         |  SELECT n.src AS id,
+         |    ${operators.GraphRank.teleport} + (${operators.GraphRank.dampNum} * coalesce(c2.s, 0))
+         |      // ${operators.GraphRank.dampDen} AS r
+         |  FROM deg n LEFT JOIN c2 ON c2.dst = n.src),
+         |c3 AS (
+         |  SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+         |  FROM edges e JOIN r2 r ON r.id = e.src
+         |               JOIN deg d ON d.src = e.src
+         |  GROUP BY 1),
+         |r3 AS (
+         |  SELECT n.src AS id,
+         |    ${operators.GraphRank.teleport} + (${operators.GraphRank.dampNum} * coalesce(c3.s, 0))
+         |      // ${operators.GraphRank.dampDen} AS r
+         |  FROM deg n LEFT JOIN c3 ON c3.dst = n.src)
+         |SELECT row_number() OVER (ORDER BY r3.r DESC, r3.id) AS rank,
+         |  r3.id AS doc_id, d.deg, r3.r AS pr_scaled
+         |FROM r3 JOIN deg d ON d.src = r3.id
+         |ORDER BY rank""".stripMargin,
+    "text_winnow_pairs" ->
+      s"""WITH $winnowPairsCtes
+         |SELECT a_id, b_id, n_shared FROM wp
+         |ORDER BY a_id, b_id""".stripMargin,
     "text_rolling_hash" ->
       """SELECT doc_id,
         |  list_reduce(

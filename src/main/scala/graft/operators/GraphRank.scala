@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over the duplication graph: PageRank on the
+  * winnowed passage-overlap pairs ([[TextAnalysis.winnowPassagePairs]]
+  * — docs sharing selected fingerprints). High-centrality documents
+  * are the corpus's boilerplate/template hubs — text that overlaps
+  * MANY other documents — which is exactly what a cleaning pipeline
+  * wants surfaced rather than sampled into training data.
+  *
+  * Integer-exact iteration: ranks are scaled to [[prScale]] and every
+  * step is integer arithmetic — contribution = r ⌊÷⌋ degree, update =
+  * teleport + (85·Σ) ⌊÷⌋ 100 — so there is NO float anywhere, no
+  * summation-order sensitivity, and the DuckDB oracle replays all
+  * [[prIters]] iterations bit-exactly as unrolled CTEs (the k-means /
+  * perceptron / BPE oracle discipline applied to graph iteration).
+  *
+  * Scale shape (100 TB): edges and ranks are tables keyed by node —
+  * each iteration is one join-aggregate shuffled on the node id, the
+  * standard distributed PageRank step; nothing collects. The rank
+  * scale bounds overflow: Σ contributions ≤ N·prScale, so prScale=10⁹
+  * holds to ~9·10⁹ nodes in a signed 64-bit sum (×85 headroom
+  * included — shrink prScale past that).
+  */
+object GraphRank {
+
+  /** Fixed-point scale of one unit of rank mass. */
+  val prScale = 1000000000L
+
+  /** Damping 0.85 as an integer ratio, and the per-node teleport mass
+    * (1 − d)·prScale — both exact.
+    */
+  val dampNum = 85L
+  val dampDen = 100L
+  val teleport: Long = (dampDen - dampNum) * prScale / dampDen
+
+  /** Power-iteration count — enough to separate hubs from leaves on a
+    * sparse dup graph; the oracle unrolls exactly this many.
+    */
+  val prIters = 3
+
+  /** PageRank over the passage-overlap graph: (rank, doc_id, deg,
+    * pr_scaled), hubs first. Nodes are the documents that appear in at
+    * least one overlap pair (isolated documents carry no duplication
+    * signal and stay out of the graph — and out of the O(nodes)
+    * state).
+    */
+  def pagerankDupGraph(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = TextAnalysis.winnowPassagePairs(spark, dir)
+      .select("a_id", "b_id")
+    // symmetric edge list + degrees, reused every iteration
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var r = deg.select(col("src").as("id"), lit(prScale).as("r"))
+    for (_ <- 1 to prIters) {
+      val contrib = edges
+        .join(r.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      r = deg.select(col("src").as("id"))
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(teleport) +
+            expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("r"))
+    }
+    r.join(deg.withColumnRenamed("src", "id"), "id")
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("r").desc, col("id")))
+          .cast("long"))
+      .select(col("rank"), col("id").as("doc_id"), col("deg"),
+        col("r").as("pr_scaled"))
+      .orderBy("rank")
+  }
+}
