@@ -65,7 +65,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     "dsir_resample" -> graft.operators.Dsir.resample(spark, dir).count(),
     "rrf" -> Retrieval.rrfFusion(spark, dir).count(),
     "chunks" -> Sampling.chunkWindows(spark, dir).count(),
-    "shuffle_order" -> Sampling.shuffleOrder(spark, dir).count())
+    "shuffle_order" -> Sampling.shuffleOrder(spark, dir).count(),
+    "pagerank" -> graft.operators.GraphRank.pagerankDupGraph(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -112,6 +113,7 @@ class DegenerateCorpusSpec extends SparkSpec {
         "fusing two empty ranked lists is empty, not an error")
     assert(counts("chunks") === 1L, "one window covers the lone doc")
     assert(counts("shuffle_order") === 1L)
+    assert(counts("pagerank") === 0L, "no overlap pairs, no graph nodes")
   }
 
   private def writeEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): String = {
