@@ -233,7 +233,28 @@ object TextAnalysis {
     * join is equi on fingerprint value with df-bounded buckets — never
     * all-pairs.
     */
-  def winnowPassagePairs(spark: SparkSession, dir: String): DataFrame = {
+  def winnowPassagePairs(spark: SparkSession, dir: String): DataFrame =
+    winnowCache.synchronized {
+      var m = winnowCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        winnowCache.put(spark, m)
+      }
+      m
+    }.computeIfAbsent(dir, _ =>
+      computeWinnowPairs(spark, dir).localCheckpoint())
+
+  /** Session-keyed memo of the materialized pairs table — the
+    * fingerprint front-end costs ~1.5 s at sf0.1 and BOTH the pairs
+    * row and the duplication-graph PageRank consume it (the
+    * derived-table analog of the IVF/PQ/BPE model-artifact caches;
+    * weak session key so a closed session frees its checkpoints).
+    */
+  private val winnowCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def computeWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
     val sel = Tables(spark, dir, "documents")
       .filter(length(col("text")) >= winnowK)
       .select(col("doc_id"),
