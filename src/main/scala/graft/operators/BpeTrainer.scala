@@ -498,8 +498,11 @@ object BpeTrainer {
     * consumes: base alphabet first (every character symbol plus the
     * end-of-word marker, lexicographic ids from 1), then the learned
     * merges in training-rank order. The table is model-sized (alphabet
-    * + merge budget), so the global-order window is a driver-scale
-    * artifact step, not a corpus operation.
+    * + merge budget), but the lexicographic ids still come from
+    * [[Ranks.global]]'s range-partitioned rank rather than a
+    * single-partition global window — at a 100k-token production
+    * vocabulary the distributed form costs nothing extra and keeps the
+    * empty-partition WindowExec ban uniform across the surface.
     */
   def vocab(spark: SparkSession, dir: String,
             merges: Int = defaultMerges,
@@ -508,10 +511,8 @@ object BpeTrainer {
       .select(explode(split(trim(col("text")), " ")).as("w")).distinct()
       .select(explode(concat(split(col("w"), ""), array(lit("</w>")))).as("token"))
       .distinct()
-    val w = org.apache.spark.sql.expressions.Window.orderBy("token")
-    val base = alpha.select(
-      row_number().over(w).cast("long").as("token_id"),
-      col("token"), lit("base").as("kind"))
+    val base = Ranks.global(alpha, "token_id", col("token"))
+      .select(col("token_id"), col("token"), lit("base").as("kind"))
     val nAlpha = alpha.count()
     val learned = train(spark, dir, merges, smallTypeLimit)
       .select((col("rank") + lit(nAlpha)).as("token_id"),

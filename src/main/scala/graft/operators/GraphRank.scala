@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (100 TB): edges and ranks are tables keyed by node —
   * each iteration is one join-aggregate shuffled on the node id, the
-  * standard distributed PageRank step; nothing collects. The rank
-  * scale bounds overflow: Σ contributions ≤ N·prScale, so prScale=10⁹
-  * holds to ~9·10⁹ nodes in a signed 64-bit sum (×85 headroom
-  * included — shrink prScale past that).
+  * standard distributed PageRank step; nothing collects but the
+  * final rank's numPartitions-row offset table ([[Ranks.global]]).
+  * The rank scale bounds overflow: a hub's incoming Σ contributions
+  * is bounded only by the total mass N·prScale, and the update
+  * multiplies that sum by dampNum BEFORE dividing, so the worst-case
+  * intermediate is 85·N·prScale — at prScale=10⁹ the signed-64-bit
+  * ceiling lands near N ≈ 1.1·10⁸ nodes. Shrink prScale (or fold the
+  * damping into the per-edge contribution, re-deriving the oracle)
+  * before ranking a graph past ~10⁸ nodes.
   */
 object GraphRank {
 
@@ -48,7 +53,6 @@ object GraphRank {
     * state).
     */
   def pagerankDupGraph(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = TextAnalysis.winnowPassagePairs(spark, dir)
       .select("a_id", "b_id")
     // symmetric edge list + degrees, reused every iteration
@@ -70,10 +74,8 @@ object GraphRank {
           (lit(teleport) +
             expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("r"))
     }
-    r.join(deg.withColumnRenamed("src", "id"), "id")
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("r").desc, col("id")))
-          .cast("long"))
+    val ranked = r.join(deg.withColumnRenamed("src", "id"), "id")
+    Ranks.global(ranked, "rank", col("r").desc, col("id"))
       .select(col("rank"), col("id").as("doc_id"), col("deg"),
         col("r").as("pr_scaled"))
       .orderBy("rank")

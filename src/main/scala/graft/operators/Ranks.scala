@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global total-order ranks WITHOUT the single-partition window.
+  *
+  * `row_number().over(Window.orderBy(...))` with no `partitionBy` is
+  * correct but serialized: Spark warns ("No Partition Defined … Moving
+  * all data to a single partition") and funnels the whole input through
+  * ONE WindowExec task — a scale-killer on a corpus-sized frame. The
+  * two shapes here keep the exact same rank semantics with distributed
+  * plans, and a PlanBudgetSpec guard bans the empty-partition window
+  * from every registered query so the anti-pattern cannot recur.
+  */
+object Ranks {
+
+  /** Distributed `row_number` over a total order — the classic
+    * two-pass range-sort rank:
+    *
+    *   1. range-partition on the order columns (partition p's rows all
+    *      sort before partition p+1's) and pin the partition id;
+    *   2. count rows per partition — a tiny (numPartitions-row)
+    *      aggregate collected to the driver for the cumulative
+    *      offsets, the same bounded-artifact discipline as the
+    *      IVF/PQ/BPE codebook pulls;
+    *   3. rank locally per partition (`Window.partitionBy(pid)` — all
+    *      partitions rank in parallel) and add the broadcast offset.
+    *
+    * The staged frame is localCheckpointed so both passes read ONE
+    * materialization and the partition ids are frozen between them —
+    * callers should project down to the order columns + payload before
+    * ranking, which every call site here does (they rank id/score
+    * projections, never wide rows).
+    *
+    * The order must be total (callers tie-break on a unique id), so
+    * equal keys cannot straddle a range boundary and the rank is
+    * deterministic at any parallelism.
+    */
+  def global(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val staged = df.repartitionByRange(nParts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = staged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (p, n) => val o = acc; acc += n; (p, o) }
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    staged.withColumn("__lrn", row_number().over(local).cast("long"))
+      .join(broadcast(offDf), "__pid")
+      .withColumn(rankCol, col("__off") + col("__lrn"))
+      .drop("__pid", "__lrn", "__off")
+  }
+
+  /** Exact `row_number` under (score DESC, id ASC) for a BOUNDED frame
+    * (a TakeOrdered output — tens to hundreds of rows) with no window
+    * at all: rank(x) = 1 + |{y : y.score > x.score ∨ (y.score = x.score
+    * ∧ y.id < x.id)}|, a broadcast non-equi self-join + count. O(n²)
+    * comparisons is the right trade at these sizes, and the plan stays
+    * whole-stage-codegen joins/aggregates end to end.
+    *
+    * Requires `id` unique (makes the order total, so the count-based
+    * rank IS row_number) and `score` non-null.
+    */
+  def boundedRank(df: DataFrame, rankCol: String, score: String,
+                  id: String): DataFrame = {
+    val peers = df.select(col(score).as("__s"), col(id).as("__i"))
+    val ahead = df
+      .join(broadcast(peers),
+        col("__s") > col(score) ||
+          (col("__s") === col(score) && col("__i") < col(id)),
+        "left_outer")
+      .groupBy(col(id))
+      .agg((count(col("__i")) + lit(1L)).as(rankCol))
+    df.join(broadcast(ahead), Seq(id))
+  }
+}

@@ -138,39 +138,39 @@ object Retrieval {
     *
     * Scale shape: each side is its production operator (BM25's one
     * scan + one (doc, token) shuffle; the dense side a 1-row
-    * broadcast against the corpus) followed by a global top-depth —
-    * TakeOrdered-sized results (50 rows) that join and re-rank on the
-    * driver-scale, not corpus-scale.
+    * broadcast against the corpus) cut to its top-depth by
+    * `orderBy().limit()` — a TakeOrderedAndProject, the distributed
+    * per-partition-top-k + driver-merge — so the corpus never flows
+    * through a global window. Ranks are then assigned INSIDE the
+    * bounded 50-row results ([[Ranks.boundedRank]]'s broadcast
+    * join-count), and the fused frame (≤100 rows) ranks the same way.
     */
   def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
-    val wS = Window.orderBy(col("bm25").desc, col("id"))
-    val sparse = bm25Scores(spark, dir)
+    val sparseTop = bm25Scores(spark, dir)
       .select(col("doc_id").as("id"), col("bm25"))
-      .withColumn("r_sparse", row_number().over(wS).cast("long"))
-      .filter(col("r_sparse") <= rrfDepth)
-      .select("id", "r_sparse")
+      .orderBy(col("bm25").desc, col("id")).limit(rrfDepth)
+    val sparse = Ranks.boundedRank(sparseTop, "r_sparse", "bm25", "id")
+      .select(col("id"), col("r_sparse"))
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("nrm",
         sqrt(graft.functions.DotProductD(col("embedding"), col("embedding"))))
     val q = emb.filter(col("vec_id") === rrfQueryVec)
       .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val wD = Window.orderBy(col("cos").desc, col("id"))
-    val dense = emb.crossJoin(broadcast(q))
+    val denseTop = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= rrfQueryVec)
       .select(col("vec_id").as("id"),
         round(graft.functions.DotProductD(col("q_emb"), col("embedding")) /
           (col("q_nrm") * col("nrm")), 4).as("cos"))
-      .withColumn("r_dense", row_number().over(wD).cast("long"))
-      .filter(col("r_dense") <= rrfDepth)
-      .select("id", "r_dense")
-    val wF = Window.orderBy(col("rrf").desc, col("id"))
-    dense.join(sparse, Seq("id"), "full_outer")
+      .orderBy(col("cos").desc, col("id")).limit(rrfDepth)
+    val dense = Ranks.boundedRank(denseTop, "r_dense", "cos", "id")
+      .select(col("id"), col("r_dense"))
+    val fused = dense.join(sparse, Seq("id"), "full_outer")
       .select(col("id"), col("r_dense"), col("r_sparse"),
         round(
           coalesce(lit(1.0) / (lit(rrfK) + col("r_dense")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(rrfK) + col("r_sparse")), lit(0.0)), 6)
           .as("rrf"))
-      .withColumn("rank", row_number().over(wF).cast("long"))
+    Ranks.boundedRank(fused, "rank", "rrf", "id")
       .filter(col("rank") <= rrfTop)
       .select("rank", "id", "r_dense", "r_sparse", "rrf")
       .orderBy("rank")

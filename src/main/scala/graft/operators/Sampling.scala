@@ -132,23 +132,24 @@ object Sampling {
     * weights are rounded to 6 decimals and summed as DECIMAL —
     * order-independent exactness — then converted to double for ONE
     * division; the natural share divides exact integer sums. One
-    * corpus scan, one map-side-combined per-language aggregate
-    * (language cardinality is tiny, so the final windows are free).
+    * corpus scan, one map-side-combined per-language aggregate; the
+    * two normalization totals come back as a 1-row broadcast
+    * cross-join (the tfidf scalar-N discipline) rather than an
+    * unpartitioned window, keeping the empty-partition WindowExec ban
+    * uniform.
     */
   def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val all = Window.partitionBy().rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    Tables(spark, dir, "documents")
+    val perLang = Tables(spark, dir, "documents")
       .groupBy(col("lang"))
       .agg(sum(size(split(trim(col("text")), " ")).cast("long")).as("n_tokens"))
       .withColumn("w",
         round(pow(col("n_tokens").cast("double"), lit(mixTau)), 6)
           .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
-      .withColumn("p",
-        col("w").cast("double") / sum(col("w")).over(all).cast("double"))
-      .withColumn("nat",
-        col("n_tokens").cast("double") / sum(col("n_tokens")).over(all))
+    val totals = perLang.agg(sum(col("w")).as("w_tot"),
+      sum(col("n_tokens")).as("tok_tot"))
+    perLang.crossJoin(broadcast(totals))
+      .withColumn("p", col("w").cast("double") / col("w_tot").cast("double"))
+      .withColumn("nat", col("n_tokens").cast("double") / col("tok_tot"))
       .select(col("lang"), col("n_tokens"),
         round(col("nat"), 4).as("natural_share"),
         round(col("p"), 4).as("temp_share"),
@@ -236,19 +237,16 @@ object Sampling {
     * (md5(doc_id ‖ salt), doc_id). A pure function of identity, so
     * re-runs and incremental rebuilds reproduce the same order on any
     * cluster at any parallelism (the same property [[splitAssign]]
-    * gives splits). At scale the rank IS a range-partitioned sort on
-    * the hash key — the standard one-shuffle total order; nothing
-    * collects centrally.
+    * gives splits). The rank runs as [[Ranks.global]]'s two-pass
+    * range-partitioned sort — every partition ranks in parallel, only
+    * the numPartitions-row offset table touches the driver.
     */
   def shuffleOrder(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val key = md5(concat(col("doc_id").cast("string"),
       lit("#graft-shuffle-1")).cast("binary"))
-    Tables(spark, dir, "documents")
+    val keyed = Tables(spark, dir, "documents")
       .select(col("doc_id"), key.as("skey"))
-      .withColumn("position",
-        row_number().over(Window.orderBy(col("skey"), col("doc_id")))
-          .cast("long"))
+    Ranks.global(keyed, "position", col("skey"), col("doc_id"))
       .select("position", "doc_id")
       .orderBy("position")
   }

@@ -22,11 +22,24 @@ class PlanBudgetSpec extends SparkSpec {
   private val budgetFile =
     new java.io.File("src/test/resources/shuffle_counts.tsv")
 
-  private def currentCounts(): Seq[(String, Int)] =
+  /** The winnowed-pairs table is memoized per session
+    * (TextAnalysis.winnowPassagePairs); a consumer's plan shape depends
+    * on whether the memo is warm (checkpointed scan) or cold (full
+    * fingerprint pipeline). Warm it explicitly so every count below is
+    * measured in the same state regardless of iteration order — the
+    * recorded numbers are the warmed shape, by construction, not by the
+    * accident of q_pagerank_dupgraph sorting before text_winnow_pairs.
+    */
+  private def warmMemos(): Unit =
+    operators.TextAnalysis.winnowPassagePairs(spark, dir)
+
+  private def currentCounts(): Seq[(String, Int)] = {
+    warmMemos()
     (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       name -> (p.split("Exchange hashpartitioning").length - 1)
     }
+  }
 
   test("hash-shuffle count per query matches the recorded budget") {
     val actual = currentCounts()
@@ -55,5 +68,26 @@ class PlanBudgetSpec extends SparkSpec {
         ("shuffle budget drift:" +: (diffs ++ stale.map(n => s"$n: query removed")))
           .mkString("\n  "))
     }
+  }
+
+  test("no query plans a single-partition global window") {
+    // `Window.orderBy` with no partitionBy moves EVERY input row to one
+    // partition (Spark's own "WARN WindowExec: No Partition Defined")
+    // — correct at test scale, serialized at 100 TB. Global total
+    // orders must go through Ranks.global / Ranks.boundedRank instead;
+    // this guard turns the runtime warning into a build failure for
+    // the whole registered surface.
+    warmMemos()
+    val offenders = (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq
+      .sortBy(_._1).flatMap { case (name, fn) =>
+        val windows = fn(spark, dir).queryExecution.optimizedPlan
+          .collectWithSubqueries {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                if w.partitionSpec.isEmpty =>
+              w.windowExpressions.map(_.sql).mkString(", ")
+          }
+        windows.map(w => s"$name: Window[$w] with empty partition spec")
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n  "))
   }
 }
