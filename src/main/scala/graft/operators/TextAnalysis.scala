@@ -233,26 +233,32 @@ object TextAnalysis {
     * join is equi on fingerprint value with df-bounded buckets — never
     * all-pairs.
     */
-  def winnowPassagePairs(spark: SparkSession, dir: String): DataFrame =
-    winnowCache.synchronized {
-      var m = winnowCache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        winnowCache.put(spark, m)
-      }
-      m
-    }.computeIfAbsent(dir, _ =>
+  def winnowPassagePairs(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val files =
+      if (src.isDirectory) src.listFiles().toSeq else Seq(src)
+    val content = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString("|")
+    val key = s"${System.identityHashCode(spark)}|$dir|${content.hashCode}"
+    winnowCache.computeIfAbsent(key, _ =>
       computeWinnowPairs(spark, dir).localCheckpoint())
+  }
 
-  /** Session-keyed memo of the materialized pairs table — the
-    * fingerprint front-end costs ~1.5 s at sf0.1 and BOTH the pairs
-    * row and the duplication-graph PageRank consume it (the
-    * derived-table analog of the IVF/PQ/BPE model-artifact caches;
-    * weak session key so a closed session frees its checkpoints).
+  /** Memo of the materialized pairs table — the fingerprint front-end
+    * costs ~1.5 s at sf0.1 and BOTH the pairs row and the
+    * duplication-graph PageRank consume it (the derived-table analog
+    * of the IVF/PQ/BPE model-artifact caches). The key carries the
+    * session identity, the dir, AND a per-file size/mtime fingerprint
+    * of the source table, so regenerated testdata under the same path
+    * can never serve stale pairs. Entries live for the JVM (the
+    * checkpointed DataFrame necessarily holds its session, so a weak
+    * or soft session key would be a fiction — the prior WeakHashMap
+    * form never collected); the JVMs that hold this cache (one sbt
+    * test run, one Bench/Verify main) are short-lived by design, and
+    * the values are O(pairs) checkpoint blocks, not corpus copies.
     */
   private val winnowCache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def computeWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
     val sel = Tables(spark, dir, "documents")

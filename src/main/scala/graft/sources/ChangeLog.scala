@@ -31,34 +31,69 @@ object ChangeLog {
   def toJsonValues(events: DataFrame): DataFrame =
     events.select(to_json(struct(events.columns.toIndexedSeq.map(col): _*)).as("value"))
 
+  /** Source options for the Kafka change stream, extracted pure so the
+    * wiring is unit-testable without a broker (SourcesWiringSpec): the
+    * subscription mirrors the reference's one-topic route
+    * (`debezium_configuration.json:50-52` routes to
+    * `bookings_changes`) and `startingOffsets=earliest` replays the
+    * full retained log on first start — the same "sink consumes from
+    * the beginning" posture as the reference's Connect sink.
+    */
+  def kafkaOptions(bootstrap: String, topic: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "startingOffsets" -> "earliest")
+
   /** Kafka change-stream source: the prod path
-    * (`spark.readStream.format("kafka")`). Not exercised in tests (no
-    * broker in the harness) — the file source below produces the
-    * identical DataFrame shape.
+    * (`spark.readStream.format("kafka")`). The harness has no broker
+    * (and no connector jar), so tests pin [[kafkaOptions]] and assert
+    * resolution proceeds exactly to the DataSource lookup; the file
+    * source below produces the identical DataFrame shape for the
+    * end-to-end streaming specs.
     */
   def kafkaStream(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
     fromJsonValues(
       spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
+        .options(kafkaOptions(bootstrap, topic))
         .load())
+
+  /** Source options for the JDBC snapshot scan, extracted pure for the
+    * same reason: the four partition options are what split the read
+    * across executors — getting them wrong silently serializes a
+    * 100 GB table pull through one connection, so they are pinned by
+    * unit test rather than trusted to an untestable connect path.
+    */
+  def jdbcOptions(url: String, table: String,
+                  partitionColumn: Option[(String, Long, Long, Int)] = None)
+      : Map[String, String] =
+    Map("url" -> url, "dbtable" -> table) ++
+      partitionColumn.map { case (c, lo, hi, n) =>
+        Map(
+          "partitionColumn" -> c,
+          "lowerBound" -> lo.toString,
+          "upperBound" -> hi.toString,
+          "numPartitions" -> n.toString)
+      }.getOrElse(Map.empty)
 
   /** JDBC snapshot scan — the prod form of the reference's one-shot
     * `postgresql()` pull (`/root/reference/README.md:156-168`), used for
     * the initial backfill (stamp `version=1` downstream via
     * `VersionedUpsert.backfill`). `partitionColumn`/bounds split the
-    * read across executors; like [[kafkaStream]], not exercised in
-    * tests (no database in the harness) — tests use the parquet path.
+    * read across executors. No database exists in the harness; tests
+    * pin [[jdbcOptions]] and the connect-boundary failure, and use the
+    * parquet path for behavior.
     */
   def jdbcSnapshot(spark: SparkSession, url: String, table: String,
                    props: java.util.Properties,
-                   partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame =
-    partitionColumn match {
-      case Some((c, lo, hi, n)) =>
-        spark.read.jdbc(url, table, c, lo, hi, n, props)
-      case None => spark.read.jdbc(url, table, props)
-    }
+                   partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.read.format("jdbc")
+      .options(jdbcOptions(url, table, partitionColumn))
+      .options(props.asScala.map { case (k, v) =>
+        k.toString -> v.toString }.toMap)
+      .load()
+  }
 
   /** File-based change-log stream (tests / file-landed CDC). */
   def fileStream(spark: SparkSession, dir: String): DataFrame =
