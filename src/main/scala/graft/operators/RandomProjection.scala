@@ -201,10 +201,13 @@ object RandomProjection {
     * Expect ≈0 on THIS corpus: its "near-dup" pairs top out at cosine
     * ≈0.45 (θ ≈ 63°, per-bit agreement ≈0.65, so a 16-bit band
     * collides with probability ≈0.1%). SRP banding is a HIGH-cosine
-    * instrument — at cos 0.95 the same band collides ≈60% of the time
-    * — and the synthetic corpus simply contains no such pairs. The
-    * row certifies the audit machinery and pins the selectivity
-    * honestly rather than flattering it.
+    * instrument: per-bit agreement is 1 − θ/π, so a 16-bit band
+    * collides with probability (1 − θ/π)¹⁶ ≈ 0.18 at cos 0.95 and
+    * ≈ 0.35 at cos 0.98; at least one of the two bands fires ≈ 33%
+    * and ≈ 58% of the time respectively (certified on planted pairs
+    * in RandomProjectionSpec). The synthetic corpus simply contains
+    * no such pairs — the row certifies the audit machinery and pins
+    * the selectivity honestly rather than flattering it.
     */
   def recall(spark: SparkSession, dir: String): DataFrame = {
     val truth = Similarity.nearDupPairs(spark, dir)

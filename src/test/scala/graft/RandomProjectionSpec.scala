@@ -131,4 +131,89 @@ class RandomProjectionSpec extends SparkSpec {
     val rec = r.getDouble(2)
     assert(rec >= 0.0 && rec <= 1.0)
   }
+
+  test("planted cos-0.98 pairs: banding recall matches Charikar analytics") {
+    // the corpus recall row honestly reports ≈0 (no high-cosine pairs
+    // exist in the synthetic data); THIS certifies the selling
+    // property on pairs planted at a controlled angle. b is built as
+    // cosT·â + sinT·û with û ⊥ â, so cos(a,b) = 0.98 exactly (up to
+    // float storage). Analytics: per-bit agreement p = 1 − θ/π =
+    // 0.9364, per-16-bit-band collision p¹⁶ = 0.349, ≥1-of-2-bands =
+    // 1 − (1 − p¹⁶)² = 0.576.
+    import spark.implicits._
+    val dimN = RandomProjection.dim
+    val nPairs = 400
+    val cosT = 0.98
+    val sinT = math.sqrt(1 - cosT * cosT)
+    val rnd = new java.util.Random(20260814L)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val planted = (0 until nPairs).map { i =>
+      val a = unit(Array.fill(dimN)(rnd.nextGaussian()))
+      val r = Array.fill(dimN)(rnd.nextGaussian())
+      val proj = a.zip(r).map { case (ai, ri) => ai * ri }.sum
+      val u = unit(r.zip(a).map { case (ri, ai) => ri - proj * ai })
+      val b = a.zip(u).map { case (ai, ui) => cosT * ai + sinT * ui }
+      (i.toLong, a.map(_.toFloat), b.map(_.toFloat))
+    }
+    val aDf = planted.map { case (i, a, _) => (i, a) }.toDF("vec_id", "embedding")
+    val bDf = planted.map { case (i, _, b) => (i, b) }.toDF("vec_id", "embedding")
+    val sa = RandomProjection.streamingSignatures(aDf)
+      .select(col("vec_id"), col("srp_sig").as("sig_a"),
+        col("band_lo").as("lo_a"), col("band_hi").as("hi_a"))
+    val sb = RandomProjection.streamingSignatures(bDf)
+      .select(col("vec_id"), col("srp_sig").as("sig_b"),
+        col("band_lo").as("lo_b"), col("band_hi").as("hi_b"))
+    val joined = sa.join(sb, "vec_id")
+      .select(
+        (lit(RandomProjection.srpBits) - expr("bit_count(sig_a ^ sig_b)"))
+          .cast("double").as("bits_agree"),
+        (col("lo_a") === col("lo_b")).cast("long").as("lo_hit"),
+        (col("hi_a") === col("hi_b")).cast("long").as("hi_hit"),
+        (col("lo_a") === col("lo_b") || col("hi_a") === col("hi_b"))
+          .cast("long").as("any_hit"))
+      .agg(avg(col("bits_agree")).as("mean_agree"),
+        avg(col("lo_hit")).as("p_lo"), avg(col("hi_hit")).as("p_hi"),
+        avg(col("any_hit")).as("recall"))
+      .head()
+    val meanAgreeFrac = joined.getDouble(0) / RandomProjection.srpBits
+    val (pLo, pHi, recall) =
+      (joined.getDouble(1), joined.getDouble(2), joined.getDouble(3))
+    // per-bit agreement: analytic 0.9364 (planes are fixed pseudo-
+    // random, pairs independent — ±0.02 covers both noise sources)
+    assert(math.abs(meanAgreeFrac - 0.9364) < 0.02,
+      s"mean bit agreement $meanAgreeFrac vs analytic 0.9364")
+    // per-band collision: analytic 0.349
+    assert(pLo > 0.22 && pLo < 0.48, s"band-lo collision $pLo vs 0.349")
+    assert(pHi > 0.22 && pHi < 0.48, s"band-hi collision $pHi vs 0.349")
+    // >=1-band recall: analytic 0.576 — the property the operator sells
+    assert(recall > 0.45 && recall < 0.70, s"recall $recall vs 0.576")
+  }
+
+  test("planted mismatched pairs: near-orthogonal collisions stay at the 2^-16 floor") {
+    // negative control for the test above: pair each a_i with b_{i+1}
+    // (independent vectors, cos ≈ N(0, 1/8)) — band collisions should
+    // sit at the ~2·2^-16 background, certifying the banding's
+    // selectivity side as measured, not assumed
+    import spark.implicits._
+    val dimN = RandomProjection.dim
+    val n = 400
+    val rnd = new java.util.Random(20260815L)
+    val vecs = (0 until 2 * n).map { i =>
+      (i.toLong, Array.fill(dimN)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val s = RandomProjection.streamingSignatures(vecs)
+    val a = s.filter(col("vec_id") < n)
+      .select(col("vec_id").as("i"), col("band_lo").as("lo_a"),
+        col("band_hi").as("hi_a"))
+    val b = s.filter(col("vec_id") >= n)
+      .select((col("vec_id") - n).as("i"), col("band_lo").as("lo_b"),
+        col("band_hi").as("hi_b"))
+    val hits = a.join(b, "i")
+      .filter(col("lo_a") === col("lo_b") || col("hi_a") === col("hi_b"))
+      .count()
+    assert(hits <= 4, s"$hits of $n near-orthogonal pairs collided — " +
+      "banding has lost its selectivity")
+  }
 }
