@@ -143,6 +143,7 @@ object SparkEntry {
     "emb_near_dup_pairs" -> (Similarity.nearDupPairs _),
     "emb_norm_outliers" -> (Similarity.normOutliers _),
     "emb_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "emb_int8_quant" -> (operators.Quantize.int8Audit _),
     "emb_srp_signatures" -> (RandomProjection.signatures _),
     "emb_srp_pairs" -> (RandomProjection.pairs _),
     "emb_srp_recall" -> (RandomProjection.recall _),
@@ -189,6 +190,7 @@ object SparkEntry {
     "q_pack_sequences" -> (Sampling.packSequences _),
     "text_chunk_windows" -> (Sampling.chunkWindows _),
     "q_shuffle_order" -> (Sampling.shuffleOrder _),
+    "q_curriculum" -> (Sampling.curriculumSchedule _),
     "q_token_budget_mix" -> (Sampling.tokenBudgetMix _),
     "q_temperature_mix" -> (Sampling.temperatureMix _),
     // — multimodal binary-column plumbing
@@ -1781,6 +1783,43 @@ object SparkEntry {
         |             round(quantile_cont(nrm, 0.99), 4) AS hi FROM n)
         |SELECT vec_id, nrm AS l2_norm, (nrm < lo OR nrm > hi) AS is_outlier
         |FROM n, b ORDER BY vec_id""".stripMargin,
+    // codes are trunc(x·127/maxabs) — both engines truncate toward
+    // zero — so every integer output is exact; the reconstruction
+    // error's dot products are rounded at 6, nine orders above the
+    // double-reorder noise (the cosSql discipline)
+    "emb_int8_quant" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+        |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+        |      AS maxabs
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id, x, maxabs,
+        |    CASE WHEN maxabs = 0
+        |      THEN list_transform(x, v -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(x,
+        |        v -> CAST(trunc((v * 127.0) / maxabs) AS BIGINT)) END AS q
+        |  FROM b),
+        |qd AS (
+        |  SELECT vec_id, x, maxabs, q,
+        |    list_transform(q, v -> CAST(v AS DOUBLE)) AS qd
+        |  FROM qq)
+        |SELECT vec_id, maxabs,
+        |  CAST(list_sum(q) AS BIGINT) AS sum_q,
+        |  CAST(list_min(q) AS BIGINT) AS min_q,
+        |  CAST(list_max(q) AS BIGINT) AS max_q,
+        |  round(
+        |    (SELECT sum(x[CAST(i AS INTEGER)] * x[CAST(i AS INTEGER)])
+        |     FROM unnest(generate_series(1, len(x))) t(i))
+        |    - 2.0 * (maxabs / 127.0) *
+        |      (SELECT sum(x[CAST(i AS INTEGER)] * qd[CAST(i AS INTEGER)])
+        |       FROM unnest(generate_series(1, len(x))) t(i))
+        |    + (maxabs / 127.0) * (maxabs / 127.0) *
+        |      (SELECT sum(qd[CAST(i AS INTEGER)] * qd[CAST(i AS INTEGER)])
+        |       FROM unnest(generate_series(1, len(x))) t(i)), 6)
+        |    AS recon_err
+        |FROM qd ORDER BY vec_id""".stripMargin,
     "emb_near_dup_pairs" ->
       s"""WITH a AS (
          |  SELECT vec_id AS a_id, label, embedding AS a_emb
@@ -2274,6 +2313,25 @@ object SparkEntry {
         |             doc_id) AS position,
         |  doc_id
         |FROM documents ORDER BY position""".stripMargin,
+    // integer score (1000·stopwords + tokens) → global rank → integer
+    // phase cut ((rank−1)·K div N): no float exists anywhere in the row
+    "q_curriculum" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(trim(text), ' '),
+         |      t -> list_contains(['the','a','of','and','in','to','is'], t)))
+         |      AS BIGINT) * 1000
+         |    + CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS score
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, score,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         |      AS rank
+         |  FROM s)
+         |SELECT rank, doc_id, score,
+         |  CAST(((rank - 1) * ${operators.Sampling.curriculumPhaseCount})
+         |    // (SELECT count(*) FROM s) + 1 AS BIGINT) AS phase
+         |FROM r ORDER BY rank""".stripMargin,
     "q_temperature_mix" ->
       s"""WITH c AS (
          |  SELECT lang,

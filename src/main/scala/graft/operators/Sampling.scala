@@ -250,4 +250,37 @@ object Sampling {
       .select("position", "doc_id")
       .orderBy("position")
   }
+
+  /** Number of curriculum phases for [[curriculumSchedule]]. */
+  val curriculumPhaseCount = 4
+
+  /** Curriculum schedule: rank every document by an integer quality
+    * score (stopword count ×1000 — the prose signal — plus token
+    * count, both exact integers so the order is bit-identical across
+    * engines) and cut the ranking into [[curriculumPhaseCount]]
+    * equal-size phases, cleanest prose first — the quality-ordered
+    * data schedule curriculum-training runs consume (easy/clean
+    * early phases, tail-quality late phases).
+    *
+    * Scale shape: the score is one narrow map pass; the global rank is
+    * [[Ranks.global]]'s two-pass range-partitioned sort (no
+    * single-partition window); the phase cut needs only the corpus
+    * COUNT, which joins back as a 1-row broadcast. Integer phase
+    * arithmetic (`(rank−1)·K div N`) avoids any float boundary.
+    */
+  def curriculumSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    val nStop = size(filter(toks, t =>
+      t.isInCollection(Seq("the", "a", "of", "and", "in", "to", "is"))))
+    val scored = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        (nStop.cast("long") * 1000L + size(toks).cast("long")).as("score"))
+    val n = scored.agg(count(lit(1)).as("n_total"))
+    Ranks.global(scored, "rank", col("score").desc, col("doc_id"))
+      .crossJoin(broadcast(n))
+      .select(col("rank"), col("doc_id"), col("score"),
+        (expr(s"((rank - 1) * $curriculumPhaseCount) div n_total") + 1L)
+          .as("phase"))
+      .orderBy("rank")
+  }
 }

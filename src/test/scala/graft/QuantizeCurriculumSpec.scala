@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Quantize, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Semantic properties behind the `emb_int8_quant` and `q_curriculum`
+  * oracle hashes: quantization code bounds and error envelopes
+  * (including planted exact and degenerate vectors), and the
+  * curriculum cut's balance/monotonicity guarantees.
+  */
+class QuantizeCurriculumSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("int8 codes are bounded and errors sit inside the trunc envelope") {
+    val a = Quantize.int8Audit(spark, dir)
+    val n = Tables(spark, dir, "embeddings").count()
+    assert(a.count() === n)
+    // symmetric int8: |q_i| <= 127 always (trunc of x*127/maxabs)
+    assert(a.filter(col("min_q") < -127 || col("max_q") > 127).count() === 0L)
+    // at least one element hits the scale endpoint: the element at
+    // maxabs quantizes to exactly +-127
+    assert(a.filter(col("max_q") =!= 127 && col("min_q") =!= -127)
+      .count() === 0L)
+    // truncation error envelope: per element |err| < c = maxabs/127,
+    // so the squared sum over dim d is < d*c^2 (and never negative)
+    val d = Tables(spark, dir, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    assert(a.filter(col("recon_err") < -1e-6).count() === 0L)
+    assert(a.filter(col("recon_err") >
+      lit(d) * (col("maxabs") / 127d) * (col("maxabs") / 127d) + 1e-6)
+      .count() === 0L)
+  }
+
+  test("int8 planted vectors: exact grid points are lossless, zero vector is safe") {
+    import spark.implicits._
+    // grid vector: elements k*maxabs/127 for integer k quantize with
+    // ZERO error (127/maxabs * x lands exactly on integers because
+    // maxabs = 127 * unit here, so x*127/maxabs = x/unit is integral)
+    val unit = 0.25f
+    val grid = Array[Float](127 * unit, -127 * unit, 64 * unit, 0f,
+      -32 * unit, 1 * unit, -1 * unit, 16 * unit)
+    val zero = Array.fill(8)(0f)
+    val plain = Array[Float](0.3f, -0.7f, 0.11f, 0.94f, -0.27f, 0.5f,
+      -0.01f, 0.08f)
+    val out = Quantize.int8AuditOf(
+      Seq((1L, grid), (2L, zero), (3L, plain))
+        .toDF("vec_id", "embedding"))
+      .orderBy("vec_id").collect()
+    val g = out(0)
+    assert(g.getDouble(g.fieldIndex("recon_err")) === 0.0)
+    assert(g.getLong(g.fieldIndex("sum_q")) === (127L - 127 + 64 + 0 - 32 + 1 - 1 + 16))
+    val z = out(1)
+    assert(z.getDouble(z.fieldIndex("maxabs")) === 0.0)
+    assert(z.getLong(z.fieldIndex("sum_q")) === 0L)
+    assert(z.getDouble(z.fieldIndex("recon_err")) === 0.0)
+    val p = out(2)
+    assert(p.getDouble(p.fieldIndex("recon_err")) >= 0.0)
+    assert(p.getLong(p.fieldIndex("max_q")) === 127L)
+  }
+
+  test("curriculum: balanced equal-size phases, quality-monotone") {
+    val c = Sampling.curriculumSchedule(spark, dir)
+    val n = Tables(spark, dir, "documents").count()
+    assert(c.count() === n)
+    // rank is the 1..N permutation
+    assert(c.agg(countDistinct("rank")).head().getLong(0) === n)
+    assert(c.agg(min("rank"), max("rank")).head() match {
+      case r => r.getLong(0) == 1L && r.getLong(1) == n
+    })
+    // phases are 1..K and equal-size to within 1 (the div cut)
+    val sizes = c.groupBy("phase").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === (1L to Sampling.curriculumPhaseCount).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1L)
+    // score never increases as rank increases (quality-ordered):
+    // check every adjacent rank pair via a self-join (no global window
+    // — the same ban the operators live under)
+    val nxt = c.select((col("rank") - 1).as("rank"), col("score").as("s2"))
+    assert(c.join(nxt, "rank").filter(col("s2") > col("score")).count() === 0L)
+    val byPhase = c.groupBy("phase")
+      .agg(min("rank").as("lo"), max("rank").as("hi"))
+      .orderBy("phase").collect()
+    byPhase.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) < b.getLong(1))
+      case _ =>
+    }
+  }
+}
