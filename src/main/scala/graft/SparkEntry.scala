@@ -153,6 +153,7 @@ object SparkEntry {
     // — text analysis over documents
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality" -> (TextAnalysis.qualityScores _),
+    "text_zipf_coverage" -> (TextAnalysis.zipfCoverage _),
     "text_gopher_rules" -> (TextAnalysis.gopherRules _),
     "text_langid_confusion" -> (TextAnalysis.langIdConfusion _),
     "text_fingerprints" -> (TextAnalysis.fingerprints _),
@@ -2039,6 +2040,25 @@ object SparkEntry {
         |  CAST(CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS DOUBLE)
         |    / count(*) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // counts/ranks exact integers; one division rounded at 6
+    "text_zipf_coverage" ->
+      s"""WITH w AS (
+         |  SELECT t.w AS w FROM documents,
+         |    unnest(string_split(trim(text), ' ')) t(w)),
+         |c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY w),
+         |r AS (
+         |  SELECT w, c,
+         |    CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank
+         |  FROM c),
+         |ks AS (SELECT CAST(k AS BIGINT) AS k
+         |       FROM (VALUES ${operators.TextAnalysis.zipfCutoffs
+                        .map(k => s"($k)").mkString(", ")}) v(k)),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_occurrences FROM c)
+         |SELECT k, CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(c) AS BIGINT) AS covered, total_occurrences,
+         |  round(CAST(sum(c) AS DOUBLE) / total_occurrences, 6) AS coverage
+         |FROM r, ks, tot WHERE rank <= k
+         |GROUP BY k, total_occurrences ORDER BY k""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,

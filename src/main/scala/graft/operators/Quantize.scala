@@ -30,10 +30,12 @@ import org.apache.spark.sql.functions._
 object Quantize {
 
   def int8Audit(spark: SparkSession, dir: String): DataFrame =
-    int8AuditOf(Tables(spark, dir, "embeddings"))
+    int8AuditOf(Tables(spark, dir, "embeddings")).orderBy("vec_id")
 
   /** The audit over any (vec_id, embedding) frame — batch table or
-    * arriving stream batch; stateless narrow projection either way.
+    * arriving stream batch: a stateless narrow projection (no sort —
+    * append-mode streamable; the batch entry adds the presentation
+    * order).
     */
   def int8AuditOf(vecs: DataFrame): DataFrame = {
     val base = vecs
@@ -54,6 +56,5 @@ object Quantize {
         DotProductD(col("x"), col("x")) -
           lit(2.0d) * c * DotProductD(col("x"), col("qd")) +
           c * c * DotProductD(col("qd"), col("qd")), 6).as("recon_err"))
-      .orderBy("vec_id")
   }
 }

@@ -414,4 +414,41 @@ object TextAnalysis {
         checks.map(c => col(c._1)).reduce(_ && _))
       .orderBy("doc_id")
   }
+
+  /** Cut points of the Zipf coverage audit. */
+  val zipfCutoffs = Seq(10L, 100L, 1000L)
+
+  /** Zipf / vocabulary-coverage audit: the fraction of all corpus
+    * token OCCURRENCES covered by the k most frequent word types, at
+    * each [[zipfCutoffs]] cut — the curve a tokenizer/vocabulary
+    * sizing decision reads (how much of the stream do the top-k words
+    * absorb; how heavy is the tail a subword model must carry).
+    *
+    * Scale shape: one corpus scan into a map-side-combined word-count
+    * reduction (vocab-sized output); frequency ranks come from
+    * [[Ranks.global]]'s two-pass range sort over the VOCAB table (not
+    * the corpus); the three cuts are a tiny literal cross-join over
+    * the ranked vocab and the grand total rides back as a 1-row
+    * broadcast. Counts and ranks are exact integers; the single
+    * coverage division is rounded at 6.
+    */
+  def zipfCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ranked = Ranks.global(counts, "rank", col("c").desc, col("w"))
+    val total = counts.agg(sum(col("c")).as("total_occurrences"))
+    val ks = zipfCutoffs.toDF("k")
+    ranked.crossJoin(broadcast(ks))
+      .filter(col("rank") <= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("n_types"), col("covered"),
+        col("total_occurrences"),
+        round(col("covered").cast("double") / col("total_occurrences"), 6)
+          .as("coverage"))
+      .orderBy("k")
+  }
 }

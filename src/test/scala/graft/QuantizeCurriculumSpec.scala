@@ -59,6 +59,55 @@ class QuantizeCurriculumSpec extends SparkSpec {
     assert(p.getLong(p.fieldIndex("max_q")) === 127L)
   }
 
+  test("int8 audit: streaming serve matches the batch audit per row") {
+    // the audit is a stateless narrow projection, so it must run
+    // unchanged over an arriving stream — the train-batch/serve-stream
+    // split discipline (classifier / DSIR / SRP / BPE precedent)
+    implicit val sqlc = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val vecs = Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Quantize.int8AuditOf(in.toDF().toDF("vec_id", "embedding"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("int8_stream").start()
+    try {
+      val (w1, w2) = vecs.splitAt(vecs.length / 2)
+      in.addData(w1.toSeq); q.processAllAvailable()
+      in.addData(w2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("int8_stream")
+      val batch = Quantize.int8Audit(spark, dir)
+      assert(streamed.count() === vecs.length.toLong)
+      assert(streamed.exceptAll(batch).count() === 0L)
+      assert(batch.exceptAll(streamed).count() === 0L)
+    } finally q.stop()
+  }
+
+  test("zipf coverage: monotone, bounded, consistent with exact recounts") {
+    val z = operators.TextAnalysis.zipfCoverage(spark, dir)
+      .orderBy("k").collect()
+    assert(z.map(_.getLong(0)).toSeq === operators.TextAnalysis.zipfCutoffs)
+    val vocab = Tables(spark, dir, "documents")
+      .select(explode(split(trim(col("text")), " ")).as("w"))
+      .agg(countDistinct("w"), count(lit(1))).head()
+    val (nVocab, totalOcc) = (vocab.getLong(0), vocab.getLong(1))
+    z.foreach { r =>
+      val (k, nTypes, covered, total, cov) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nTypes === math.min(k, nVocab))
+      assert(total === totalOcc)
+      assert(covered <= total && cov >= 0.0 && cov <= 1.0)
+    }
+    // more types can only cover more occurrences; full vocab covers all
+    z.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) <= b.getLong(2))
+      case _ =>
+    }
+    if (nVocab <= z.last.getLong(0))
+      assert(z.last.getLong(2) === totalOcc)
+  }
+
   test("curriculum: balanced equal-size phases, quality-monotone") {
     val c = Sampling.curriculumSchedule(spark, dir)
     val n = Tables(spark, dir, "documents").count()
