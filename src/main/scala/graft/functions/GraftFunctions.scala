@@ -9,8 +9,8 @@ import org.apache.spark.sql.types.IntegerType
 
 /** SQL surface for graft's native Catalyst expressions: exposes
   * `ngram_minhash_md5`, `ngram_minhash_affine`, `rolling_hash`,
-  * `dot_product_d`, `winnow`, and `window_hashes` to `spark.sql(...)`
-  * users, so the
+  * `dot_product_d`, `winnow`, `window_hashes`, and
+  * `int8_quant_stats` to `spark.sql(...)` users, so the
   * engine's custom kernels are first-class functions, not
   * Column-API-only.
   *
@@ -65,6 +65,10 @@ object GraftFunctions {
     "window_hashes" -> { args =>
       arity("window_hashes", args, 2)
       WindowHashes(args(0), intArg(args(1), "window_hashes", "k-gram width k"))
+    },
+    "int8_quant_stats" -> { args =>
+      arity("int8_quant_stats", args, 1)
+      Int8QuantStats(args(0))
     },
   )
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.DotProductD
+import graft.functions.{DotProductD, Int8QuantStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,17 +15,16 @@ import org.apache.spark.sql.functions._
   *
   * Cross-engine exactness: `maxabs` is a max over exactly-widened
   * floats; codes are `trunc(x·127/maxabs)` (both engines truncate
-  * toward zero — Spark's double→long cast, DuckDB's `trunc`), so
-  * scale and all integer outputs are bit-exact. The reconstruction
-  * error uses the algebraic form ⟨x,x⟩ − 2c⟨x,q⟩ + c²⟨q,q⟩ with
-  * c = maxabs/127 over [[DotProductD]] folds and is rounded to 6 —
-  * double-sum reorder noise is ~1e-14 absolute, nine orders below the
-  * rounding quantum (the cosSql precedent).
+  * toward zero), so scale and all integer outputs are bit-exact. The
+  * reconstruction error is the algebraic form ⟨x,x⟩ − 2c⟨x,q⟩ +
+  * c²⟨q,q⟩ with c = maxabs/127 over index-order double folds, rounded
+  * to 6 — double-sum reorder noise is ~1e-14 absolute, nine orders
+  * below the rounding quantum (the cosSql precedent).
   *
-  * Scale shape (100 TB): one narrow map pass over the embedding
-  * column — per-row HOFs and three codegen'd dot products, no
-  * shuffle but the presentation sort. The all-zero-vector edge
-  * (maxabs = 0) quantizes to zeros with zero error rather than NaN.
+  * Scale shape (100 TB): one narrow map pass — the fused native
+  * [[Int8QuantStats]] kernel inside whole-stage codegen, no shuffle
+  * but the presentation sort. The all-zero-vector edge (maxabs = 0)
+  * quantizes to zeros with zero error rather than NaN.
   */
 object Quantize {
 
@@ -35,9 +34,24 @@ object Quantize {
   /** The audit over any (vec_id, embedding) frame — batch table or
     * arriving stream batch: a stateless narrow projection (no sort —
     * append-mode streamable; the batch entry adds the presentation
-    * order).
+    * order). One [[Int8QuantStats]] kernel call per row.
     */
-  def int8AuditOf(vecs: DataFrame): DataFrame = {
+  def int8AuditOf(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("vec_id"), Int8QuantStats(col("embedding")).as("s"))
+      .select(col("vec_id"), col("s.maxabs").as("maxabs"),
+        col("s.sum_q").as("sum_q"), col("s.min_q").as("min_q"),
+        col("s.max_q").as("max_q"),
+        round(col("s.recon_err"), 6).as("recon_err"))
+
+  /** The composed higher-order-function form the kernel replaced —
+    * four interpreted lambda passes plus three [[DotProductD]] folds
+    * per row, kept as the tri-parity REFERENCE implementation
+    * (QuantizeCurriculumSpec pins kernel ≡ composed per row): every
+    * IEEE operation appears in the same order in both, which is also
+    * exactly what the DuckDB oracle states.
+    */
+  private[graft] def int8AuditComposed(vecs: DataFrame): DataFrame = {
     val base = vecs
       .select(col("vec_id"),
         transform(col("embedding"), v => v.cast("double")).as("x"))

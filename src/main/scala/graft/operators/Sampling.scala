@@ -265,8 +265,10 @@ object Sampling {
     * Scale shape: the score is one narrow map pass; the global rank is
     * [[Ranks.global]]'s two-pass range-partitioned sort (no
     * single-partition window); the phase cut needs only the corpus
-    * COUNT, which joins back as a 1-row broadcast. Integer phase
-    * arithmetic (`(rank−1)·K div N`) avoids any float boundary.
+    * COUNT, read as max(rank) from the rank pass's own checkpointed
+    * frame (never a second corpus scan) and joined back as a 1-row
+    * broadcast. Integer phase arithmetic (`(rank−1)·K div N`) avoids
+    * any float boundary.
     */
   def curriculumSchedule(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(trim(col("text")), " ")
@@ -275,8 +277,9 @@ object Sampling {
     val scored = Tables(spark, dir, "documents")
       .select(col("doc_id"),
         (nStop.cast("long") * 1000L + size(toks).cast("long")).as("score"))
-    val n = scored.agg(count(lit(1)).as("n_total"))
-    Ranks.global(scored, "rank", col("score").desc, col("doc_id"))
+    val ranked = Ranks.global(scored, "rank", col("score").desc, col("doc_id"))
+    val n = ranked.agg(max(col("rank")).as("n_total"))
+    ranked
       .crossJoin(broadcast(n))
       .select(col("rank"), col("doc_id"), col("score"),
         (expr(s"((rank - 1) * $curriculumPhaseCount) div n_total") + 1L)

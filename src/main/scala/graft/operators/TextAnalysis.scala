@@ -428,9 +428,10 @@ object TextAnalysis {
     * reduction (vocab-sized output); frequency ranks come from
     * [[Ranks.global]]'s two-pass range sort over the VOCAB table (not
     * the corpus); the three cuts are a tiny literal cross-join over
-    * the ranked vocab and the grand total rides back as a 1-row
-    * broadcast. Counts and ranks are exact integers; the single
-    * coverage division is rounded at 6.
+    * the ranked vocab and the grand total is summed from the rank
+    * pass's own checkpointed frame (never a second corpus scan),
+    * riding back as a 1-row broadcast. Counts and ranks are exact
+    * integers; the single coverage division is rounded at 6.
     */
   def zipfCoverage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -438,7 +439,7 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val ranked = Ranks.global(counts, "rank", col("c").desc, col("w"))
-    val total = counts.agg(sum(col("c")).as("total_occurrences"))
+    val total = ranked.agg(sum(col("c")).as("total_occurrences"))
     val ks = zipfCutoffs.toDF("k")
     ranked.crossJoin(broadcast(ks))
       .filter(col("rank") <= col("k"))

@@ -59,6 +59,33 @@ class QuantizeCurriculumSpec extends SparkSpec {
     assert(p.getLong(p.fieldIndex("max_q")) === 127L)
   }
 
+  test("int8 kernel tri-parity: native == composed HOF == SQL, and codegen plan") {
+    // the fused Int8QuantStats kernel must be bit-identical to the
+    // composed transform/aggregate/DotProductD reference on every
+    // corpus row (same IEEE ops in the same order), and reachable as
+    // a SQL function — the kernel discipline every graft native
+    // expression follows
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val native = Quantize.int8AuditOf(vecs)
+    val composed = Quantize.int8AuditComposed(vecs)
+    assert(native.exceptAll(composed).count() === 0L)
+    assert(composed.exceptAll(native).count() === 0L)
+    graft.functions.GraftFunctions.register(spark)
+    vecs.createOrReplaceTempView("int8_vecs")
+    val viaSql = spark.sql(
+      """SELECT vec_id, s.maxabs AS maxabs, s.sum_q AS sum_q,
+        |  s.min_q AS min_q, s.max_q AS max_q,
+        |  round(s.recon_err, 6) AS recon_err
+        |FROM (SELECT vec_id, int8_quant_stats(embedding) AS s
+        |      FROM int8_vecs)""".stripMargin)
+    assert(viaSql.exceptAll(native).count() === 0L)
+    // the registered query's plan runs the native kernel, not lambdas
+    val p = Quantize.int8Audit(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("int8_quant_stats"), s"expected native kernel:\n$p")
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      s"no interpreted lambda in the audit path:\n$p")
+  }
+
   test("int8 audit: streaming serve matches the batch audit per row") {
     // the audit is a stateless narrow projection, so it must run
     // unchanged over an arriving stream — the train-batch/serve-stream
