@@ -69,27 +69,19 @@ object BpeTrainer {
     * discipline: a deployment trains the tokenizer ONCE and serves
     * every consumer (merge table, segmentation, encoding, vocab
     * export) from the stored model, so repeat queries measure the
-    * serving path, not a per-query re-train. Weak-keyed by the owning
-    * SparkSession so a stopped session's entries are GC-evicted; the
-    * inner key carries dir + merge budget + gate (specs force the
-    * distributed path via the gate, so the two paths never share an
-    * entry). `mergeCache` holds the driver-side merge rows (bounded by
-    * the merge budget); `segCache` holds the checkpointed word-type
-    * segmentation frame (distributed, never collected on the
-    * beyond-gate path).
+    * serving path, not a per-query re-train. Keyed by
+    * [[graft.DataVersion.sessionKey]] — session identity (beyond-gate
+    * entries hold checkpointed DataFrames that strongly reference
+    * their session, so the previous weak session key never collected
+    * on that path) + dir content fingerprint (a regenerated corpus
+    * retrains instead of serving a stale tokenizer) + merge budget +
+    * gate (specs force the distributed path via the gate, so the two
+    * paths never share an entry).
     */
   private val modelCache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
-  private def sessionModels(spark: SparkSession) = modelCache.synchronized {
-    var m = modelCache.get(spark)
-    if (m == null) {
-      m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-      modelCache.put(spark, m)
-    }
-    m
-  }
+  private def sessionModels(spark: SparkSession) = modelCache
 
   /** Pass 1, the only corpus-sized job: whitespace word types with
     * counts, split into character symbols + the end-of-word marker.
@@ -392,7 +384,8 @@ object BpeTrainer {
             smallTypeLimit: Long = driverTypeLimit): DataFrame = {
     import spark.implicits._
     val learned = sessionModels(spark)
-      .computeIfAbsent(s"merges#$dir#$merges#$smallTypeLimit", _ => {
+      .computeIfAbsent(graft.DataVersion.sessionKey(spark, dir, "documents",
+        s"merges#$merges#$smallTypeLimit"), _ => {
         val vocab = wordTypes(spark, dir)
         val rows =
           if (vocab.count() <= smallTypeLimit)
@@ -416,7 +409,8 @@ object BpeTrainer {
       smallTypeLimit: Long = driverTypeLimit): DataFrame = {
     import spark.implicits._
     sessionModels(spark)
-      .computeIfAbsent(s"seg#$dir#$merges#$smallTypeLimit", _ => {
+      .computeIfAbsent(graft.DataVersion.sessionKey(spark, dir, "documents",
+        s"seg#$merges#$smallTypeLimit"), _ => {
         val vocab = wordTypes(spark, dir)
         val seg =
           if (vocab.count() <= smallTypeLimit) {

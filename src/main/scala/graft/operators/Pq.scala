@@ -270,11 +270,14 @@ object Pq {
 
   /** The trained codebook as a driver-side model artifact:
     * (subspace, centroid id, centroid) — O(K·d) doubles, memoized per
-    * (dataset dir, K).
+    * (dataset dir content version, K) via [[graft.DataVersion.key]] so
+    * a regenerated dataset retrains instead of serving a stale model.
     */
   def trainedCodebook(spark: SparkSession, dir: String,
       k: Int = codebookSize): Seq[(Int, Long, Seq[Double])] =
-    codebookCache.computeIfAbsent(s"$dir#$k", _ => trainCodebook(spark, dir, k))
+    codebookCache.computeIfAbsent(
+      graft.DataVersion.key(dir, "embeddings", s"pq$k"),
+      _ => trainCodebook(spark, dir, k))
 
   private def trainCodebook(spark: SparkSession, dir: String,
       k: Int): Seq[(Int, Long, Seq[Double])] = {
@@ -365,43 +368,36 @@ object Pq {
     * path (scan + shortlist merge), not a per-query re-encode. Unlike
     * the codebook artifact these stay DISTRIBUTED (eager
     * localCheckpoint pins executor-side blocks); nothing is collected.
-    * The outer map is WEAK-keyed by the owning SparkSession instance —
-    * identity semantics with no hash-collision risk, and a stopped
-    * session's entries (whose checkpointed blocks died with it) are
-    * GC-evicted instead of lingering or being served to a live session.
+    * Keyed by [[graft.DataVersion.sessionKey]] — session identity
+    * (checkpointed DataFrames strongly reference their session, so
+    * the previous weak session key never actually collected) + dir +
+    * content fingerprint, so regenerated source data gets a fresh
+    * index instead of a stale one.
     */
   private val indexCache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
-
-  private def sessionIndex(spark: SparkSession) = indexCache.synchronized {
-    var m = indexCache.get(spark)
-    if (m == null) {
-      m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-      indexCache.put(spark, m)
-    }
-    m
-  }
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** The stored (vec_id, m, code) index the join-form ADC scans —
     * built once per session with the production [[encodeScalar]] pass.
     */
   private def indexedCodes(spark: SparkSession, dir: String, k: Int): DataFrame =
-    sessionIndex(spark).computeIfAbsent(s"$dir#$k#codes", _ =>
-      encodeScalar(Tables(spark, dir, "embeddings"),
-          trainedCodebook(spark, dir, k))
-        .select(col("vec_id"), col("m"), col("code"))
-        .localCheckpoint(true))
+    indexCache.computeIfAbsent(
+      graft.DataVersion.sessionKey(spark, dir, "embeddings", s"$k#codes"), _ =>
+        encodeScalar(Tables(spark, dir, "embeddings"),
+            trainedCodebook(spark, dir, k))
+          .select(col("vec_id"), col("m"), col("code"))
+          .localCheckpoint(true))
 
   /** The stored byte-packed index the packed-LUT scan reads. */
   private def indexedPacked(spark: SparkSession, dir: String, k: Int): DataFrame = {
     // resolve the codes index BEFORE entering computeIfAbsent: a nested
     // computeIfAbsent on the same map is a recursive update CHM forbids
     val codes = indexedCodes(spark, dir, k)
-    sessionIndex(spark).computeIfAbsent(s"$dir#$k#packed", _ =>
-      packFrom(codes, codebookDf(spark, dir, k))
-        .select(col("vec_id"), unhex(col("code_packed")).as("codes"))
-        .localCheckpoint(true))
+    indexCache.computeIfAbsent(
+      graft.DataVersion.sessionKey(spark, dir, "embeddings", s"$k#packed"), _ =>
+        packFrom(codes, codebookDf(spark, dir, k))
+          .select(col("vec_id"), unhex(col("code_packed")).as("codes"))
+          .localCheckpoint(true))
   }
 
   /** Two-stage recall at an explicit codebook width — certifies the

@@ -387,7 +387,9 @@ object Similarity {
     * [[ivfTopK]] for the training discipline.
     */
   def trainedCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
-    centroidCache.computeIfAbsent(dir, _ => trainCentroids(spark, dir))
+    centroidCache.computeIfAbsent(
+      graft.DataVersion.key(dir, "embeddings", "ivf"),
+      _ => trainCentroids(spark, dir))
 
   private def trainCentroids(spark: SparkSession, dir: String,
       means: DataFrame => DataFrame = cellMeans): Seq[(Long, Seq[Double])] = {

@@ -233,29 +233,20 @@ object TextAnalysis {
     * join is equi on fingerprint value with df-bounded buckets — never
     * all-pairs.
     */
-  def winnowPassagePairs(spark: SparkSession, dir: String): DataFrame = {
-    val src = new java.io.File(dir, "documents.parquet")
-    val files =
-      if (src.isDirectory) src.listFiles().toSeq else Seq(src)
-    val content = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .sorted.mkString("|")
-    val key = s"${System.identityHashCode(spark)}|$dir|${content.hashCode}"
-    winnowCache.computeIfAbsent(key, _ =>
-      computeWinnowPairs(spark, dir).localCheckpoint())
-  }
+  def winnowPassagePairs(spark: SparkSession, dir: String): DataFrame =
+    winnowCache.computeIfAbsent(
+      graft.DataVersion.sessionKey(spark, dir, "documents", "winnow"),
+      _ => computeWinnowPairs(spark, dir).localCheckpoint())
 
   /** Memo of the materialized pairs table — the fingerprint front-end
     * costs ~1.5 s at sf0.1 and BOTH the pairs row and the
     * duplication-graph PageRank consume it (the derived-table analog
-    * of the IVF/PQ/BPE model-artifact caches). The key carries the
-    * session identity, the dir, AND a per-file size/mtime fingerprint
-    * of the source table, so regenerated testdata under the same path
-    * can never serve stale pairs. Entries live for the JVM (the
-    * checkpointed DataFrame necessarily holds its session, so a weak
-    * or soft session key would be a fiction — the prior WeakHashMap
-    * form never collected); the JVMs that hold this cache (one sbt
-    * test run, one Bench/Verify main) are short-lived by design, and
-    * the values are O(pairs) checkpoint blocks, not corpus copies.
+    * of the IVF/PQ/BPE model-artifact caches). Keyed by
+    * [[graft.DataVersion.sessionKey]]: session identity + dir +
+    * content fingerprint, so regenerated testdata can never serve
+    * stale pairs; entries honestly live for the (short-lived) JVM —
+    * see DataVersion's scaladoc for why a weak session key would be a
+    * fiction here.
     */
   private val winnowCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
