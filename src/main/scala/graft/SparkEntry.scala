@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Dedup, Dsir, EventsCdc, Multimodal, RandomProjection, Sampling, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Analytics, Behavior, Dedup, Dsir, EventsCdc, Multimodal, RandomProjection, Sampling, Similarity, Skew, Temporal, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -108,6 +108,8 @@ object SparkEntry {
     // — temporal operators over events (as-of join, sessionization)
     "q_asof_attribution" -> (Temporal.lastTouchAttribution _),
     "q_sessionize" -> ((s: SparkSession, d: String) => Temporal.sessionize(s, d)),
+    "q_funnel_conversion" -> (Behavior.funnelConversion _),
+    "q_retention_cohorts" -> (Behavior.retentionCohorts _),
     "q_salted_join" -> (Skew.saltedSupplierRevenue _),
     // — dedup family over documents (north-star extensions)
     "dedup_exact" -> (Dedup.exact _),
@@ -1483,6 +1485,57 @@ object SparkEntry {
         |  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exact integer micros throughout; conv_pct is one rounded division
+    // of two exact counts
+    "q_funnel_conversion" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+         |v AS (
+         |  SELECT user_id, min(us) AS v_us FROM e
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |c AS (
+         |  SELECT e.user_id, min(e.us) AS c_us, min(v.v_us) AS v_us
+         |  FROM e JOIN v ON e.user_id = v.user_id
+         |  WHERE e.event_type = 'click' AND e.us > v.v_us
+         |    AND e.us <= v.v_us + ${operators.Behavior.funnelWindowUs}
+         |  GROUP BY 1),
+         |p AS (
+         |  SELECT e.user_id, min(e.us) AS p_us
+         |  FROM e JOIN c ON e.user_id = c.user_id
+         |  WHERE e.event_type = 'purchase' AND e.us > c.c_us
+         |    AND e.us <= c.v_us + ${operators.Behavior.funnelWindowUs}
+         |  GROUP BY 1),
+         |s AS (
+         |  SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS users FROM v
+         |  UNION ALL SELECT 2, 'click', count(*) FROM c
+         |  UNION ALL SELECT 3, 'purchase', count(*) FROM p)
+         |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, users,
+         |  CASE WHEN (SELECT users FROM s WHERE stage_idx = 1) > 0 THEN
+         |    round(CAST(users AS DOUBLE) /
+         |      (SELECT CAST(users AS DOUBLE) FROM s WHERE stage_idx = 1), 6)
+         |  END AS conv_pct
+         |FROM s ORDER BY stage_idx""".stripMargin,
+    // integer epoch-week arithmetic; retained_pct one rounded division
+    "q_retention_cohorts" ->
+      s"""WITH ew AS (
+         |  SELECT user_id,
+         |    (epoch_us(ts) // ${operators.Behavior.dayUs}) // 7 AS week
+         |  FROM events),
+         |f AS (SELECT user_id, min(week) AS cohort_week FROM ew GROUP BY 1),
+         |a AS (SELECT DISTINCT user_id, week FROM ew),
+         |cells AS (
+         |  SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+         |    count(*) AS active_users
+         |  FROM a JOIN f ON a.user_id = f.user_id
+         |  GROUP BY 1, 2),
+         |sizes AS (
+         |  SELECT cohort_week, active_users AS cohort_size FROM cells
+         |  WHERE week_offset = 0)
+         |SELECT c.cohort_week, c.week_offset, c.active_users, s.cohort_size,
+         |  round(CAST(c.active_users AS DOUBLE) /
+         |        CAST(s.cohort_size AS DOUBLE), 6) AS retained_pct
+         |FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+         |ORDER BY 1, 2""".stripMargin,
     "q_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
         |  count(*) AS n,

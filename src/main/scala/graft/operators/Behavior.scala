@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics: windowed funnel conversion and weekly
+  * retention cohorts — the two product-analytics aggregates every
+  * event warehouse serves (and the shapes a ClickHouse user reaches
+  * for `windowFunnel`/`retention` for).
+  *
+  * Determinism: every timestamp is reduced to integer micros
+  * (`unix_micros`) before any arithmetic, stage cuts and cohort weeks
+  * are integer division, and the only floats are single rounded
+  * divisions of two exact counts — engine-exact by construction.
+  *
+  * Scale notes (100 TB):
+  *  - [[funnelConversion]] is the staged-aggregation funnel: stage k
+  *    is one per-user MIN over the stage-k events joined to the stage
+  *    k−1 frontier — every join and aggregate keys on `user_id`, so
+  *    all stages ride the same hash partitioning (AQE reuses the
+  *    exchange), and each stage's frontier only ever SHRINKS. Nothing
+  *    collects; the final counts are three 1-row aggregates and the
+  *    conversion join is a 1-row broadcast. The alternative —
+  *    collect_list of each user's full history and a per-user scan —
+  *    is unbounded per-user state and an interpreted lambda in the
+  *    hot path; the staged form is all codegen'd min/count.
+  *  - [[retentionCohorts]] is two per-user aggregates and one
+  *    co-partitioned join, all on `user_id`, then a (cohort, offset)
+  *    aggregate whose cardinality is weeks² — tiny at any corpus
+  *    scale. The cohort-size denominator joins back as a broadcast of
+  *    that same tiny frame, never a second scan of the events.
+  */
+object Behavior {
+
+  /** Funnel stage definitions, in order. */
+  val funnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Conversion window: a user's whole funnel must complete within
+    * this many micros of their FIRST stage-1 event (7 days).
+    */
+  val funnelWindowUs: Long = 7L * 86400 * 1000 * 1000
+
+  /** Windowed funnel: per stage, how many users reached it in order —
+    * stage k's event strictly after the user's stage k−1 time and
+    * within [[funnelWindowUs]] of their first stage-1 event. Output:
+    * (stage_idx, stage, users, conv_pct) with conv_pct the fraction
+    * of stage-1 users surviving to this stage (one rounded division
+    * of exact counts).
+    */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    val v = e.filter(col("event_type") === funnelStages(0))
+      .groupBy("user_id").agg(min(col("us")).as("v_us"))
+    val c = e.filter(col("event_type") === funnelStages(1))
+      .join(v, "user_id")
+      .filter(col("us") > col("v_us") &&
+        col("us") <= col("v_us") + funnelWindowUs)
+      .groupBy("user_id")
+      .agg(min(col("us")).as("c_us"), min(col("v_us")).as("v_us"))
+    val p = e.filter(col("event_type") === funnelStages(2))
+      .join(c, "user_id")
+      .filter(col("us") > col("c_us") &&
+        col("us") <= col("v_us") + funnelWindowUs)
+      .groupBy("user_id").agg(min(col("us")).as("p_us"))
+    val stages = v.agg(count(lit(1)).as("users"))
+      .select(lit(1L).as("stage_idx"), lit(funnelStages(0)).as("stage"),
+        col("users"))
+      .unionAll(c.agg(count(lit(1)).as("users"))
+        .select(lit(2L).as("stage_idx"), lit(funnelStages(1)).as("stage"),
+          col("users")))
+      .unionAll(p.agg(count(lit(1)).as("users"))
+        .select(lit(3L).as("stage_idx"), lit(funnelStages(2)).as("stage"),
+          col("users")))
+      // 3-row frame feeding both the output and its own denominator —
+      // materialize once so the denominator doesn't re-run the stages
+      .localCheckpoint()
+    val first = stages.filter(col("stage_idx") === 1L)
+      .select(col("users").as("first_users"))
+    stages.crossJoin(broadcast(first))
+      .select(col("stage_idx"), col("stage"), col("users"),
+        // null (not NaN / ANSI error) on an empty funnel
+        when(col("first_users") > 0,
+          round(col("users").cast("double") /
+            col("first_users").cast("double"), 6)).as("conv_pct"))
+      .orderBy("stage_idx")
+  }
+
+  /** Micros per day / days per week — the integer cohort calendar. */
+  val dayUs: Long = 86400L * 1000 * 1000
+
+  /** Weekly retention cohorts: users are cohorted by the epoch-week of
+    * their first event; each (cohort_week, week_offset) row counts the
+    * cohort's users active that many weeks later, with the retained
+    * fraction against the cohort's size (= its offset-0 row). All
+    * week arithmetic is integer division of epoch micros.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ew = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        expr(s"(unix_micros(ts) div ${dayUs}L) div 7").as("week"))
+    val firstw = ew.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val active = ew.distinct()
+    val cells = active.join(firstw, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      // weeks²-row frame read twice (cells + sizes) — materialize once
+      .localCheckpoint()
+    val sizes = cells.filter(col("week_offset") === 0L)
+      .select(col("cohort_week"), col("active_users").as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("active_users"),
+        col("cohort_size"),
+        round(col("active_users").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retained_pct"))
+      .orderBy("cohort_week", "week_offset")
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.Behavior
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the behavioral analytics operators: funnel
+  * stage ordering and windowing edge cases, cohort/offset accounting,
+  * and empty-input robustness.
+  */
+class BehaviorSpec extends SparkSpec {
+
+  private val hourUs = 3600L * 1000 * 1000
+  private val dayUs = Behavior.dayUs
+
+  /** Write an events.parquet under a temp dir from (user, us, type). */
+  private def writeEvents(rows: Seq[(Long, Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("behavior").toString
+    rows.zipWithIndex.map { case ((u, us, t), i) =>
+      (i.toLong, us, u, t, 1.0, "{}")
+    }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .drop("us")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("funnel: ordering and 7-day window rules decide stage membership") {
+    val t0 = 1700000000000000L
+    val dir = writeEvents(Seq(
+      // user 1: clean view → click → purchase, all inside the window
+      (1L, t0, "view"), (1L, t0 + hourUs, "click"),
+      (1L, t0 + 2 * hourUs, "purchase"),
+      // user 2: click with no view — never enters the funnel
+      (2L, t0, "click"),
+      // user 3: click 8 days after the view — outside the window
+      (3L, t0, "view"), (3L, t0 + 8 * dayUs, "click"),
+      // user 4: click strictly BEFORE the first view — wrong order
+      (4L, t0 + hourUs, "click"), (4L, t0 + 2 * hourUs, "view"),
+      // user 5: purchase at day 6h23 — still inside the view's window
+      (5L, t0, "view"), (5L, t0 + hourUs, "click"),
+      (5L, t0 + 7 * dayUs - hourUs, "purchase"),
+      // user 6: purchase lands past the 7-day window of the view
+      (6L, t0, "view"), (6L, t0 + hourUs, "click"),
+      (6L, t0 + 7 * dayUs + hourUs, "purchase")))
+    val out = Behavior.funnelConversion(spark, dir).collect()
+    val users = out.map(r =>
+      r.getAs[String]("stage") -> r.getAs[Long]("users")).toMap
+    assert(users("view") === 5) // users 1,3,4,5,6
+    assert(users("click") === 3) // users 1,5,6 (3 out of window, 4 pre-view)
+    assert(users("purchase") === 2) // users 1 and 5
+    // conversion is monotone and stage-1 converts to exactly 1.0
+    val byIdx = out.sortBy(_.getAs[Long]("stage_idx"))
+    assert(byIdx.head.getAs[Double]("conv_pct") === 1.0)
+    val seq = byIdx.map(_.getAs[Long]("users")).toSeq
+    assert(seq === seq.sorted.reverse)
+  }
+
+  test("funnel: stage-2 counts exactly the in-window post-view clicks") {
+    val t0 = 1700000000000000L
+    // one user whose only click precedes the view: must NOT reach stage 2
+    val dir = writeEvents(Seq(
+      (1L, t0 + hourUs, "click"), (1L, t0 + 2 * hourUs, "view")))
+    val users = Behavior.funnelConversion(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("users")).toMap
+    assert(users("view") === 1)
+    assert(users("click") === 0)
+    assert(users("purchase") === 0)
+  }
+
+  test("retention: cohorts count active users per week offset") {
+    // week w = us div day div 7; pick a base aligned to a week boundary
+    val w0 = (1700000000000000L / dayUs / 7) * 7 * dayUs
+    val dir = writeEvents(Seq(
+      // user 1: first seen week 0, active weeks 0, 1, 3
+      (1L, w0, "view"), (1L, w0 + 7 * dayUs, "click"),
+      (1L, w0 + 21 * dayUs, "view"),
+      // user 2: first seen week 0, active week 0 only (2 events same week)
+      (2L, w0 + dayUs, "view"), (2L, w0 + 2 * dayUs, "click"),
+      // user 3: first seen week 1, active weeks 1 and 2
+      (3L, w0 + 8 * dayUs, "view"), (3L, w0 + 15 * dayUs, "click")))
+    val out = Behavior.retentionCohorts(spark, dir).collect()
+    val base = w0 / dayUs / 7
+    val cells = out.map { r =>
+      (r.getAs[Long]("cohort_week") - base, r.getAs[Long]("week_offset")) ->
+        (r.getAs[Long]("active_users"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("retained_pct"))
+    }.toMap
+    assert(cells((0L, 0L)) === ((2L, 2L, 1.0)))
+    assert(cells((0L, 1L)) === ((1L, 2L, 0.5)))
+    assert(cells((0L, 3L)) === ((1L, 2L, 0.5)))
+    assert(cells((1L, 0L)) === ((1L, 1L, 1.0)))
+    assert(cells((1L, 1L)) === ((1L, 1L, 1.0)))
+    assert(!cells.contains((0L, 2L))) // nobody from cohort 0 active week 2
+    // every offset-0 row retains exactly its own cohort
+    out.filter(_.getAs[Long]("week_offset") == 0L)
+      .foreach(r => assert(r.getAs[Double]("retained_pct") === 1.0))
+  }
+
+  test("empty events: funnel yields three zero-user stages; retention is empty") {
+    val dir = writeEvents(Seq.empty)
+    val funnel = Behavior.funnelConversion(spark, dir).collect()
+    assert(funnel.length === 3)
+    assert(funnel.forall(_.getAs[Long]("users") === 0L))
+    assert(Behavior.retentionCohorts(spark, dir).count() === 0L)
+  }
+}
