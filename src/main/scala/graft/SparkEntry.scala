@@ -110,6 +110,8 @@ object SparkEntry {
     "q_sessionize" -> ((s: SparkSession, d: String) => Temporal.sessionize(s, d)),
     "q_funnel_conversion" -> (Behavior.funnelConversion _),
     "q_retention_cohorts" -> (Behavior.retentionCohorts _),
+    "q_event_transitions" -> (Behavior.eventTransitions _),
+    "q_hourly_anomalies" -> (Behavior.hourlyAnomalies _),
     "q_salted_join" -> (Skew.saltedSupplierRevenue _),
     // — dedup family over documents (north-star extensions)
     "dedup_exact" -> (Dedup.exact _),
@@ -117,6 +119,7 @@ object SparkEntry {
     "dedup_minhash_wide" -> (Dedup.minhashWide _),
     "dedup_minhash_w128" -> (Dedup.minhashWide128 _),
     "dedup_lsh_pairs" -> (Dedup.lshCandidatePairs _),
+    "dedup_edit_verify" -> (Dedup.editDistancePairs _),
     "dedup_lsh_pairs_wide" -> (Dedup.lshWideCandidatePairs _),
     "dedup_lsh_incremental" -> (Dedup.lshIncrementalPairs _),
     "dedup_bloom" -> (Dedup.bloomIncremental _),
@@ -146,6 +149,8 @@ object SparkEntry {
     "emb_norm_outliers" -> (Similarity.normOutliers _),
     "emb_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "emb_int8_quant" -> (operators.Quantize.int8Audit _),
+    "emb_mrl_topk" -> ((s, d) => operators.Quantize.mrlTopK(s, d)),
+    "emb_mrl_overlap" -> (operators.Quantize.mrlOverlap _),
     "emb_srp_signatures" -> (RandomProjection.signatures _),
     "emb_srp_pairs" -> (RandomProjection.pairs _),
     "emb_srp_recall" -> (RandomProjection.recall _),
@@ -177,6 +182,8 @@ object SparkEntry {
     "text_dsir_weights" -> (Dsir.weights _),
     "text_dsir_resample" -> (Dsir.resample _),
     "text_cms_counts" -> (operators.Sketches.cmsTokenCounts _),
+    "q_hll_registers" -> (operators.Sketches.hllRegistersQuery _),
+    "q_hll_distinct" -> (operators.Sketches.hllDistinct _),
     "text_bpe_merges" ->
       ((s: SparkSession, d: String) => operators.BpeTrainer.train(s, d)),
     "text_bpe_fertility" ->
@@ -315,6 +322,32 @@ object SparkEntry {
 
   private val hex7 = hex7Of("text")
 
+  /** HLL register table over orders.o_custkey as a CTE chain ending in
+    * `regs(reg, max_rho)` — mirrors `Sketches.hllRegistersOf`: 32-bit
+    * md5 slice, top 6 bits the register, ρ = generated trailing-zero
+    * CASE chain, 64-row spine keeping empty registers.
+    */
+  private val hllRegsCte = {
+    val hex8 = (0 until 8).map(o =>
+      s"(strpos('0123456789abcdef', substr(d, ${1 + o}, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (7 - o))} AS BIGINT)").mkString(" + ")
+    val wordMod = 1L << operators.Sketches.hllWordBits
+    s"""WITH hh AS (
+       |  SELECT ($hex8) AS h
+       |  FROM (SELECT md5(CAST(o_custkey AS VARCHAR)) AS d FROM orders)),
+       |rr AS (
+       |  SELECT h // $wordMod AS reg,
+       |    ${operators.Sketches.rhoSql(s"(h % $wordMod)")} AS rho
+       |  FROM hh),
+       |mx AS (SELECT reg, max(rho) AS max_rho FROM rr GROUP BY reg),
+       |spine AS (
+       |  SELECT CAST(i AS BIGINT) AS reg
+       |  FROM generate_series(0, ${operators.Sketches.hllRegisters - 1}) t(i)),
+       |regs AS (
+       |  SELECT spine.reg, CAST(coalesce(mx.max_rho, 0) AS BIGINT) AS max_rho
+       |  FROM spine LEFT JOIN mx ON mx.reg = spine.reg)""".stripMargin
+  }
+
   /** Shared simhash CTE chain ending in `sh(doc_id, simhash)` — 64-bit
     * fingerprint from the two 32-bit halves of md5's first 16 hex chars
     * (mirrors `Dedup.simhashUnsorted`).
@@ -349,6 +382,17 @@ object SparkEntry {
       s"""(SELECT sum(CAST($x[CAST(i AS INTEGER)] AS DOUBLE) *
          |            CAST($y[CAST(i AS INTEGER)] AS DOUBLE))
          | FROM unnest(generate_series(1, len($a))) t(i))""".stripMargin
+    s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 4)"
+  }
+
+  /** cosine over only the first `dim` coordinates (the matryoshka
+    * prefix cut) — [[cosSql]] with fixed bounds instead of `len`.
+    */
+  private def cosPrefixSql(a: String, b: String, dim: Int): String = {
+    def dot(x: String, y: String) =
+      s"""(SELECT sum(CAST($x[CAST(i AS INTEGER)] AS DOUBLE) *
+         |            CAST($y[CAST(i AS INTEGER)] AS DOUBLE))
+         | FROM unnest(generate_series(1, $dim)) t(i))""".stripMargin
     s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 4)"
   }
 
@@ -1536,6 +1580,53 @@ object SparkEntry {
          |        CAST(s.cohort_size AS DOUBLE), 6) AS retained_pct
          |FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
          |ORDER BY 1, 2""".stripMargin,
+    "q_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY us, event_id) AS prev_type
+        |  FROM e),
+        |m AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS transitions
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT prev_type, CAST(sum(transitions) AS BIGINT) AS row_total
+        |  FROM m GROUP BY 1)
+        |SELECT m.prev_type, m.next_type, m.transitions,
+        |  round(CAST(m.transitions AS DOUBLE) /
+        |        CAST(t.row_total AS DOUBLE), 6) AS p_next
+        |FROM m JOIN t ON m.prev_type = t.prev_type
+        |ORDER BY 1, 2""".stripMargin,
+    "q_hourly_anomalies" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, hour_idx, n,
+        |    CAST(count(n) OVER wf AS BIGINT) AS b_cnt,
+        |    CAST(sum(n) OVER wf AS BIGINT) AS b_sum,
+        |    CAST(sum(n * n) OVER wf AS BIGINT) AS b_ss
+        |  FROM h
+        |  WINDOW wf AS (PARTITION BY event_type ORDER BY hour_idx
+        |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |zz AS (
+        |  SELECT event_type, hour_idx, n, b_cnt, b_sum,
+        |    CASE WHEN b_cnt = 24 AND b_ss * b_cnt > b_sum * b_sum THEN
+        |      round((CAST(n AS DOUBLE) -
+        |             CAST(b_sum AS DOUBLE) / CAST(b_cnt AS DOUBLE)) /
+        |            sqrt((CAST(b_ss AS DOUBLE) -
+        |                  CAST(b_sum AS DOUBLE) *
+        |                  (CAST(b_sum AS DOUBLE) / CAST(b_cnt AS DOUBLE))) /
+        |                 (CAST(b_cnt AS DOUBLE) - 1)), 4)
+        |    END AS z
+        |  FROM s)
+        |SELECT event_type, hour_idx, n, b_cnt, b_sum, z,
+        |  (z IS NOT NULL AND abs(z) > 3) AS is_anomaly
+        |FROM zz ORDER BY 1, 2""".stripMargin,
     "q_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
         |  count(*) AS n,
@@ -1560,6 +1651,18 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_edit_verify" ->
+      s"""$lshPairsCte,
+         |pf AS (
+         |  SELECT doc_id, substr(lower(text), 1, ${operators.Dedup.editPrefixLen})
+         |    AS pfx
+         |  FROM documents)
+         |SELECT p.a_id, p.b_id,
+         |  levenshtein(a.pfx, b.pfx) AS edit_dist,
+         |  levenshtein(a.pfx, b.pfx) <= ${operators.Dedup.editMaxDist} AS is_dup
+         |FROM pairs p JOIN pf a ON a.doc_id = p.a_id
+         |             JOIN pf b ON b.doc_id = p.b_id
          |ORDER BY a_id, b_id""".stripMargin,
     "dedup_minhash_wide" ->
       s"""$wideSigsCte
@@ -1874,6 +1977,52 @@ object SparkEntry {
         |       FROM unnest(generate_series(1, len(x))) t(i)), 6)
         |    AS recon_err
         |FROM qd ORDER BY vec_id""".stripMargin,
+    "emb_mrl_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id IN ${annSampleIds(5)}),
+         |scored AS (
+         |  SELECT q_id, e.vec_id,
+         |    ${cosPrefixSql("q_emb", "e.embedding", operators.Quantize.mrlDim)}
+         |      AS cos
+         |  FROM q, embeddings e WHERE e.vec_id <> q.q_id)
+         |SELECT q_id, rn, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |                               ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored) t WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "emb_mrl_overlap" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id IN ${annSampleIds(5)}),
+         |bf AS (
+         |  SELECT q_id, e.vec_id, ${cosSql("q_emb", "e.embedding")} AS cos
+         |  FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+         |truth AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |                                 ORDER BY cos DESC, vec_id) AS rn
+         |    FROM bf) t WHERE rn <= ${operators.Quantize.mrlOverlapK}),
+         |ts AS (
+         |  SELECT q_id, e.vec_id,
+         |    ${cosPrefixSql("q_emb", "e.embedding", operators.Quantize.mrlDim)}
+         |      AS cos
+         |  FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+         |got AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |                                 ORDER BY cos DESC, vec_id) AS rn
+         |    FROM ts) t WHERE rn <= ${operators.Quantize.mrlOverlapK}),
+         |hits AS (
+         |  SELECT truth.q_id, count(got.vec_id) AS hits
+         |  FROM truth LEFT JOIN got
+         |    ON got.q_id = truth.q_id AND got.vec_id = truth.vec_id
+         |  GROUP BY truth.q_id)
+         |SELECT 'mrl${operators.Quantize.mrlDim}' AS method,
+         |  count(*) AS n_queries,
+         |  round(CAST(sum(hits) AS DOUBLE) /
+         |        (count(*) * ${operators.Quantize.mrlOverlapK}), 4)
+         |    AS mean_overlap
+         |FROM hits""".stripMargin,
     "emb_near_dup_pairs" ->
       s"""WITH a AS (
          |  SELECT vec_id AS a_id, label, embedding AS a_emb
@@ -2446,6 +2595,32 @@ object SparkEntry {
          |  CAST(min(cells.cnt) AS BIGINT) AS cms_est
          |FROM h JOIN cells ON h.j = cells.j AND h.bucket = cells.bucket
          |GROUP BY 1, 2 ORDER BY token""".stripMargin
+    },
+    "q_hll_registers" -> s"""$hllRegsCte
+        |SELECT reg, max_rho FROM regs ORDER BY reg""".stripMargin,
+    "q_hll_distinct" -> {
+      val m = operators.Sketches.hllRegisters
+      s"""$hllRegsCte,
+         |sk AS (
+         |  SELECT sum(power(2, -max_rho)) AS harm,
+         |    CAST(sum(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS zeros
+         |  FROM regs),
+         |ex AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+         |       FROM orders),
+         |es AS (
+         |  SELECT zeros, n_exact,
+         |    round(CASE WHEN ${operators.Sketches.hllAlpha} * $m.0 * $m.0 / harm
+         |                    <= 2.5 * $m.0 AND zeros > 0
+         |      THEN $m.0 * ln($m.0 / CAST(zeros AS DOUBLE))
+         |      ELSE ${operators.Sketches.hllAlpha} * $m.0 * $m.0 / harm END, 4)
+         |      AS est_distinct
+         |  FROM sk, ex)
+         |SELECT CAST($m AS BIGINT) AS m, n_exact, zeros AS n_zero_regs,
+         |  est_distinct,
+         |  round(abs(est_distinct - CAST(n_exact AS DOUBLE)) /
+         |        CAST(n_exact AS DOUBLE), 4) AS rel_err
+         |FROM es""".stripMargin
     },
     "text_subword_stats" ->
       """SELECT doc_id,

@@ -118,4 +118,89 @@ object Behavior {
           col("cohort_size").cast("double"), 6).as("retained_pct"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** First-order Markov transition matrix over each user's event
+    * stream: how often event type A is immediately followed by B
+    * within the same user, with the row-conditional transition
+    * probability P(B | A). The per-user successor is one `lag` window
+    * PARTITIONED BY user (state bounded by a user's history, never a
+    * global window); the matrix itself is |event types|² rows — tiny
+    * at any corpus scale — so the per-source denominator joins back
+    * as a broadcast of that same tiny frame. Counts are exact
+    * integers; the single probability division is rounded at 6.
+    * Ordering inside a user ties on event_id (unique), so the lag is
+    * deterministic under any physical row order.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val pairs = e
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val matrix = pairs
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("transitions"))
+      // |types|²-row frame read twice (cells + row denominators)
+      .localCheckpoint()
+    val totals = matrix.groupBy("prev_type")
+      .agg(sum(col("transitions")).as("row_total"))
+    matrix.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("transitions"),
+        round(col("transitions").cast("double") /
+          col("row_total").cast("double"), 6).as("p_next"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Rolling-window anomaly flags over the per-type hourly event
+    * counts: each (event_type, hour) is scored against the mean and
+    * sample stddev of that type's PRIOR 24 hourly counts (the
+    * trailing baseline — the current hour never sees itself), and
+    * flagged when |z| > 3 with a full baseline. The hourly reduction
+    * is one map-side-combined aggregate; the rolling frame is a
+    * window PARTITIONED BY event_type over (types × hours) rows —
+    * already reduced far below corpus size, and bounded state (25
+    * rows a frame) at any scale.
+    *
+    * Determinism: counts, rolling sums and sum-of-squares are exact
+    * integers; z is derived from those integers in a fixed expression
+    * (two divisions, one sqrt) and rounded at 4; degenerate baselines
+    * (fewer than 24 prior hours, or zero variance — an EXACT integer
+    * predicate, so the cut never rides float noise) yield NULL z and
+    * never flag. Integer-exactness bound: the n² term keeps the frame
+    * sums inside int64 up to ~6·10⁸ events per (type, hour) — past
+    * that, widen the two power sums to DECIMAL(38,0) (the
+    * [[Analytics.orderStats]] discipline) and re-derive the oracle.
+    */
+  def hourlyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val baseline = 24
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr(s"unix_micros(ts) div ${3600L * 1000 * 1000}L").as("hour_idx"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_idx"))
+      .rowsBetween(-baseline, -1)
+    val scored = hourly
+      .withColumn("b_cnt", count(col("n")).over(w))
+      .withColumn("b_sum", sum(col("n")).over(w))
+      .withColumn("b_ss", sum(col("n") * col("n")).over(w))
+    val nD = col("n").cast("double")
+    val cnt = col("b_cnt").cast("double")
+    val mean = col("b_sum").cast("double") / cnt
+    val varS = (col("b_ss").cast("double") - col("b_sum").cast("double") * mean) /
+      (cnt - 1d)
+    scored
+      .withColumn("z",
+        when(col("b_cnt") === baseline && col("b_ss") * col("b_cnt") >
+          col("b_sum") * col("b_sum"),
+          round((nD - mean) / sqrt(varS), 4)))
+      .select(col("event_type"), col("hour_idx"), col("n"),
+        col("b_cnt"), col("b_sum"),
+        col("z"), (col("z").isNotNull && abs(col("z")) > 3d).as("is_anomaly"))
+      .orderBy("event_type", "hour_idx")
+  }
 }

@@ -61,4 +61,101 @@ object Sketches {
       .select("token", "exact_n", "cms_est")
       .orderBy("token")
   }
+
+  /** HLL register count m = 2^6 and the per-key word width that
+    * remains of the 32-bit md5 slice after the register index.
+    */
+  val hllRegisters = 64
+  val hllWordBits = 26
+
+  /** α₆₄ — the HLL bias constant for m = 64 (Flajolet et al. 2007),
+    * stated as the same literal on both engines.
+    */
+  val hllAlpha = 0.709
+
+  /** 32-bit hash of the key: first 8 hex chars of md5 of the key's
+    * decimal string — the engine-shared hash primitive ([[cmsBucket]]
+    * discipline), so the SKETCH STATE itself is replayed bit-exactly
+    * by the oracle, not just its summary.
+    */
+  private def hllHash(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+
+  /** ρ(w): index of the lowest set bit of the [[hllWordBits]]-bit word
+    * plus one (the FM/HLL geometric observable), [[hllWordBits]]+1
+    * when w = 0 — a generated integer CASE chain, no float log
+    * anywhere, identical in the oracle's generated SQL.
+    */
+  private def rhoExpr(w: Column): Column =
+    ((hllWordBits - 1) to 0 by -1).foldLeft(lit(hllWordBits + 1): Column) {
+      (acc, p) =>
+        when(shiftright(w, p).bitwiseAND(lit(1L)) === 1L, lit(p + 1))
+          .otherwise(acc)
+    }.cast("long")
+
+  /** The ρ CASE chain as oracle SQL over a word column expression. */
+  def rhoSql(w: String): String =
+    (0 until hllWordBits).map(p =>
+      s"WHEN ($w >> $p) & 1 = 1 THEN ${p + 1}")
+      .mkString("CASE ", " ", s" ELSE ${hllWordBits + 1} END")
+
+  /** The MERGEABLE sketch state: per register, the max ρ seen over the
+    * keyed column — 64 rows whatever the cardinality. This is the
+    * frame a 1000-executor run computes per shard and max-merges
+    * (register-wise MAX is the HLL union), so it is emitted as data,
+    * not hidden inside an estimate: the hash check certifies the
+    * sketch bits an engine would ship between shards. Registers no
+    * key landed in appear with ρ = 0 via the 64-row literal spine.
+    *
+    * Shape: one map pass (md5 + integer CASE inside codegen) into a
+    * 64-group map-side-combined max — O(m) state, skew-free by
+    * construction.
+    */
+  def hllRegistersOf(keys: DataFrame, keyCol: String): DataFrame = {
+    val spark = keys.sparkSession
+    val h = hllHash(col(keyCol))
+    val hit = keys
+      .select(shiftright(h, hllWordBits).as("reg"),
+        rhoExpr(h.bitwiseAND(lit((1L << hllWordBits) - 1))).as("rho"))
+      .groupBy("reg").agg(max(col("rho")).as("max_rho"))
+    spark.range(0, hllRegisters.toLong).select(col("id").as("reg"))
+      .join(broadcast(hit), Seq("reg"), "left")
+      .select(col("reg"), coalesce(col("max_rho"), lit(0L)).as("max_rho"))
+  }
+
+  /** Driver query: the customer-key HLL register table over orders. */
+  def hllRegistersQuery(spark: SparkSession, dir: String): DataFrame =
+    hllRegistersOf(Tables(spark, dir, "orders"), "o_custkey")
+      .orderBy("reg")
+
+  /** The estimate read off the registers, next to the exact distinct
+    * count it approximates: harmonic-mean estimate αm²/Σ2^(−ρⱼ) with
+    * the standard small-range linear-counting correction (m·ln(m/V)
+    * when the raw estimate ≤ 2.5m and V > 0 registers are empty).
+    * Σ2^(−ρⱼ) is a sum of 64 dyadic terms ≥ 2^(−27) — EXACT in double
+    * under any summation order — so the only cross-engine float risk
+    * is one division (or one `ln`), rounded at 4. The exact side is
+    * one count-distinct; rel_err is the audit number a deployment
+    * reads before trusting the sketch at 10⁹ keys where the exact
+    * count is unaffordable.
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val regs = hllRegistersOf(Tables(spark, dir, "orders"), "o_custkey")
+    val sket = regs.agg(
+      sum(pow(lit(2.0), -col("max_rho"))).as("harm"),
+      sum(when(col("max_rho") === 0L, 1L).otherwise(0L)).as("zeros"))
+    val exact = Tables(spark, dir, "orders")
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    val m = lit(hllRegisters.toDouble)
+    val raw = lit(hllAlpha) * m * m / col("harm")
+    val est = round(
+      when(raw <= lit(2.5) * m && col("zeros") > 0L,
+        m * log(m / col("zeros").cast("double"))).otherwise(raw), 4)
+    sket.crossJoin(exact)
+      .select(lit(hllRegisters.toLong).as("m"), col("n_exact"),
+        col("zeros").as("n_zero_regs"), est.as("est_distinct"),
+        round(abs(est - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 4).as("rel_err"))
+  }
 }

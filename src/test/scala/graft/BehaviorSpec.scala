@@ -105,4 +105,87 @@ class BehaviorSpec extends SparkSpec {
     assert(funnel.forall(_.getAs[Long]("users") === 0L))
     assert(Behavior.retentionCohorts(spark, dir).count() === 0L)
   }
+
+  test("transitions: per-user successor counts and row-conditional probabilities") {
+    val t0 = 1700000000000000L
+    // user 1: a→b→b→c; user 2: a→b; interleaved in write order so the
+    // lag must really sort by (us, event_id), not row order
+    val dir = writeEvents(Seq(
+      (1L, t0, "a"), (2L, t0, "a"),
+      (1L, t0 + 1, "b"), (2L, t0 + 1, "b"),
+      (1L, t0 + 2, "b"), (1L, t0 + 3, "c")))
+    val out = Behavior.eventTransitions(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("transitions"), r.getAs[Double]("p_next")))).toMap
+    assert(out.keySet === Set(("a", "b"), ("b", "b"), ("b", "c")))
+    assert(out(("a", "b"))._1 === 2L) // both users
+    assert(out(("b", "b"))._1 === 1L)
+    assert(out(("b", "c"))._1 === 1L)
+    // row-conditional: P(·|a) sums to 1, P(·|b) splits 0.5/0.5
+    assert(out(("a", "b"))._2 === 1.0)
+    assert(out(("b", "b"))._2 === 0.5)
+    assert(out(("b", "c"))._2 === 0.5)
+  }
+
+  test("transitions: a user's first event is never a destination") {
+    val dir = writeEvents(Seq((1L, 1000L, "x"), (2L, 2000L, "y")))
+    assert(Behavior.eventTransitions(spark, dir).count() === 0L)
+  }
+
+  test("anomalies: only the planted spike flags against a varied baseline") {
+    val t0 = 1700000000000000L
+    // hourly counts cycle 5,6,7 (variance > 0); hour 27 spikes to 50
+    val rows = for {
+      h <- 0 until 30
+      i <- 0 until (if (h == 27) 50 else 5 + h % 3)
+    } yield (1L + i, t0 + h * hourUs + i * 1000L, "e")
+    val dir = writeEvents(rows)
+    val out = Behavior.hourlyAnomalies(spark, dir).collect()
+    assert(out.length === 30)
+    val flagged = out.filter(_.getAs[Boolean]("is_anomaly"))
+      .map(_.getAs[Long]("hour_idx") - t0 / hourUs)
+    assert(flagged.toSeq === Seq(27L))
+    // the first 24 hours have an incomplete baseline → NULL z, no flag
+    out.filter(r => r.getAs[Long]("hour_idx") - t0 / hourUs < 24)
+      .foreach(r => assert(r.isNullAt(r.fieldIndex("z"))))
+    // hours 24..26 sit inside the cycle → z defined, |z| small
+    out.filter { r =>
+      val h = r.getAs[Long]("hour_idx") - t0 / hourUs; h >= 24 && h < 27
+    }.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("z")))
+      assert(math.abs(r.getAs[Double]("z")) < 3)
+    }
+  }
+
+  test("anomalies: a zero-variance baseline yields NULL z, never a flag") {
+    val t0 = 1700000000000000L
+    // 26 hours of exactly 5 events — constant history must not divide
+    // by zero or flag (exact integer variance predicate)
+    val rows = for { h <- 0 until 26; i <- 0 until 5 }
+      yield (1L + i, t0 + h * hourUs + i * 1000L, "e")
+    val dir = writeEvents(rows)
+    val out = Behavior.hourlyAnomalies(spark, dir).collect()
+    assert(out.length === 26)
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("z"))))
+    assert(out.forall(!_.getAs[Boolean]("is_anomaly")))
+  }
+
+  test("anomalies: z matches the direct two-pass formula on the spike hour") {
+    val t0 = 1700000000000000L
+    val counts = Seq.tabulate(25)(h => if (h < 24) 3 + (h % 5) else 40)
+    val rows = for {
+      (c, h) <- counts.zipWithIndex
+      i <- 0 until c
+    } yield (1L + i, t0 + h * hourUs + i * 1000L, "e")
+    val dir = writeEvents(rows)
+    val out = Behavior.hourlyAnomalies(spark, dir).collect()
+    val last = out.maxBy(_.getAs[Long]("hour_idx"))
+    val base = counts.take(24).map(_.toDouble)
+    val mean = base.sum / 24
+    val varS = base.map(x => (x - mean) * (x - mean)).sum / 23
+    val expect = BigDecimal((40 - mean) / math.sqrt(varS))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(last.getAs[Double]("z") - expect) < 2e-4)
+    assert(last.getAs[Boolean]("is_anomaly"))
+  }
 }

@@ -162,4 +162,60 @@ class QuantizeCurriculumSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  /** Planted matryoshka corpus: the signal lives entirely in the first
+    * [[Quantize.mrlDim]] dims (tail zeroed), so prefix-cosine and
+    * full-cosine rank IDENTICALLY and the overlap audit must read 1.0.
+    */
+  private def plantedMrlDir(): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("mrl").toString
+    val rows = (0L until 40L).map { i =>
+      val head = Array.tabulate(Quantize.mrlDim)(j =>
+        math.sin(i * 31 + j * 7).toFloat)
+      (i, head ++ Array.fill(64 - Quantize.mrlDim)(0f), i.toInt % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("mrl: zero-tail corpus makes prefix ranking exact — overlap 1.0") {
+    val dir = plantedMrlDir()
+    val row = Quantize.mrlOverlap(spark, dir).collect().head
+    assert(row.getAs[String]("method") === s"mrl${Quantize.mrlDim}")
+    assert(row.getAs[Long]("n_queries") === 8L) // 40 ids, 1-in-5 sample
+    assert(row.getAs[Double]("mean_overlap") === 1.0)
+  }
+
+  test("mrl topk: matches a JVM brute force over sliced vectors") {
+    val dir = plantedMrlDir()
+    val vecs = Tables(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).take(Quantize.mrlDim).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Quantize.mrlTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val expect = vecs.keys.filter(_ != q).toSeq
+        .map(v => (v, cos(vecs(q), vecs(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(3)
+      val inRank = rows.sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(inRank === expect, s"query $q top-3")
+    }
+  }
+
+  test("mrl at sf0.001: overlap bounded and honest on noise-like vectors") {
+    val row = Quantize.mrlOverlap(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val ov = row.getAs[Double]("mean_overlap")
+    assert(ov >= 0.0 && ov <= 1.0)
+    assert(row.getAs[Long]("n_queries") > 0)
+  }
 }

@@ -49,4 +49,60 @@ class SketchesSpec extends SparkSpec {
     assert(rows.exists { case (_, exactN, est) => est > exactN },
       "expected at least one colliding bucket at width 16")
   }
+
+  /** JVM recomputation of one key's (register, ρ) — the reference the
+    * distributed sketch must match bit-for-bit.
+    */
+  private def regRho(key: Long): (Long, Long) = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.toString.getBytes("UTF-8"))
+    val h = java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    val w = h & ((1L << Sketches.hllWordBits) - 1)
+    val rho = if (w == 0) Sketches.hllWordBits + 1L
+      else java.lang.Long.numberOfTrailingZeros(w) + 1L
+    (h >> Sketches.hllWordBits, rho)
+  }
+
+  test("hll registers: bit-exact vs direct recomputation; all 64 present") {
+    val keys = Tables(spark, dir, "orders")
+      .select("o_custkey").collect().map(_.getLong(0))
+    val expect = keys.map(regRho)
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val got = Sketches.hllRegistersQuery(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === Sketches.hllRegisters)
+    assert(got.keySet === (0L until Sketches.hllRegisters.toLong).toSet)
+    (0L until Sketches.hllRegisters.toLong).foreach { r =>
+      assert(got(r) === expect.getOrElse(r, 0L), s"register $r")
+    }
+  }
+
+  test("hll registers are mergeable: shard-wise MAX equals the whole") {
+    // the 100-TB property: per-shard sketches union by register-wise
+    // max — split the table by parity and merge
+    val orders = Tables(spark, dir, "orders")
+    import org.apache.spark.sql.functions._
+    val a = Sketches.hllRegistersOf(
+      orders.filter(col("o_orderkey") % 2 === 0), "o_custkey")
+    val b = Sketches.hllRegistersOf(
+      orders.filter(col("o_orderkey") % 2 === 1), "o_custkey")
+    val merged = a.unionByName(b).groupBy("reg")
+      .agg(max(col("max_rho")).as("max_rho"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = Sketches.hllRegistersOf(orders, "o_custkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === whole)
+  }
+
+  test("hll estimate: inside the 3-sigma error envelope of exact") {
+    val row = Sketches.hllDistinct(spark, dir).collect().head
+    val exact = row.getAs[Long]("n_exact").toDouble
+    val est = row.getAs[Double]("est_distinct")
+    assert(exact > 0)
+    // standard error 1.04/√64 = 13%; allow 3σ
+    assert(math.abs(est - exact) / exact < 3 * 1.04 / 8,
+      s"est=$est exact=$exact")
+    assert(math.abs(row.getAs[Double]("rel_err") -
+      math.abs(est - exact) / exact) < 1e-4)
+  }
 }
