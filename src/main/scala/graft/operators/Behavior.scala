@@ -203,4 +203,55 @@ object Behavior {
         col("z"), (col("z").isNotNull && abs(col("z")) > 3d).as("is_anomaly"))
       .orderBy("event_type", "hour_idx")
   }
+
+  /** Frozen per-type anomaly baseline — the O(|event types|) trained
+    * artifact the streaming monitor serves with: hour count, Σn, Σn²
+    * over the TRAINING table's per-type hourly counts, kept as exact
+    * integers so the serve-side z replays the identical fixed float
+    * expression. (The rolling batch audit above re-derives its
+    * baseline per hour; a live monitor freezes one at deploy time —
+    * the [[graft.operators.Dsir]] train-batch/serve-stream split
+    * applied to monitoring.)
+    */
+  def anomalyBaseline(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr(s"unix_micros(ts) div ${3600L * 1000 * 1000}L").as("hour_idx"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("b_cnt"), sum(col("n")).as("b_sum"),
+        sum(col("n") * col("n")).as("b_ss"))
+
+  /** Streaming anomaly monitor: tumbling 1-hour per-type counts off a
+    * live event stream (watermarked append — each hour emits once),
+    * scored statelessly against the frozen [[anomalyBaseline]] via a
+    * stream-static broadcast join. Same guarded z expression as the
+    * batch audit (NULL on a degenerate or under-filled baseline, the
+    * exact integer variance predicate); state is the open hour
+    * windows only. Spec pins per-hour equality with a batch
+    * recomputation under the same frozen baseline.
+    */
+  def streamingAnomalies(events: DataFrame, baselineDf: DataFrame,
+                         lateness: String = "2 hours"): DataFrame = {
+    val counts = events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        expr(s"unix_micros(window.start) div ${3600L * 1000 * 1000}L")
+          .as("hour_idx"),
+        col("n"))
+    val nD = col("n").cast("double")
+    val cnt = col("b_cnt").cast("double")
+    val mean = col("b_sum").cast("double") / cnt
+    val varS = (col("b_ss").cast("double") -
+      col("b_sum").cast("double") * mean) / (cnt - 1d)
+    counts.join(broadcast(baselineDf), Seq("event_type"), "left")
+      .withColumn("z",
+        when(col("b_cnt") >= 24L && col("b_ss") * col("b_cnt") >
+          col("b_sum") * col("b_sum"),
+          round((nD - mean) / sqrt(varS), 4)))
+      .select(col("event_type"), col("hour_idx"), col("n"), col("z"),
+        (col("z").isNotNull && abs(col("z")) > 3d).as("is_anomaly"))
+  }
 }

@@ -129,6 +129,23 @@ object Sketches {
     hllRegistersOf(Tables(spark, dir, "orders"), "o_custkey")
       .orderBy("reg")
 
+  /** The pure-streaming half: register maxes as a streaming aggregate
+    * over arriving keys — O(m) state forever (64 groups, map-side
+    * combined), update mode emits the registers touched each batch.
+    * No 64-row spine here (a static-range join has no streaming plan);
+    * a register the stream never hit is simply absent = ρ 0, exactly
+    * what the batch spine backfills. Per-register equality with the
+    * batch sketch on the same keys is spec-pinned — the
+    * train-batch/serve-stream discipline applied to sketch state.
+    */
+  def streamingRegisters(keys: DataFrame, keyCol: String): DataFrame = {
+    val h = hllHash(col(keyCol))
+    keys
+      .select(shiftright(h, hllWordBits).as("reg"),
+        rhoExpr(h.bitwiseAND(lit((1L << hllWordBits) - 1))).as("rho"))
+      .groupBy("reg").agg(max(col("rho")).as("max_rho"))
+  }
+
   /** The estimate read off the registers, next to the exact distinct
     * count it approximates: harmonic-mean estimate αm²/Σ2^(−ρⱼ) with
     * the standard small-range linear-counting correction (m·ln(m/V)

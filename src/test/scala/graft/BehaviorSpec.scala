@@ -170,6 +170,53 @@ class BehaviorSpec extends SparkSpec {
     assert(out.forall(!_.getAs[Boolean]("is_anomaly")))
   }
 
+  test("streaming anomalies: frozen baseline scores arriving hours like batch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = 1700000000000000L
+    // training table: 30 hours cycling 5,6,7 events
+    val trainDir = writeEvents(for {
+      h <- 0 until 30; i <- 0 until (5 + h % 3)
+    } yield (1L + i, t0 + h * hourUs + i * 1000L, "e"))
+    val baseline = Behavior.anomalyBaseline(spark, trainDir).localCheckpoint()
+    val bRow = baseline.collect().head
+    assert(bRow.getAs[Long]("b_cnt") === 30L)
+
+    // live stream: hour 100 is normal (6 events), hour 101 spikes (60);
+    // a lone far-future heartbeat advances the watermark past both
+    val arriving: Seq[(Long, String)] =
+      (0 until 6).map(i => (t0 + 100 * hourUs + i * 1000L, "e")) ++
+      (0 until 60).map(i => (t0 + 101 * hourUs + i * 1000L, "e")) :+
+      ((t0 + 110 * hourUs, "heartbeat"))
+    val in = MemoryStream[(Long, String)]
+    val q = Behavior.streamingAnomalies(
+        in.toDF().toDF("us", "event_type")
+          .withColumn("ts", timestamp_micros(col("us"))).drop("us"),
+        baseline)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anom").start()
+    try {
+      in.addData(arriving); q.processAllAvailable()
+      in.addData(Seq.empty); q.processAllAvailable()
+      val got = spark.table("anom").collect()
+        .map(r => r.getAs[Long]("hour_idx") - t0 / hourUs ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("z"),
+            r.getAs[Boolean]("is_anomaly")))).toMap
+      assert(got.keySet === Set(100L, 101L))
+      // expected z against the FROZEN baseline, replayed directly
+      val (cnt, s, ss) = (bRow.getAs[Long]("b_cnt").toDouble,
+        bRow.getAs[Long]("b_sum").toDouble, bRow.getAs[Long]("b_ss").toDouble)
+      val mean = s / cnt
+      val varS = (ss - s * mean) / (cnt - 1)
+      def zOf(n: Long): Double =
+        BigDecimal((n - mean) / math.sqrt(varS))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(100L) === ((6L, zOf(6), false)))
+      assert(got(101L) === ((60L, zOf(60), true)))
+    } finally q.stop()
+  }
+
   test("anomalies: z matches the direct two-pass formula on the spike hour") {
     val t0 = 1700000000000000L
     val counts = Seq.tabulate(25)(h => if (h < 24) 3 + (h % 5) else 40)

@@ -94,6 +94,30 @@ class SketchesSpec extends SparkSpec {
     assert(merged === whole)
   }
 
+  test("hll streaming registers equal the batch sketch on the same keys") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val keys = Tables(spark, dir, "orders")
+      .select("o_custkey").collect().map(_.getLong(0))
+    val in = MemoryStream[Long]
+    val q = Sketches.streamingRegisters(in.toDF().toDF("k"), "k")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hllregs").start()
+    try {
+      val (w1, w2) = keys.splitAt(keys.length / 2)
+      in.addData(w1.toSeq); q.processAllAvailable()
+      in.addData(w2.toSeq); q.processAllAvailable()
+      val got = spark.table("hllregs").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = Sketches.hllRegistersOf(keys.toSeq.toDF("k"), "k")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0L until Sketches.hllRegisters.toLong).foreach { r =>
+        assert(got.getOrElse(r, 0L) === batch(r), s"register $r")
+      }
+    } finally q.stop()
+  }
+
   test("hll estimate: inside the 3-sigma error envelope of exact") {
     val row = Sketches.hllDistinct(spark, dir).collect().head
     val exact = row.getAs[Long]("n_exact").toDouble
