@@ -182,6 +182,7 @@ object SparkEntry {
     "text_dsir_weights" -> (Dsir.weights _),
     "text_dsir_resample" -> (Dsir.resample _),
     "text_cms_counts" -> (operators.Sketches.cmsTokenCounts _),
+    "text_lz_complexity" -> (TextAnalysis.lzComplexity _),
     "q_hll_registers" -> (operators.Sketches.hllRegistersQuery _),
     "q_hll_distinct" -> (operators.Sketches.hllDistinct _),
     "text_bpe_merges" ->
@@ -2622,6 +2623,35 @@ object SparkEntry {
          |        CAST(n_exact AS DOUBLE), 4) AS rel_err
          |FROM es""".stripMargin
     },
+    // LZ78 parse replayed character-by-character: each doc steps one
+    // char per recursion level carrying (current phrase, dictionary
+    // list, count) — the exact spec of functions.Lz78Kernel
+    "text_lz_complexity" ->
+      """WITH RECURSIVE step(doc_id, pos, cur, dict, cnt, n) AS (
+        |  SELECT doc_id, 1, '', []::VARCHAR[], 0, length(text)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT s.doc_id, s.pos + 1,
+        |    CASE WHEN list_contains(s.dict, s.cur || substr(d.text, s.pos, 1))
+        |         THEN s.cur || substr(d.text, s.pos, 1) ELSE '' END,
+        |    CASE WHEN list_contains(s.dict, s.cur || substr(d.text, s.pos, 1))
+        |         THEN s.dict
+        |         ELSE list_append(s.dict, s.cur || substr(d.text, s.pos, 1))
+        |         END,
+        |    CASE WHEN list_contains(s.dict, s.cur || substr(d.text, s.pos, 1))
+        |         THEN s.cnt ELSE s.cnt + 1 END,
+        |    s.n
+        |  FROM step s JOIN documents d USING (doc_id)
+        |  WHERE s.pos <= s.n),
+        |fin AS (
+        |  SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |    CAST(cnt + CASE WHEN cur <> '' THEN 1 ELSE 0 END AS BIGINT)
+        |      AS lz_phrases
+        |  FROM step WHERE pos = n + 1)
+        |SELECT doc_id, n_chars, lz_phrases,
+        |  CASE WHEN n_chars > 0 THEN
+        |    round(CAST(lz_phrases AS DOUBLE) / n_chars, 6) END AS lz_ratio
+        |FROM fin ORDER BY doc_id""".stripMargin,
     "text_subword_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,

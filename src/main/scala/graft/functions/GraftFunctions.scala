@@ -9,8 +9,8 @@ import org.apache.spark.sql.types.IntegerType
 
 /** SQL surface for graft's native Catalyst expressions: exposes
   * `ngram_minhash_md5`, `ngram_minhash_affine`, `rolling_hash`,
-  * `dot_product_d`, `winnow`, `window_hashes`, and
-  * `int8_quant_stats` to `spark.sql(...)` users, so the
+  * `dot_product_d`, `winnow`, `window_hashes`, `int8_quant_stats`,
+  * and `lz78_phrase_count` to `spark.sql(...)` users, so the
   * engine's custom kernels are first-class functions, not
   * Column-API-only.
   *
@@ -69,6 +69,10 @@ object GraftFunctions {
     "int8_quant_stats" -> { args =>
       arity("int8_quant_stats", args, 1)
       Int8QuantStats(args(0))
+    },
+    "lz78_phrase_count" -> { args =>
+      arity("lz78_phrase_count", args, 1)
+      Lz78PhraseCount(args(0))
     },
   )
 

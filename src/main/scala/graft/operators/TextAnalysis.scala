@@ -443,4 +443,28 @@ object TextAnalysis {
           .as("coverage"))
       .orderBy("k")
   }
+
+  /** Lempel–Ziv complexity per document: LZ78 incremental-parse phrase
+    * count over the raw text ([[graft.functions.Lz78PhraseCount]], a
+    * codegen'd sequential kernel — the parse is stateful, so no
+    * builtin composition exists) and the phrases-per-char ratio — the
+    * reference-free compression-proxy redundancy signal (repetitive /
+    * template text parses into far fewer phrases than diverse prose)
+    * corpus pipelines use alongside the n-gram repetition rules, with
+    * an exactly-specified parse instead of a platform-defined zlib
+    * bitstream so the DuckDB oracle replays it character by character.
+    *
+    * Scale shape (100 TB): one narrow map pass, no shuffle but the
+    * presentation sort; O(doc length) time and dictionary per row.
+    */
+  def lzComplexity(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.functions.Lz78PhraseCount(col("text")).cast("long")
+          .as("lz_phrases"))
+      .withColumn("lz_ratio",
+        when(col("n_chars") > 0,
+          round(col("lz_phrases").cast("double") / col("n_chars"), 6)))
+      .orderBy("doc_id")
 }
