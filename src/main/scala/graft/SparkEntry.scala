@@ -120,6 +120,7 @@ object SparkEntry {
     "dedup_minhash_w128" -> (Dedup.minhashWide128 _),
     "dedup_lsh_pairs" -> (Dedup.lshCandidatePairs _),
     "dedup_edit_verify" -> (Dedup.editDistancePairs _),
+    "dedup_containment" -> (Dedup.containmentPairs _),
     "dedup_lsh_pairs_wide" -> (Dedup.lshWideCandidatePairs _),
     "dedup_lsh_incremental" -> (Dedup.lshIncrementalPairs _),
     "dedup_bloom" -> (Dedup.bloomIncremental _),
@@ -150,6 +151,7 @@ object SparkEntry {
     "emb_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "emb_int8_quant" -> (operators.Quantize.int8Audit _),
     "emb_mrl_topk" -> ((s, d) => operators.Quantize.mrlTopK(s, d)),
+    "emb_dim_variance" -> (operators.Quantize.dimVariance _),
     "emb_mrl_overlap" -> (operators.Quantize.mrlOverlap _),
     "emb_srp_signatures" -> (RandomProjection.signatures _),
     "emb_srp_pairs" -> (RandomProjection.pairs _),
@@ -183,6 +185,7 @@ object SparkEntry {
     "text_dsir_resample" -> (Dsir.resample _),
     "text_cms_counts" -> (operators.Sketches.cmsTokenCounts _),
     "text_lz_complexity" -> (TextAnalysis.lzComplexity _),
+    "text_split_kl" -> (Sampling.splitKlDrift _),
     "q_hll_registers" -> (operators.Sketches.hllRegistersQuery _),
     "q_hll_distinct" -> (operators.Sketches.hllDistinct _),
     "text_bpe_merges" ->
@@ -1818,6 +1821,34 @@ object SparkEntry {
         |JOIN sizes cb ON b_id = cb.doc_id
         |WHERE i / (ca.c + cb.c - i) >= 0.1
         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH s AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id % 10 = 0 AND len(text) >= 8),
+        |g0 AS (
+        |  SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INTEGER), 8) AS g
+        |  FROM (SELECT doc_id, lang, text,
+        |          unnest(generate_series(1, len(text) - 7)) AS i FROM s)),
+        |keep AS (SELECT lang, g FROM g0 GROUP BY lang, g
+        |         HAVING count(*) <= ${operators.Dedup.maxShingleDf}),
+        |g AS (SELECT g0.* FROM g0 JOIN keep USING (lang, g)),
+        |sizes AS (SELECT doc_id, count(*) AS c FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM g a JOIN g b
+        |    ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT a_id, b_id,
+        |    round(CAST(i AS DOUBLE) / ca.c, 6) AS c_ab,
+        |    round(CAST(i AS DOUBLE) / cb.c, 6) AS c_ba
+        |  FROM inter
+        |  JOIN sizes ca ON a_id = ca.doc_id
+        |  JOIN sizes cb ON b_id = cb.doc_id)
+        |SELECT a_id, b_id, c_ab, c_ba FROM cc
+        |WHERE c_ab >= ${operators.Dedup.containmentThreshold}
+        |   OR c_ba >= ${operators.Dedup.containmentThreshold}
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_contamination" ->
       s"""WITH s AS (
          |  SELECT doc_id, lang, text,
@@ -1978,6 +2009,31 @@ object SparkEntry {
         |       FROM unnest(generate_series(1, len(x))) t(i)), 6)
         |    AS recon_err
         |FROM qd ORDER BY vec_id""".stripMargin,
+    "emb_dim_variance" ->
+      s"""WITH e AS (
+        |  SELECT CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN
+        |    generate_series(1, ${operators.Quantize.embeddingDim}) t(i)
+        |  WHERE i <= len(embedding)),
+        |agg AS (
+        |  SELECT dim, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+        |  FROM e GROUP BY 1),
+        |cells AS (
+        |  SELECT dim, round(s / n, 6) AS mean,
+        |    round((ss - s * (s / n)) / (n - 1), 6) AS variance
+        |  FROM agg),
+        |tot AS (SELECT sum(variance) AS total_var FROM cells),
+        |cum AS (
+        |  SELECT c.dim, c.mean, c.variance, t.total_var,
+        |    sum(c2.variance) AS cum_var
+        |  FROM cells c CROSS JOIN tot t
+        |       JOIN cells c2 ON c2.dim <= c.dim
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT dim, mean, variance,
+        |  round(variance / total_var, 6) AS var_share,
+        |  round(cum_var / total_var, 6) AS cum_share
+        |FROM cum ORDER BY dim""".stripMargin,
     "emb_mrl_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS q_emb
@@ -2357,6 +2413,42 @@ object SparkEntry {
          |SELECT split, lang, count(*) AS n_docs,
          |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_split_kl" ->
+      s"""WITH b AS (
+         |  SELECT text,
+         |    CASE WHEN ($hex7) % 100 < 90 THEN 'train'
+         |         WHEN ($hex7) % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |tok AS (
+         |  SELECT split, unnest(string_split(trim(text), ' ')) AS token
+         |  FROM b WHERE split IN ('train', 'val')),
+         |c AS (
+         |  SELECT token,
+         |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ct,
+         |    sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cv
+         |  FROM tok GROUP BY 1),
+         |t AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+         |             CAST(sum(cv) AS BIGINT) AS tv,
+         |             CAST(count(*) AS BIGINT) AS v FROM c),
+         |terms AS (
+         |  SELECT token, tt, tv, v,
+         |    (CAST(ct + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE)) *
+         |      ln((CAST(ct + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE)) /
+         |         (CAST(cv + 1 AS DOUBLE) / CAST(tv + v AS DOUBLE))) AS t_tv,
+         |    (CAST(cv + 1 AS DOUBLE) / CAST(tv + v AS DOUBLE)) *
+         |      ln((CAST(cv + 1 AS DOUBLE) / CAST(tv + v AS DOUBLE)) /
+         |         (CAST(ct + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE))) AS t_vt
+         |  FROM c CROSS JOIN t)
+         |SELECT max(tt) AS n_train_tokens, max(tv) AS n_val_tokens,
+         |  max(v) AS vocab_size,
+         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list(t_tv ORDER BY token)), (acc, x) -> acc + x), 6)
+         |    AS kl_train_val,
+         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list(t_vt ORDER BY token)), (acc, x) -> acc + x), 6)
+         |    AS kl_val_train
+         |FROM terms""".stripMargin,
     "text_pii_signals" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,

@@ -560,6 +560,44 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Asymmetric n-gram CONTAINMENT over the same df-capped gram table
+    * as [[ngramJaccardPairs]]: C(A→B) = |A∩B| / |A| — the measure that
+    * catches a document CONTAINED in another (quotes, aggregator
+    * pages, sub-documents) where symmetric Jaccard stays low because
+    * the container's extra content dilutes the union. Emits each
+    * candidate pair with both directions and keeps pairs where either
+    * direction ≥ [[containmentThreshold]] (0.3 — calibrated to this
+    * synthetic corpus, whose 1-in-10 verify sample tops out near 0.37;
+    * the planted-pair spec certifies the ≥0.9 regime the operator
+    * exists for).
+    *
+    * Scale shape: identical to the Jaccard verifier — gram equi-join
+    * blocked by (gram, lang) with the broadcast hot-gram blocklist
+    * bounding any gram's fan-out; per-doc set sizes join onto the
+    * aggregated pair output, never onto the gram table. Ratios are
+    * exact-integer divisions rounded at 6.
+    */
+  val containmentThreshold = 0.3
+
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val grams = dfCappedGrams(spark, dir, withSplit = false)
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.lang") === col("b.lang") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("c").as("ca")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("c").as("cb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("i").cast("double") / col("ca"), 6).as("c_ab"),
+        round(col("i").cast("double") / col("cb"), 6).as("c_ba"))
+      .filter(col("c_ab") >= containmentThreshold ||
+        col("c_ba") >= containmentThreshold)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Edit-distance verify prefix length: candidates are compared on
     * the first [[editPrefixLen]] chars of the lowercased text, so the
     * per-pair cost is a CONSTANT O(editPrefixLen²) regardless of

@@ -53,6 +53,11 @@ object Quantize {
     */
   val mrlDim = 16
 
+  /** Corpus embedding width (the oracle's generate_series bound; the
+    * Spark side stays generic via posexplode).
+    */
+  val embeddingDim = 64
+
   /** Top-k retrieval quality overlap depth for [[mrlOverlap]]. */
   val mrlOverlapK = 10
 
@@ -120,6 +125,49 @@ object Quantize {
       .select(lit(s"mrl$mrlDim").as("method"), col("n_queries"),
         round(col("n_hits").cast("double") /
           (col("n_queries") * mrlOverlapK), 4).as("mean_overlap"))
+  }
+
+  /** Per-dimension variance audit of the embedding corpus — the
+    * anisotropy diagnostic behind every width decision ([[mrlDim]],
+    * JL width, PQ subspace split): per coordinate, mean and sample
+    * variance over the corpus, each dimension's share of total
+    * variance, and the cumulative share in dimension order — "how
+    * much of the mass lives in the first k dims" read directly (for
+    * a matryoshka-trained model the prefix dominates; for this
+    * noise-like corpus the curve is ~linear, which is exactly WHY
+    * [[mrlOverlap]] reads low — the two rows corroborate).
+    *
+    * Scale shape (100 TB): one `posexplode` pass into a 64-group
+    * map-side-combined aggregate — O(dims) state; the share
+    * denominator is a 1-row broadcast and the cumulative sum a
+    * triangular join over the broadcast 64-row frame (dims are a
+    * constant, never corpus-sized — no global window, no collect).
+    * Shares are derived from the ROUNDED per-dim variances so both
+    * engines divide identical inputs (the double-sum reorder noise
+    * sits ~8 orders below the rounding quantum).
+    */
+  def dimVariance(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+      .select(col("dim"),
+        round(col("s") / col("n"), 6).as("mean"),
+        round((col("ss") - col("s") * (col("s") / col("n"))) /
+          (col("n") - 1d), 6).as("variance"))
+      .localCheckpoint() // 64 rows feeding total + triangular join
+    val total = cells.agg(sum(col("variance")).as("total_var"))
+    val cum = cells.select(col("dim").as("d2"), col("variance").as("v2"))
+    cells.crossJoin(broadcast(total))
+      .join(broadcast(cum), col("d2") <= col("dim"))
+      .groupBy(col("dim"), col("mean"), col("variance"), col("total_var"))
+      .agg(sum(col("v2")).as("cum_var"))
+      .select(col("dim"), col("mean"), col("variance"),
+        round(col("variance") / col("total_var"), 6).as("var_share"),
+        round(col("cum_var") / col("total_var"), 6).as("cum_share"))
+      .orderBy("dim")
   }
 
   /** The composed higher-order-function form the kernel replaced —

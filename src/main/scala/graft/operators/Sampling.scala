@@ -286,4 +286,55 @@ object Sampling {
           .as("phase"))
       .orderBy("rank")
   }
+
+  /** Token-distribution drift between the train and val splits:
+    * add-1-smoothed KL divergence in both directions over the union
+    * vocabulary — the audit that certifies a hash split didn't shear
+    * the distribution (a near-zero KL) and, run between two corpus
+    * VERSIONS, the drift monitor a recurring ingest reads. One row:
+    * split token totals, vocab size, KL(train‖val), KL(val‖train).
+    *
+    * Determinism: counts are exact integers; each token's KL term is
+    * one fixed float expression (both engines see identical rounded
+    * inputs), and the vocab-sized term lists fold in SORTED TOKEN
+    * ORDER on both sides (`sort_array` + `aggregate` here, `list(...
+    * ORDER BY token)` + `list_reduce` in the oracle) — no unordered
+    * float sum anywhere, the unigram-NLL discipline.
+    *
+    * Scale shape (100 TB): one corpus scan into a map-side-combined
+    * (token, split-conditional counts) reduction; everything after
+    * aggregates the VOCAB table (checkpointed once) with 1-row
+    * broadcast totals. The ordered fold is a single vocab-length
+    * array on the driver-bound final row — at a 10⁸-type vocabulary
+    * swap it for the tree-reduce sum and round coarser; documented,
+    * not hidden.
+    */
+  def splitKlDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .withColumn("split", splitAssign(col("text")))
+      .filter(col("split").isin("train", "val"))
+      .select(col("split"), explode(split(trim(col("text")), " ")).as("token"))
+    val counts = toks.groupBy("token")
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("cv"))
+      .localCheckpoint() // vocab-sized; feeds totals + terms
+    val totals = counts.agg(sum(col("ct")).as("tt"), sum(col("cv")).as("tv"),
+      count(lit(1)).as("v"))
+    val p = (col("ct") + 1L).cast("double") / (col("tt") + col("v")).cast("double")
+    val q = (col("cv") + 1L).cast("double") / (col("tv") + col("v")).cast("double")
+    val terms = counts.crossJoin(broadcast(totals))
+      .select(col("token"), col("tt"), col("tv"), col("v"),
+        (p * log(p / q)).as("t_tv"), (q * log(q / p)).as("t_vt"))
+    terms
+      .agg(first(col("tt")).as("n_train_tokens"),
+        first(col("tv")).as("n_val_tokens"),
+        first(col("v")).as("vocab_size"),
+        sort_array(collect_list(struct(col("token"), col("t_tv")))).as("atv"),
+        sort_array(collect_list(struct(col("token"), col("t_vt")))).as("avt"))
+      .select(col("n_train_tokens"), col("n_val_tokens"), col("vocab_size"),
+        round(aggregate(col("atv"), lit(0.0d),
+          (acc, x) => acc + x.getField("t_tv")), 6).as("kl_train_val"),
+        round(aggregate(col("avt"), lit(0.0d),
+          (acc, x) => acc + x.getField("t_vt")), 6).as("kl_val_train"))
+  }
 }

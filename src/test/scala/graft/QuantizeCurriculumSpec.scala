@@ -211,6 +211,27 @@ class QuantizeCurriculumSpec extends SparkSpec {
     }
   }
 
+  test("dim variance: JVM parity, shares sum to 1, cumulative is monotone") {
+    val rows = Quantize.dimVariance(spark, dir).collect()
+    assert(rows.length === Quantize.embeddingDim)
+    // cumulative share ends at exactly 1 and never decreases
+    assert(rows.last.getAs[Double]("cum_share") === 1.0)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Double]("cum_share") >= a.getAs[Double]("cum_share"))
+      case _ =>
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("var_share")).sum - 1.0) < 1e-4)
+    // dim-0 variance against a direct recomputation
+    val xs = Tables(spark, dir, "embeddings").collect()
+      .map(_.getSeq[Float](1).head.toDouble)
+    val n = xs.length
+    val (s, ss) = (xs.sum, xs.map(x => x * x).sum)
+    val expect = BigDecimal((ss - s * (s / n)) / (n - 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rows.head.getAs[Double]("variance") - expect) < 1e-5)
+  }
+
   test("mrl at sf0.001: overlap bounded and honest on noise-like vectors") {
     val row = Quantize.mrlOverlap(spark, "/root/testdata/sf0.001")
       .collect().head

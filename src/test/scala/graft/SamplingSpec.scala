@@ -100,4 +100,47 @@ class SamplingSpec extends SparkSpec {
     val byText = docs.groupBy(lower(trim(col("text")))).count().count()
     assert(byHash === byText) // md5 grouping introduced no collisions
   }
+
+  test("split KL drift matches a JVM recomputation; both directions >= 0") {
+    val dir = "/root/testdata/sf0.001"
+    val row = Sampling.splitKlDrift(spark, dir).collect().head
+
+    // independent recomputation: same md5 split, same smoothing, same
+    // sorted-token fold order
+    def bucket(text: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val docs = Tables(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val ct = scala.collection.mutable.Map.empty[String, Long]
+    val cv = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { t =>
+      val b = bucket(t)
+      val target = if (b < 90) Some(ct) else if (b < 95) Some(cv) else None
+      target.foreach { m =>
+        t.trim.split(" ").foreach(w => m(w) = m.getOrElse(w, 0L) + 1)
+      }
+    }
+    val vocab = (ct.keySet ++ cv.keySet).toSeq.sorted
+    val (tt, tv, v) = (ct.values.sum, cv.values.sum, vocab.size.toLong)
+    def fold(f: String => Double): Double =
+      vocab.foldLeft(0.0)((acc, w) => acc + f(w))
+    def p(w: String) = (ct.getOrElse(w, 0L) + 1).toDouble / (tt + v).toDouble
+    def q(w: String) = (cv.getOrElse(w, 0L) + 1).toDouble / (tv + v).toDouble
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Long]("n_train_tokens") === tt)
+    assert(row.getAs[Long]("n_val_tokens") === tv)
+    assert(row.getAs[Long]("vocab_size") === v)
+    assert(row.getAs[Double]("kl_train_val") ===
+      round6(fold(w => p(w) * math.log(p(w) / q(w)))))
+    assert(row.getAs[Double]("kl_val_train") ===
+      round6(fold(w => q(w) * math.log(q(w) / p(w)))))
+    // Gibbs: KL >= 0 in both directions
+    assert(row.getAs[Double]("kl_train_val") >= 0.0)
+    assert(row.getAs[Double]("kl_val_train") >= 0.0)
+  }
 }
