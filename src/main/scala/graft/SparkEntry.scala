@@ -185,6 +185,8 @@ object SparkEntry {
     "text_dsir_resample" -> (Dsir.resample _),
     "text_cms_counts" -> (operators.Sketches.cmsTokenCounts _),
     "text_lz_complexity" -> (TextAnalysis.lzComplexity _),
+    "text_length_histogram" -> (TextAnalysis.lengthHistogram _),
+    "q_rfm_segments" -> (Analytics.rfmSegments _),
     "text_split_kl" -> (Sampling.splitKlDrift _),
     "q_hll_registers" -> (operators.Sketches.hllRegistersQuery _),
     "q_hll_distinct" -> (operators.Sketches.hllDistinct _),
@@ -2449,6 +2451,50 @@ object SparkEntry {
          |        list(t_vt ORDER BY token)), (acc, x) -> acc + x), 6)
          |    AS kl_val_train
          |FROM terms""".stripMargin,
+    "text_length_histogram" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |h AS (
+        |  SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+        |             CAST(sum(n_tokens) AS BIGINT) AS tt FROM h)
+        |SELECT bucket, CAST(power(2, bucket) AS BIGINT) AS bucket_lo,
+        |  CAST(power(2, bucket + 1) AS BIGINT) - 1 AS bucket_hi,
+        |  n_docs, n_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / td, 6) AS doc_share,
+        |  round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share
+        |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin,
+    "q_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS monetary
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM per),
+        |r AS (
+        |  SELECT per.*,
+        |    CAST(row_number() OVER (ORDER BY last_us DESC, o_custkey)
+        |      AS BIGINT) AS r_rank,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, o_custkey)
+        |      AS BIGINT) AS f_rank,
+        |    CAST(row_number() OVER (ORDER BY monetary DESC, o_custkey)
+        |      AS BIGINT) AS m_rank
+        |  FROM per),
+        |d AS (
+        |  SELECT o_custkey, last_us, freq, monetary,
+        |    (r_rank - 1) * 10 // n_cust + 1 AS r_decile,
+        |    (f_rank - 1) * 10 // n_cust + 1 AS f_decile,
+        |    (m_rank - 1) * 10 // n_cust + 1 AS m_decile
+        |  FROM r CROSS JOIN n)
+        |SELECT o_custkey, last_us, freq, monetary,
+        |  r_decile, f_decile, m_decile,
+        |  r_decile * 100 + f_decile * 10 + m_decile AS rfm_code
+        |FROM d ORDER BY o_custkey""".stripMargin,
     "text_pii_signals" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,

@@ -512,4 +512,41 @@ object Analytics {
       .groupBy((col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy("k_mod")
+
+  /** RFM customer segmentation — the classic warehouse cohorting:
+    * per customer, Recency (last order, integer micros), Frequency
+    * (order count), Monetary (DECIMAL-summed spend), each cut into
+    * deciles where decile 1 = best. Deciles come from
+    * [[Ranks.global]] ranks — integer arithmetic ((rank−1)·10 div n
+    * + 1) with custkey tie-breaks, NEVER an `ntile` global window
+    * (single-partition at scale) or an interpolated percentile
+    * threshold (one-ULP boundary flips cross-engine) — the
+    * rank-bucket discipline from the unigram-NLL fix.
+    *
+    * Scale shape: one orders reduction keyed on custkey, then three
+    * range-partitioned rank passes over the CUSTOMER frame (already
+    * corpus-reduced) and a 1-row broadcast count; the wide row stays
+    * five narrow columns.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      // o_orderdate is NTZ; the UTC-pinned session makes the cast a
+      // no-op re-tag, so the micros match DuckDB's naive epoch_us
+      .agg(max(unix_micros(col("o_orderdate").cast("timestamp"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("monetary"))
+    val r1 = Ranks.global(per, "r_rank", col("last_us").desc, col("o_custkey"))
+    val r2 = Ranks.global(r1, "f_rank", col("freq").desc, col("o_custkey"))
+    val r3 = Ranks.global(r2, "m_rank", col("monetary").desc, col("o_custkey"))
+    val n = r3.agg(count(lit(1)).as("n_cust"))
+    r3.crossJoin(broadcast(n))
+      .select(col("o_custkey"), col("last_us"), col("freq"), col("monetary"),
+        expr("((r_rank - 1) * 10) div n_cust + 1").as("r_decile"),
+        expr("((f_rank - 1) * 10) div n_cust + 1").as("f_decile"),
+        expr("((m_rank - 1) * 10) div n_cust + 1").as("m_decile"))
+      .withColumn("rfm_code",
+        col("r_decile") * 100L + col("f_decile") * 10L + col("m_decile"))
+      .orderBy("o_custkey")
+  }
 }

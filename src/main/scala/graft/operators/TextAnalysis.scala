@@ -444,6 +444,37 @@ object TextAnalysis {
       .orderBy("k")
   }
 
+  /** Token-length histogram in power-of-two buckets — the
+    * sequence-length distribution a batch-shape / packing decision
+    * reads (how much of the corpus fits a 64-token window; how heavy
+    * is the long tail that forces chunking). Bucket = ⌊log₂ n⌋ via
+    * the BINARY-STRING length (an exact integer identity both engines
+    * share — no float log whose boundary could flip an exact power of
+    * two); empty docs land in bucket 0 with the 1-token docs. Shares
+    * are single rounded divisions of exact integer counts against
+    * 1-row broadcast totals.
+    *
+    * Scale shape: one map pass into a ~60-group map-side-combined
+    * aggregate; nothing collects.
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(tokens(col("text"))).cast("long")
+    val hist = Tables(spark, dir, "documents")
+      .select((length(bin(n)) - 1).cast("long").as("bucket"), n.as("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val totals = hist.agg(sum(col("n_docs")).as("td"),
+      sum(col("n_tokens")).as("tt"))
+    hist.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        pow(lit(2.0), col("bucket")).cast("long").as("bucket_lo"),
+        (pow(lit(2.0), col("bucket") + 1).cast("long") - 1L).as("bucket_hi"),
+        col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("td"), 6).as("doc_share"),
+        round(col("n_tokens").cast("double") / col("tt"), 6).as("token_share"))
+      .orderBy("bucket")
+  }
+
   /** Lempel–Ziv complexity per document: LZ78 incremental-parse phrase
     * count over the raw text ([[graft.functions.Lz78PhraseCount]], a
     * codegen'd sequential kernel — the parse is stateful, so no

@@ -317,4 +317,45 @@ class ExtensionOpsSpec extends SparkSpec {
         s"$prio p95 rank off: $p95")
     }
   }
+
+  test("length histogram: conserves docs/tokens, buckets bound their members") {
+    import org.apache.spark.sql.functions._
+    val hist = operators.TextAnalysis.lengthHistogram(spark, dir).collect()
+    val docs = Tables(spark, dir, "documents")
+      .select(size(split(trim(col("text")), " ")).cast("long").as("n"))
+      .collect().map(_.getLong(0))
+    assert(hist.map(_.getAs[Long]("n_docs")).sum === docs.length)
+    assert(hist.map(_.getAs[Long]("n_tokens")).sum === docs.sum)
+    // every doc's token count falls inside its bucket's [lo, hi]
+    hist.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("bucket_lo"), r.getAs[Long]("bucket_hi"))
+      val members = docs.filter(n => n >= lo && n <= hi)
+      assert(members.length === r.getAs[Long]("n_docs"),
+        s"bucket [$lo,$hi]")
+    }
+    assert(math.abs(hist.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-4)
+  }
+
+  test("rfm segments: balanced deciles, ordered boundaries, code composition") {
+    val rows = operators.Analytics.rfmSegments(spark, dir).collect()
+    val n = rows.length
+    assert(n > 0)
+    // every decile column is 1..10 and balanced to within one row
+    Seq("r_decile", "f_decile", "m_decile").foreach { c =>
+      val byDec = rows.groupBy(_.getAs[Long](c)).view.mapValues(_.length)
+      assert(byDec.keys.forall(d => d >= 1 && d <= 10), c)
+      assert(byDec.values.max - byDec.values.min <= 1, s"$c imbalance")
+    }
+    // decile 1 of monetary dominates decile 10
+    val m1 = rows.filter(_.getAs[Long]("m_decile") === 1L)
+      .map(_.getAs[Double]("monetary")).min
+    val m10 = rows.filter(_.getAs[Long]("m_decile") === 10L)
+      .map(_.getAs[Double]("monetary")).max
+    assert(m1 >= m10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rfm_code") ===
+        r.getAs[Long]("r_decile") * 100 + r.getAs[Long]("f_decile") * 10 +
+          r.getAs[Long]("m_decile"))
+    }
+  }
 }
