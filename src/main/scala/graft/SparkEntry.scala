@@ -186,6 +186,7 @@ object SparkEntry {
     "text_cms_counts" -> (operators.Sketches.cmsTokenCounts _),
     "text_lz_complexity" -> (TextAnalysis.lzComplexity _),
     "text_length_histogram" -> (TextAnalysis.lengthHistogram _),
+    "text_pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
     "q_rfm_segments" -> (Analytics.rfmSegments _),
     "text_split_kl" -> (Sampling.splitKlDrift _),
     "q_hll_registers" -> (operators.Sketches.hllRegistersQuery _),
@@ -2451,6 +2452,46 @@ object SparkEntry {
          |        list(t_vt ORDER BY token)), (acc, x) -> acc + x), 6)
          |    AS kl_val_train
          |FROM terms""".stripMargin,
+    "text_pmi_pairs" -> {
+      val leads = (1 to operators.TextAnalysis.pmiWindow)
+        .map(d => s"lead(tok, $d) OVER w AS l$d").mkString(",\n  |    ")
+      val prs = (1 to operators.TextAnalysis.pmiWindow)
+        .map(d => s"SELECT least(tok, l$d) AS x, greatest(tok, l$d) AS y " +
+          s"FROM ld WHERE l$d IS NOT NULL")
+        .mkString("\n  |  UNION ALL\n  |  ")
+      s"""WITH dd AS (
+         |  SELECT doc_id, string_split(trim(text), ' ') AS toks
+         |  FROM documents),
+         |p0 AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+         |  FROM dd),
+         |tok0 AS (
+         |  SELECT doc_id, i AS pos, toks[CAST(i AS INTEGER)] AS tok FROM p0),
+         |ld AS (
+         |  SELECT doc_id, tok,
+         |    $leads
+         |  FROM tok0
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |pr AS (
+         |  $prs),
+         |c AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+         |      FROM pr GROUP BY 1, 2),
+         |m AS (
+         |  SELECT t, CAST(sum(c_xy) AS BIGINT) AS c_t
+         |  FROM (SELECT x AS t, c_xy FROM c
+         |        UNION ALL SELECT y AS t, c_xy FROM c)
+         |  GROUP BY 1),
+         |n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_pairs FROM c)
+         |SELECT c.x, c.y, c.c_xy,
+         |  round(ln(CAST(n_pairs AS DOUBLE) * CAST(c.c_xy AS DOUBLE) /
+         |        (CAST(mx.c_t AS DOUBLE) * CAST(my.c_t AS DOUBLE))), 4)
+         |    AS pmi
+         |FROM c JOIN m mx ON mx.t = c.x
+         |       JOIN m my ON my.t = c.y
+         |       CROSS JOIN n
+         |WHERE c.c_xy >= ${operators.TextAnalysis.pmiMinCount}
+         |ORDER BY pmi DESC, x, y LIMIT 50""".stripMargin
+    },
     "text_length_histogram" ->
       """WITH d AS (
         |  SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n

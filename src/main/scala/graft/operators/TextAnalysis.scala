@@ -444,6 +444,62 @@ object TextAnalysis {
       .orderBy("k")
   }
 
+  /** PMI co-occurrence window (token pairs within this many positions). */
+  val pmiWindow = 4
+
+  /** Minimum pair count for a PMI estimate (rare-pair PMI is noise). */
+  val pmiMinCount = 5L
+
+  /** Top strongly-associated token pairs by pointwise mutual
+    * information over sliding windows: each position pairs with the
+    * next [[pmiWindow]] tokens in its document (lead windows
+    * PARTITIONED BY doc — one shuffle on doc_id, four lead
+    * expressions in a single window spec), pairs are canonicalized
+    * (least, greatest), and PMI = ln(N·c_xy / (c_x·c_y)) uses
+    * PAIR-TABLE marginals so the distribution is self-consistent.
+    * Counts are exact integers; each pair's PMI is one float ln
+    * rounded at 4; the top-50 cut is `orderBy().limit()` —
+    * TakeOrdered, never a global window — tie-broken on the pair.
+    * The collocation audit a tokenizer-merge or stopword decision
+    * reads.
+    *
+    * Scale shape: explode → per-doc window → (pair) reduction with
+    * map-side combining; marginals re-aggregate the PAIR table
+    * (vocab²-bounded, far below corpus) and broadcast back with the
+    * 1-row total.
+    */
+  def pmiPairs(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withLeads = toks.select(
+      col("tok") +: (1 to pmiWindow).map(d =>
+        lead(col("tok"), d).over(w).as(s"l$d")): _*)
+    val pairs = (1 to pmiWindow).map(d =>
+        withLeads.filter(col(s"l$d").isNotNull)
+          .select(least(col("tok"), col(s"l$d")).as("x"),
+            greatest(col("tok"), col(s"l$d")).as("y")))
+      .reduce(_ unionByName _)
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint() // vocab²-bounded; feeds marginals + scoring
+    val marg = pairs.select(col("x").as("t"), col("c_xy"))
+      .unionByName(pairs.select(col("y").as("t"), col("c_xy")))
+      .groupBy("t").agg(sum(col("c_xy")).as("c_t"))
+    val total = pairs.agg(sum(col("c_xy")).as("n_pairs"))
+    pairs.filter(col("c_xy") >= pmiMinCount)
+      .join(broadcast(marg.select(col("t").as("x"), col("c_t").as("c_x"))), "x")
+      .join(broadcast(marg.select(col("t").as("y"), col("c_t").as("c_y"))), "y")
+      .crossJoin(broadcast(total))
+      .select(col("x"), col("y"), col("c_xy"),
+        round(log(col("n_pairs").cast("double") * col("c_xy").cast("double") /
+          (col("c_x").cast("double") * col("c_y").cast("double"))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
   /** Token-length histogram in power-of-two buckets — the
     * sequence-length distribution a batch-shape / packing decision
     * reads (how much of the corpus fits a 64-token window; how heavy

@@ -336,6 +336,33 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(math.abs(hist.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-4)
   }
 
+  test("pmi pairs: a planted exclusive collocation tops the ranking") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pmi").toString
+    // "zork quux" co-occurs 8 times and the two tokens never appear
+    // apart; filler tokens pair promiscuously
+    val filler = Seq("the", "cat", "sat", "on", "a", "mat")
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 8).map { i =>
+      val pad = Seq.fill(12)(filler(rnd.nextInt(filler.length)))
+      (i.toLong, (pad ++ Seq("zork", "quux")).mkString(" "), "en", "web", 0L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = operators.TextAnalysis.pmiPairs(spark, tmp).collect()
+    assert(out.nonEmpty)
+    // canonical order and threshold hold everywhere
+    out.foreach { r =>
+      assert(r.getString(0) <= r.getString(1))
+      assert(r.getAs[Long]("c_xy") >= operators.TextAnalysis.pmiMinCount)
+    }
+    val top = out.head
+    assert((top.getString(0), top.getString(1)) === ("quux", "zork"))
+    // exclusive pair: c_xy appears >= 8 (both window directions may add)
+    assert(top.getAs[Long]("c_xy") >= 8L)
+  }
+
   test("rfm segments: balanced deciles, ordered boundaries, code composition") {
     val rows = operators.Analytics.rfmSegments(spark, dir).collect()
     val n = rows.length
