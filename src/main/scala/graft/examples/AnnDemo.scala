@@ -86,6 +86,18 @@ object AnnDemo {
       f"${jl.getDouble(2)}%.3f over ${jl.getLong(1)} queries " +
       "(4x fewer mult-adds per scanned candidate)")
 
+    // matryoshka truncation: prefix-16 serving quality + where the
+    // variance actually lives
+    import graft.operators.Quantize
+    val mrl = Quantize.mrlOverlap(spark, dir).head
+    val prefixShare = Quantize.dimVariance(spark, dir)
+      .filter(col("dim") === (Quantize.mrlDim - 1).toLong)
+      .head.getAs[Double]("cum_share")
+    println(f"[demo] MRL prefix-${Quantize.mrlDim} overlap@10 = " +
+      f"${mrl.getDouble(2)}%.3f over ${mrl.getLong(1)} queries; " +
+      f"first ${Quantize.mrlDim} dims hold ${prefixShare * 100}%.1f%% " +
+      "of corpus variance (isotropic corpus - the audit explains the overlap)")
+
     spark.stop()
   }
 }

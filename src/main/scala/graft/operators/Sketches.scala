@@ -62,6 +62,23 @@ object Sketches {
       .orderBy("token")
   }
 
+  /** The pure-streaming CMS half: the d×w cells as a streaming
+    * aggregate over arriving tokens — O(d·w) state forever (64
+    * groups, map-side combined per micro-batch), update mode emits
+    * the cells touched each batch. This is the form that needs NO
+    * vocab table at all — the batch query above builds cells from
+    * the (token, exact_n) reduction only because its comparison
+    * output wants exact_n anyway; per-cell equality of the two forms
+    * on the same tokens is spec-pinned (sketch linearity).
+    */
+  def streamingCmsCells(tokens: DataFrame): DataFrame =
+    (0 until cmsDepth).map(j =>
+        tokens.select(lit(j).as("row_j"),
+          cmsBucket(j, col("token")).as("bucket")))
+      .reduce(_ unionByName _)
+      .groupBy("row_j", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
   /** HLL register count m = 2^6 and the per-key word width that
     * remains of the 32-bit md5 slice after the register index.
     */

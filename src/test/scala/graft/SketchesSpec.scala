@@ -118,6 +118,37 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cms streaming cells equal the batch cells on the same tokens") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val toks = Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.col("text")), " ")).as("token"))
+      .collect().map(_.getString(0))
+    val in = MemoryStream[String]
+    val q = Sketches.streamingCmsCells(in.toDF().toDF("token"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cmscells").start()
+    try {
+      val (w1, w2) = toks.splitAt(toks.length / 2)
+      in.addData(w1.toSeq); q.processAllAvailable()
+      in.addData(w2.toSeq); q.processAllAvailable()
+      val got = spark.table("cmscells").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = Sketches.streamingCmsCells(toks.toSeq.toDF("token"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === batch)
+      // linearity: total mass per row equals the token count
+      (0 until Sketches.cmsDepth).foreach { j =>
+        assert(got.collect { case ((r, _), c) if r == j => c }.sum ===
+          toks.length.toLong)
+      }
+    } finally q.stop()
+  }
+
   test("hll estimate: inside the 3-sigma error envelope of exact") {
     val row = Sketches.hllDistinct(spark, dir).collect().head
     val exact = row.getAs[Long]("n_exact").toDouble
