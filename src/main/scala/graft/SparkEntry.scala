@@ -176,6 +176,7 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetitionSignals _),
     "text_winnow_pairs" -> (TextAnalysis.winnowPassagePairs _),
     "q_pagerank_dupgraph" -> (operators.GraphRank.pagerankDupGraph _),
+    "q_triangle_count" -> (operators.GraphRank.triangleStats _),
     // — lexical retrieval over documents
     "text_tfidf_keywords" ->
       ((s: SparkSession, d: String) => operators.Retrieval.tfidfKeywords(s, d)),
@@ -189,6 +190,7 @@ object SparkEntry {
     "text_pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
     "q_rfm_segments" -> (Analytics.rfmSegments _),
     "text_split_kl" -> (Sampling.splitKlDrift _),
+    "q_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
     "q_hll_registers" -> (operators.Sketches.hllRegistersQuery _),
     "q_hll_distinct" -> (operators.Sketches.hllDistinct _),
     "text_bpe_merges" ->
@@ -2536,6 +2538,22 @@ object SparkEntry {
         |  r_decile, f_decile, m_decile,
         |  r_decile * 100 + f_decile * 10 + m_decile AS rfm_code
         |FROM d ORDER BY o_custkey""".stripMargin,
+    "q_weighted_sample" -> {
+      val u28 = hex7Of("CAST(doc_id AS VARCHAR) || '#wsample'")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+         |    CAST($u28 AS BIGINT) AS u28
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, n_tokens, u28,
+         |    round(ln(CAST(u28 + 1 AS DOUBLE) / 268435456.0) / n_tokens, 9)
+         |      AS wkey
+         |  FROM d WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens, u28, wkey FROM s
+         |ORDER BY wkey DESC, doc_id
+         |LIMIT ${operators.Sampling.weightedSampleK}""".stripMargin
+    },
     "text_pii_signals" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
@@ -2839,6 +2857,26 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE)
         |    / len(string_split(trim(text), ' ')) AS fertility
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_triangle_count" ->
+      s"""WITH $winnowPairsCtes,
+         |e AS (SELECT DISTINCT a_id, b_id FROM wp),
+         |nodes AS (SELECT a_id AS id FROM e UNION SELECT b_id FROM e),
+         |deg AS (
+         |  SELECT id, count(*) AS d
+         |  FROM (SELECT a_id AS id FROM e UNION ALL SELECT b_id FROM e)
+         |  GROUP BY 1),
+         |w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges
+         |      FROM deg),
+         |tri AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS triangles
+         |  FROM e e1 JOIN e e2 ON e2.a_id = e1.b_id
+         |       JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+         |SELECT n_nodes, n_edges, triangles, wedges,
+         |  CASE WHEN wedges > 0 THEN round(3.0 * triangles / wedges, 6) END
+         |    AS clustering
+         |FROM nn CROSS JOIN ne CROSS JOIN tri CROSS JOIN w""".stripMargin,
     "q_pagerank_dupgraph" ->
       s"""WITH $winnowPairsCtes,
          |edges AS (

@@ -46,6 +46,51 @@ object GraphRank {
     */
   val prIters = 3
 
+  /** Triangle census of the duplication graph: node/edge/triangle
+    * counts and the global clustering coefficient — the structure
+    * audit that distinguishes a boilerplate CLIQUE (template shared by
+    * a whole crawl — triangles everywhere) from chain-shaped
+    * near-duplicate drift (few triangles), which decide different
+    * cleaning actions (drop the template vs keep one representative).
+    *
+    * All-integer: triangles count ordered triples a<b<c via two joins
+    * on the a<b edge list (each wedge keyed on its middle vertex, then
+    * a semi-join closes it — the standard distributed triangle count;
+    * at scale both joins shuffle on node ids, and the a<b orientation
+    * means each triangle is found EXACTLY once with no 3× dedup);
+    * wedges = Σ deg(deg−1)/2 exactly; the clustering coefficient
+    * 3·triangles/wedges is the single rounded division.
+    */
+  def triangleStats(spark: SparkSession, dir: String): DataFrame =
+    triangleStatsOf(TextAnalysis.winnowPassagePairs(spark, dir)
+      .select(col("a_id"), col("b_id")).distinct().localCheckpoint())
+
+  /** The census over any a<b edge list (planted-graph spec entry). */
+  private[graft] def triangleStatsOf(e: DataFrame): DataFrame = {
+    val nodes = e.select(col("a_id").as("id"))
+      .unionByName(e.select(col("b_id").as("id"))).distinct()
+    val deg = e.select(col("a_id").as("id"))
+      .unionByName(e.select(col("b_id").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("wedges"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b_id") === col("e2.a_id"))
+      .select(col("e1.a_id").as("a"), col("e1.b_id").as("b"),
+        col("e2.b_id").as("c"))
+      .join(e.select(col("a_id").as("a"), col("b_id").as("c")),
+        Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("triangles"))
+    nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(broadcast(tri))
+      .crossJoin(broadcast(wedges))
+      .select(col("n_nodes"), col("n_edges"), col("triangles"),
+        col("wedges"),
+        when(col("wedges") > 0,
+          round(lit(3.0) * col("triangles") / col("wedges"), 6))
+          .as("clustering"))
+  }
+
   /** PageRank over the passage-overlap graph: (rank, doc_id, deg,
     * pr_scaled), hubs first. Nodes are the documents that appear in at
     * least one overlap pair (isolated documents carry no duplication

@@ -287,6 +287,40 @@ object Sampling {
       .orderBy("rank")
   }
 
+  /** Weighted-sample size for [[weightedSample]]. */
+  val weightedSampleK = 100
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each document draws a hash-deterministic uniform u ∈ (0,1] (28
+    * md5 bits of doc_id — replayable, insertion-order-free, the
+    * [[graft.operators.Dsir]] resampling discipline) and scores
+    * key = ln(u)/w with w = its token count; the top-k keys ARE a
+    * without-replacement sample with inclusion probability ∝ weight.
+    * The cut is `orderBy().limit(k)` — TakeOrdered, O(N) scan and
+    * O(k) result at any scale, no global window — ordered on
+    * (rounded key DESC, doc_id) so the boundary is engine-exact.
+    * This is the token-weighted subset selection a mixture build uses
+    * when "sample documents ∝ tokens" must be reproducible across
+    * engines and reruns.
+    */
+  def weightedSample(spark: SparkSession, dir: String,
+                     k: Int = weightedSampleK): DataFrame = {
+    val u28 = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("#wsample")).cast("binary")), 1, 7), 16, 10).cast("long")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"),
+        u28.as("u28"))
+      .filter(col("n_tokens") > 0)
+      // u ∈ (0,1]: (u28+1)/2^28; key = ln(u)/w — larger is better
+      // (equivalent to ranking u^(1/w))
+      .withColumn("wkey",
+        round(log((col("u28") + 1L).cast("double") / 268435456.0d) /
+          col("n_tokens"), 9))
+      .orderBy(col("wkey").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Token-distribution drift between the train and val splits:
     * add-1-smoothed KL divergence in both directions over the union
     * vocabulary — the audit that certifies a hash split didn't shear

@@ -58,4 +58,37 @@ class GraphRankSpec extends SparkSpec {
     val pr2 = GraphRank.pagerankDupGraph(spark, dir)
     assert(pr1.exceptAll(pr2).count() === 0L)
   }
+
+  test("triangle census: hand graph with one triangle, a closing edge, a pendant") {
+    import spark.implicits._
+    // K3 on {1,2,3}; edge 3-4 pendant; edges 4-5, 3-5 close a second
+    // triangle {3,4,5}
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
+      .toDF("a_id", "b_id")
+    val r = GraphRank.triangleStatsOf(e).collect().head
+    assert(r.getAs[Long]("n_nodes") === 5L)
+    assert(r.getAs[Long]("n_edges") === 6L)
+    assert(r.getAs[Long]("triangles") === 2L)
+    // degrees: 2,2,4,2,2 -> wedges = 1+1+6+1+1 = 10
+    assert(r.getAs[Long]("wedges") === 10L)
+    assert(r.getAs[Double]("clustering") === 0.6) // 3*2/10
+  }
+
+  test("triangle census: triangle-free chain counts zero with defined clustering") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    val r = GraphRank.triangleStatsOf(e).collect().head
+    assert(r.getAs[Long]("triangles") === 0L)
+    assert(r.getAs[Long]("wedges") === 2L)
+    assert(r.getAs[Double]("clustering") === 0.0)
+  }
+
+  test("triangle census: empty graph yields NULL clustering, zero counts") {
+    import spark.implicits._
+    val e = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val r = GraphRank.triangleStatsOf(e).collect().head
+    assert(r.getAs[Long]("n_nodes") === 0L)
+    assert(r.getAs[Long]("triangles") === 0L)
+    assert(r.isNullAt(r.fieldIndex("clustering")))
+  }
 }

@@ -101,6 +101,30 @@ class SamplingSpec extends SparkSpec {
     assert(byHash === byText) // md5 grouping introduced no collisions
   }
 
+  test("weighted sample: deterministic, keys replayable, biased toward heavy docs") {
+    val dir = "/root/testdata/sf0.001"
+    val s1 = Sampling.weightedSample(spark, dir).collect()
+    assert(s1.length === Sampling.weightedSampleK)
+    // stable under repartitioning (hash-uniforms, not RNG)
+    val s2 = Sampling.weightedSample(spark, dir).collect()
+    assert(s1.map(_.getLong(0)).toSeq === s2.map(_.getLong(0)).toSeq)
+    // key replay: ln((u28+1)/2^28)/w rounded at 9
+    s1.take(20).foreach { r =>
+      val expect = BigDecimal(
+        math.log((r.getAs[Long]("u28") + 1).toDouble / 268435456.0) /
+          r.getAs[Long]("n_tokens"))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("wkey") - expect) < 1e-12)
+    }
+    // inclusion ∝ tokens: the sample's mean token count must exceed
+    // the corpus mean (heavier docs are likelier picks)
+    val corpusMean = Tables(spark, dir, "documents")
+      .select(avg(size(split(trim(col("text")), " ")))).head.getDouble(0)
+    val sampleMean = s1.map(_.getAs[Long]("n_tokens")).sum.toDouble / s1.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean vs corpus mean $corpusMean")
+  }
+
   test("split KL drift matches a JVM recomputation; both directions >= 0") {
     val dir = "/root/testdata/sf0.001"
     val row = Sampling.splitKlDrift(spark, dir).collect().head
