@@ -192,6 +192,8 @@ object SparkEntry {
     "text_split_kl" -> (Sampling.splitKlDrift _),
     "q_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
     "q_hll_registers" -> (operators.Sketches.hllRegistersQuery _),
+    "q_histogram_quantiles" -> (operators.Sketches.histogramQuantiles _),
+    "q_forecast_baseline" -> (Behavior.forecastBaseline _),
     "q_hll_distinct" -> (operators.Sketches.hllDistinct _),
     "text_bpe_merges" ->
       ((s: SparkSession, d: String) => operators.BpeTrainer.train(s, d)),
@@ -2794,6 +2796,55 @@ object SparkEntry {
          |FROM h JOIN cells ON h.j = cells.j AND h.bucket = cells.bucket
          |GROUP BY 1, 2 ORDER BY token""".stripMargin
     },
+    "q_histogram_quantiles" -> {
+      val targets = operators.Sketches.hqTargets
+        .map { case (n, d) => s"(CAST($n AS BIGINT), CAST($d AS BIGINT))" }
+        .mkString(", ")
+      s"""WITH h AS (
+         |  SELECT CAST(length(bin(CAST(round(o_totalprice * 100) AS BIGINT)))
+         |           - 1 AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM orders GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM h),
+         |cum AS (
+         |  SELECT a.bucket, CAST(sum(b.n) AS BIGINT) AS cum_le
+         |  FROM h a JOIN h b ON b.bucket <= a.bucket GROUP BY 1),
+         |tg(q_num, q_den) AS (VALUES $targets),
+         |sel AS (
+         |  SELECT q_num, q_den, t_rank, n_total, min(bucket) AS bucket
+         |  FROM (SELECT h.bucket, cum.cum_le, tg.q_num, tg.q_den,
+         |          tot.n_total,
+         |          (tg.q_num * tot.n_total + tg.q_den - 1) // tg.q_den
+         |            AS t_rank
+         |        FROM h JOIN cum USING (bucket)
+         |             CROSS JOIN tot CROSS JOIN tg) x
+         |  WHERE cum_le >= t_rank
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT sel.q_num, sel.q_den, sel.n_total, sel.t_rank, sel.bucket,
+         |  CAST(power(2, sel.bucket) AS BIGINT) AS lo_cents,
+         |  CAST(power(2, sel.bucket + 1) AS BIGINT) - 1 AS hi_cents,
+         |  h.n AS bucket_n, cum.cum_le
+         |FROM sel JOIN h ON h.bucket = sel.bucket
+         |         JOIN cum ON cum.bucket = sel.bucket
+         |ORDER BY q_den, q_num""".stripMargin
+    },
+    "q_forecast_baseline" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT h.event_type, h.n, f.n AS forecast
+        |  FROM h LEFT JOIN h f
+        |    ON f.event_type = h.event_type AND f.hour_idx = h.hour_idx - 24)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(count(forecast) AS BIGINT) AS n_scored,
+        |  round(CAST(sum(abs(n - forecast)) AS DOUBLE) / count(forecast), 4)
+        |    AS mae,
+        |  round(avg(CASE WHEN forecast IS NOT NULL AND n > 0
+        |    THEN CAST(abs(n - forecast) AS DOUBLE) / CAST(n AS DOUBLE) END),
+        |    6) AS mape
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_hll_registers" -> s"""$hllRegsCte
         |SELECT reg, max_rho FROM regs ORDER BY reg""".stripMargin,
     "q_hll_distinct" -> {

@@ -204,6 +204,46 @@ object Behavior {
       .orderBy("event_type", "hour_idx")
   }
 
+  /** Seasonal-naive forecast audit: predict each (type, hour) count
+    * with the count 24 CALENDAR hours earlier (a self-join on
+    * (type, hour−24) — calendar-correct under gaps, unlike a 24-ROW
+    * lag) and report per-type MAE and MAPE of that baseline. This is
+    * the floor every real forecasting deployment must beat — shipping
+    * the audit makes "is the fancy model better than yesterday's
+    * number" a one-query check.
+    *
+    * Determinism: counts and absolute errors are exact integers; MAE
+    * is one rounded integer division; MAPE averages per-row exact
+    * rationals in double (summation noise ~1e-13, six orders below
+    * the rounding quantum). Hours with no 24h-earlier observation are
+    * excluded from both (scored vs total hours reported).
+    *
+    * Scale shape: the hourly reduction is map-side combined; the
+    * self-join and final aggregate key on event_type — (types × hours)
+    * rows, far below corpus size.
+    */
+  def forecastBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr(s"unix_micros(ts) div ${3600L * 1000 * 1000}L").as("hour_idx"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // (types × hours) rows, read twice by the join
+    val fc = hourly.select(col("event_type"),
+      (col("hour_idx") + 24L).as("hour_idx"), col("n").as("forecast"))
+    hourly.join(fc, Seq("event_type", "hour_idx"), "left")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        count(col("forecast")).as("n_scored"),
+        sum(abs(col("n") - col("forecast"))).as("sum_ae"),
+        avg(when(col("forecast").isNotNull && col("n") > 0,
+          abs(col("n") - col("forecast")).cast("double") /
+            col("n").cast("double"))).as("mape_raw"))
+      .select(col("event_type"), col("n_hours"), col("n_scored"),
+        round(col("sum_ae").cast("double") / col("n_scored"), 4).as("mae"),
+        round(col("mape_raw"), 6).as("mape"))
+      .orderBy("event_type")
+  }
+
   /** Frozen per-type anomaly baseline — the O(|event types|) trained
     * artifact the streaming monitor serves with: hour count, Σn, Σn²
     * over the TRAINING table's per-type hourly counts, kept as exact

@@ -79,6 +79,61 @@ object Sketches {
       .groupBy("row_j", "bucket")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Quantile targets for [[histogramQuantiles]] as exact fractions. */
+  val hqTargets: Seq[(Long, Long)] = Seq(1L -> 2L, 9L -> 10L, 99L -> 100L)
+
+  /** Mergeable histogram-quantile sketch over order totalprice — the
+    * third sketch family next to CMS (frequency) and HLL (distinct):
+    * prices in integer cents land in power-of-two buckets (the
+    * binary-string-length identity — no float log), the ~25-row
+    * histogram is the MERGEABLE state (bucket-wise SUM is the union),
+    * and each target quantile reads off the first bucket whose
+    * cumulative count reaches ⌈q·N⌉ — EVERY output column is an exact
+    * integer, so the sketch and its read-off are replayed bit-exactly
+    * by the oracle. The true quantile provably lies in [lo, hi] of
+    * the reported bucket (spec-pinned against the exact percentile);
+    * relative error is bounded by the 2× bucket width.
+    *
+    * Scale shape: one map pass into a ~25-group map-side-combined
+    * aggregate; cumulative counts via a triangular join over the
+    * broadcast histogram (buckets are a constant, never a global
+    * window); targets are a literal cross join.
+    */
+  def histogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.SparkSession
+    val spark0 = spark
+    import spark0.implicits._
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    val hist = Tables(spark, dir, "orders")
+      .select((length(bin(cents)) - 1).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // ~25 rows; feeds total + cumulative + readoff
+    val total = hist.agg(sum(col("n")).as("n_total"))
+    val cum = hist.as("h")
+      .join(broadcast(hist.select(col("bucket").as("b2"), col("n").as("n2"))),
+        col("b2") <= col("h.bucket"))
+      .groupBy(col("h.bucket"))
+      .agg(sum(col("n2")).as("cum_le"))
+    val targets = hqTargets.toDF("q_num", "q_den")
+    hist.join(cum, "bucket")
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(targets))
+      // target rank ⌈q·N⌉ as exact integer arithmetic
+      .withColumn("t_rank",
+        expr("(q_num * n_total + q_den - 1) div q_den"))
+      .filter(col("cum_le") >= col("t_rank"))
+      .groupBy(col("q_num"), col("q_den"), col("t_rank"), col("n_total"))
+      .agg(min(col("bucket")).as("bucket"))
+      .join(hist.select(col("bucket"), col("n").as("bucket_n")), "bucket")
+      .join(cum, "bucket")
+      .select(col("q_num"), col("q_den"), col("n_total"), col("t_rank"),
+        col("bucket"),
+        pow(lit(2.0), col("bucket")).cast("long").as("lo_cents"),
+        (pow(lit(2.0), col("bucket") + 1).cast("long") - 1L).as("hi_cents"),
+        col("bucket_n"), col("cum_le"))
+      .orderBy("q_den", "q_num")
+  }
+
   /** HLL register count m = 2^6 and the per-key word width that
     * remains of the 32-bit md5 slice after the register index.
     */

@@ -217,6 +217,25 @@ class BehaviorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("forecast baseline: periodic series scores zero error except the spike") {
+    val t0 = 1700000000000000L
+    // 48 hours: perfect 24h periodicity (5 events/hour), except hour
+    // 30 doubles to 10
+    val rows = for {
+      h <- 0 until 48
+      i <- 0 until (if (h == 30) 10 else 5)
+    } yield (1L + i, t0 + h * hourUs + i * 1000L, "e")
+    val dir = writeEvents(rows)
+    val r = Behavior.forecastBaseline(spark, dir).collect().head
+    assert(r.getAs[Long]("n_hours") === 48L)
+    assert(r.getAs[Long]("n_scored") === 24L) // hours 24..47 have a -24h obs
+    // only hour 30 errs: |10-5| = 5 -> MAE 5/24; MAPE (5/10)/24
+    assert(r.getAs[Double]("mae") ===
+      BigDecimal(5.0 / 24).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("mape") ===
+      BigDecimal(0.5 / 24).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("anomalies: z matches the direct two-pass formula on the spike hour") {
     val t0 = 1700000000000000L
     val counts = Seq.tabulate(25)(h => if (h < 24) 3 + (h % 5) else 40)

@@ -149,6 +149,42 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("histogram quantiles: brackets the exact quantile; state is mergeable") {
+    import org.apache.spark.sql.functions._
+    val rows = Sketches.histogramQuantiles(spark, dir).collect()
+    assert(rows.length === Sketches.hqTargets.length)
+    val cents = Tables(spark, dir, "orders")
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect().map(_.getLong(0)).sorted
+    rows.foreach { r =>
+      val (qn, qd) = (r.getAs[Long]("q_num"), r.getAs[Long]("q_den"))
+      val tRank = r.getAs[Long]("t_rank")
+      assert(tRank === (qn * cents.length + qd - 1) / qd)
+      // the exact order statistic at the target rank sits inside the
+      // reported bucket
+      val exact = cents(tRank.toInt - 1)
+      assert(exact >= r.getAs[Long]("lo_cents") &&
+        exact <= r.getAs[Long]("hi_cents"),
+        s"q=$qn/$qd exact=$exact bucket=[${r.getAs[Long]("lo_cents")}," +
+          s"${r.getAs[Long]("hi_cents")}]")
+      assert(r.getAs[Long]("cum_le") >= tRank)
+    }
+    // mergeability: bucket-wise SUM of two parity shards' histograms
+    // equals the whole histogram (the union rule a 1000-executor run
+    // applies shard-wise)
+    val orders = Tables(spark, dir, "orders")
+    def histOf(df: org.apache.spark.sql.DataFrame) = df
+      .select((length(bin(expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
+        - 1).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = histOf(orders.filter(col("o_orderkey") % 2 === 0))
+    val b = histOf(orders.filter(col("o_orderkey") % 2 === 1))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged === histOf(orders))
+  }
+
   test("hll estimate: inside the 3-sigma error envelope of exact") {
     val row = Sketches.hllDistinct(spark, dir).collect().head
     val exact = row.getAs[Long]("n_exact").toDouble
