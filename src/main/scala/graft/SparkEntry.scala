@@ -193,6 +193,7 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
     "q_hll_registers" -> (operators.Sketches.hllRegistersQuery _),
     "q_histogram_quantiles" -> (operators.Sketches.histogramQuantiles _),
+    "q_dataset_manifest" -> (operators.Manifest.datasetManifest _),
     "q_forecast_baseline" -> (Behavior.forecastBaseline _),
     "q_hll_distinct" -> (operators.Sketches.hllDistinct _),
     "text_bpe_merges" ->
@@ -2795,6 +2796,32 @@ object SparkEntry {
          |  CAST(min(cells.cnt) AS BIGINT) AS cms_est
          |FROM h JOIN cells ON h.j = cells.j AND h.bucket = cells.bucket
          |GROUP BY 1, 2 ORDER BY token""".stripMargin
+    },
+    "q_dataset_manifest" -> {
+      def fieldSql(n: String, k: String): String = k match {
+        case "i" | "s" => s"COALESCE(CAST($n AS VARCHAR), '')"
+        case "ts" => s"COALESCE(CAST(epoch_us($n) AS VARCHAR), '')"
+        case "m" =>
+          s"COALESCE(CAST(CAST(round(CAST($n AS DOUBLE) * 10000) AS BIGINT)" +
+            " AS VARCHAR), '')"
+        case "emb" =>
+          s"""COALESCE(CAST((SELECT sum(CAST(i AS BIGINT) *
+             |      CAST(round(CAST($n[CAST(i AS INTEGER)] AS DOUBLE) * 10000)
+             |           AS BIGINT))
+             |    FROM unnest(generate_series(1, len($n))) t(i))
+             |  AS VARCHAR), '')""".stripMargin
+      }
+      val hex7dg = (1 to 7).map(p =>
+        s"(strpos('0123456789abcdef', substr(dg, $p, 1)) - 1) * " +
+          s"${1L << (4 * (7 - p))}").mkString(" + ")
+      val unions = operators.Manifest.spec.map { case (t, fs) =>
+        val joined = fs.map { case (n, k) => fieldSql(n, k) }
+          .mkString(" || chr(1) || ")
+        s"""SELECT '$t' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(COALESCE(sum($hex7dg), 0) AS BIGINT) AS checksum
+           |FROM (SELECT md5($joined) AS dg FROM $t)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$unions\nORDER BY table_name"
     },
     "q_histogram_quantiles" -> {
       val targets = operators.Sketches.hqTargets
