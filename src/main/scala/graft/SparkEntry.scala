@@ -152,6 +152,8 @@ object SparkEntry {
     "emb_int8_quant" -> (operators.Quantize.int8Audit _),
     "emb_mrl_topk" -> ((s, d) => operators.Quantize.mrlTopK(s, d)),
     "emb_dim_variance" -> (operators.Quantize.dimVariance _),
+    "emb_label_separation" -> (operators.Quantize.labelSeparation _),
+    "text_novelty" -> (TextAnalysis.noveltyScores _),
     "emb_mrl_overlap" -> (operators.Quantize.mrlOverlap _),
     "emb_srp_signatures" -> (RandomProjection.signatures _),
     "emb_srp_pairs" -> (RandomProjection.pairs _),
@@ -2017,6 +2019,51 @@ object SparkEntry {
         |       FROM unnest(generate_series(1, len(x))) t(i)), 6)
         |    AS recon_err
         |FROM qd ORDER BY vec_id""".stripMargin,
+    "emb_label_separation" ->
+      s"""WITH dims AS (
+         |  SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
+         |    CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+         |  FROM embeddings CROSS JOIN
+         |    generate_series(1, ${operators.Quantize.embeddingDim}) t(i)
+         |  WHERE i <= len(embedding)),
+         |means AS (
+         |  SELECT label, dim, round(sum(x) / count(*), 6) AS m
+         |  FROM dims GROUP BY 1, 2),
+         |memb AS (
+         |  SELECT d.vec_id, d.label,
+         |    round(sqrt(sum((d.x - m.m) * (d.x - m.m))), 4) AS dd
+         |  FROM dims d JOIN means m ON m.label = d.label AND m.dim = d.dim
+         |  GROUP BY 1, 2),
+         |intra AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |    round(avg(dd), 4) AS mean_intra
+         |  FROM memb GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.label AS label_a, b.label AS label_b,
+         |    round(sqrt(sum((a.m - b.m) * (a.m - b.m))), 4) AS centroid_dist
+         |  FROM means a JOIN means b ON a.dim = b.dim AND a.label < b.label
+         |  GROUP BY 1, 2)
+         |SELECT p.label_a, p.label_b, ia.n AS n_a, ib.n AS n_b,
+         |  p.centroid_dist, ia.mean_intra AS intra_a,
+         |  ib.mean_intra AS intra_b,
+         |  round(p.centroid_dist / ((ia.mean_intra + ib.mean_intra) / 2), 4)
+         |    AS separation
+         |FROM pairs p JOIN intra ia ON ia.label = p.label_a
+         |             JOIN intra ib ON ib.label = p.label_b
+         |ORDER BY 1, 2""".stripMargin,
+    "text_novelty" ->
+      """WITH gt AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 8) AS g
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text) - 7)) AS i
+        |        FROM documents WHERE len(text) >= 8)),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM gt GROUP BY 1)
+        |SELECT gt.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN f.first_doc = gt.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN f.first_doc = gt.doc_id THEN 1 ELSE 0 END)
+        |          AS DOUBLE) / count(*), 6) AS novelty
+        |FROM gt JOIN f USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_dim_variance" ->
       s"""WITH e AS (
         |  SELECT CAST(i - 1 AS BIGINT) AS dim,

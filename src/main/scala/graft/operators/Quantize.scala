@@ -170,6 +170,59 @@ object Quantize {
       .orderBy("dim")
   }
 
+  /** Label-separation audit of the embedding space: for every label
+    * pair, the distance between class centroids next to each class's
+    * mean member-to-centroid distance and their ratio — the
+    * classification-readiness diagnostic (separation ≫ 1 ⇒ classes
+    * are linearly separable islands; ≈ 0 under √2·intra ⇒ the labels
+    * are not encoded, which is the honest reading on THIS noise-like
+    * corpus).
+    *
+    * Determinism: per-(label, dim) means are rounded at 6 before
+    * anything reads them; member distances aggregate Σ(x_d−m_d)² over
+    * a broadcast join to the 64·|labels|-row means table (sum noise
+    * ~1e-15, rounded at 4 per member); all downstream numbers divide
+    * already-rounded inputs. No collects — the means stay a TABLE
+    * (broadcast by size), the artifact-as-literal shortcut isn't
+    * needed.
+    *
+    * Scale shape: one posexplode pass into a (labels×64)-group
+    * aggregate; the member-distance pass re-joins that tiny frame
+    * broadcast; pair rows are |labels|² — constant.
+    */
+  def labelSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        col("x").cast("double").as("x"))
+    val means = dims.groupBy("label", "dim")
+      .agg(round(sum(col("x")) / count(lit(1)), 6).as("m"))
+      .localCheckpoint() // labels×64 rows; broadcast into both passes
+    val intra = dims.join(broadcast(means), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(round(sqrt(sum((col("x") - col("m")) * (col("x") - col("m")))), 4)
+        .as("d"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg(col("d")), 4).as("mean_intra"))
+    val pairs = means.as("a")
+      .join(means.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(round(sqrt(sum((col("a.m") - col("b.m")) *
+        (col("a.m") - col("b.m")))), 4).as("centroid_dist"))
+    pairs
+      .join(broadcast(intra.select(col("label").as("label_a"),
+        col("n").as("n_a"), col("mean_intra").as("intra_a"))), "label_a")
+      .join(broadcast(intra.select(col("label").as("label_b"),
+        col("n").as("n_b"), col("mean_intra").as("intra_b"))), "label_b")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("centroid_dist"), col("intra_a"), col("intra_b"),
+        round(col("centroid_dist") /
+          ((col("intra_a") + col("intra_b")) / 2d), 4).as("separation"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** The composed higher-order-function form the kernel replaced —
     * four interpreted lambda passes plus three [[DotProductD]] folds
     * per row, kept as the tri-parity REFERENCE implementation

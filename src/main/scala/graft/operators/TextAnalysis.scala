@@ -444,6 +444,39 @@ object TextAnalysis {
       .orderBy("k")
   }
 
+  /** Per-document n-gram novelty against everything EARLIER in the
+    * corpus (doc_id order = ingest order): the fraction of a doc's
+    * distinct char-8-grams whose FIRST corpus occurrence is this doc.
+    * Early documents score ~1, later near-duplicates ~0 — the novelty
+    * curve a dedup-aware curriculum or ingest monitor reads (a
+    * falling corpus-level curve means the crawl is saturating).
+    *
+    * Exact integers throughout: first occurrence is one min-aggregate
+    * per gram, novelty one rounded division. Scale shape: the gram
+    * table shuffles once on the gram for the min, once on doc_id for
+    * the per-doc counts — both map-side combined; no windows, no
+    * collects, fan-out bounded by document length.
+    */
+  def noveltyScores(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))")))
+          .as("g"))
+      .localCheckpoint() // read by both the firsts and per-doc counts
+    val firsts = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firsts, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** PMI co-occurrence window (token pairs within this many positions). */
   val pmiWindow = 4
 

@@ -363,6 +363,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(top.getAs[Long]("c_xy") >= 8L)
   }
 
+  test("novelty: first doc scores 1.0, an exact copy 0.0, fresh content 1.0") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("novel").toString
+    val a = "completely original first document with its own words " +
+      "stretching long enough to shed many distinct character grams"
+    val c = "another fresh document that shares no phrasing at all with " +
+      "the first one and brings entirely new material to the corpus"
+    Seq((0L, a), (1L, a), (2L, c))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = operators.TextAnalysis.noveltyScores(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("novelty")).toMap
+    assert(out(0L) === 1.0) // everything first-seen
+    assert(out(1L) === 0.0) // exact copy: every gram seen in doc 0
+    assert(out(2L) > 0.9) // fresh text (an incidental shared gram allowed)
+  }
+
   test("rfm segments: balanced deciles, ordered boundaries, code composition") {
     val rows = operators.Analytics.rfmSegments(spark, dir).collect()
     val n = rows.length

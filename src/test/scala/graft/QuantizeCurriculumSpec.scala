@@ -232,6 +232,28 @@ class QuantizeCurriculumSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("variance") - expect) < 1e-5)
   }
 
+  test("label separation: planted separable classes read separation >> 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def vec(center: Int): Array[Float] =
+      Array.tabulate(64)(d =>
+        (if (d == center) 10f else 0f) + rnd.nextFloat() * 0.1f)
+    val rows = (0 until 30).map(i => (i.toLong, vec(0), 0)) ++
+      (30 until 60).map(i => (i.toLong, vec(1), 1))
+    val d = java.nio.file.Files.createTempDirectory("sep").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = Quantize.labelSeparation(spark, d).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getInt(0), r.getInt(1)) === ((0, 1)))
+    assert(r.getAs[Long]("n_a") === 30L && r.getAs[Long]("n_b") === 30L)
+    // centroids ~(10,0,..) vs (0,10,..): distance ~ sqrt(200) = 14.14
+    assert(math.abs(r.getAs[Double]("centroid_dist") - math.sqrt(200)) < 0.5)
+    // intra spread is the 0.1-amplitude noise — far below the gap
+    assert(r.getAs[Double]("separation") > 10)
+  }
+
   test("mrl at sf0.001: overlap bounded and honest on noise-like vectors") {
     val row = Quantize.mrlOverlap(spark, "/root/testdata/sf0.001")
       .collect().head
