@@ -2046,8 +2046,9 @@ object SparkEntry {
          |SELECT p.label_a, p.label_b, ia.n AS n_a, ib.n AS n_b,
          |  p.centroid_dist, ia.mean_intra AS intra_a,
          |  ib.mean_intra AS intra_b,
-         |  round(p.centroid_dist / ((ia.mean_intra + ib.mean_intra) / 2), 4)
-         |    AS separation
+         |  CASE WHEN ia.mean_intra + ib.mean_intra > 0 THEN
+         |    round(p.centroid_dist / ((ia.mean_intra + ib.mean_intra) / 2), 4)
+         |  END AS separation
          |FROM pairs p JOIN intra ia ON ia.label = p.label_a
          |             JOIN intra ib ON ib.label = p.label_b
          |ORDER BY 1, 2""".stripMargin,
@@ -2076,7 +2077,8 @@ object SparkEntry {
         |  FROM e GROUP BY 1),
         |cells AS (
         |  SELECT dim, round(s / n, 6) AS mean,
-        |    round((ss - s * (s / n)) / (n - 1), 6) AS variance
+        |    CASE WHEN n > 1
+        |      THEN round((ss - s * (s / n)) / (n - 1), 6) END AS variance
         |  FROM agg),
         |tot AS (SELECT sum(variance) AS total_var FROM cells),
         |cum AS (

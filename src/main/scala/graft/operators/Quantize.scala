@@ -155,8 +155,11 @@ object Quantize {
         sum(col("x") * col("x")).as("ss"))
       .select(col("dim"),
         round(col("s") / col("n"), 6).as("mean"),
-        round((col("ss") - col("s") * (col("s") / col("n"))) /
-          (col("n") - 1d), 6).as("variance"))
+        // sample variance needs n ≥ 2 — NULL (not an ANSI error) on a
+        // single-vector corpus
+        when(col("n") > 1L,
+          round((col("ss") - col("s") * (col("s") / col("n"))) /
+            (col("n") - 1d), 6)).as("variance"))
       .localCheckpoint() // 64 rows feeding total + triangular join
     val total = cells.agg(sum(col("variance")).as("total_var"))
     val cum = cells.select(col("dim").as("d2"), col("variance").as("v2"))
@@ -218,8 +221,10 @@ object Quantize {
         col("n").as("n_b"), col("mean_intra").as("intra_b"))), "label_b")
       .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
         col("centroid_dist"), col("intra_a"), col("intra_b"),
-        round(col("centroid_dist") /
-          ((col("intra_a") + col("intra_b")) / 2d), 4).as("separation"))
+        // NULL (not an ANSI error) when both classes are point masses
+        when(col("intra_a") + col("intra_b") > 0d,
+          round(col("centroid_dist") /
+            ((col("intra_a") + col("intra_b")) / 2d), 4)).as("separation"))
       .orderBy("label_a", "label_b")
   }
 

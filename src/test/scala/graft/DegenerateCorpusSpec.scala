@@ -66,13 +66,28 @@ class DegenerateCorpusSpec extends SparkSpec {
     "rrf" -> Retrieval.rrfFusion(spark, dir).count(),
     "chunks" -> Sampling.chunkWindows(spark, dir).count(),
     "shuffle_order" -> Sampling.shuffleOrder(spark, dir).count(),
-    "pagerank" -> graft.operators.GraphRank.pagerankDupGraph(spark, dir).count())
+    "pagerank" -> graft.operators.GraphRank.pagerankDupGraph(spark, dir).count(),
+    "triangles" -> graft.operators.GraphRank.triangleStats(spark, dir).count(),
+    "novelty" -> TextAnalysis.noveltyScores(spark, dir).count(),
+    "pmi" -> TextAnalysis.pmiPairs(spark, dir).count(),
+    "lz" -> TextAnalysis.lzComplexity(spark, dir).count(),
+    "length_hist" -> TextAnalysis.lengthHistogram(spark, dir).count(),
+    "split_kl" -> Sampling.splitKlDrift(spark, dir).count(),
+    "edit_verify" -> Dedup.editDistancePairs(spark, dir).count(),
+    "containment" -> Dedup.containmentPairs(spark, dir).count(),
+    "mrl_topk" -> graft.operators.Quantize.mrlTopK(spark, dir).count(),
+    "mrl_overlap" -> graft.operators.Quantize.mrlOverlap(spark, dir).count(),
+    "dim_variance" -> graft.operators.Quantize.dimVariance(spark, dir).count(),
+    "label_sep" -> graft.operators.Quantize.labelSeparation(spark, dir).count(),
+    "weighted_sample" -> Sampling.weightedSample(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
     opCounts(dir).foreach { case (name, n) =>
       // recall/audit rows are global aggregates: one row even when empty
-      val expect = if (Set("srp_recall")(name)) 1L else 0L
+      val expect =
+        if (Set("srp_recall", "triangles", "split_kl", "mrl_overlap")(name)) 1L
+        else 0L
       assert(n === expect, s"$name must be ${expect} on an empty corpus")
     }
   }
@@ -114,6 +129,19 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("chunks") === 1L, "one window covers the lone doc")
     assert(counts("shuffle_order") === 1L)
     assert(counts("pagerank") === 0L, "no overlap pairs, no graph nodes")
+    assert(counts("triangles") === 1L, "census row exists with zero triangles")
+    assert(counts("novelty") === 1L, "the lone doc is all-novel")
+    assert(counts("pmi") === 0L, "no pair reaches the min-count floor")
+    assert(counts("lz") === 1L)
+    assert(counts("length_hist") === 1L, "one occupied length bucket")
+    assert(counts("split_kl") === 1L, "drift summary row exists regardless")
+    Seq("edit_verify", "containment").foreach(n =>
+      assert(counts(n) === 0L, s"$n has no candidate pairs"))
+    assert(counts("mrl_topk") === 0L, "vec_id=7 is not in the query sample")
+    assert(counts("mrl_overlap") === 1L, "audit row exists with 0 queries")
+    assert(counts("dim_variance") === 8L, "one row per fixture dim")
+    assert(counts("label_sep") === 0L, "one label has no pairs")
+    assert(counts("weighted_sample") === 1L)
   }
 
   private def writeEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): String = {
