@@ -2943,8 +2943,9 @@ object SparkEntry {
          |  FROM sk, ex)
          |SELECT CAST($m AS BIGINT) AS m, n_exact, zeros AS n_zero_regs,
          |  est_distinct,
-         |  round(abs(est_distinct - CAST(n_exact AS DOUBLE)) /
-         |        CAST(n_exact AS DOUBLE), 4) AS rel_err
+         |  CASE WHEN n_exact > 0 THEN
+         |    round(abs(est_distinct - CAST(n_exact AS DOUBLE)) /
+         |          CAST(n_exact AS DOUBLE), 4) END AS rel_err
          |FROM es""".stripMargin
     },
     // LZ78 parse replayed character-by-character: each doc steps one

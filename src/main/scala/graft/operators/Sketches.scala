@@ -244,7 +244,9 @@ object Sketches {
     sket.crossJoin(exact)
       .select(lit(hllRegisters.toLong).as("m"), col("n_exact"),
         col("zeros").as("n_zero_regs"), est.as("est_distinct"),
-        round(abs(est - col("n_exact").cast("double")) /
-          col("n_exact").cast("double"), 4).as("rel_err"))
+        // NULL (not an ANSI 0/0) on an empty key table
+        when(col("n_exact") > 0L,
+          round(abs(est - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 4)).as("rel_err"))
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CdcHistory, Dedup, MergeInto, Multimodal, Perceptron, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Behavior, CdcHistory, Dedup, MergeInto, Multimodal, Perceptron, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
@@ -174,5 +174,30 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("asof") === 0L)
     assert(counts("snapshot_diff") === 0L, "both cuts below the only event")
     assert(counts("merge_apply") === 0L)
+  }
+
+  test("empty warehouse: orders/events aggregates degrade, none throws") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("degenerate-wh").toString
+    Seq.empty[(Long, Long, String, Double, java.sql.Timestamp, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/orders.parquet")
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    assert(graft.operators.Analytics.rfmSegments(spark, dir).count() === 0L)
+    // the HLL spine keeps all 64 registers, every ρ = 0; the estimate
+    // row exists with a NULL rel_err (no exact count to compare)
+    val regs = Sketches.hllRegistersQuery(spark, dir).collect()
+    assert(regs.length === Sketches.hllRegisters)
+    assert(regs.forall(_.getLong(1) === 0L))
+    val est = Sketches.hllDistinct(spark, dir).collect().head
+    assert(est.getAs[Long]("n_exact") === 0L)
+    assert(est.isNullAt(est.fieldIndex("rel_err")))
+    assert(Sketches.histogramQuantiles(spark, dir).count() === 0L)
+    assert(Behavior.forecastBaseline(spark, dir).count() === 0L)
+    assert(Behavior.eventTransitions(spark, dir).count() === 0L)
+    assert(Behavior.hourlyAnomalies(spark, dir).count() === 0L)
   }
 }
