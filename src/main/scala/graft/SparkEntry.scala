@@ -194,6 +194,7 @@ object SparkEntry {
     "text_split_kl" -> (Sampling.splitKlDrift _),
     "q_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
     "q_hll_registers" -> (operators.Sketches.hllRegistersQuery _),
+    "q_hll_daily" -> (operators.Sketches.hllDailyUsers _),
     "q_histogram_quantiles" -> (operators.Sketches.histogramQuantiles _),
     "q_dataset_manifest" -> (operators.Manifest.datasetManifest _),
     "q_forecast_baseline" -> (Behavior.forecastBaseline _),
@@ -2921,6 +2922,44 @@ object SparkEntry {
         |    THEN CAST(abs(n - forecast) AS DOUBLE) / CAST(n AS DOUBLE) END),
         |    6) AS mape
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hll_daily" -> {
+      val hex8 = (0 until 8).map(o =>
+        s"(strpos('0123456789abcdef', substr(d, ${1 + o}, 1)) - 1) * " +
+          s"CAST(${1L << (4 * (7 - o))} AS BIGINT)").mkString(" + ")
+      val wordMod = 1L << operators.Sketches.hllWordBits
+      val m = operators.Sketches.hllRegisters
+      val a = operators.Sketches.hllAlpha
+      val raw = s"$a * $m.0 * $m.0 / " +
+        s"(harm_present + ($m.0 - CAST(n_present AS DOUBLE)))"
+      s"""WITH hh AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day, ($hex8) AS h
+         |  FROM (SELECT ts, md5(CAST(user_id AS VARCHAR)) AS d FROM events)),
+         |rr AS (
+         |  SELECT day, h // $wordMod AS reg,
+         |    ${operators.Sketches.rhoSql(s"(h % $wordMod)")} AS rho
+         |  FROM hh),
+         |mx AS (SELECT day, reg, max(rho) AS max_rho FROM rr GROUP BY 1, 2),
+         |sk AS (
+         |  SELECT day, CAST(count(*) AS BIGINT) AS n_present,
+         |    sum(power(2, -max_rho)) AS harm_present
+         |  FROM mx GROUP BY 1),
+         |ex AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM events GROUP BY 1),
+         |es AS (
+         |  SELECT sk.day, ex.n_exact,
+         |    CAST($m - sk.n_present AS BIGINT) AS n_zero_regs,
+         |    round(CASE WHEN $raw <= 2.5 * $m.0 AND $m - n_present > 0
+         |      THEN $m.0 * ln($m.0 / CAST($m - n_present AS DOUBLE))
+         |      ELSE $raw END, 4) AS est_distinct
+         |  FROM sk JOIN ex ON ex.day = sk.day)
+         |SELECT day, n_exact, n_zero_regs, est_distinct,
+         |  CASE WHEN n_exact > 0 THEN
+         |    round(abs(est_distinct - CAST(n_exact AS DOUBLE)) /
+         |          CAST(n_exact AS DOUBLE), 4) END AS rel_err
+         |FROM es ORDER BY day""".stripMargin
+    },
     "q_hll_registers" -> s"""$hllRegsCte
         |SELECT reg, max_rho FROM regs ORDER BY reg""".stripMargin,
     "q_hll_distinct" -> {

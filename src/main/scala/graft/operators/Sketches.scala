@@ -218,6 +218,49 @@ object Sketches {
       .groupBy("reg").agg(max(col("rho")).as("max_rho"))
   }
 
+  /** The GROUPED sketch form — distinct users per day, the shape a
+    * warehouse actually serves ("daily uniques" over billions of
+    * events): registers keyed by (day, register), so state is
+    * O(days·m) regardless of user cardinality, and any day range
+    * rolls up by register-wise MAX before one read-off (the union
+    * property the flat sketch spec proves). Absent registers are ρ=0
+    * by construction (present rows always have ρ ≥ 1), so the
+    * estimate adds (m − present) whole units to the harmonic sum —
+    * no per-day spine join needed. Exact per-day distinct counts ride
+    * alongside for the honesty column; estimate and rel_err are each
+    * one rounded expression over exact dyadic/integer inputs.
+    */
+  def hllDailyUsers(spark: SparkSession, dir: String): DataFrame = {
+    val m = hllRegisters
+    val ev = Tables(spark, dir, "events")
+      .select(expr(s"unix_micros(ts) div ${86400L * 1000 * 1000}L").as("day"),
+        col("user_id"))
+    val h = hllHash(col("user_id"))
+    val regs = ev
+      .select(col("day"), shiftright(h, hllWordBits).as("reg"),
+        rhoExpr(h.bitwiseAND(lit((1L << hllWordBits) - 1))).as("rho"))
+      .groupBy("day", "reg").agg(max(col("rho")).as("max_rho"))
+    val sket = regs.groupBy("day").agg(
+      count(lit(1)).as("n_present"),
+      sum(pow(lit(2.0), -col("max_rho"))).as("harm_present"))
+    val exact = ev.groupBy("day")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val mD = lit(m.toDouble)
+    val harm = col("harm_present") + (mD - col("n_present").cast("double"))
+    val zeros = lit(m.toLong) - col("n_present")
+    val raw = lit(hllAlpha) * mD * mD / harm
+    val est = round(
+      when(raw <= lit(2.5) * mD && zeros > 0L,
+        mD * log(mD / zeros.cast("double"))).otherwise(raw), 4)
+    sket.join(exact, "day")
+      .select(col("day"), col("n_exact"), zeros.as("n_zero_regs"),
+        est.as("est_distinct"),
+        when(col("n_exact") > 0L,
+          round(abs(est - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 4)).as("rel_err"))
+      .orderBy("day")
+  }
+
   /** The estimate read off the registers, next to the exact distinct
     * count it approximates: harmonic-mean estimate αm²/Σ2^(−ρⱼ) with
     * the standard small-range linear-counting correction (m·ln(m/V)

@@ -118,6 +118,41 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("daily hll: day sketches roll up by register-max to the global sketch") {
+    import org.apache.spark.sql.functions._
+    val rows = Sketches.hllDailyUsers(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // per-day estimates stay inside a generous 4-sigma envelope where
+    // the exact count is meaningful (small days are linear-counted)
+    rows.filter(_.getAs[Long]("n_exact") >= 10).foreach { r =>
+      assert(r.getAs[Double]("rel_err") < 4 * 1.04 / 8,
+        s"day ${r.getLong(0)}: ${r.getAs[Double]("rel_err")}")
+    }
+    // union property across GROUPS: max over the per-day registers ==
+    // the flat whole-table registers over the same keys
+    val ev = Tables(spark, dir, "events")
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"),
+        col("user_id"))
+    val flat = Sketches.hllRegistersOf(
+      ev.select(col("user_id").as("k")), "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recompute daily registers via the public flat entry per day,
+    // then merge
+    val days = ev.select("day").distinct().collect().map(_.getLong(0))
+    val merged = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    days.foreach { d =>
+      Sketches.hllRegistersOf(
+        ev.filter(col("day") === d).select(col("user_id").as("k")), "k")
+        .collect().foreach { r =>
+          merged(r.getLong(0)) = math.max(merged(r.getLong(0)), r.getLong(1))
+        }
+    }
+    (0L until Sketches.hllRegisters.toLong).foreach { reg =>
+      assert(merged(reg) === flat(reg), s"register $reg")
+    }
+  }
+
   test("cms streaming cells equal the batch cells on the same tokens") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
