@@ -198,6 +198,7 @@ object SparkEntry {
     "q_histogram_quantiles" -> (operators.Sketches.histogramQuantiles _),
     "q_dataset_manifest" -> (operators.Manifest.datasetManifest _),
     "q_forecast_baseline" -> (Behavior.forecastBaseline _),
+    "q_weekly_profile" -> (Behavior.weeklyProfile _),
     "q_hll_distinct" -> (operators.Sketches.hllDistinct _),
     "text_bpe_merges" ->
       ((s: SparkSession, d: String) => operators.BpeTrainer.train(s, d)),
@@ -2905,6 +2906,16 @@ object SparkEntry {
          |         JOIN cum ON cum.bucket = sel.bucket
          |ORDER BY q_den, q_num""".stripMargin
     },
+    "q_weekly_profile" ->
+      """WITH c AS (
+        |  SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+        |SELECT dow, hour, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / n_total, 6) AS share
+        |FROM c CROSS JOIN t ORDER BY 1, 2""".stripMargin,
     "q_forecast_baseline" ->
       """WITH h AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,

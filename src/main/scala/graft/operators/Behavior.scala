@@ -244,6 +244,31 @@ object Behavior {
       .orderBy("event_type")
   }
 
+  /** Weekly activity profile: event counts per (day-of-week,
+    * hour-of-day) cell with each cell's share — the seasonality
+    * heatmap behind the 24-hour choice in [[hourlyAnomalies]] /
+    * [[forecastBaseline]]. Calendar arithmetic is PURE INTEGER —
+    * dow = (epoch_day + 4) mod 7 (1970-01-01 was a Thursday; 0 =
+    * Sunday), hour = epoch_hour mod 24 — because the engines' own
+    * dayofweek() functions disagree on numbering conventions and
+    * session-timezone interaction; integers can't. One
+    * map-side-combined aggregate into a 168-row frame, the share
+    * denominator a 1-row broadcast.
+    */
+  def weeklyProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir, "events")
+      .groupBy(
+        expr(s"((unix_micros(ts) div ${dayUs}L) + 4) % 7").as("dow"),
+        expr(s"(unix_micros(ts) div ${3600L * 1000 * 1000}L) % 24")
+          .as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum(col("n")).as("n_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hour"), col("n"),
+        round(col("n").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy("dow", "hour")
+  }
+
   /** Frozen per-type anomaly baseline — the O(|event types|) trained
     * artifact the streaming monitor serves with: hour count, Σn, Σn²
     * over the TRAINING table's per-type hourly counts, kept as exact

@@ -236,6 +236,21 @@ class BehaviorSpec extends SparkSpec {
       BigDecimal(0.5 / 24).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("weekly profile: integer calendar puts known instants in the right cell") {
+    // 1700000000s = 2023-11-14T22:13:20Z — a TUESDAY (dow 2, hour 22)
+    val tueUs = 1700000000000000L
+    // exactly five days later: Sunday (dow 0), same hour
+    val sunUs = tueUs + 5 * Behavior.dayUs
+    val dir = writeEvents(Seq(
+      (1L, tueUs, "e"), (2L, tueUs, "e"), (3L, sunUs, "e")))
+    val out = Behavior.weeklyProfile(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("share")))).toMap
+    assert(out.keySet === Set((2L, 22L), (0L, 22L)))
+    assert(out((2L, 22L)) === ((2L, 0.666667)))
+    assert(out((0L, 22L)) === ((1L, 0.333333)))
+  }
+
   test("anomalies: z matches the direct two-pass formula on the spike hour") {
     val t0 = 1700000000000000L
     val counts = Seq.tabulate(25)(h => if (h < 24) 3 + (h % 5) else 40)
