@@ -97,6 +97,7 @@ object SparkEntry {
     "q_corr_above_avg" -> (Analytics.aboveAvgOrders _),
     "q_percentiles" -> (Analytics.orderPercentiles _),
     "q_stats_orders" -> (Analytics.orderStats _),
+    "q_spend_gini" -> (Analytics.spendGini _),
     "q_series_correlation" -> (Analytics.seriesCorrelation _),
     "q_daily_reconciliation" -> (Analytics.dailyReconciliation _),
     "q_range_join_tiers" -> (Analytics.priceTierSummary _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "emb_int8_quant" -> (operators.Quantize.int8Audit _),
     "emb_mrl_topk" -> ((s, d) => operators.Quantize.mrlTopK(s, d)),
     "emb_dim_variance" -> (operators.Quantize.dimVariance _),
+    "emb_centroid_drift" -> (operators.Quantize.centroidDrift _),
     "emb_label_separation" -> (operators.Quantize.labelSeparation _),
     "text_novelty" -> (TextAnalysis.noveltyScores _),
     "emb_mrl_overlap" -> (operators.Quantize.mrlOverlap _),
@@ -2067,6 +2069,27 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN f.first_doc = gt.doc_id THEN 1 ELSE 0 END)
         |          AS DOUBLE) / count(*), 6) AS novelty
         |FROM gt JOIN f USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "emb_centroid_drift" ->
+      s"""WITH dims AS (
+         |  SELECT (vec_id % 2 = 0) AS old_half, CAST(i - 1 AS BIGINT) AS dim,
+         |    CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+         |  FROM embeddings CROSS JOIN
+         |    generate_series(1, ${operators.Quantize.embeddingDim}) t(i)
+         |  WHERE i <= len(embedding)),
+         |means AS (
+         |  SELECT old_half, dim, CAST(count(*) AS BIGINT) AS n,
+         |    round(sum(x) / count(*), 6) AS m
+         |  FROM dims GROUP BY 1, 2),
+         |o AS (SELECT dim, n AS n_old_dims, m AS m_old
+         |      FROM means WHERE old_half),
+         |w AS (SELECT dim, n AS n_new_dims, m AS m_new
+         |      FROM means WHERE NOT old_half)
+         |SELECT CAST(min(n_old_dims) AS BIGINT) AS n_old,
+         |  CAST(min(n_new_dims) AS BIGINT) AS n_new,
+         |  round(sqrt(sum((m_old - m_new) * (m_old - m_new))), 4)
+         |    AS centroid_dist,
+         |  round(max(abs(m_old - m_new)), 6) AS max_dim_drift
+         |FROM o JOIN w USING (dim)""".stripMargin,
     "emb_dim_variance" ->
       s"""WITH e AS (
         |  SELECT CAST(i - 1 AS BIGINT) AS dim,
@@ -2565,6 +2588,26 @@ object SparkEntry {
         |  round(CAST(n_docs AS DOUBLE) / td, 6) AS doc_share,
         |  round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share
         |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin,
+    "q_spend_gini" ->
+      """WITH per AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT s, CAST(row_number() OVER (ORDER BY s, o_custkey)
+        |    AS BIGINT) AS i
+        |  FROM per),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(s) AS DOUBLE) AS total_spend,
+        |    CAST(sum(CAST(i AS DECIMAL(20,0)) * s) AS DOUBLE)
+        |      AS rank_weighted
+        |  FROM r)
+        |SELECT n_customers, round(total_spend, 4) AS total_spend,
+        |  round(2.0 * rank_weighted /
+        |        (CAST(n_customers AS DOUBLE) * total_spend) -
+        |        CAST(n_customers + 1 AS DOUBLE) /
+        |        CAST(n_customers AS DOUBLE), 6) AS gini
+        |FROM a""".stripMargin,
     "q_rfm_segments" ->
       """WITH per AS (
         |  SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us,

@@ -513,6 +513,34 @@ object Analytics {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy("k_mod")
 
+  /** Gini coefficient of customer spend — the concentration audit
+    * behind "do 20% of customers drive 80% of revenue": with spends
+    * s₁ ≤ … ≤ sₙ (ties broken on custkey),
+    * G = 2·Σ i·sᵢ / (n·Σ sᵢ) − (n+1)/n. The rank is [[Ranks.global]]
+    * over the customer-reduced frame (never an ntile window); both
+    * sums are EXACT DECIMALS (rank·spend products stay inside
+    * DECIMAL(38,4) to ~10⁹ customers at TPC-H magnitudes — widen past
+    * that), and the only float is the final two-term expression,
+    * rounded at 6.
+    */
+  def spendGini(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("s"))
+    val ranked = Ranks.global(per, "i", col("s").asc, col("o_custkey"))
+    ranked.agg(
+      count(lit(1)).as("n_customers"),
+      sum(col("s")).cast("double").as("total_spend"),
+      sum(col("i").cast(DecimalType(20, 0)) * col("s")).cast("double")
+        .as("rank_weighted"))
+      .select(col("n_customers"), round(col("total_spend"), 4)
+          .as("total_spend"),
+        round(lit(2.0) * col("rank_weighted") /
+          (col("n_customers").cast("double") * col("total_spend")) -
+          (col("n_customers") + 1L).cast("double") /
+            col("n_customers").cast("double"), 6).as("gini"))
+  }
+
   /** RFM customer segmentation — the classic warehouse cohorting:
     * per customer, Recency (last order, integer micros), Frequency
     * (order count), Monetary (DECIMAL-summed spend), each cut into

@@ -173,6 +173,38 @@ object Quantize {
       .orderBy("dim")
   }
 
+  /** Embedding distribution drift between two corpus halves (vec_id
+    * parity as the deterministic stand-in for old/new ingest
+    * batches): distance between the halves' global centroids plus the
+    * largest single-dimension shift — the drift monitor an embedding
+    * pipeline runs before trusting a model trained on the old half to
+    * serve the new one (the embedding analog of the token-KL split
+    * audit). Per-(half, dim) means are ROUNDED at 6 before the
+    * comparison reads them; the distance is one rounded sqrt over 64
+    * exact-ish differences. One posexplode pass into a 2×64-group
+    * aggregate; everything downstream is constant-sized.
+    */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables(spark, dir, "embeddings")
+      .select((col("vec_id") % 2 === 0).as("old_half"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("old_half"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+    val means = dims.groupBy("old_half", "dim")
+      .agg(count(lit(1)).as("n"), round(sum(col("x")) / count(lit(1)), 6).as("m"))
+    val o = means.filter(col("old_half"))
+      .select(col("dim"), col("n").as("n_old_dims"), col("m").as("m_old"))
+    val nw = means.filter(!col("old_half"))
+      .select(col("dim"), col("n").as("n_new_dims"), col("m").as("m_new"))
+    o.join(nw, "dim")
+      .agg(
+        (min(col("n_old_dims"))).as("n_old"),
+        (min(col("n_new_dims"))).as("n_new"),
+        round(sqrt(sum((col("m_old") - col("m_new")) *
+          (col("m_old") - col("m_new")))), 4).as("centroid_dist"),
+        round(max(abs(col("m_old") - col("m_new"))), 6).as("max_dim_drift"))
+  }
+
   /** Label-separation audit of the embedding space: for every label
     * pair, the distance between class centroids next to each class's
     * mean member-to-centroid distance and their ratio — the

@@ -336,6 +336,29 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(math.abs(hist.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-4)
   }
 
+  test("gini: equal spends read ~0, a monopolist reads ~(n-1)/n") {
+    import spark.implicits._
+    def writeOrders(spends: Seq[Double]): String = {
+      val d = java.nio.file.Files.createTempDirectory("gini").toString
+      spends.zipWithIndex.map { case (s, i) =>
+        (i.toLong, i.toLong, "O", s,
+          new java.sql.Timestamp(1700000000000L), "1-URGENT")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$d/orders.parquet")
+      d
+    }
+    val equal = operators.Analytics.spendGini(
+      spark, writeOrders(Seq.fill(10)(100.0))).collect().head
+    assert(equal.getAs[Long]("n_customers") === 10L)
+    assert(math.abs(equal.getAs[Double]("gini")) < 1e-9)
+    // 9 customers at ~0, one at 1000: G -> (n-1)/n = 0.9 (approached
+    // from below as the small spends vanish)
+    val skewed = operators.Analytics.spendGini(
+      spark, writeOrders(Seq.fill(9)(0.01) :+ 1000.0)).collect().head
+    assert(math.abs(skewed.getAs[Double]("gini") - 0.9) < 1e-3)
+  }
+
   test("pmi pairs: a planted exclusive collocation tops the ranking") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -254,6 +254,24 @@ class QuantizeCurriculumSpec extends SparkSpec {
     assert(r.getAs[Double]("separation") > 10)
   }
 
+  test("centroid drift: a planted shift in one dimension is localized and sized") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("drift").toString
+    // even ids (old half) at the origin, odd ids (new half) shifted
+    // +1.0 in dim 3 only — expect centroid_dist = max_dim_drift = 1.0
+    val rows = (0L until 40L).map { i =>
+      val v = Array.fill(64)(0.5f)
+      if (i % 2 == 1) v(3) = 1.5f
+      (i, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val r = Quantize.centroidDrift(spark, d).collect().head
+    assert(r.getAs[Long]("n_old") === 20L && r.getAs[Long]("n_new") === 20L)
+    assert(r.getAs[Double]("centroid_dist") === 1.0)
+    assert(r.getAs[Double]("max_dim_drift") === 1.0)
+  }
+
   test("mrl at sf0.001: overlap bounded and honest on noise-like vectors") {
     val row = Quantize.mrlOverlap(spark, "/root/testdata/sf0.001")
       .collect().head
