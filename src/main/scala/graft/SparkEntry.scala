@@ -111,6 +111,7 @@ object SparkEntry {
     "q_sessionize" -> ((s: SparkSession, d: String) => Temporal.sessionize(s, d)),
     "q_funnel_conversion" -> (Behavior.funnelConversion _),
     "q_retention_cohorts" -> (Behavior.retentionCohorts _),
+    "q_ltv_triangle" -> (Behavior.ltvTriangle _),
     "q_event_transitions" -> (Behavior.eventTransitions _),
     "q_hourly_anomalies" -> (Behavior.hourlyAnomalies _),
     "q_salted_join" -> (Skew.saltedSupplierRevenue _),
@@ -1578,6 +1579,31 @@ object SparkEntry {
          |  END AS conv_pct
          |FROM s ORDER BY stage_idx""".stripMargin,
     // integer epoch-week arithmetic; retained_pct one rounded division
+    "q_ltv_triangle" ->
+      s"""WITH ew AS (
+         |  SELECT user_id, value,
+         |    (epoch_us(ts) // ${operators.Behavior.dayUs}) // 7 AS week
+         |  FROM events),
+         |f AS (SELECT user_id, min(week) AS cohort_week FROM ew GROUP BY 1),
+         |sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+         |       FROM f GROUP BY 1),
+         |cells AS (
+         |  SELECT f.cohort_week, ew.week - f.cohort_week AS week_offset,
+         |    sum(CAST(ew.value AS DECIMAL(18,4))) AS v
+         |  FROM ew JOIN f ON ew.user_id = f.user_id
+         |  GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT a.cohort_week, a.week_offset, a.v, sum(b.v) AS cum
+         |  FROM cells a JOIN cells b
+         |    ON b.cohort_week = a.cohort_week
+         |   AND b.week_offset <= a.week_offset
+         |  GROUP BY 1, 2, 3)
+         |SELECT c.cohort_week, c.week_offset, s.cohort_size,
+         |  CAST(c.v AS DOUBLE) AS period_value,
+         |  CAST(c.cum AS DOUBLE) AS cum_value,
+         |  round(CAST(c.cum AS DOUBLE) / s.cohort_size, 4) AS ltv_per_user
+         |FROM cum c JOIN sz s ON s.cohort_week = c.cohort_week
+         |ORDER BY 1, 2""".stripMargin,
     "q_retention_cohorts" ->
       s"""WITH ew AS (
          |  SELECT user_id,

@@ -119,6 +119,46 @@ object Behavior {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Cohort LTV triangle — the VALUE-weighted companion to
+    * [[retentionCohorts]]: per (cohort week, week offset), the
+    * cohort's event value that period, the running cumulative value,
+    * and cumulative value per cohort member — the lifetime-value
+    * curve a growth model calibrates against. Sums are
+    * order-independent DECIMALs cast to double at the edge (the
+    * `dsum` discipline); the cumulative is a triangular join over the
+    * weeks²-row cell frame (a constant at any corpus scale — never a
+    * window over user-level data); per-member LTV is one rounded
+    * division by the exact cohort size.
+    */
+  def ltvTriangle(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    val ew = Tables(spark, dir, "events")
+      .select(col("user_id"), col("value"),
+        expr(s"(unix_micros(ts) div ${dayUs}L) div 7").as("week"))
+    val firstw = ew.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizes = firstw.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = ew.join(firstw, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(sum(col("value").cast(dec)).as("v"))
+      .localCheckpoint() // weeks² rows; feeds itself triangularly
+    val cum = cells.as("a")
+      .join(broadcast(cells.select(col("cohort_week"),
+        col("week_offset").as("o2"), col("v").as("v2"))),
+        Seq("cohort_week"))
+      .filter(col("o2") <= col("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"), col("v"))
+      .agg(sum(col("v2")).as("cum"))
+    cum.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        col("v").cast("double").as("period_value"),
+        col("cum").cast("double").as("cum_value"),
+        round(col("cum").cast("double") / col("cohort_size"), 4)
+          .as("ltv_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** First-order Markov transition matrix over each user's event
     * stream: how often event type A is immediately followed by B
     * within the same user, with the row-conditional transition

@@ -236,6 +236,31 @@ class BehaviorSpec extends SparkSpec {
       BigDecimal(0.5 / 24).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("ltv triangle: cumulative value accrues per cohort and divides by size") {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    val weekUs = 7 * dayUs
+    // cohort A (week 0): users 1,2 — week 0 value 10+20, week 1 value 5
+    // cohort B (week 1): user 3 — week 1 value 7
+    val rows = Seq(
+      (0L, t0, 1L, "e", 10.0, "{}"), (1L, t0, 2L, "e", 20.0, "{}"),
+      (2L, t0 + weekUs, 1L, "e", 5.0, "{}"),
+      (3L, t0 + weekUs, 3L, "e", 7.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("ltv").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Behavior.ltvTriangle(spark, dir).collect()
+      .map(r => (r.getLong(0) - t0 / weekUs, r.getLong(1)) ->
+        ((r.getAs[Long]("cohort_size"), r.getAs[Double]("period_value"),
+          r.getAs[Double]("cum_value"), r.getAs[Double]("ltv_per_user"))))
+      .toMap
+    assert(out.keySet === Set((0L, 0L), (0L, 1L), (1L, 0L)))
+    assert(out((0L, 0L)) === ((2L, 30.0, 30.0, 15.0)))
+    assert(out((0L, 1L)) === ((2L, 5.0, 35.0, 17.5)))
+    assert(out((1L, 0L)) === ((1L, 7.0, 7.0, 7.0)))
+  }
+
   test("weekly profile: integer calendar puts known instants in the right cell") {
     // 1700000000s = 2023-11-14T22:13:20Z — a TUESDAY (dow 2, hour 22)
     val tueUs = 1700000000000000L
