@@ -157,6 +157,7 @@ object SparkEntry {
     "emb_centroid_drift" -> (operators.Quantize.centroidDrift _),
     "emb_label_separation" -> (operators.Quantize.labelSeparation _),
     "text_novelty" -> (TextAnalysis.noveltyScores _),
+    "text_bigram_entropy" -> (TextAnalysis.bigramEntropy _),
     "emb_mrl_overlap" -> (operators.Quantize.mrlOverlap _),
     "emb_srp_signatures" -> (RandomProjection.signatures _),
     "emb_srp_pairs" -> (RandomProjection.pairs _),
@@ -2082,6 +2083,28 @@ object SparkEntry {
          |FROM pairs p JOIN intra ia ON ia.label = p.label_a
          |             JOIN intra ib ON ib.label = p.label_b
          |ORDER BY 1, 2""".stripMargin,
+    "text_bigram_entropy" ->
+      """WITH b AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bg
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text) - 1)) AS i
+        |        FROM documents WHERE len(text) >= 2)),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_distinct
+        |  FROM c GROUP BY 1),
+        |ts AS (
+        |  SELECT c.doc_id, ag.n, ag.n_distinct,
+        |    list((CAST(c.c AS DOUBLE) / CAST(ag.n AS DOUBLE)) *
+        |         ln(CAST(c.c AS DOUBLE) / CAST(ag.n AS DOUBLE))
+        |         ORDER BY c.bg) AS terms
+        |  FROM c JOIN ag ON ag.doc_id = c.doc_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, n AS n_bigrams, n_distinct,
+        |  round(-list_reduce(list_prepend(CAST(0 AS DOUBLE), terms),
+        |        (acc, x) -> acc + x), 4) AS entropy
+        |FROM ts ORDER BY doc_id""".stripMargin,
     "text_novelty" ->
       """WITH gt AS (
         |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 8) AS g

@@ -444,6 +444,42 @@ object TextAnalysis {
       .orderBy("k")
   }
 
+  /** Per-document character-bigram Shannon entropy — the
+    * gibberish/keyboard-mash detector that complements the word-level
+    * quality rules: natural text sits in a mid-entropy band, repeated
+    * characters ("aaaa…") read near 0, and uniform random characters
+    * read near the log of the alphabet size. H = −Σ p·ln p over the
+    * doc's bigram distribution, with the float terms folded in SORTED
+    * BIGRAM ORDER per document (doc-bounded arrays — the unigram-NLL
+    * discipline; no unordered float sum), counts exact integers,
+    * H rounded at 4.
+    *
+    * Scale shape: one explode into a (doc, bigram) map-side-combined
+    * reduction, then a per-doc collect of its own bounded bigram list
+    * — state bounded by document length, never corpus-wide.
+    */
+  def bigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val withTotals = bigrams.groupBy("doc_id")
+      .agg(sum(col("c")).as("n"),
+        sort_array(collect_list(struct(col("bg"), col("c")))).as("cs"))
+    withTotals
+      .select(col("doc_id"), col("n").as("n_bigrams"),
+        size(col("cs")).cast("long").as("n_distinct"),
+        round(-aggregate(col("cs"), lit(0.0d),
+          (acc, x) => acc + (x.getField("c").cast("double") /
+            col("n").cast("double")) *
+            log(x.getField("c").cast("double") / col("n").cast("double"))), 4)
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document n-gram novelty against everything EARLIER in the
     * corpus (doc_id order = ingest order): the fraction of a doc's
     * distinct char-8-grams whose FIRST corpus occurrence is this doc.

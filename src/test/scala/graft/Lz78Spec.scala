@@ -56,6 +56,34 @@ class Lz78Spec extends SparkSpec {
     assert(kernel(diverse) <= diverse.length)
   }
 
+  test("bigram entropy: bands order mash < prose < random; exact on a known doc") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("entropy").toString
+    val rnd = new scala.util.Random(3)
+    val mash = "a" * 400
+    val prose = ("the quick brown fox jumps over the lazy dog and keeps " +
+      "running through fields of tall grass toward the river ") * 4
+    val random = Array.fill(400)(('a' + rnd.nextInt(26)).toChar).mkString
+    Seq((0L, mash), (1L, prose), (2L, random), (3L, "ababab"))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = operators.TextAnalysis.bigramEntropy(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("entropy")))).toMap
+    // "aaaa…": one bigram type, entropy exactly 0
+    assert(out(0L) === ((399L, 1L, 0.0)))
+    // ordering: mash < prose < random
+    assert(out(1L)._3 > 0.0 && out(1L)._3 < out(2L)._3)
+    // "ababab": bigrams ab,ba,ab,ba,ab -> p = (3/5, 2/5), H exact
+    val h = -(3.0 / 5 * math.log(3.0 / 5) + 2.0 / 5 * math.log(2.0 / 5))
+    assert(out(3L)._1 === 5L && out(3L)._2 === 2L)
+    assert(math.abs(out(3L)._3 -
+      BigDecimal(h).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      < 1e-9)
+  }
+
   test("query: ratio column, null on empty, SQL function registered, codegen") {
     val out = TextAnalysis.lzComplexity(spark, dir)
     val rows = out.collect()
