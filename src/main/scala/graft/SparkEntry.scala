@@ -161,6 +161,7 @@ object SparkEntry {
     "emb_mrl_overlap" -> (operators.Quantize.mrlOverlap _),
     "emb_srp_signatures" -> (RandomProjection.signatures _),
     "emb_srp_pairs" -> (RandomProjection.pairs _),
+    "emb_srp_degree" -> (RandomProjection.srpDegreeHistogram _),
     "emb_srp_recall" -> (RandomProjection.recall _),
     "emb_srp_incremental" -> (RandomProjection.incremental _),
     "emb_jl_topk" -> ((s, d) => RandomProjection.jlTopK(s, d)),
@@ -2228,6 +2229,38 @@ object SparkEntry {
          |SELECT vec_id, sig AS srp_sig, sig % $srpBandMod AS band_lo,
          |  sig // $srpBandMod AS band_hi
          |FROM srp_sigs ORDER BY vec_id""".stripMargin,
+    "emb_srp_degree" ->
+      s"""WITH $srpSigCtes,
+         |bands AS (
+         |  SELECT vec_id, 0 AS band, sig % $srpBandMod AS key FROM srp_sigs
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS band, sig // $srpBandMod AS key FROM srp_sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+         |pp AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id, ${cosSql("ea.embedding", "eb.embedding")}
+         |      AS cos
+         |    FROM cand JOIN embeddings ea ON ea.vec_id = cand.a_id
+         |              JOIN embeddings eb ON eb.vec_id = cand.b_id) s
+         |  WHERE cos >= ${operators.RandomProjection.srpTau}),
+         |deg AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS degree
+         |  FROM (SELECT a_id AS id FROM pp UNION ALL SELECT b_id FROM pp)
+         |  GROUP BY 1),
+         |hist AS (
+         |  SELECT degree, CAST(count(*) AS BIGINT) AS n_vecs
+         |  FROM deg GROUP BY 1),
+         |z AS (
+         |  SELECT CAST(0 AS BIGINT) AS degree,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings) -
+         |    (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vecs)
+         |SELECT degree, n_vecs FROM z WHERE n_vecs > 0
+         |UNION ALL
+         |SELECT degree, n_vecs FROM hist
+         |ORDER BY degree""".stripMargin,
     "emb_srp_pairs" ->
       s"""WITH $srpSigCtes,
          |bands AS (

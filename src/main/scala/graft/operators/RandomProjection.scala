@@ -138,6 +138,31 @@ object RandomProjection {
       .orderBy("a_id", "b_id")
   }
 
+  /** Degree distribution of the verified near-duplicate graph — the
+    * shape audit behind a dedup rollout decision: a heavy tail (hub
+    * documents duplicated across the crawl) calls for cluster-level
+    * survivors, a flat low-degree profile for simple pair drops.
+    * Degree 0 (isolated vectors — the clean majority) is reported
+    * explicitly from the corpus count, so the histogram masses sum to
+    * the corpus. All counts exact integers; the histogram is
+    * O(max degree) rows.
+    */
+  def srpDegreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val p = pairs(spark, dir).select("a_id", "b_id").localCheckpoint()
+    val deg = p.select(col("a_id").as("id"))
+      .unionByName(p.select(col("b_id").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_vecs"))
+    val total = Tables(spark, dir, "embeddings")
+      .agg(count(lit(1)).as("n_total"))
+    val inGraph = deg.agg(count(lit(1)).as("n_in_graph"))
+    val zeroRow = total.crossJoin(broadcast(inGraph))
+      .select(lit(0L).as("degree"),
+        (col("n_total") - col("n_in_graph")).as("n_vecs"))
+      .filter(col("n_vecs") > 0L)
+    zeroRow.unionByName(hist).orderBy("degree")
+  }
+
   /** Incremental SRP dedup — the arriving-shard form of [[pairs]]:
     * vectors of a new batch (vec_id ≡ 5 mod 11, the deterministic
     * stand-in for "today's shard") are checked against the existing

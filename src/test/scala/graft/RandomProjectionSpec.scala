@@ -1,4 +1,5 @@
 package graft
+// (degree-histogram conservation test appended at the end of this spec)
 
 import graft.operators.RandomProjection
 import org.apache.spark.sql.functions._
@@ -215,5 +216,20 @@ class RandomProjectionSpec extends SparkSpec {
       .count()
     assert(hits <= 4, s"$hits of $n near-orthogonal pairs collided — " +
       "banding has lost its selectivity")
+  }
+
+  test("degree histogram: conserves the corpus and the pair mass") {
+    import org.apache.spark.sql.functions._
+    val hist = RandomProjection.srpDegreeHistogram(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // every vector appears in exactly one degree bucket
+    assert(hist.map(_._2).sum ===
+      Tables(spark, dir, "embeddings").count())
+    // handshake: Σ degree·count = 2 × pairs
+    val nPairs = RandomProjection.pairs(spark, dir).count()
+    assert(hist.map { case (d, n) => d * n }.sum === 2 * nPairs)
+    // buckets are unique and sorted
+    assert(hist.map(_._1).toSeq === hist.map(_._1).toSeq.sorted)
+    assert(hist.map(_._1).distinct.length === hist.length)
   }
 }
