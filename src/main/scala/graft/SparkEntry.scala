@@ -2163,8 +2163,10 @@ object SparkEntry {
         |       JOIN cells c2 ON c2.dim <= c.dim
         |  GROUP BY 1, 2, 3, 4)
         |SELECT dim, mean, variance,
-        |  round(variance / total_var, 6) AS var_share,
-        |  round(cum_var / total_var, 6) AS cum_share
+        |  CASE WHEN total_var > 0 THEN round(variance / total_var, 6)
+        |  END AS var_share,
+        |  CASE WHEN total_var > 0 THEN round(cum_var / total_var, 6)
+        |  END AS cum_share
         |FROM cum ORDER BY dim""".stripMargin,
     "emb_mrl_topk" ->
       s"""WITH q AS (
@@ -2651,7 +2653,8 @@ object SparkEntry {
          |       JOIN m my ON my.t = c.y
          |       CROSS JOIN n
          |WHERE c.c_xy >= ${operators.TextAnalysis.pmiMinCount}
-         |ORDER BY pmi DESC, x, y LIMIT 50""".stripMargin
+         |ORDER BY pmi DESC, x, y
+         |LIMIT ${operators.TextAnalysis.pmiTopK}""".stripMargin
     },
     "text_length_histogram" ->
       """WITH d AS (
@@ -2685,10 +2688,12 @@ object SparkEntry {
         |      AS rank_weighted
         |  FROM r)
         |SELECT n_customers, round(total_spend, 4) AS total_spend,
-        |  round(2.0 * rank_weighted /
-        |        (CAST(n_customers AS DOUBLE) * total_spend) -
-        |        CAST(n_customers + 1 AS DOUBLE) /
-        |        CAST(n_customers AS DOUBLE), 6) AS gini
+        |  CASE WHEN n_customers > 0 AND total_spend <> 0 THEN
+        |    round(2.0 * rank_weighted /
+        |          (CAST(n_customers AS DOUBLE) * total_spend) -
+        |          CAST(n_customers + 1 AS DOUBLE) /
+        |          CAST(n_customers AS DOUBLE), 6)
+        |  END AS gini
         |FROM a""".stripMargin,
     "q_rfm_segments" ->
       """WITH per AS (

@@ -10,7 +10,8 @@ import org.apache.spark.sql.types.IntegerType
 /** SQL surface for graft's native Catalyst expressions: exposes
   * `ngram_minhash_md5`, `ngram_minhash_affine`, `rolling_hash`,
   * `dot_product_d`, `winnow`, `window_hashes`, `int8_quant_stats`,
-  * and `lz78_phrase_count` to `spark.sql(...)` users, so the
+  * `lz78_phrase_count`, and `bigram_entropy_stats` to
+  * `spark.sql(...)` users, so the
   * engine's custom kernels are first-class functions, not
   * Column-API-only.
   *
@@ -73,6 +74,10 @@ object GraftFunctions {
     "lz78_phrase_count" -> { args =>
       arity("lz78_phrase_count", args, 1)
       Lz78PhraseCount(args(0))
+    },
+    "bigram_entropy_stats" -> { args =>
+      arity("bigram_entropy_stats", args, 1)
+      BigramEntropyStats(args(0))
     },
   )
 

@@ -535,10 +535,15 @@ object Analytics {
         .as("rank_weighted"))
       .select(col("n_customers"), round(col("total_spend"), 4)
           .as("total_spend"),
-        round(lit(2.0) * col("rank_weighted") /
-          (col("n_customers").cast("double") * col("total_spend")) -
-          (col("n_customers") + 1L).cast("double") /
-            col("n_customers").cast("double"), 6).as("gini"))
+        // empty warehouse: n = 0 and total_spend NULL would make the
+        // (n+1)/n term a non-null 1/0 — an ANSI double-division error,
+        // not a NULL — so the whole expression sits behind a lazy
+        // CASE branch (mirrored in the oracle)
+        when(col("n_customers") > 0L && col("total_spend") =!= 0d,
+          round(lit(2.0) * col("rank_weighted") /
+            (col("n_customers").cast("double") * col("total_spend")) -
+            (col("n_customers") + 1L).cast("double") /
+              col("n_customers").cast("double"), 6)).as("gini"))
   }
 
   /** RFM customer segmentation — the classic warehouse cohorting:

@@ -168,8 +168,13 @@ object Quantize {
       .groupBy(col("dim"), col("mean"), col("variance"), col("total_var"))
       .agg(sum(col("v2")).as("cum_var"))
       .select(col("dim"), col("mean"), col("variance"),
-        round(col("variance") / col("total_var"), 6).as("var_share"),
-        round(col("cum_var") / col("total_var"), 6).as("cum_share"))
+        // a constant corpus (≥2 identical vectors) has total_var = 0.0
+        // — non-null, so the share divisions would be ANSI 0/0 errors;
+        // NULL shares behind a lazy CASE branch instead (oracle mirrors)
+        when(col("total_var") > 0d,
+          round(col("variance") / col("total_var"), 6)).as("var_share"),
+        when(col("total_var") > 0d,
+          round(col("cum_var") / col("total_var"), 6)).as("cum_share"))
       .orderBy("dim")
   }
 

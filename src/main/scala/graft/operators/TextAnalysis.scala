@@ -450,35 +450,31 @@ object TextAnalysis {
     * characters ("aaaa…") read near 0, and uniform random characters
     * read near the log of the alphabet size. H = −Σ p·ln p over the
     * doc's bigram distribution, with the float terms folded in SORTED
-    * BIGRAM ORDER per document (doc-bounded arrays — the unigram-NLL
+    * BIGRAM ORDER per document (doc-bounded state — the unigram-NLL
     * discipline; no unordered float sum), counts exact integers,
     * H rounded at 4.
     *
-    * Scale shape: one explode into a (doc, bigram) map-side-combined
-    * reduction, then a per-doc collect of its own bounded bigram list
-    * — state bounded by document length, never corpus-wide.
+    * Scale shape: entropy needs only each document's OWN characters,
+    * so the whole computation is ONE codegen'd kernel pass per row
+    * ([[graft.functions.BigramEntropyStats]] — histogram + sorted
+    * p·ln p fold fused, state bounded by the document) with ZERO
+    * exchanges; the only shuffle left is the presentation sort. This
+    * replaced the round-9 explode form, which shuffled every bigram
+    * OCCURRENCE into a corpus×(len−1)-row (doc, bigram) reduction for
+    * a per-document answer — no corpus-sized shuffle to die on at
+    * 100×, and the float fold is bit-identical (the kernel replays
+    * the same sorted-order p·ln p sequence the composed form folded).
     */
-  def bigramEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val bigrams = Tables(spark, dir, "documents")
+  def bigramEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
       .filter(length(col("text")) >= 2)
       .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-          .as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-    val withTotals = bigrams.groupBy("doc_id")
-      .agg(sum(col("c")).as("n"),
-        sort_array(collect_list(struct(col("bg"), col("c")))).as("cs"))
-    withTotals
-      .select(col("doc_id"), col("n").as("n_bigrams"),
-        size(col("cs")).cast("long").as("n_distinct"),
-        round(-aggregate(col("cs"), lit(0.0d),
-          (acc, x) => acc + (x.getField("c").cast("double") /
-            col("n").cast("double")) *
-            log(x.getField("c").cast("double") / col("n").cast("double"))), 4)
-          .as("entropy"))
+        graft.functions.BigramEntropyStats(col("text")).as("st"))
+      .select(col("doc_id"),
+        col("st.n_bigrams").as("n_bigrams"),
+        col("st.n_distinct").as("n_distinct"),
+        round(-col("st.plogp_sum"), 4).as("entropy"))
       .orderBy("doc_id")
-  }
 
   /** Per-document n-gram novelty against everything EARLIER in the
     * corpus (doc_id order = ingest order): the fraction of a doc's
@@ -488,10 +484,25 @@ object TextAnalysis {
     * falling corpus-level curve means the crawl is saturating).
     *
     * Exact integers throughout: first occurrence is one min-aggregate
-    * per gram, novelty one rounded division. Scale shape: the gram
-    * table shuffles once on the gram for the min, once on doc_id for
-    * the per-doc counts — both map-side combined; no windows, no
-    * collects, fan-out bounded by document length.
+    * per gram, novelty one rounded division.
+    *
+    * Scale shape — and why there is NO gram-keyed join: each gram is
+    * novel for exactly its min-doc, so n_novel(d) is just a COUNT of
+    * the firsts table grouped by first_doc — the round-9 formulation's
+    * `grams ⋈ firsts` join back onto the corpus-sized gram table
+    * (which serialized a hot reducer whenever one boilerplate gram
+    * recurred across much of the corpus, and leaned on AQE skew
+    * splitting that its fused aggregate plan could not even match) is
+    * gone. What remains: two map-side-combined aggregates over the
+    * gram table — the hot gram is ABSORBED by partial aggregation
+    * (every mapper emits one pre-combined row per gram, so the hot
+    * key arrives at its reducer as ~numMappers rows, not corpus
+    * rows; the planted hot-gram spec pins this shape) — and a join
+    * of two doc-cardinality frames on doc_id, balanced by
+    * construction. TRUE COST, stated plainly: the `localCheckpoint`
+    * MATERIALIZES the full exploded distinct-8-gram table (~8× the
+    * corpus text bytes) to executor disk — the price of feeding both
+    * aggregates from one explode instead of recomputing it.
     */
   def noveltyScores(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables(spark, dir, "documents")
@@ -501,15 +512,15 @@ object TextAnalysis {
           "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))")))
           .as("g"))
       .localCheckpoint() // read by both the firsts and per-doc counts
-    val firsts = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
-    grams.join(firsts, "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_grams"), 6)
-          .as("novelty"))
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novelPerDoc = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novelPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("novelty"))
       .orderBy("doc_id")
   }
 
@@ -518,6 +529,11 @@ object TextAnalysis {
 
   /** Minimum pair count for a PMI estimate (rare-pair PMI is noise). */
   val pmiMinCount = 5L
+
+  /** Default top-k cut for [[pmiPairs]] — shared with the driver
+    * oracle's LIMIT so the two cannot drift.
+    */
+  val pmiTopK = 50
 
   /** Top strongly-associated token pairs by pointwise mutual
     * information over sliding windows: each position pairs with the
@@ -537,7 +553,7 @@ object TextAnalysis {
     * (vocab²-bounded, far below corpus) and broadcast back with the
     * 1-row total.
     */
-  def pmiPairs(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+  def pmiPairs(spark: SparkSession, dir: String, k: Int = pmiTopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), posexplode(tokens(col("text")))

@@ -144,6 +144,25 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("weighted_sample") === 1L)
   }
 
+  test("constant corpus: zero total variance yields NULL shares, not ANSI 0/0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("degenerate-const").toString
+    // ≥2 IDENTICAL embeddings: every per-dim sample variance is 0.0,
+    // so total_var is a NON-NULL 0.0 and the share divisions would be
+    // ANSI 0/0 errors without the CASE guard
+    Seq(1L, 2L, 3L).map(id => (id, (0 until 8).map(_ => 0.5f), s"l${id % 3}"))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    val rows = graft.operators.Quantize.dimVariance(spark, dir).collect()
+    assert(rows.length === 8L, "one row per fixture dim")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("variance") === 0.0)
+      assert(r.isNullAt(r.fieldIndex("var_share")))
+      assert(r.isNullAt(r.fieldIndex("cum_share")))
+    }
+  }
+
   private def writeEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("degenerate-ev").toString
@@ -187,6 +206,12 @@ class DegenerateCorpusSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
     assert(graft.operators.Analytics.rfmSegments(spark, dir).count() === 0L)
+    // gini's (n+1)/n term is a non-null 1/0 on an empty warehouse —
+    // must degrade to a NULL gini behind its CASE guard, not ANSI-throw
+    val gini = graft.operators.Analytics.spendGini(spark, dir).collect()
+    assert(gini.length === 1L, "gini audit row exists even when empty")
+    assert(gini.head.getAs[Long]("n_customers") === 0L)
+    assert(gini.head.isNullAt(gini.head.fieldIndex("gini")))
     // the HLL spine keeps all 64 registers, every ρ = 0; the estimate
     // row exists with a NULL rel_err (no exact count to compare)
     val regs = Sketches.hllRegistersQuery(spark, dir).collect()
