@@ -556,10 +556,18 @@ object Analytics {
     * threshold (one-ULP boundary flips cross-engine) — the
     * rank-bucket discipline from the unigram-NLL fix.
     *
-    * Scale shape: one orders reduction keyed on custkey, then three
-    * range-partitioned rank passes over the CUSTOMER frame (already
-    * corpus-reduced) and a 1-row broadcast count; the wide row stays
-    * five narrow columns.
+    * Scale shape: one orders reduction keyed on custkey, materialized
+    * ONCE (`localCheckpoint`), then ALL THREE rank orders in ONE
+    * staged pass ([[Ranks.globalTagged]]): the three skinny (custkey,
+    * tag, metric) projections union into a 3n-row frame
+    * range-partitioned on (tag, metric desc, custkey) — the round-9
+    * chained form staged, materialized, and offset-collected the
+    * whole (progressively wider) frame three separate times. The
+    * metrics ride one shared DOUBLE column: epoch micros (< 2⁵³) and
+    * order counts are exactly representable, so the double sort order
+    * IS the typed sort order. Ranks pivot back per customer in one
+    * map-side-combined aggregate and join the base on custkey; the
+    * denominator is a 1-row broadcast off the same base.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables(spark, dir, "orders")
@@ -569,11 +577,22 @@ object Analytics {
       .agg(max(unix_micros(col("o_orderdate").cast("timestamp"))).as("last_us"),
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast(dec)).cast("double").as("monetary"))
-    val r1 = Ranks.global(per, "r_rank", col("last_us").desc, col("o_custkey"))
-    val r2 = Ranks.global(r1, "f_rank", col("freq").desc, col("o_custkey"))
-    val r3 = Ranks.global(r2, "m_rank", col("monetary").desc, col("o_custkey"))
-    val n = r3.agg(count(lit(1)).as("n_cust"))
-    r3.crossJoin(broadcast(n))
+      .localCheckpoint() // three tag projections + count + final join
+    def tagged(metric: String, t: String): DataFrame =
+      per.select(col("o_custkey"), lit(t).as("t"),
+        col(metric).cast("double").as("v"))
+    val ranked = Ranks.globalTagged(
+      tagged("last_us", "r")
+        .unionByName(tagged("freq", "f"))
+        .unionByName(tagged("monetary", "m")),
+      "t", "rk", col("v").desc, col("o_custkey").asc)
+    val ranks = ranked.groupBy("o_custkey").agg(
+      max(when(col("t") === "r", col("rk"))).as("r_rank"),
+      max(when(col("t") === "f", col("rk"))).as("f_rank"),
+      max(when(col("t") === "m", col("rk"))).as("m_rank"))
+    val n = per.agg(count(lit(1)).as("n_cust"))
+    per.join(ranks, "o_custkey")
+      .crossJoin(broadcast(n))
       .select(col("o_custkey"), col("last_us"), col("freq"), col("monetary"),
         expr("((r_rank - 1) * 10) div n_cust + 1").as("r_decile"),
         expr("((f_rank - 1) * 10) div n_cust + 1").as("f_decile"),

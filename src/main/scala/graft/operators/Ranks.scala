@@ -57,6 +57,45 @@ object Ranks {
       .drop("__pid", "__lrn", "__off")
   }
 
+  /** Several independent total orders ranked in ONE staged pass: the
+    * input carries a TAG column naming which order each row belongs
+    * to (e.g. three skinny (custkey, tag, metric) projections unioned
+    * for an RFM triple-rank), and the frame is range-partitioned on
+    * (tag, order...) — tags occupy contiguous partition runs, a
+    * partition may straddle a tag boundary, so both the per-partition
+    * counts and the local window key on (partition, tag). One
+    * repartitionByRange, ONE localCheckpoint, ONE bounded
+    * (numPartitions × tags)-row offsets collect, one window pass —
+    * where N chained [[global]] calls would stage, materialize, and
+    * collect N times over the same base frame.
+    *
+    * `order` must be total within every tag (tie-break on a unique
+    * id), same contract as [[global]].
+    */
+  def globalTagged(df: DataFrame, tagCol: String, rankCol: String,
+                   order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val staged = df
+      .repartitionByRange(nParts, (col(tagCol).asc +: order): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = staged.groupBy(col("__pid"), col(tagCol))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets = counts.groupBy(_._2).toSeq.flatMap { case (t, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).map { case (p, _, n) => val o = acc; acc += n; (p, t, o) }
+    }
+    val offDf = offsets.toDF("__pid", tagCol, "__off")
+    val local = Window.partitionBy(col("__pid"), col(tagCol)).orderBy(order: _*)
+    staged.withColumn("__lrn", row_number().over(local).cast("long"))
+      .join(broadcast(offDf), Seq("__pid", tagCol))
+      .withColumn(rankCol, col("__off") + col("__lrn"))
+      .drop("__pid", "__lrn", "__off")
+  }
+
   /** Exact `row_number` under (score DESC, id ASC) for a BOUNDED frame
     * (a TakeOrdered output — tens to hundreds of rows) with no window
     * at all: rank(x) = 1 + |{y : y.score > x.score ∨ (y.score = x.score
