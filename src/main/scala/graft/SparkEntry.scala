@@ -228,6 +228,8 @@ object SparkEntry {
     "mm_media_meta" -> (Multimodal.mediaMeta _),
     "mm_frame_index" -> (Multimodal.frameIndex _),
     "mm_video_frames" -> (Multimodal.videoFrameIndex _),
+    "mm_dhash" -> (Multimodal.dhashIndex _),
+    "mm_dhash_pairs" -> (Multimodal.dhashPairs _),
   )
 
   /** DuckDB shingle CTE shared by the minhash oracles: char 8-grams. */
@@ -263,6 +265,35 @@ object SparkEntry {
     val slices = (b * operators.Dedup.rowsPerBand until
       (b + 1) * operators.Dedup.rowsPerBand).map(j => s"h$j").mkString(" || ")
     s"SELECT doc_id, $b AS band, md5($slices) AS key FROM sigs"
+  }.mkString("\n  UNION ALL\n  ")
+
+  /** dHash pixel-row digests: row r = md5 of the concatenated MinHash
+    * slice pair (h(2r), h(2r+1)) — mirrors
+    * [[graft.operators.Multimodal.imagesFromSignatures]].
+    */
+  private val dhashRowDigestCols = (0 until operators.Multimodal.dhashH)
+    .map(r => s"md5(h${2 * r} || h${2 * r + 1}) AS d$r")
+
+  /** One 32-bit dHash half as a sum of bit weights. Bit (r,c) compares
+    * adjacent pixel BYTES, i.e. adjacent lowercase-hex PAIRS
+    * lexicographically — hex encoding is order-preserving, so no
+    * hex→int conversion is needed on the oracle side.
+    */
+  private def dhashHalfExpr(rows: Range, base: Int): String =
+    rows.flatMap { r =>
+      (0 until 8).map { c =>
+        val weight = 1L << ((r - base) * 8 + c)
+        s"(CASE WHEN substr(d$r, ${2 * c + 1}, 2) < substr(d$r, ${2 * c + 3}, 2) THEN $weight ELSE 0 END)"
+      }
+    }.mkString(" + ")
+
+  /** Multi-index bands over the 64-bit dHash: 4 × 16-bit substrings
+    * (bands 0–1 from `lo`, 2–3 from `hi`) — mirrors
+    * [[graft.operators.Multimodal.dhashPairs]].
+    */
+  private val dhashBandsCte = (0 until operators.Multimodal.dhashBands).map { b =>
+    val half = if (b < 2) "lo" else "hi"
+    s"SELECT doc_id, hi, lo, $b AS band, ($half >> ${(b % 2) * 16}) & 65535 AS key FROM hsh"
   }.mkString("\n  UNION ALL\n  ")
 
   /** Wide (production-width) MinHash oracle chain ending in
@@ -3282,5 +3313,42 @@ object SparkEntry {
         |  CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INTEGER) AS width,
         |  CAST(octet_length(CAST(text AS BLOB)) % 480 + 1 AS INTEGER) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+    // dHash replayed arithmetically: pixel row r of the synthesized
+    // 9×8 grayscale PNG is md5(h(2r) || h(2r+1)) over the MinHash
+    // slices; a dHash bit compares adjacent BYTES, which equals
+    // comparing adjacent lowercase-HEX PAIRS lexicographically (hex
+    // encoding is order-preserving), so the oracle never needs a
+    // hex→int conversion. PNG is lossless, so the Spark side's real
+    // ImageIO encode→decode must reproduce exactly these bits.
+    "mm_dhash" ->
+      s"""$sigsCte,
+         |px AS (
+         |  SELECT doc_id, ${dhashRowDigestCols.mkString(", ")}
+         |  FROM sigs)
+         |SELECT doc_id AS media_id,
+         |  CAST(${dhashHalfExpr(4 until 8, 4)} AS BIGINT) AS dhash_hi,
+         |  CAST(${dhashHalfExpr(0 until 4, 0)} AS BIGINT) AS dhash_lo
+         |FROM px ORDER BY media_id""".stripMargin,
+    "mm_dhash_pairs" ->
+      s"""$sigsCte,
+         |px AS (
+         |  SELECT doc_id, ${dhashRowDigestCols.mkString(", ")}
+         |  FROM sigs),
+         |hsh AS (
+         |  SELECT doc_id,
+         |    CAST(${dhashHalfExpr(4 until 8, 4)} AS BIGINT) AS hi,
+         |    CAST(${dhashHalfExpr(0 until 4, 0)} AS BIGINT) AS lo
+         |  FROM px),
+         |bands AS (
+         |  $dhashBandsCte),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+         |         AS INTEGER) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, hamming FROM cand
+         |WHERE hamming <= ${operators.Multimodal.dhashHammingMax}
+         |ORDER BY a_id, b_id""".stripMargin,
   )
 }

@@ -71,7 +71,7 @@ object Dedup {
   /** Signature pass without the presentation sort — what downstream
     * operators (LSH banding) consume; the sort is oracle-output only.
     */
-  private def signaturesUnsorted(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def signaturesUnsorted(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .filter(length(col("text")) >= 8)
       .withColumn("sig",

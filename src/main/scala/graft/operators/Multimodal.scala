@@ -494,4 +494,188 @@ object Multimodal {
         col("content").cast("string").as("frame_md5"))
       .orderBy("media_id", "frame_idx")
   }
+
+  // ——— perceptual-hash image dedup (dHash) ———————————————————————————
+
+  /** dHash geometry: the canonical 9×8 grayscale grid — 8 rows of 8
+    * "is the left pixel darker than its right neighbour" bits = a
+    * 64-bit perceptual fingerprint (Krawetz's difference hash). Split
+    * into two 32-bit halves so neither side of the oracle ever sums
+    * into a sign bit.
+    */
+  val dhashW = 9
+  val dhashH = 8
+
+  /** Hamming-candidate banding: the 64 bits split into 4 × 16-bit
+    * substrings (multi-index hashing, Norouzi et al. 2012) — images
+    * sharing any exact 16-bit substring become a candidate pair. By
+    * pigeonhole this is exact for Hamming ≤ 3; beyond that recall is
+    * probabilistic exactly like MinHash-LSH banding. At 100 TB the
+    * bucket population per 16-bit key is N/65536 per band — for
+    * billion-image corpora widen to 8 × 16-bit substrings over a
+    * 128-bit hash (the same plan shape, more bands) rather than
+    * enlarging buckets.
+    */
+  val dhashBands = 4
+
+  /** Verify threshold on the full 64-bit Hamming distance: ≤ 16 keeps
+    * pairs whose source documents share ≳ 12 of their 16 MinHash
+    * slices (each differing slice-pair rerolls one 8-bit pixel row ≈ 4
+    * expected bit flips); exact duplicates land at distance 0.
+    */
+  val dhashHammingMax = 16
+
+  /** Synthesize a REAL 9×8 grayscale PNG per document whose pixel rows
+    * derive from the doc's MinHash slices: row r's 9 bytes are the
+    * leading bytes of `md5(h(2r) ‖ h(2r+1))` over the k=16 signature
+    * of [[Dedup.minhashSignatures]]. Near-duplicate texts share most
+    * slices, so their images share most pixel rows — a faithful
+    * simulation of "visually similar images" that a SQL oracle can
+    * still derive arithmetically. PNG is lossless and 8-bit grayscale
+    * round-trips byte-exact through `javax.imageio`, so the REAL
+    * encode→decode below preserves oracle parity. No binary image
+    * testdata ships in the harness; this is the perceptual-hash analog
+    * of [[videoFromDocuments]].
+    */
+  def imagesFromSignatures(sigs: DataFrame): Dataset[MediaRow] = {
+    import sigs.sparkSession.implicits._
+    val rowDigests = (0 until dhashH).map { r =>
+      md5(concat(col(s"h${2 * r}"), col(s"h${2 * r + 1}"))).as(s"d$r")
+    }
+    sigs.select(col("doc_id") +: rowDigests: _*)
+      .as[(Long, String, String, String, String, String, String, String, String)]
+      .mapPartitions { rows =>
+        rows.map { t =>
+          val digests = Array(t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9)
+          val img = new java.awt.image.BufferedImage(
+            dhashW, dhashH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var r = 0
+          while (r < dhashH) {
+            var c = 0
+            while (c < dhashW) {
+              val hexPair = digests(r).substring(2 * c, 2 * c + 2)
+              raster.setSample(c, r, 0, Integer.parseInt(hexPair, 16))
+              c += 1
+            }
+            r += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          // explicit memory-cached stream: ImageIO's default write path
+          // spools every call through a disk-backed cache file — per-row
+          // temp-file churn that costs more than the codec itself
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          javax.imageio.ImageIO.write(img, "png", ios)
+          ios.flush()
+          MediaRow(t._1, "image", bos.toByteArray)
+        }
+      }
+  }
+
+  /** A 64-bit perceptual hash as two sign-safe 32-bit halves. */
+  case class DhashRow(media_id: Long, dhash_hi: Long, dhash_lo: Long)
+
+  /** REAL-codec dHash: ImageIO decode → (if not already 9×8) bilinear
+    * resample to the dHash grid → difference bits off the raster. Bit
+    * (r,c) = 1 iff pixel (r,c) < pixel (r,c+1); bits 0–31 (rows 0–3)
+    * pack into `lo`, bits 32–63 (rows 4–7) into `hi`, each a
+    * non-negative 32-bit value in a long. Undecodable payloads yield
+    * None — the same graceful-degradation contract as
+    * [[decodeImages]]. Narrow per-partition work, no shuffle.
+    */
+  def dhash64(content: Array[Byte]): Option[(Long, Long)] = {
+    try {
+      // memory-cached input stream for the same reason as the encode
+      // side: the InputStream overload spools through a temp FILE per
+      // call when ImageIO's disk cache is enabled (the default)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val src = javax.imageio.ImageIO.read(iis)
+      if (src == null) return None
+      val gray =
+        if (src.getWidth == dhashW && src.getHeight == dhashH &&
+            src.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) src
+        else {
+          val out = new java.awt.image.BufferedImage(
+            dhashW, dhashH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, dhashW, dhashH, null)
+          g.dispose()
+          out
+        }
+      val raster = gray.getRaster
+      var lo = 0L
+      var hi = 0L
+      var r = 0
+      while (r < dhashH) {
+        var c = 0
+        while (c < dhashW - 1) {
+          if (raster.getSample(c, r, 0) < raster.getSample(c + 1, r, 0)) {
+            val idx = r * 8 + c
+            if (idx < 32) lo |= 1L << idx
+            else hi |= 1L << (idx - 32)
+          }
+          c += 1
+        }
+        r += 1
+      }
+      Some((lo, hi))
+    } catch { case _: Exception => None }
+  }
+
+  /** Per-image perceptual hashes over the synthesized corpus: MinHash
+    * signatures (codegen'd kernel, one shuffle) → PNG encode → REAL
+    * ImageIO decode → dHash — the encode AND decode both run the true
+    * codec, and PNG losslessness is what carries oracle parity.
+    */
+  private def dhashTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imagesFromSignatures(Dedup.signaturesUnsorted(spark, dir))
+      .mapPartitions { rows =>
+        rows.flatMap { m =>
+          dhash64(m.content).map { case (lo, hi) => DhashRow(m.media_id, hi, lo) }
+        }
+      }.toDF()
+  }
+
+  /** Driver-checkable dHash index: `media_id, dhash_hi, dhash_lo`. The
+    * DuckDB oracle rebuilds both halves from the MinHash-slice md5
+    * arithmetic — hex-pair lexicographic comparison equals byte
+    * comparison because lowercase hex encoding is order-preserving —
+    * so a hash match certifies the full PNG encode→decode→raster-walk
+    * path bit-for-bit.
+    */
+  def dhashIndex(spark: SparkSession, dir: String): DataFrame =
+    dhashTable(spark, dir).orderBy("media_id")
+
+  /** Near-duplicate image pairs: multi-index banding (4 × 16-bit
+    * substrings → equi-join, never all-pairs) then exact 64-bit
+    * Hamming verify ≤ [[dhashHammingMax]]. The same
+    * candidates-then-verify shape as [[Dedup.lshCandidatePairs]]:
+    * bucket join scales as Σ bucket², the verify is O(candidates).
+    */
+  def dhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val hsh = dhashTable(spark, dir).localCheckpoint()
+    val bands = (0 until dhashBands).map { b =>
+      val half = if (b < 2) col("dhash_lo") else col("dhash_hi")
+      hsh.select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
+        lit(b).as("band"),
+        shiftright(half, (b % 2) * 16).bitwiseAND(lit(65535L)).as("key"))
+    }.reduce(_.unionAll(_))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+        (bit_count(col("a.dhash_hi").bitwiseXOR(col("b.dhash_hi"))) +
+         bit_count(col("a.dhash_lo").bitwiseXOR(col("b.dhash_lo"))))
+          .cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= dhashHammingMax)
+      .orderBy("a_id", "b_id")
+  }
 }

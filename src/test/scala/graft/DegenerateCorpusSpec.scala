@@ -79,7 +79,9 @@ class DegenerateCorpusSpec extends SparkSpec {
     "mrl_overlap" -> graft.operators.Quantize.mrlOverlap(spark, dir).count(),
     "dim_variance" -> graft.operators.Quantize.dimVariance(spark, dir).count(),
     "label_sep" -> graft.operators.Quantize.labelSeparation(spark, dir).count(),
-    "weighted_sample" -> Sampling.weightedSample(spark, dir).count())
+    "weighted_sample" -> Sampling.weightedSample(spark, dir).count(),
+    "dhash" -> Multimodal.dhashIndex(spark, dir).count(),
+    "dhash_pairs" -> Multimodal.dhashPairs(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -142,6 +144,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("dim_variance") === 8L, "one row per fixture dim")
     assert(counts("label_sep") === 0L, "one label has no pairs")
     assert(counts("weighted_sample") === 1L)
+    assert(counts("dhash") === 1L, "the lone doc's image hashes")
+    assert(counts("dhash_pairs") === 0L, "no pair universe with one image")
   }
 
   test("constant corpus: zero total variance yields NULL shares, not ANSI 0/0") {
