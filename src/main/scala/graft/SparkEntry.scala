@@ -179,6 +179,7 @@ object SparkEntry {
     "text_pii_signals" -> (TextAnalysis.piiSignals _),
     "text_heavy_hitters" -> (TextAnalysis.heavyHitters _),
     "text_unigram_nll" -> (TextAnalysis.unigramNll _),
+    "text_bigram_nll" -> (TextAnalysis.bigramNll _),
     "text_quality_classifier" -> (operators.Perceptron.classifier _),
     "text_repetition" -> (TextAnalysis.repetitionSignals _),
     "text_winnow_pairs" -> (TextAnalysis.winnowPassagePairs _),
@@ -2855,6 +2856,53 @@ object SparkEntry {
         |  END AS bucket
         |FROM scored
         |ORDER BY doc_id""".stripMargin,
+    // stupid-backoff bigram LM (Brants et al. 2007): trained on the
+    // even-doc_id half, scores the odd half — unseen bigrams take the
+    // add-one-floored backoff α·(uni+1)/(N+V+1); counts all derive
+    // from the one bigram reduction; ordered fold (prev, tok) asc
+    "text_bigram_nll" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, string_split(trim(text), ' ') AS t
+         |  FROM documents WHERE len(string_split(trim(text), ' ')) >= 2),
+         |bi AS (
+         |  SELECT doc_id, lang, t[CAST(i AS INTEGER)] AS prev,
+         |         t[CAST(i AS INTEGER) + 1] AS tok
+         |  FROM toks, unnest(generate_series(1, len(t) - 1)) s(i)),
+         |tf AS (
+         |  SELECT doc_id, lang, prev, tok, count(*) AS tf
+         |  FROM bi GROUP BY doc_id, lang, prev, tok),
+         |lm2 AS (
+         |  SELECT lang, prev, tok, sum(tf) AS cnt2
+         |  FROM tf WHERE doc_id % 2 = 0 GROUP BY lang, prev, tok),
+         |ctx AS (SELECT lang, prev, sum(cnt2) AS c_ctx FROM lm2 GROUP BY lang, prev),
+         |uni AS (SELECT lang, tok, sum(cnt2) AS c_uni FROM lm2 GROUP BY lang, tok),
+         |tot AS (SELECT lang, sum(cnt2) AS n_total,
+         |               count(DISTINCT tok) AS vocab FROM lm2 GROUP BY lang),
+         |term AS (
+         |  SELECT f.doc_id, f.lang, f.prev, f.tok, f.tf,
+         |    CASE WHEN lm2.cnt2 IS NOT NULL
+         |      THEN CAST(f.tf AS DOUBLE) *
+         |        ln(CAST(lm2.cnt2 AS DOUBLE) / CAST(ctx.c_ctx AS DOUBLE))
+         |      ELSE CAST(f.tf AS DOUBLE) * ln(
+         |        ${operators.TextAnalysis.backoffAlpha} *
+         |          (CAST(COALESCE(uni.c_uni, 0) AS DOUBLE) + 1.0) /
+         |          (CAST(COALESCE(tot.n_total, 0) AS DOUBLE) +
+         |           CAST(COALESCE(tot.vocab, 0) AS DOUBLE) + 1.0))
+         |    END AS ll,
+         |    CASE WHEN lm2.cnt2 IS NULL THEN f.tf ELSE 0 END AS bk
+         |  FROM tf f
+         |  LEFT JOIN lm2 ON f.lang = lm2.lang AND f.prev = lm2.prev AND f.tok = lm2.tok
+         |  LEFT JOIN ctx ON f.lang = ctx.lang AND f.prev = ctx.prev
+         |  LEFT JOIN uni ON f.lang = uni.lang AND f.tok = uni.tok
+         |  LEFT JOIN tot ON f.lang = tot.lang
+         |  WHERE f.doc_id % 2 = 1)
+         |SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(bk) AS BIGINT) AS n_backoff,
+         |  round(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(ll ORDER BY prev, tok)), (acc, x) -> acc + x)
+         |    / sum(tf), 4) AS nll
+         |FROM term GROUP BY doc_id, lang
+         |ORDER BY doc_id""".stripMargin,
     "q_token_budget_mix" ->
       s"""WITH d AS (
          |  SELECT lang, doc_id,

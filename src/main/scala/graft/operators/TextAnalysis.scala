@@ -639,4 +639,79 @@ object TextAnalysis {
         when(col("n_chars") > 0,
           round(col("lz_phrases").cast("double") / col("n_chars"), 6)))
       .orderBy("doc_id")
+
+  /** Stupid-backoff weight (Brants et al. 2007 use 0.4; the score is a
+    * ranking quantity, not a normalized probability).
+    */
+  val backoffAlpha = 0.4
+
+  /** Bigram-LM perplexity scoring with stupid backoff (Brants et al.
+    * 2007, "Large Language Models in Machine Translation") — the
+    * sequence-aware upgrade over [[unigramNll]] and the shape of the
+    * CCNet/KenLM perplexity filter: a bigram model trained on a
+    * REFERENCE half of the corpus (even doc_ids, the stand-in for
+    * "clean wiki text") scores the OTHER half, so unseen bigrams
+    * genuinely take the backoff path instead of the train-on-self
+    * degeneracy where every bigram is known.
+    *
+    * Counts all derive from ONE bigram reduction over the train half:
+    * context counts ctx(w₁) = Σ_w₂ C(w₁w₂) (so S(·|w₁) sums to 1 over
+    * seen successors) and continuation-style unigram counts
+    * uni(w₂) = Σ_w₁ C(w₁w₂) for the backoff. Seen: S = C(w₁w₂)/ctx(w₁)
+    * (ctx ≥ C ≥ 1 — division safe). Unseen:
+    * S = α·(uni(w₂)+1)/(N+V+1) — the add-one floor keeps ln() away
+    * from zero for OOV words, and a language absent from the train
+    * half degrades to ln(α), never a throw.
+    *
+    * Scale shape (100 TB): the (doc, prev, tok, tf) reduction is
+    * map-side combined and checkpointed once; the LM (bigram-types ×
+    * lang) aggregates FROM it; scoring is two corpus-sized equi-joins
+    * (LM on (lang,prev,tok), backoff unigram on (lang,tok)) plus a
+    * 1-row-per-lang broadcast — no window, no collect. Per-token
+    * log-scores are summed by the ordered fold ((prev, tok) asc — ties
+    * carry equal ll) and rounded at 4, the [[unigramNll]] float
+    * discipline.
+    */
+  def bigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1), " +
+          "(t, i) -> struct(t AS prev, toks[i + 1] AS tok))")).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.prev"), col("b.tok"))
+      .groupBy("doc_id", "lang", "prev", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val lm2 = tf.filter(col("doc_id") % 2 === 0)
+      .groupBy("lang", "prev", "tok").agg(sum(col("tf")).as("cnt2"))
+      .localCheckpoint()
+    val ctx = lm2.groupBy("lang", "prev").agg(sum(col("cnt2")).as("c_ctx"))
+    val uni = lm2.groupBy("lang", "tok").agg(sum(col("cnt2")).as("c_uni"))
+    val tot = lm2.groupBy("lang").agg(sum(col("cnt2")).as("n_total"),
+      countDistinct(col("tok")).as("vocab"))
+    val lmb = lm2.join(ctx, Seq("lang", "prev"))
+    val term = tf.filter(col("doc_id") % 2 === 1)
+      .join(lmb, Seq("lang", "prev", "tok"), "left")
+      .join(uni, Seq("lang", "tok"), "left")
+      .join(broadcast(tot), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("prev"), col("tok"), col("tf"),
+        when(col("cnt2").isNotNull,
+          col("tf").cast("double") *
+            log(col("cnt2").cast("double") / col("c_ctx").cast("double")))
+          .otherwise(col("tf").cast("double") * log(
+            lit(backoffAlpha) *
+              (coalesce(col("c_uni"), lit(0L)).cast("double") + 1.0) /
+              (coalesce(col("n_total"), lit(0L)).cast("double") +
+                coalesce(col("vocab"), lit(0L)).cast("double") + 1.0)))
+          .as("ll"),
+        when(col("cnt2").isNull, col("tf")).otherwise(lit(0L)).as("bk"))
+    term.groupBy("doc_id", "lang")
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("bk")).as("n_backoff"),
+        sort_array(collect_list(struct(col("prev"), col("tok"), col("ll"))))
+          .as("xs"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("n_backoff"),
+        round(-aggregate(col("xs"), lit(0.0),
+          (acc, x) => acc + x.getField("ll")) / col("n_bigrams"), 4).as("nll"))
+      .orderBy("doc_id")
+  }
 }

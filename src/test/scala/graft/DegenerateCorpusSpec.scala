@@ -81,7 +81,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     "label_sep" -> graft.operators.Quantize.labelSeparation(spark, dir).count(),
     "weighted_sample" -> Sampling.weightedSample(spark, dir).count(),
     "dhash" -> Multimodal.dhashIndex(spark, dir).count(),
-    "dhash_pairs" -> Multimodal.dhashPairs(spark, dir).count())
+    "dhash_pairs" -> Multimodal.dhashPairs(spark, dir).count(),
+    "bigram_nll" -> TextAnalysis.bigramNll(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -146,6 +147,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("weighted_sample") === 1L)
     assert(counts("dhash") === 1L, "the lone doc's image hashes")
     assert(counts("dhash_pairs") === 0L, "no pair universe with one image")
+    assert(counts("bigram_nll") === 1L,
+      "odd lone doc scores against an empty train half — all backoff, no throw")
   }
 
   test("constant corpus: zero total variance yields NULL shares, not ANSI 0/0") {
