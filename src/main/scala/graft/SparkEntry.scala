@@ -139,6 +139,7 @@ object SparkEntry {
     "ann_brute_force" -> (Similarity.bruteForceTopK _),
     "ann_bucketed" -> (Similarity.bucketedTopK _),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "emb_cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
     "ann_recall" -> (Similarity.bucketedRecall _),
     "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "ann_ivf_recall_np1" -> ((s, d) => Similarity.ivfRecall(s, d, nprobe = 1)),
@@ -1976,6 +1977,18 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
          |  FROM iv_pairs) t
          |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    // cluster-balanced sample: final trained assignment (asg2), then a
+    // per-cell quota picked by the deterministic md5(vec_id) order
+    "emb_cluster_sample" ->
+      s"""WITH $ivfTrainCtes,
+         |smp AS (
+         |  SELECT cell, vec_id,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS sample_rank
+         |  FROM asg2)
+         |SELECT cell, CAST(sample_rank AS BIGINT) AS sample_rank, vec_id
+         |FROM smp WHERE sample_rank <= ${operators.Similarity.clusterSampleK}
+         |ORDER BY cell, sample_rank""".stripMargin,
     "ann_recall" ->
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),

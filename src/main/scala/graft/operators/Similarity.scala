@@ -575,4 +575,43 @@ object Similarity {
       .select("q_id", "rn", "vec_id", "cos")
       .orderBy("q_id", "rn")
   }
+
+  /** Per-cell sample size for [[clusterSample]]. */
+  val clusterSampleK = 5
+
+  /** Cluster-balanced sampling (the diversity-preserving curation cut:
+    * cluster the corpus, keep a fixed quota per cluster, so dense
+    * regions are capped and sparse regions survive — the embedding
+    * analog of [[Sampling.sourceCap]]'s per-source quota). Assignment
+    * uses the CERTIFIED ordered-fold k-means ([[trainedCentroids]],
+    * memoized per dataset); within each cell the quota picks by a
+    * deterministic pseudo-random order (`md5(vec_id)` — engine-equal
+    * on both sides, uncorrelated with insertion order or geometry), so
+    * the sample is reproducible without any RNG state.
+    *
+    * Scale shape (100 TB): one broadcast-assign pass (k·dims model as
+    * a broadcast), then a `row_number` window PARTITIONED BY CELL —
+    * ~√N cells of ~√N members each, never an empty-partition global
+    * window; the output is O(k · quota). Cell-size skew (a mega
+    * cluster) bounds the worst window partition at that cluster's
+    * size; beyond that, pre-filter with a per-cell count and reservoir
+    * per cell.
+    */
+  def clusterSample(spark: SparkSession, dir: String,
+      quota: Int = clusterSampleK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("nrm", norm(col("embedding")))
+    val centroids = {
+      import spark.implicits._
+      trainedCentroids(spark, dir).toDF("c_id", "c_emb")
+    }
+    val asg = assignCells(emb, centroids).select("vec_id", "cell")
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    asg.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= quota)
+      .select("cell", "sample_rank", "vec_id")
+      .orderBy("cell", "sample_rank")
+  }
 }

@@ -82,7 +82,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     "weighted_sample" -> Sampling.weightedSample(spark, dir).count(),
     "dhash" -> Multimodal.dhashIndex(spark, dir).count(),
     "dhash_pairs" -> Multimodal.dhashPairs(spark, dir).count(),
-    "bigram_nll" -> TextAnalysis.bigramNll(spark, dir).count())
+    "bigram_nll" -> TextAnalysis.bigramNll(spark, dir).count(),
+    "cluster_sample" -> Similarity.clusterSample(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -149,6 +150,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("dhash_pairs") === 0L, "no pair universe with one image")
     assert(counts("bigram_nll") === 1L,
       "odd lone doc scores against an empty train half — all backoff, no throw")
+    assert(counts("cluster_sample") === 1L,
+      "one vector → one cell → one sampled row")
   }
 
   test("constant corpus: zero total variance yields NULL shares, not ANSI 0/0") {
