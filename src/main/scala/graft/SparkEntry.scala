@@ -232,6 +232,7 @@ object SparkEntry {
     "mm_video_frames" -> (Multimodal.videoFrameIndex _),
     "mm_dhash" -> (Multimodal.dhashIndex _),
     "mm_dhash_pairs" -> (Multimodal.dhashPairs _),
+    "mm_audio_features" -> (Multimodal.audioFeatureIndex _),
   )
 
   /** DuckDB shingle CTE shared by the minhash oracles: char 8-grams. */
@@ -3411,5 +3412,42 @@ object SparkEntry {
          |SELECT a_id, b_id, hamming FROM cand
          |WHERE hamming <= ${operators.Multimodal.dhashHammingMax}
          |ORDER BY a_id, b_id""".stripMargin,
+    // REAL WAV codec replayed: the Spark side synthesizes PCM16 WAVs
+    // (block j's samples = md5(text@j) bytes as LE int16), decodes
+    // them with the true javax.sound parser, and accumulates ONLY
+    // integer state; the oracle re-derives every sample from the md5
+    // hex digits. PCM16-in-WAV is lossless, so a hash match certifies
+    // the writer's header arithmetic and the reader's sample walk.
+    "mm_audio_features" -> {
+      def hx(pos: String) =
+        s"(strpos('0123456789abcdef', substr(d, CAST($pos AS INTEGER), 1)) - 1)"
+      val lo = s"(${hx("4*i+1")} * 16 + ${hx("4*i+2")})"
+      val hi = s"(${hx("4*i+3")} * 16 + ${hx("4*i+4")})"
+      s"""WITH blocks AS (
+         |  SELECT doc_id, CAST(j AS INTEGER) AS j,
+         |         md5(text || '@' || CAST(j AS VARCHAR)) AS d
+         |  FROM documents,
+         |       unnest(generate_series(0, 8 + doc_id % 5 - 1)) t(j)),
+         |samp AS (
+         |  SELECT doc_id, j, CAST(i AS INTEGER) AS i,
+         |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+         |  FROM (SELECT doc_id, j, i, $lo + 256 * $hi AS raw
+         |        FROM blocks, unnest(generate_series(0, 7)) s(i))),
+         |ord AS (
+         |  SELECT doc_id, v,
+         |    lag(v) OVER (PARTITION BY doc_id ORDER BY j, i) AS pv
+         |  FROM samp)
+         |SELECT doc_id AS media_id,
+         |  ${operators.Multimodal.audioRateHz} AS sample_rate,
+         |  count(*) AS n_samples,
+         |  count(*) * 1000 // ${operators.Multimodal.audioRateHz} AS duration_ms,
+         |  CAST(max(abs(v)) AS INTEGER) AS peak,
+         |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+         |  round(sqrt(CAST(sum(CAST(v AS BIGINT) * v) AS DOUBLE) / count(*))
+         |        / 32768.0, 6) AS rms
+         |FROM ord GROUP BY doc_id
+         |ORDER BY media_id""".stripMargin
+    },
   )
 }

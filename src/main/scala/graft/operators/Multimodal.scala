@@ -495,6 +495,120 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
   }
 
+  // ——— audio feature certification (real WAV codec) ————————————————
+
+  /** Audio fixture cadence: PCM16 mono at 8 kHz, `8 + doc_id % 5`
+    * blocks of 8 samples per document.
+    */
+  val audioRateHz = 8000
+
+  /** Fabricate an AUDIO media table: each document becomes a REAL WAV
+    * payload (PCM16 mono little-endian, [[audioRateHz]]) whose
+    * samples derive from md5 chains — block j's 16 digest bytes of
+    * `md5(text ‖ '@' ‖ j)` are 8 little-endian int16 samples. Content
+    * a SQL engine can derive, wrapped in a container only the real
+    * codec parses: the audio analog of [[videoFromDocuments]].
+    */
+  def audioFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val k = (8L + id % 5L).toInt
+        val pcm = new Array[Byte](k * 16)
+        val mdig = java.security.MessageDigest.getInstance("MD5")
+        var j = 0
+        while (j < k) {
+          val d = mdig.digest(
+            s"$text@$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          System.arraycopy(d, 0, pcm, j * 16, 16)
+          j += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          audioRateHz.toFloat, 16, 1, true, false) // signed, little-endian
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, k * 8L)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRow(id, "audio", bos.toByteArray)
+      }
+  }
+
+  /** Integer-exact audio features off a REAL codec decode. */
+  case class AudioFeatures(media_id: Long, sample_rate: Int, n_samples: Long,
+                           duration_ms: Long, peak: Int, zero_crossings: Long,
+                           rms: Double)
+
+  /** Feature extraction through the true WAV parse: container-true
+    * sample rate and frame count from `javax.sound`, then ONE
+    * sequential pass over the decoded int16 samples accumulating
+    * ONLY integer state — sum of squares (exact in a long), peak
+    * |amplitude|, and sign-change count (classes `< 0` vs `≥ 0`) —
+    * so every downstream value is order-free exact arithmetic; the
+    * lone float is the final `sqrt(sum_sq/n)/32768` rounded at 6.
+    * PCM16-in-WAV is lossless, which is what lets a SQL oracle replay
+    * the features from the md5 byte arithmetic and certify the codec
+    * path. Undecodable payloads yield no row ([[decodeImages]]'s
+    * contract); narrow per-partition work, no shuffle.
+    */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          val fmt = src.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+              fmt.isBigEndian) None
+          else {
+            val nFrames = src.getFrameLength
+            var sumSq = 0L
+            var peak = 0
+            var zc = 0L
+            var prevNeg = false
+            var first = true
+            val buf = new Array[Byte](8192)
+            var read = src.read(buf)
+            while (read > 0) {
+              var i = 0
+              while (i + 1 < read) {
+                val v = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort.toInt
+                sumSq += v.toLong * v
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                val neg = v < 0
+                if (!first && neg != prevNeg) zc += 1
+                prevNeg = neg
+                first = false
+                i += 2
+              }
+              read = src.read(buf)
+            }
+            if (nFrames <= 0) None
+            else Some(AudioFeatures(r.media_id, fmt.getSampleRate.toInt,
+              nFrames, nFrames * 1000L / fmt.getSampleRate.toLong,
+              peak, zc,
+              BigDecimal(math.sqrt(sumSq.toDouble / nFrames) / 32768.0)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          }
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /** Driver-checkable REAL-codec audio query: documents → WAV payloads
+    * → [[audioFeatures]] (true `javax.sound` parse) → integer-exact
+    * feature index. A hash match certifies the WAV writer's header
+    * arithmetic, the reader's rate/frame parse, and the PCM16
+    * little-endian sample walk end-to-end against pure md5 byte
+    * arithmetic in the oracle.
+    */
+  def audioFeatureIndex(spark: SparkSession, dir: String): DataFrame =
+    audioFeatures(audioFromDocuments(spark, dir)).toDF().orderBy("media_id")
+
   // ——— perceptual-hash image dedup (dHash) ———————————————————————————
 
   /** dHash geometry: the canonical 9×8 grayscale grid — 8 rows of 8

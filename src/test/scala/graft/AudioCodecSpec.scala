@@ -91,4 +91,50 @@ class AudioCodecSpec extends SparkSpec {
     assert(math.abs(d.rms - 0.5) < 0.01, s"rms ${d.rms}")
     assert(math.abs(d.peak - 0.5) < 0.01, s"peak ${d.peak}")
   }
+
+  test("audioFeatures: sine physics — zero crossings = 2·f·t, RMS = A/√2, peak = A") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "audio", wav(8000, 1, 1.0, 440.0, 0.8)),
+      MediaRow(2L, "audio", wav(8000, 1, 0.5, 100.0, 0.3)),
+      MediaRow(3L, "audio", "junk".getBytes("UTF-8"))).toDS()
+    val got = Multimodal.audioFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(got.keySet === Set(1L, 2L), "junk degrades to no row")
+    val a = got(1L)
+    assert(a.sample_rate === 8000 && a.n_samples === 8000L && a.duration_ms === 1000L)
+    // a 440 Hz sine crosses zero twice per period: 880 ± boundary
+    assert(math.abs(a.zero_crossings - 880L) <= 2, s"zc ${a.zero_crossings}")
+    assert(math.abs(a.rms - 0.8 / math.sqrt(2)) < 0.005, s"rms ${a.rms}")
+    assert(math.abs(a.peak / 32767.0 - 0.8) < 0.01, s"peak ${a.peak}")
+    val b = got(2L)
+    assert(math.abs(b.zero_crossings - 100L) <= 2, "100 Hz over 0.5 s → 100 crossings")
+    assert(math.abs(b.rms - 0.3 / math.sqrt(2)) < 0.005)
+  }
+
+  test("audioFeatureIndex parity: decoded features equal direct md5 arithmetic") {
+    // spot-check one synthesized doc end-to-end without the codec:
+    // block digests → LE int16 samples → integer features
+    val dir = "/root/testdata/sf0.001"
+    val row = Multimodal.audioFeatureIndex(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("media_id") === 3L)
+      .collect().head
+    val text = Tables(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 3L)
+      .select("text").collect().head.getString(0)
+    val k = (8L + 3L % 5L).toInt
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val samples = (0 until k).flatMap { j =>
+      val d = md.digest(s"$text@$j".getBytes("UTF-8"))
+      (0 until 8).map(i => (((d(2 * i) & 0xff) | (d(2 * i + 1) << 8)).toShort).toInt)
+    }
+    assert(row.getAs[Long]("n_samples") === samples.length.toLong)
+    assert(row.getAs[Int]("peak") === samples.map(math.abs).max)
+    val zc = samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+    assert(row.getAs[Long]("zero_crossings") === zc.toLong)
+    val sumSq = samples.map(v => v.toLong * v).sum
+    val rms = BigDecimal(math.sqrt(sumSq.toDouble / samples.length) / 32768.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("rms") === rms)
+  }
 }

@@ -83,7 +83,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     "dhash" -> Multimodal.dhashIndex(spark, dir).count(),
     "dhash_pairs" -> Multimodal.dhashPairs(spark, dir).count(),
     "bigram_nll" -> TextAnalysis.bigramNll(spark, dir).count(),
-    "cluster_sample" -> Similarity.clusterSample(spark, dir).count())
+    "cluster_sample" -> Similarity.clusterSample(spark, dir).count(),
+    "audio_features" -> Multimodal.audioFeatureIndex(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -152,6 +153,8 @@ class DegenerateCorpusSpec extends SparkSpec {
       "odd lone doc scores against an empty train half — all backoff, no throw")
     assert(counts("cluster_sample") === 1L,
       "one vector → one cell → one sampled row")
+    assert(counts("audio_features") === 1L,
+      "the lone doc's WAV decodes to one feature row")
   }
 
   test("constant corpus: zero total variance yields NULL shares, not ANSI 0/0") {
