@@ -178,6 +178,7 @@ object SparkEntry {
     "text_rolling_hash" -> (TextAnalysis.rollingHashes _),
     "text_quality_filter" -> (Sampling.qualityFilter _),
     "text_pii_signals" -> (TextAnalysis.piiSignals _),
+    "text_pii_redact" -> (TextAnalysis.piiRedact _),
     "text_heavy_hitters" -> (TextAnalysis.heavyHitters _),
     "text_unigram_nll" -> (TextAnalysis.unigramNll _),
     "text_bigram_nll" -> (TextAnalysis.bigramNll _),
@@ -2795,6 +2796,29 @@ object SparkEntry {
         |   + len(regexp_extract_all(text, 'https?://[^ ]+'))
         |   + len(regexp_extract_all(text, '[0-9]{6,}'))) > 0 AS has_pii
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // redaction transform: counts are replacements actually made
+    // (email → URL → id-like on the progressively-redacted text), and
+    // md5(redacted) certifies the rewritten bytes
+    "text_pii_redact" ->
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS after_email
+        |  FROM documents),
+        |r2 AS (
+        |  SELECT doc_id, text, after_email,
+        |    regexp_replace(after_email, 'https?://[^ ]+', '<URL>', 'g') AS after_url
+        |  FROM r)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(after_email, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(after_url, '[0-9]{6,}')) AS BIGINT) AS n_idlike,
+        |  CAST(len(regexp_replace(after_url, '[0-9]{6,}', '<ID>', 'g')) AS BIGINT)
+        |    AS redacted_len,
+        |  md5(regexp_replace(after_url, '[0-9]{6,}', '<ID>', 'g')) AS redacted_md5
+        |FROM r2 ORDER BY doc_id""".stripMargin,
     // Batch-perceptron training unrolled: epoch 1 from w=0 updates on
     // every row (margin 0 ≤ 0); each later epoch adds the
     // misclassified-set sums (empty set → coalesce'd zero delta, the

@@ -147,16 +147,48 @@ object TextAnalysis {
     Tables(spark, dir, "documents")
       .select(
         col("doc_id"),
-        regexp_count(col("text"),
-          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
-          .cast("long").as("n_emails"),
-        regexp_count(col("text"), lit("https?://[^ ]+"))
-          .cast("long").as("n_urls"),
-        regexp_count(col("text"), lit("[0-9]{6,}"))
-          .cast("long").as("n_idlike"))
+        regexp_count(col("text"), lit(piiEmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(piiUrlRe)).cast("long").as("n_urls"),
+        regexp_count(col("text"), lit(piiIdRe)).cast("long").as("n_idlike"))
       .withColumn("has_pii",
         col("n_emails") + col("n_urls") + col("n_idlike") > 0)
       .orderBy("doc_id")
+
+  /** The [[piiSignals]] patterns, shared with [[piiRedact]] so the
+    * audit and the transform cannot drift. Lookaround-free and
+    * engine-parallel (Java on the Spark side, RE2 in the oracle).
+    */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiUrlRe = "https?://[^ ]+"
+  val piiIdRe = "[0-9]{6,}"
+
+  /** PII redaction transform — the act that follows the [[piiSignals]]
+    * audit: rewrite each document with typed placeholders, applied in
+    * a FIXED order (email → URL → id-like digit runs) on the
+    * progressively-redacted text, so a digit run inside a URL is
+    * consumed by `<URL>` and never double-redacted, and the reported
+    * counts are the replacements actually made (not independent
+    * matches on the original). Placeholders contain no `@`, digits,
+    * or `://`, so redaction cannot cascade. The output carries
+    * `md5(redacted)` — the hash gate certifies the rewritten BYTES,
+    * not just counts — plus the redacted length for size accounting.
+    * One narrow codegen'd scan, no shuffle beyond the presentation
+    * sort.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), lit(piiEmailRe), lit("<EMAIL>"))
+    val afterUrl = regexp_replace(afterEmail, lit(piiUrlRe), lit("<URL>"))
+    val redacted = regexp_replace(afterUrl, lit(piiIdRe), lit("<ID>"))
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(piiEmailRe)).cast("long").as("n_emails"),
+        regexp_count(afterEmail, lit(piiUrlRe)).cast("long").as("n_urls"),
+        regexp_count(afterUrl, lit(piiIdRe)).cast("long").as("n_idlike"),
+        length(redacted).cast("long").as("redacted_len"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
 
   /** Repetition / diversity signals per document — the Gopher-style
     * within-document repetition filters corpus cleaning applies after

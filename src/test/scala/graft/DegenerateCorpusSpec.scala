@@ -84,7 +84,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     "dhash_pairs" -> Multimodal.dhashPairs(spark, dir).count(),
     "bigram_nll" -> TextAnalysis.bigramNll(spark, dir).count(),
     "cluster_sample" -> Similarity.clusterSample(spark, dir).count(),
-    "audio_features" -> Multimodal.audioFeatureIndex(spark, dir).count())
+    "audio_features" -> Multimodal.audioFeatureIndex(spark, dir).count(),
+    "pii_redact" -> TextAnalysis.piiRedact(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -155,6 +156,7 @@ class DegenerateCorpusSpec extends SparkSpec {
       "one vector → one cell → one sampled row")
     assert(counts("audio_features") === 1L,
       "the lone doc's WAV decodes to one feature row")
+    assert(counts("pii_redact") === 1L, "redaction rewrites the lone doc")
   }
 
   test("constant corpus: zero total variance yields NULL shares, not ANSI 0/0") {
