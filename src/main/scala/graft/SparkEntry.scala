@@ -234,6 +234,7 @@ object SparkEntry {
     "mm_dhash" -> (Multimodal.dhashIndex _),
     "mm_dhash_pairs" -> (Multimodal.dhashPairs _),
     "mm_audio_features" -> (Multimodal.audioFeatureIndex _),
+    "mm_dhash_incremental" -> (Multimodal.dhashIncremental _),
   )
 
   /** DuckDB shingle CTE shared by the minhash oracles: char 8-grams. */
@@ -3436,6 +3437,30 @@ object SparkEntry {
          |SELECT a_id, b_id, hamming FROM cand
          |WHERE hamming <= ${operators.Multimodal.dhashHammingMax}
          |ORDER BY a_id, b_id""".stripMargin,
+    // incremental ingest: only the odd-id delta probes the even-id
+    // base band index — the daily-ingest shape of the image dedup
+    "mm_dhash_incremental" ->
+      s"""$sigsCte,
+         |px AS (
+         |  SELECT doc_id, ${dhashRowDigestCols.mkString(", ")}
+         |  FROM sigs),
+         |hsh AS (
+         |  SELECT doc_id,
+         |    CAST(${dhashHalfExpr(4 until 8, 4)} AS BIGINT) AS hi,
+         |    CAST(${dhashHalfExpr(0 until 4, 0)} AS BIGINT) AS lo
+         |  FROM px),
+         |bands AS (
+         |  $dhashBandsCte),
+         |cand AS (
+         |  SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id,
+         |    CAST(bit_count(xor(d.hi, b.hi)) + bit_count(xor(d.lo, b.lo))
+         |         AS INTEGER) AS hamming
+         |  FROM bands d JOIN bands b
+         |    ON d.band = b.band AND d.key = b.key
+         |   AND d.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+         |SELECT delta_id, base_id, hamming FROM cand
+         |WHERE hamming <= ${operators.Multimodal.dhashHammingMax}
+         |ORDER BY delta_id, base_id""".stripMargin,
     // REAL WAV codec replayed: the Spark side synthesizes PCM16 WAVs
     // (block j's samples = md5(text@j) bytes as LE int16), decodes
     // them with the true javax.sound parser, and accumulates ONLY

@@ -773,23 +773,52 @@ object Multimodal {
     */
   def dhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val hsh = dhashTable(spark, dir).localCheckpoint()
-    val bands = (0 until dhashBands).map { b =>
-      val half = if (b < 2) col("dhash_lo") else col("dhash_hi")
-      hsh.select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
-        lit(b).as("band"),
-        shiftright(half, (b % 2) * 16).bitwiseAND(lit(65535L)).as("key"))
-    }.reduce(_.unionAll(_))
+    val bands = dhashBandsOf(hsh)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
-        (bit_count(col("a.dhash_hi").bitwiseXOR(col("b.dhash_hi"))) +
-         bit_count(col("a.dhash_lo").bitwiseXOR(col("b.dhash_lo"))))
-          .cast("int").as("hamming"))
+        dhashHamming("a", "b"))
       .distinct()
       .filter(col("hamming") <= dhashHammingMax)
       .orderBy("a_id", "b_id")
+  }
+
+  /** 4 × 16-bit multi-index band rows for a dHash frame. */
+  private def dhashBandsOf(hsh: DataFrame): DataFrame =
+    (0 until dhashBands).map { b =>
+      val half = if (b < 2) col("dhash_lo") else col("dhash_hi")
+      hsh.select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
+        lit(b).as("band"),
+        shiftright(half, (b % 2) * 16).bitwiseAND(lit(65535L)).as("key"))
+    }.reduce(_.unionAll(_))
+
+  private def dhashHamming(a: String, b: String) =
+    (bit_count(col(s"$a.dhash_hi").bitwiseXOR(col(s"$b.dhash_hi"))) +
+     bit_count(col(s"$a.dhash_lo").bitwiseXOR(col(s"$b.dhash_lo"))))
+      .cast("int").as("hamming")
+
+  /** Incremental image-dedup ingest — the production daily shape (the
+    * image analog of [[Dedup.lshIncrementalPairs]]): only the DELTA
+    * (odd media_ids, the "today" batch) probes the standing BASE index
+    * (even media_ids); base×base pairs were found on their own ingest
+    * day and delta×delta within-batch dups are [[dhashPairs]]' job, so
+    * the join is delta-sized — at 100 TB the base band index is a
+    * bucketed table the delta equi-joins into, and the day's cost is
+    * O(delta · bucket occupancy), independent of corpus history.
+    */
+  def dhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val hsh = dhashTable(spark, dir).localCheckpoint()
+    val base = dhashBandsOf(hsh.filter(col("media_id") % 2 === 0))
+    val delta = dhashBandsOf(hsh.filter(col("media_id") % 2 === 1))
+    delta.as("d").join(base.as("b"),
+        col("d.band") === col("b.band") && col("d.key") === col("b.key"))
+      .select(col("d.media_id").as("delta_id"), col("b.media_id").as("base_id"),
+        dhashHamming("d", "b"))
+      .distinct()
+      .filter(col("hamming") <= dhashHammingMax)
+      .orderBy("delta_id", "base_id")
   }
 }

@@ -114,6 +114,19 @@ class DhashSpec extends SparkSpec {
     assert(pairs.map(_.getInt(2)).min <= 8)
   }
 
+  test("incremental ingest equals the full pair set restricted to cross-parity") {
+    val full = Multimodal.dhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val crossParity = full.filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, h) => // (delta odd, base even) orientation
+        if (a % 2 == 1) (a, b, h) else (b, a, h)
+      }.toSet
+    val inc = Multimodal.dhashIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inc === crossParity)
+    assert(inc.forall { case (d, b, _) => d % 2 == 1 && b % 2 == 0 })
+  }
+
   test("signature parity: image path consumes the SAME signatures the LSH family uses") {
     // spot-check one doc: slices from Dedup.minhashSignatures feed the
     // arithmetic that must equal the decoded-image hash
