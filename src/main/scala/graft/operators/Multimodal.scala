@@ -599,6 +599,85 @@ object Multimodal {
     }
   }
 
+  /** Spectral probe row: per-probe signal power plus the dominant bin. */
+  case class AudioSpectral(media_id: Long, sample_rate: Int,
+                           dominant_hz: Int, dominant_power: Double,
+                           powers: Array[Double])
+
+  /** Default probe bank: two octaves around concert pitch plus the
+    * low-frequency bins voice/music energy concentrates in.
+    */
+  val spectralProbesHz: Seq[Int] = Seq(110, 220, 440, 880, 1760)
+
+  /** Frequency-domain features via the Goertzel algorithm — single-bin
+    * DFT power at a fixed probe bank, the classic tone-detection
+    * kernel: O(n) per probe with three running registers, no FFT
+    * buffer, so the whole bank is one sequential pass per payload
+    * (narrow, zero shuffle — the same partition-batch shape as every
+    * codec path here). Powers are normalized by n² (so a unit-amplitude
+    * sine reads ~0.25 at its bin regardless of clip length) and the
+    * dominant bin is the argmax with the lowest-frequency tie rule.
+    * Floating-point: per-sample recurrence, deterministic on a fixed
+    * JVM but NOT replayable in SQL — this row is spec-certified
+    * against synthesized sine physics instead of a DuckDB oracle.
+    */
+  def audioSpectral(media: Dataset[MediaRow],
+                    probesHz: Seq[Int] = spectralProbesHz): Dataset[AudioSpectral] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          val fmt = src.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+              fmt.isBigEndian) None
+          else {
+            val rate = fmt.getSampleRate.toDouble
+            val coeffs = probesHz.map { f =>
+              2.0 * math.cos(2.0 * math.Pi * f / rate)
+            }.toArray
+            val s1 = new Array[Double](coeffs.length)
+            val s2 = new Array[Double](coeffs.length)
+            var n = 0L
+            val buf = new Array[Byte](8192)
+            var read = src.read(buf)
+            while (read > 0) {
+              var i = 0
+              while (i + 1 < read) {
+                val v = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort / 32768.0
+                var p = 0
+                while (p < coeffs.length) {
+                  val s0 = v + coeffs(p) * s1(p) - s2(p)
+                  s2(p) = s1(p); s1(p) = s0
+                  p += 1
+                }
+                n += 1
+                i += 2
+              }
+              read = src.read(buf)
+            }
+            if (n == 0) None
+            else {
+              val powers = Array.tabulate(coeffs.length) { p =>
+                (s1(p) * s1(p) + s2(p) * s2(p) - coeffs(p) * s1(p) * s2(p)) /
+                  (n.toDouble * n)
+              }
+              var best = 0
+              var i = 1
+              while (i < powers.length) {
+                if (powers(i) > powers(best)) best = i
+                i += 1
+              }
+              Some(AudioSpectral(r.media_id, fmt.getSampleRate.toInt,
+                probesHz(best), powers(best), powers))
+            }
+          }
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
   /** Driver-checkable REAL-codec audio query: documents → WAV payloads
     * → [[audioFeatures]] (true `javax.sound` parse) → integer-exact
     * feature index. A hash match certifies the WAV writer's header
