@@ -155,6 +155,7 @@ object SparkEntry {
     "emb_int8_quant" -> (operators.Quantize.int8Audit _),
     "emb_mrl_topk" -> ((s, d) => operators.Quantize.mrlTopK(s, d)),
     "emb_dim_variance" -> (operators.Quantize.dimVariance _),
+    "emb_top_pc" -> (operators.Quantize.topPrincipalComponent _),
     "emb_centroid_drift" -> (operators.Quantize.centroidDrift _),
     "emb_label_separation" -> (operators.Quantize.labelSeparation _),
     "text_novelty" -> (TextAnalysis.noveltyScores _),
@@ -2188,6 +2189,43 @@ object SparkEntry {
          |    AS centroid_dist,
          |  round(max(abs(m_old - m_new)), 6) AS max_dim_drift
          |FROM o JOIN w USING (dim)""".stripMargin,
+    // centered power iteration unrolled (the ivfTrainCtes discipline):
+    // per-dim means, per-row scores, and the re-normalized direction
+    // are all rounded at 6 before reuse, so three matvecs replay
+    // bit-stable across engines
+    "emb_top_pc" -> {
+      val iters = (1 to operators.Quantize.powerIters).map { t =>
+        val pv = if (t == 1) "v0" else s"v${t - 1}"
+        s"""s$t AS (
+           |  SELECT c.vec_id, round(sum(c.x * p.v), 6) AS s
+           |  FROM c JOIN $pv p USING (dim) GROUP BY c.vec_id),
+           |u$t AS (
+           |  SELECT c.dim, round(sum(c.x * s$t.s), 6) AS u
+           |  FROM c JOIN s$t USING (vec_id) GROUP BY c.dim),
+           |n$t AS (SELECT sqrt(sum(u * u)) AS nrm FROM u$t),
+           |v$t AS (
+           |  SELECT dim, CASE WHEN n$t.nrm > 0 THEN round(u / n$t.nrm, 6)
+           |              ELSE 0.0 END AS v
+           |  FROM u$t CROSS JOIN n$t)""".stripMargin
+      }.mkString(",\n")
+      val last = operators.Quantize.powerIters
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         |    CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+         |  FROM embeddings CROSS JOIN
+         |    generate_series(1, ${operators.Quantize.embeddingDim}) t(i)
+         |  WHERE i <= len(embedding)),
+         |mu AS (SELECT dim, round(sum(x) / count(*), 6) AS mu FROM e GROUP BY dim),
+         |c AS (SELECT e.vec_id, e.dim, e.x - mu.mu AS x FROM e JOIN mu USING (dim)),
+         |nrow AS (SELECT count(DISTINCT vec_id) AS n FROM c),
+         |v0 AS (SELECT dim, 0.125 AS v FROM mu),
+         |$iters
+         |SELECT v$last.dim, mu.mu AS mean, v$last.v AS loading,
+         |  CASE WHEN nrow.n > 1 THEN round(n$last.nrm / (nrow.n - 1), 6)
+         |  ELSE 0.0 END AS pc_var
+         |FROM v$last JOIN mu USING (dim) CROSS JOIN n$last CROSS JOIN nrow
+         |ORDER BY dim""".stripMargin
+    },
     "emb_dim_variance" ->
       s"""WITH e AS (
         |  SELECT CAST(i - 1 AS BIGINT) AS dim,

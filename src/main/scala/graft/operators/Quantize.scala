@@ -292,4 +292,64 @@ object Quantize {
           lit(2.0d) * c * DotProductD(col("x"), col("qd")) +
           c * c * DotProductD(col("qd"), col("qd")), 6).as("recon_err"))
   }
+
+  /** Power-iteration count for [[topPrincipalComponent]] — three
+    * matvec rounds separate the top eigenvector well on embedding
+    * covariance spectra (top-eigengap corpora converge geometrically).
+    */
+  val powerIters = 3
+
+  /** Top principal component of the centered embedding cloud by
+    * distributed power iteration — the "all-but-the-top" (Mu &
+    * Viswanath 2018) post-processing audit: embedding sets carry a
+    * dominant common direction that drowns cosine similarity, and the
+    * standard fix removes the top PC after centering. Each iteration
+    * is two map-side-combined aggregates (a per-row dot with the
+    * broadcast direction, then a per-dim weighted sum), so the corpus
+    * is scanned, never collected; all driver state is O(dims).
+    *
+    * Float discipline (the [[dimVariance]]/IVF precedent): per-dim
+    * means, per-row scores, and the re-normalized direction are each
+    * ROUNDED AT 6 before reuse, so the oracle's unrolled-iteration
+    * CTEs replay all [[powerIters]] matvecs bit-stable — plain double
+    * sums disagree across engines only below the rounding floor. The
+    * seed is the exact constant 1/8 in every dimension (d = 64), sign
+    * therefore deterministic.
+    */
+  def topPrincipalComponent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+      .localCheckpoint() // corpus×d frame feeds means + every iteration
+    val means = e.groupBy("dim").agg(round(sum(col("x")) / count(lit(1)), 6).as("mu"))
+    val ctr = e.join(broadcast(means), "dim")
+      .select(col("vec_id"), col("dim"), (col("x") - col("mu")).as("x"))
+      .localCheckpoint()
+    val n = ctr.select(countDistinct(col("vec_id"))).as[Long].head()
+    var v = means.select(col("dim"), lit(0.125d).as("v"))
+    var norm = 0.0d
+    for (_ <- 1 to powerIters) {
+      val s = ctr.join(broadcast(v), "dim")
+        .groupBy("vec_id").agg(round(sum(col("x") * col("v")), 6).as("s"))
+      val u = ctr.join(s, "vec_id")
+        .groupBy("dim").agg(round(sum(col("x") * col("s")), 6).as("u"))
+        .localCheckpoint() // d rows; also truncates the growing lineage
+      norm = math.sqrt(
+        u.select(sum(col("u") * col("u"))).as[Option[Double]]
+          .head().getOrElse(0.0d)) // None ⇔ empty corpus
+      val nrm = norm
+      v = u.select(col("dim"),
+        (if (nrm > 0) round(col("u") / nrm, 6) else lit(0.0d)).as("v"))
+    }
+    val pcVar =
+      if (n > 1) BigDecimal(norm / (n - 1).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0d
+    v.join(broadcast(means), "dim")
+      .select(col("dim"), col("mu").as("mean"), col("v").as("loading"),
+        lit(pcVar).as("pc_var"))
+      .orderBy("dim")
+  }
 }

@@ -85,7 +85,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     "bigram_nll" -> TextAnalysis.bigramNll(spark, dir).count(),
     "cluster_sample" -> Similarity.clusterSample(spark, dir).count(),
     "audio_features" -> Multimodal.audioFeatureIndex(spark, dir).count(),
-    "pii_redact" -> TextAnalysis.piiRedact(spark, dir).count())
+    "pii_redact" -> TextAnalysis.piiRedact(spark, dir).count(),
+    "top_pc" -> graft.operators.Quantize.topPrincipalComponent(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -157,6 +158,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("audio_features") === 1L,
       "the lone doc's WAV decodes to one feature row")
     assert(counts("pii_redact") === 1L, "redaction rewrites the lone doc")
+    assert(counts("top_pc") === 8L,
+      "one loading row per fixture dim, all zero for the centered lone vector")
   }
 
   test("constant corpus: zero total variance yields NULL shares, not ANSI 0/0") {

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Quantize
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Power-iteration top PC: a planted dominant direction is recovered
+  * (up to sign), the loading is unit-norm, and the top eigenvalue
+  * dominates every single-dimension variance.
+  */
+class TopPcSpec extends SparkSpec {
+
+  private def writeEmb(rows: Seq[(Long, Seq[Float])]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("toppc").toString
+    rows.map { case (id, v) => (id, v, s"l${id % 3}") }
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("planted dominant direction is recovered up to sign; loading unit-norm") {
+    val d = 8
+    val dir0 = (1 to d).map(_.toDouble)
+    val nrm = math.sqrt(dir0.map(x => x * x).sum)
+    val dirU = dir0.map(_ / nrm)
+    // strong signal along dirU + deterministic sub-1% jitter
+    val rows = (0L until 40L).map { i =>
+      val a = (i % 7).toDouble - 3.0
+      i -> (0 until d).map(j =>
+        (a * dirU(j) + 0.001 * ((i * 31 + j * 17) % 13 - 6)).toFloat)
+    }
+    val got = Quantize.topPrincipalComponent(spark, writeEmb(rows)).collect()
+    assert(got.length === d)
+    val loading = got.sortBy(_.getLong(0)).map(_.getDouble(2))
+    val norm2 = loading.map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-3, s"unit norm, got $norm2")
+    val cos = loading.zip(dirU).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 0.999, s"|cos(loading, planted)| = ${math.abs(cos)}")
+    assert(got.map(_.getDouble(3)).distinct.length === 1, "pc_var is a constant column")
+    assert(got.head.getDouble(3) > 0.0)
+  }
+
+  test("top eigenvalue dominates every single-dimension variance at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val pcVar = Quantize.topPrincipalComponent(spark, dir)
+      .select("pc_var").head().getDouble(0)
+    val maxDimVar = Quantize.dimVariance(spark, dir)
+      .agg(max(col("variance"))).head().getDouble(0)
+    // λmax of a centered covariance is ≥ its largest diagonal entry
+    assert(pcVar >= maxDimVar - 1e-6, s"$pcVar vs $maxDimVar")
+  }
+
+  test("degenerate: single and constant corpora yield zero loadings, no throw") {
+    val single = Quantize.topPrincipalComponent(
+      spark, writeEmb(Seq(5L -> (1 to 8).map(_.toFloat)))).collect()
+    assert(single.length === 8)
+    assert(single.forall(_.getDouble(2) === 0.0), "centered lone vector is 0")
+    assert(single.forall(_.getDouble(3) === 0.0))
+    val const = Quantize.topPrincipalComponent(
+      spark, writeEmb((0L until 3L).map(i => i -> Seq.fill(8)(0.5f)))).collect()
+    assert(const.forall(_.getDouble(2) === 0.0), "no variance, no direction")
+    val empty = Quantize.topPrincipalComponent(spark, writeEmb(Seq.empty)).collect()
+    assert(empty.isEmpty)
+  }
+}
