@@ -156,6 +156,7 @@ object SparkEntry {
     "emb_mrl_topk" -> ((s, d) => operators.Quantize.mrlTopK(s, d)),
     "emb_dim_variance" -> (operators.Quantize.dimVariance _),
     "emb_top_pc" -> (operators.Quantize.topPrincipalComponent _),
+    "emb_abtt_residual" -> (operators.Quantize.abttResiduals _),
     "emb_centroid_drift" -> (operators.Quantize.centroidDrift _),
     "emb_label_separation" -> (operators.Quantize.labelSeparation _),
     "text_novelty" -> (TextAnalysis.noveltyScores _),
@@ -301,6 +302,42 @@ object SparkEntry {
     val half = if (b < 2) "lo" else "hi"
     s"SELECT doc_id, hi, lo, $b AS band, ($half >> ${(b % 2) * 16}) & 65535 AS key FROM hsh"
   }.mkString("\n  UNION ALL\n  ")
+
+  private val pcLast = operators.Quantize.powerIters
+
+  /** Centered power iteration unrolled (the ivfTrainCtes discipline),
+    * ending in the fitted direction `v$pcLast(dim, v)` plus `mu`,
+    * `c` (centered corpus), `nrow`, and `n$pcLast` — mirrors
+    * [[graft.operators.Quantize.pcFit]]: means, per-row scores, and
+    * the re-normalized direction all round at 6 before reuse.
+    */
+  private val pcFitCtes: String = {
+    val iters = (1 to pcLast).map { t =>
+      val pv = if (t == 1) "v0" else s"v${t - 1}"
+      s"""s$t AS (
+         |  SELECT c.vec_id, round(sum(c.x * p.v), 6) AS s
+         |  FROM c JOIN $pv p USING (dim) GROUP BY c.vec_id),
+         |u$t AS (
+         |  SELECT c.dim, round(sum(c.x * s$t.s), 6) AS u
+         |  FROM c JOIN s$t USING (vec_id) GROUP BY c.dim),
+         |n$t AS (SELECT sqrt(sum(u * u)) AS nrm FROM u$t),
+         |v$t AS (
+         |  SELECT dim, CASE WHEN n$t.nrm > 0 THEN round(u / n$t.nrm, 6)
+         |              ELSE 0.0 END AS v
+         |  FROM u$t CROSS JOIN n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN
+       |    generate_series(1, ${operators.Quantize.embeddingDim}) t(i)
+       |  WHERE i <= len(embedding)),
+       |mu AS (SELECT dim, round(sum(x) / count(*), 6) AS mu FROM e GROUP BY dim),
+       |c AS (SELECT e.vec_id, e.dim, e.x - mu.mu AS x FROM e JOIN mu USING (dim)),
+       |nrow AS (SELECT count(DISTINCT vec_id) AS n FROM c),
+       |v0 AS (SELECT dim, 0.125 AS v FROM mu),
+       |$iters""".stripMargin
+  }
 
   /** Wide (production-width) MinHash oracle chain ending in
     * `sigs(doc_id, h0..h63)`: one md5 per gram → 32-bit base hash hm
@@ -2193,39 +2230,26 @@ object SparkEntry {
     // per-dim means, per-row scores, and the re-normalized direction
     // are all rounded at 6 before reuse, so three matvecs replay
     // bit-stable across engines
-    "emb_top_pc" -> {
-      val iters = (1 to operators.Quantize.powerIters).map { t =>
-        val pv = if (t == 1) "v0" else s"v${t - 1}"
-        s"""s$t AS (
-           |  SELECT c.vec_id, round(sum(c.x * p.v), 6) AS s
-           |  FROM c JOIN $pv p USING (dim) GROUP BY c.vec_id),
-           |u$t AS (
-           |  SELECT c.dim, round(sum(c.x * s$t.s), 6) AS u
-           |  FROM c JOIN s$t USING (vec_id) GROUP BY c.dim),
-           |n$t AS (SELECT sqrt(sum(u * u)) AS nrm FROM u$t),
-           |v$t AS (
-           |  SELECT dim, CASE WHEN n$t.nrm > 0 THEN round(u / n$t.nrm, 6)
-           |              ELSE 0.0 END AS v
-           |  FROM u$t CROSS JOIN n$t)""".stripMargin
-      }.mkString(",\n")
-      val last = operators.Quantize.powerIters
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
-         |    CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
-         |  FROM embeddings CROSS JOIN
-         |    generate_series(1, ${operators.Quantize.embeddingDim}) t(i)
-         |  WHERE i <= len(embedding)),
-         |mu AS (SELECT dim, round(sum(x) / count(*), 6) AS mu FROM e GROUP BY dim),
-         |c AS (SELECT e.vec_id, e.dim, e.x - mu.mu AS x FROM e JOIN mu USING (dim)),
-         |nrow AS (SELECT count(DISTINCT vec_id) AS n FROM c),
-         |v0 AS (SELECT dim, 0.125 AS v FROM mu),
-         |$iters
-         |SELECT v$last.dim, mu.mu AS mean, v$last.v AS loading,
-         |  CASE WHEN nrow.n > 1 THEN round(n$last.nrm / (nrow.n - 1), 6)
+    "emb_top_pc" ->
+      s"""WITH $pcFitCtes
+         |SELECT v$pcLast.dim, mu.mu AS mean, v$pcLast.v AS loading,
+         |  CASE WHEN nrow.n > 1 THEN round(n$pcLast.nrm / (nrow.n - 1), 6)
          |  ELSE 0.0 END AS pc_var
-         |FROM v$last JOIN mu USING (dim) CROSS JOIN n$last CROSS JOIN nrow
-         |ORDER BY dim""".stripMargin
-    },
+         |FROM v$pcLast JOIN mu USING (dim) CROSS JOIN n$pcLast CROSS JOIN nrow
+         |ORDER BY dim""".stripMargin,
+    // the transform applied: projection coefficient onto the fitted
+    // top PC and the Pythagorean residual √max(‖c‖² − coef², 0) —
+    // the identity IS the definition (v is round-6, not perfectly
+    // unit), stated identically on both sides
+    "emb_abtt_residual" ->
+      s"""WITH $pcFitCtes,
+         |proj AS (
+         |  SELECT c.vec_id, round(sum(c.x * p.v), 6) AS coef,
+         |    round(sum(c.x * c.x), 6) AS ss
+         |  FROM c JOIN v$pcLast p USING (dim) GROUP BY c.vec_id)
+         |SELECT vec_id, coef,
+         |  round(sqrt(greatest(ss - coef * coef, 0.0)), 6) AS residual_norm
+         |FROM proj ORDER BY vec_id""".stripMargin,
     "emb_dim_variance" ->
       s"""WITH e AS (
         |  SELECT CAST(i - 1 AS BIGINT) AS dim,

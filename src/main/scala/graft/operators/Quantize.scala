@@ -317,6 +317,23 @@ object Quantize {
     * therefore deterministic.
     */
   def topPrincipalComponent(spark: SparkSession, dir: String): DataFrame = {
+    val (_, means, v, norm, n) = pcFit(spark, dir)
+    val pcVar =
+      if (n > 1) BigDecimal(norm / (n - 1).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0d
+    v.join(broadcast(means), "dim")
+      .select(col("dim"), col("mu").as("mean"), col("v").as("loading"),
+        lit(pcVar).as("pc_var"))
+      .orderBy("dim")
+  }
+
+  /** The fitted model shared by [[topPrincipalComponent]] and
+    * [[abttResiduals]]: (centered corpus frame, per-dim means, final
+    * direction, final pre-normalization norm, corpus size).
+    */
+  private def pcFit(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, Double, Long) = {
     import spark.implicits._
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -343,13 +360,31 @@ object Quantize {
       v = u.select(col("dim"),
         (if (nrm > 0) round(col("u") / nrm, 6) else lit(0.0d)).as("v"))
     }
-    val pcVar =
-      if (n > 1) BigDecimal(norm / (n - 1).toDouble)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      else 0.0d
-    v.join(broadcast(means), "dim")
-      .select(col("dim"), col("mu").as("mean"), col("v").as("loading"),
-        lit(pcVar).as("pc_var"))
-      .orderBy("dim")
+    (ctr, means, v, norm, n)
+  }
+
+  /** All-but-the-top APPLIED per vector: the projection coefficient
+    * onto the fitted top PC and the residual norm after removing it —
+    * the transform whose audit is [[topPrincipalComponent]]. One
+    * corpus-frame aggregate per vector (coef = Σc·v and ‖c‖² in the
+    * same map-side-combined pass); the residual norm uses the
+    * Pythagorean identity √max(‖c‖² − coef², 0) — stated identically
+    * in the oracle, so both engines compute the SAME expression over
+    * the SAME rounded inputs (v is round-6, not perfectly unit, which
+    * is why the identity is the definition here, not an approximation
+    * claim). A vector dominated by the common direction reads
+    * coef ≈ ±‖c‖ and a near-zero residual; a typical vector keeps
+    * most of its norm.
+    */
+  def abttResiduals(spark: SparkSession, dir: String): DataFrame = {
+    val (ctr, _, v, _, _) = pcFit(spark, dir)
+    ctr.join(broadcast(v), "dim")
+      .groupBy("vec_id")
+      .agg(round(sum(col("x") * col("v")), 6).as("coef"),
+        round(sum(col("x") * col("x")), 6).as("ss"))
+      .select(col("vec_id"), col("coef"),
+        round(sqrt(greatest(col("ss") - col("coef") * col("coef"), lit(0.0d))), 6)
+          .as("residual_norm"))
+      .orderBy("vec_id")
   }
 }

