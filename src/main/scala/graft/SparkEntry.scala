@@ -108,6 +108,7 @@ object SparkEntry {
     "q_unpivot_status" -> (Analytics.statusUnpivot _),
     // — temporal operators over events (as-of join, sessionization)
     "q_asof_attribution" -> (Temporal.lastTouchAttribution _),
+    "q_multi_touch" -> ((s: SparkSession, d: String) => Temporal.multiTouchAttribution(s, d)),
     "q_sessionize" -> ((s: SparkSession, d: String) => Temporal.sessionize(s, d)),
     "q_funnel_conversion" -> (Behavior.funnelConversion _),
     "q_retention_cohorts" -> (Behavior.retentionCohorts _),
@@ -1607,6 +1608,29 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
         |ORDER BY purchase_id""".stripMargin,
+    // linear multi-touch: every click inside the 7-day lookback
+    // shares the purchase value equally, allocated in integer 1e-8
+    // units with floor division (float round(value/n, 4) ties at the
+    // rounding digit and the engines break ties differently)
+    "q_multi_touch" ->
+      s"""WITH p AS (
+         |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT user_id, event_id AS click_id, ts AS click_ts
+         |  FROM events WHERE event_type = 'click'),
+         |j AS (
+         |  SELECT p.purchase_id, p.user_id, p.purchase_ts, p.value, c.click_id
+         |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+         |    AND epoch_us(p.purchase_ts) - epoch_us(c.click_ts)
+         |        BETWEEN 0 AND ${operators.Temporal.attributionLookbackUs})
+         |SELECT purchase_id, user_id, purchase_ts,
+         |  CAST(count(click_id) AS BIGINT) AS n_touches,
+         |  CASE WHEN count(click_id) > 0
+         |    THEN (CAST(round(value * 10000) AS BIGINT) * 10000)
+         |         // count(click_id) END AS credit_e8
+         |FROM j GROUP BY purchase_id, user_id, purchase_ts, value
+         |ORDER BY purchase_id""".stripMargin,
     "q_sessionize" ->
       """WITH l AS (
         |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,

@@ -92,6 +92,52 @@ object Temporal {
       .orderBy("purchase_id")
   }
 
+  /** Attribution lookback window: 7 days in microseconds. */
+  val attributionLookbackUs: Long = 7L * 86400L * 1000000L
+
+  /** Linear multi-touch attribution — the companion to
+    * [[lastTouchAttribution]]: every click by the purchase's user
+    * inside the 7-day lookback shares the purchase value equally, the
+    * standard position-blind credit model. Simultaneous clicks count
+    * (gap 0, the last-touch convention); zero-touch purchases keep
+    * `n_touches = 0` with a NULL credit — never a division by zero
+    * under ANSI.
+    *
+    * Credit is allocated in INTEGER micro-units (`credit_e8` = the
+    * value scaled to 1e-8 units, floor-divided by the touch count) —
+    * the payment-ledger discipline, and the engine-exact one: a
+    * floating `round(value/n, 4)` systematically TIES at the rounding
+    * digit (any 4-decimal value over n=2 ends in …5 at digit 5) and
+    * the engines break ties differently — observed live at sf0.1.
+    * Integer floor division cannot tie.
+    *
+    * Shape: one equi-join on `user_id` with the lookback as a range
+    * post-filter, then a per-purchase count — per-user click volumes
+    * bound the join fan-out, and at 100 TB both sides bucket on
+    * `user_id` so the join co-locates without a shuffle.
+    */
+  def multiTouchAttribution(spark: SparkSession, dir: String,
+                            lookbackUs: Long = attributionLookbackUs): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val gap = unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))
+    p.join(c, col("user_id") === col("c_user") &&
+        gap >= 0L && gap <= lookbackUs, "left")
+      .groupBy(col("purchase_id"), col("user_id"), col("purchase_ts"), col("value"))
+      .agg(count(col("click_id")).as("n_touches"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("n_touches"),
+        when(col("n_touches") > 0,
+          expr("(CAST(round(value * 10000) AS BIGINT) * 10000) div n_touches"))
+          .as("credit_e8"))
+      .orderBy("purchase_id")
+  }
+
   /** Sessionization: per-user sessions split at inactivity gaps
     * > `gapUs` (default 6 h). lag → gap flag → running sum (session
     * seq) → session aggregate, all on one user_id partitioning.
