@@ -206,6 +206,7 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
     "q_hll_registers" -> (operators.Sketches.hllRegistersQuery _),
     "q_hll_daily" -> (operators.Sketches.hllDailyUsers _),
+    "q_hll_running" -> (operators.Sketches.hllRunningUsers _),
     "q_histogram_quantiles" -> (operators.Sketches.histogramQuantiles _),
     "q_dataset_manifest" -> (operators.Manifest.datasetManifest _),
     "q_forecast_baseline" -> (Behavior.forecastBaseline _),
@@ -3300,6 +3301,56 @@ object SparkEntry {
          |      ELSE $raw END, 4) AS est_distinct
          |  FROM sk JOIN ex ON ex.day = sk.day)
          |SELECT day, n_exact, n_zero_regs, est_distinct,
+         |  CASE WHEN n_exact > 0 THEN
+         |    round(abs(est_distinct - CAST(n_exact AS DOUBLE)) /
+         |          CAST(n_exact AS DOUBLE), 4) END AS rel_err
+         |FROM es ORDER BY day""".stripMargin
+    },
+    // cumulative uniques-to-date: register-wise MAX over the day
+    // prefix (sketch-union as a triangular join over the D×m frame);
+    // exact side prefix-sums first-seen-day counts the same way
+    "q_hll_running" -> {
+      val hex8 = (0 until 8).map(o =>
+        s"(strpos('0123456789abcdef', substr(d, ${1 + o}, 1)) - 1) * " +
+          s"CAST(${1L << (4 * (7 - o))} AS BIGINT)").mkString(" + ")
+      val wordMod = 1L << operators.Sketches.hllWordBits
+      val m = operators.Sketches.hllRegisters
+      val a = operators.Sketches.hllAlpha
+      val raw = s"$a * $m.0 * $m.0 / " +
+        s"(harm_present + ($m.0 - CAST(n_present AS DOUBLE)))"
+      s"""WITH ev AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+         |hh AS (
+         |  SELECT day, ($hex8) AS h
+         |  FROM (SELECT day, md5(CAST(user_id AS VARCHAR)) AS d FROM ev)),
+         |rr AS (
+         |  SELECT day, h // $wordMod AS reg,
+         |    ${operators.Sketches.rhoSql(s"(h % $wordMod)")} AS rho
+         |  FROM hh),
+         |mx AS (SELECT day, reg, max(rho) AS max_rho FROM rr GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day AS d FROM mx),
+         |cum AS (
+         |  SELECT days.d, mx.reg, max(mx.max_rho) AS cum_rho
+         |  FROM days JOIN mx ON mx.day <= days.d GROUP BY 1, 2),
+         |sk AS (
+         |  SELECT d, CAST(count(*) AS BIGINT) AS n_present,
+         |    sum(power(2, -cum_rho)) AS harm_present
+         |  FROM cum GROUP BY 1),
+         |nn AS (
+         |  SELECT f, CAST(count(*) AS BIGINT) AS n_new FROM (
+         |    SELECT user_id, min(day) AS f FROM ev GROUP BY user_id)
+         |  GROUP BY f),
+         |ex AS (
+         |  SELECT days.d, CAST(sum(nn.n_new) AS BIGINT) AS n_exact
+         |  FROM days JOIN nn ON nn.f <= days.d GROUP BY 1),
+         |es AS (
+         |  SELECT sk.d, ex.n_exact,
+         |    CAST($m - sk.n_present AS BIGINT) AS n_zero_regs,
+         |    round(CASE WHEN $raw <= 2.5 * $m.0 AND $m - n_present > 0
+         |      THEN $m.0 * ln($m.0 / CAST($m - n_present AS DOUBLE))
+         |      ELSE $raw END, 4) AS est_distinct
+         |  FROM sk JOIN ex ON ex.d = sk.d)
+         |SELECT d AS day, n_exact, n_zero_regs, est_distinct,
          |  CASE WHEN n_exact > 0 THEN
          |    round(abs(est_distinct - CAST(n_exact AS DOUBLE)) /
          |          CAST(n_exact AS DOUBLE), 4) END AS rel_err

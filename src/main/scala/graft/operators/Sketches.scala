@@ -261,6 +261,57 @@ object Sketches {
       .orderBy("day")
   }
 
+  /** Running cumulative distinct users by day — the windowed payoff of
+    * MERGEABLE sketch state: "uniques to date" needs the union of all
+    * prior daily sketches, which for HLL is just register-wise MAX
+    * over the day prefix. The daily register table is D×m rows (time
+    * dimension × 64 — model-sized, not corpus-sized), so the prefix
+    * maximum runs as a triangular join over that tiny frame (the
+    * `ltvTriangle` discipline — constant at any corpus scale, never a
+    * user-level window). The exact side reduces users to their
+    * first-seen day (one map-side-combined reduction), buckets to D
+    * per-day counts, and prefix-sums those D rows the same triangular
+    * way — no users×days blowup. Estimate arithmetic is identical to
+    * [[hllDailyUsers]]: dyadic harmonic sums are order-exact, one
+    * rounded division (or ln) per day.
+    */
+  def hllRunningUsers(spark: SparkSession, dir: String): DataFrame = {
+    val m = hllRegisters
+    val ev = Tables(spark, dir, "events")
+      .select(expr(s"unix_micros(ts) div ${86400L * 1000 * 1000}L").as("day"),
+        col("user_id"))
+    val h = hllHash(col("user_id"))
+    val mx = ev
+      .select(col("day"), shiftright(h, hllWordBits).as("reg"),
+        rhoExpr(h.bitwiseAND(lit((1L << hllWordBits) - 1))).as("rho"))
+      .groupBy("day", "reg").agg(max(col("rho")).as("max_rho"))
+      .localCheckpoint() // D×m rows feeding the spine and the prefix max
+    val days = mx.select(col("day").as("d")).distinct()
+    val cum = broadcast(days).join(mx, col("day") <= col("d"))
+      .groupBy(col("d"), col("reg")).agg(max(col("max_rho")).as("cum_rho"))
+    val sket = cum.groupBy("d").agg(
+      count(lit(1)).as("n_present"),
+      sum(pow(lit(2.0), -col("cum_rho"))).as("harm_present"))
+    val nNew = ev.groupBy("user_id").agg(min(col("day")).as("f"))
+      .groupBy("f").agg(count(lit(1)).as("n_new"))
+    val exact = broadcast(days).join(nNew, col("f") <= col("d"))
+      .groupBy("d").agg(sum(col("n_new")).as("n_exact"))
+    val mD = lit(m.toDouble)
+    val harm = col("harm_present") + (mD - col("n_present").cast("double"))
+    val zeros = lit(m.toLong) - col("n_present")
+    val raw = lit(hllAlpha) * mD * mD / harm
+    val est = round(
+      when(raw <= lit(2.5) * mD && zeros > 0L,
+        mD * log(mD / zeros.cast("double"))).otherwise(raw), 4)
+    sket.join(exact, "d")
+      .select(col("d").as("day"), col("n_exact"), zeros.as("n_zero_regs"),
+        est.as("est_distinct"),
+        when(col("n_exact") > 0L,
+          round(abs(est - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 4)).as("rel_err"))
+      .orderBy("day")
+  }
+
   /** The estimate read off the registers, next to the exact distinct
     * count it approximates: harmonic-mean estimate αm²/Σ2^(−ρⱼ) with
     * the standard small-range linear-counting correction (m·ln(m/V)

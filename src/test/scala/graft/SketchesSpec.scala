@@ -231,4 +231,30 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("rel_err") -
       math.abs(est - exact) / exact) < 1e-4)
   }
+
+  test("running hll: exact prefix counts, monotone, final day equals the corpus") {
+    import org.apache.spark.sql.functions._
+    val rows = Sketches.hllRunningUsers(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // exact side recomputed independently from the raw (day, user) pairs
+    val pairs = Tables(spark, dir, "events")
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val want = pairs.filter(_._1 <= d).map(_._2).distinct.length.toLong
+      assert(r.getLong(1) === want, s"day $d cumulative exact")
+    }
+    // cumulative counts never decrease; the last day covers everyone
+    val exacts = rows.sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(exacts.zip(exacts.tail).forall { case (a, b) => a <= b })
+    assert(exacts.last === pairs.map(_._2).distinct.length.toLong)
+    // estimates stay inside the 3σ envelope on every prefix
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val est = r.getDouble(3)
+      assert(math.abs(est - exact) / exact < 3 * 1.04 / 8,
+        s"day ${r.getLong(0)}: est=$est exact=$exact")
+    }
+  }
 }
