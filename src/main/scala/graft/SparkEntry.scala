@@ -115,6 +115,7 @@ object SparkEntry {
     "q_ltv_triangle" -> (Behavior.ltvTriangle _),
     "q_event_transitions" -> (Behavior.eventTransitions _),
     "q_hourly_anomalies" -> (Behavior.hourlyAnomalies _),
+    "q_robust_anomalies" -> (Behavior.robustAnomalies _),
     "q_salted_join" -> (Skew.saltedSupplierRevenue _),
     // — dedup family over documents (north-star extensions)
     "dedup_exact" -> (Dedup.exact _),
@@ -1771,6 +1772,35 @@ object SparkEntry {
         |  FROM s)
         |SELECT event_type, hour_idx, n, b_cnt, b_sum, z,
         |  (z IS NOT NULL AND abs(z) > 3) AS is_anomaly
+        |FROM zz ORDER BY 1, 2""".stripMargin,
+    // robust twin: LOWER-median/MAD picked by integer rank from the
+    // sorted 24-element baseline (never interpolated); modified z =
+    // 0.6745·(n − med)/MAD; zero MAD → NULL, not an ANSI 0-division
+    "q_robust_anomalies" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, hour_idx, n,
+        |    list_sort(list(n) OVER wf) AS b
+        |  FROM h
+        |  WINDOW wf AS (PARTITION BY event_type ORDER BY hour_idx
+        |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |m AS (
+        |  SELECT event_type, hour_idx, n,
+        |    CAST(b[12] AS BIGINT) AS med,
+        |    CAST(list_sort(list_transform(b, x -> abs(x - b[12])))[12]
+        |         AS BIGINT) AS mad
+        |  FROM s WHERE len(b) = 24),
+        |zz AS (
+        |  SELECT event_type, hour_idx, n, med, mad,
+        |    CASE WHEN mad > 0 THEN
+        |      round(0.6745 * CAST(n - med AS DOUBLE) / CAST(mad AS DOUBLE), 4)
+        |    END AS robust_z
+        |  FROM m)
+        |SELECT event_type, hour_idx, n, med, mad, robust_z,
+        |  (robust_z IS NOT NULL AND abs(robust_z) > 3.5) AS is_anomaly
         |FROM zz ORDER BY 1, 2""".stripMargin,
     "q_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,

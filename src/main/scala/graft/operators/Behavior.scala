@@ -244,6 +244,56 @@ object Behavior {
       .orderBy("event_type", "hour_idx")
   }
 
+  /** Robust (median/MAD) twin of [[hourlyAnomalies]] — the detector a
+    * deployment switches to once real traffic shows heavy tails: a
+    * single flood hour inflates the mean AND the σ of the rolling
+    * baseline, masking the very anomaly that caused it, while the
+    * median/MAD pair shrugs off up to half the window. Scores are the
+    * Iglewicz–Hoaglin modified z: 0.6745·(n − med)/MAD, flagged at
+    * |z| > 3.5.
+    *
+    * Engine-exactness: medians are LOWER medians — the element at rank
+    * ⌈k/2⌉ of the sorted window — picked by integer position from the
+    * sorted 24-element baseline array, never interpolated (the
+    * percentile-interpolation ban); MAD deviations are integers, so
+    * the only float is the final scaled division, rounded at 4. A
+    * zero MAD (≥13 identical baseline counts) yields NULL, not an
+    * ANSI division error.
+    *
+    * Shape: the same (type, hour) reduction as the mean/σ row, then a
+    * 24-row sliding `collect_list` per type — window state is O(24)
+    * integers per row over the model-sized hourly frame, not the
+    * corpus.
+    */
+  def robustAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val baseline = 24
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr(s"unix_micros(ts) div ${3600L * 1000 * 1000}L").as("hour_idx"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_idx"))
+      .rowsBetween(-baseline, -1)
+    val scored = hourly
+      .withColumn("b", sort_array(collect_list(col("n")).over(w)))
+      .withColumn("b_cnt", size(col("b")))
+      .filter(col("b_cnt") === baseline)
+      .withColumn("med", element_at(col("b"), baseline / 2))
+      .withColumn("dev",
+        sort_array(transform(col("b"), x => abs(x - col("med")))))
+      .withColumn("mad", element_at(col("dev"), baseline / 2))
+    scored
+      .withColumn("robust_z",
+        when(col("mad") > 0L,
+          round(lit(0.6745) * (col("n") - col("med")).cast("double") /
+            col("mad").cast("double"), 4)))
+      .select(col("event_type"), col("hour_idx"), col("n"),
+        col("med"), col("mad"), col("robust_z"),
+        (col("robust_z").isNotNull && abs(col("robust_z")) > 3.5d)
+          .as("is_anomaly"))
+      .orderBy("event_type", "hour_idx")
+  }
+
   /** Seasonal-naive forecast audit: predict each (type, hour) count
     * with the count 24 CALENDAR hours earlier (a self-join on
     * (type, hour−24) — calendar-correct under gaps, unlike a 24-ROW

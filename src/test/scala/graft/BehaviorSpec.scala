@@ -157,6 +157,47 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("robust anomalies: spike flags, post-flood hours stay calm (median immunity)") {
+    val t0 = 1700000000000000L
+    // baseline cycles 3,5,7,9 (lower median 5, MAD 2); hour 27 floods
+    // to 50, hours 28..29 return to the cycle — the flood now sits
+    // INSIDE their 24-row baseline, but the median shrugs it off
+    val rows = for {
+      h <- 0 until 30
+      i <- 0 until (if (h == 27) 50 else Seq(3, 5, 7, 9)(h % 4))
+    } yield (1L + i, t0 + h * hourUs + i * 1000L, "e")
+    val dir = writeEvents(rows)
+    val out = Behavior.robustAnomalies(spark, dir).collect()
+    // rows exist only once the 24-hour baseline is complete
+    assert(out.length === 6)
+    val byHour = out.map(r =>
+      (r.getAs[Long]("hour_idx") - t0 / hourUs) -> r).toMap
+    assert(byHour(27L).getAs[Boolean]("is_anomaly"), "flood must flag")
+    // 0.6745·(50 − 5)/2 = 15.17625 → rounds to 15.1763
+    assert(byHour(27L).getAs[Long]("med") === 5L)
+    assert(byHour(27L).getAs[Long]("mad") === 2L)
+    assert(byHour(27L).getAs[Double]("robust_z") === 15.1763)
+    // the cycle hours — before AND after the flood — stay unflagged
+    Seq(24L, 25L, 26L, 28L, 29L).foreach { h =>
+      assert(!byHour(h).getAs[Boolean]("is_anomaly"), s"hour $h calm")
+      assert(math.abs(byHour(h).getAs[Double]("robust_z")) < 3.5)
+    }
+  }
+
+  test("robust anomalies: a near-constant baseline yields NULL z, never a flag") {
+    val t0 = 1700000000000000L
+    // constant 5s: med 5, every deviation 0 → MAD 0 → NULL z (the
+    // ANSI-safe degradation), even against a final spike
+    val rows = for {
+      h <- 0 until 26
+      i <- 0 until (if (h == 25) 40 else 5)
+    } yield (1L + i, t0 + h * hourUs + i * 1000L, "e")
+    val out = Behavior.robustAnomalies(spark, writeEvents(rows)).collect()
+    assert(out.length === 2)
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("robust_z"))))
+    assert(out.forall(!_.getAs[Boolean]("is_anomaly")))
+  }
+
   test("anomalies: a zero-variance baseline yields NULL z, never a flag") {
     val t0 = 1700000000000000L
     // 26 hours of exactly 5 events — constant history must not divide
