@@ -181,6 +181,7 @@ object SparkEntry {
     "text_subword_stats" -> (TextAnalysis.subwordStats _),
     "text_rolling_hash" -> (TextAnalysis.rollingHashes _),
     "text_quality_filter" -> (Sampling.qualityFilter _),
+    "text_quality_calibrated" -> (TextAnalysis.qualityCalibrated _),
     "text_pii_signals" -> (TextAnalysis.piiSignals _),
     "text_pii_redact" -> (TextAnalysis.piiRedact _),
     "text_heavy_hitters" -> (TextAnalysis.heavyHitters _),
@@ -2914,6 +2915,30 @@ object SparkEntry {
         |   + len(regexp_extract_all(text, 'https?://[^ ]+'))
         |   + len(regexp_extract_all(text, '[0-9]{6,}'))) > 0 AS has_pii
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-source percentile calibration: integer prose-floor score,
+    // row_number rank per source, one rounded division; the same
+    // quantile cut everywhere keeps the per-source mix intact
+    "text_quality_calibrated" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(trim(text), ' ')) *
+         |      (CASE WHEN 20 * len(list_filter(string_split(trim(text), ' '),
+         |              t -> list_contains(['the','a','of','and','in','to','is'], t)))
+         |            >= len(string_split(trim(text), ' '))
+         |       THEN 2 ELSE 1 END) AS BIGINT) AS score
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, score,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS src_rank,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+         |  FROM d)
+         |SELECT doc_id, source, score, src_rank,
+         |  round(CAST(src_rank AS DOUBLE) / n_src, 6) AS cal
+         |FROM r
+         |WHERE round(CAST(src_rank AS DOUBLE) / n_src, 6)
+         |      <= ${operators.TextAnalysis.calibratedKeepShare}
+         |ORDER BY doc_id""".stripMargin,
     // redaction transform: counts are replacements actually made
     // (email → URL → id-like on the progressively-redacted text), and
     // md5(redacted) certifies the rewritten bytes

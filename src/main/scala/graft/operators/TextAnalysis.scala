@@ -63,6 +63,47 @@ object TextAnalysis {
     size(toks).cast("double") * when(stopRatio >= 0.05, 1.0).otherwise(0.5)
   }
 
+  /** Top-quantile share kept per source by [[qualityCalibrated]]. */
+  val calibratedKeepShare = 0.25
+
+  /** Per-source quality calibration — the fairness step before any
+    * GLOBAL quality cut: classifier/heuristic score distributions
+    * differ by source (one crawl's median beats another's 90th
+    * percentile), so a single global threshold silently empties the
+    * low-scoring source. Calibrating to within-source percentile rank
+    * and cutting at the same quantile everywhere keeps the per-source
+    * mix intact while still dropping each source's worst quarter.
+    *
+    * Engine-exactness: the score is the survivor-selection quality
+    * (token count halved under the prose floor, with the floor as the
+    * INTEGER predicate `20·stopwords ≥ tokens` — the Gopher integer
+    * discipline, no float ratio); ranks are `row_number` over
+    * (score desc, doc_id) per source; the calibrated value is one
+    * rounded division of exact integers. Window partitions by source
+    * — bounded cardinality, each partition corpus/|sources| — and at
+    * 100× the rank swaps for per-source `approx_percentile` cutoffs
+    * broadcast back (the [[unigramNll]] scale note).
+    */
+  def qualityCalibrated(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val score = (size(toks) *
+      when(countIn(toks, stopwords) * 20 >= size(toks), 2).otherwise(1))
+      .cast("long")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val wc = Window.partitionBy(col("source"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), score.as("score"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(wc))
+      .withColumn("cal",
+        round(col("src_rank").cast("double") / col("n_src"), 6))
+      .filter(col("cal") <= calibratedKeepShare)
+      .select("doc_id", "source", "score", "src_rank", "cal")
+      .orderBy("doc_id")
+  }
+
   /** Stopword-overlap language-ID heuristic scored against the labeled
     * lang column: confusion counts per (labeled, predicted) pair.
     */
