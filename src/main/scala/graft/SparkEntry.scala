@@ -133,6 +133,7 @@ object SparkEntry {
     "dedup_clusters" -> (Dedup.clustersQuery _),
     "dedup_clusters_dist" -> (Dedup.clustersDistQuery _),
     "dedup_survivors" -> (Dedup.survivors _),
+    "dedup_impact" -> (Dedup.dedupImpact _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
@@ -1957,6 +1958,43 @@ object SparkEntry {
          |                       ORDER BY quality DESC, doc_id) AS rn
          |  FROM member) t
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // rollout impact: per cluster-size bucket (4 = "4+"), clusters /
+    // docs / removed docs / removed TOKENS, with the survivor's tokens
+    // kept — survivor pick identical to dedup_survivors
+    "dedup_impact" ->
+      s"""$clusterLabelsCte,
+         |qual AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(string_split(trim(text), ' ')) AS DOUBLE) *
+         |    (CASE WHEN CAST(len(list_filter(string_split(trim(text), ' '),
+         |            t -> list_contains(['the','a','of','and','in','to','is'], t))) AS DOUBLE)
+         |          / len(string_split(trim(text), ' ')) >= 0.05
+         |     THEN 1.0 ELSE 0.5 END) AS quality
+         |  FROM documents),
+         |member AS (
+         |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster,
+         |         q.n_tok, q.quality
+         |  FROM documents d
+         |  LEFT JOIN labels l ON d.doc_id = l.id
+         |  JOIN qual q ON d.doc_id = q.doc_id),
+         |srv AS (
+         |  SELECT cluster, n_tok AS kept_tok FROM (
+         |    SELECT cluster, n_tok,
+         |      row_number() OVER (PARTITION BY cluster
+         |                         ORDER BY quality DESC, doc_id) AS rn
+         |    FROM member) t WHERE rn = 1),
+         |per AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS sz,
+         |    CAST(sum(n_tok) AS BIGINT) AS toks
+         |  FROM member GROUP BY cluster)
+         |SELECT CAST(least(sz, 4) AS BIGINT) AS size_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(sum(sz - 1) AS BIGINT) AS n_docs_removed,
+         |  CAST(sum(toks - kept_tok) AS BIGINT) AS tokens_removed
+         |FROM per JOIN srv USING (cluster)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" ->
       s"""$simhashCte,

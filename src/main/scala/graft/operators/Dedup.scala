@@ -436,6 +436,45 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Dedup rollout impact report — the release-notes table a corpus
+    * build attaches when it ships a deduplicated version: per
+    * cluster-size bucket (1, 2, 3, 4 = "4 and larger"), how many
+    * clusters, documents, removed documents, and removed TOKENS the
+    * rollout costs. Token loss is the number that matters at training
+    * time — removing 1% of documents can remove 30% of tokens when
+    * the dup clusters are boilerplate-heavy — and the per-bucket
+    * split shows whether loss comes from pairs (benign) or mega
+    * clusters (investigate).
+    *
+    * Survivor accounting matches [[survivors]] exactly (highest
+    * quality, smallest-id tiebreak), so kept tokens are the
+    * survivor's, not the max. One label join + two model-sized
+    * aggregates past the cluster labeling; counts and token sums are
+    * exact integers (quality only orders the survivor pick).
+    */
+  def dedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val labels = clusters(lshPairsUnsorted(spark, dir))
+    val member = docs
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok"),
+        TextAnalysis.representativeQuality(col("text")).as("quality"))
+      .join(labels, docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        col("n_tok"), col("quality"))
+    val per = member.groupBy("cluster").agg(
+      count(lit(1)).as("sz"),
+      sum(col("n_tok")).as("toks"),
+      max_by(col("n_tok"), struct(col("quality"), -col("doc_id")))
+        .as("kept_tok"))
+    per.groupBy(least(col("sz"), lit(4L)).as("size_bucket"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1L).as("n_docs_removed"),
+        sum(col("toks") - col("kept_tok")).as("tokens_removed"))
+      .orderBy("size_bucket")
+  }
+
   /** Oracle-registered duplicate clusters over the LSH candidate-pair
     * graph: (id, cluster) for every doc appearing in at least one
     * candidate pair — cluster is the smallest doc_id in the connected

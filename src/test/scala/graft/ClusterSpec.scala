@@ -87,4 +87,27 @@ class ClusterSpec extends SparkSpec {
       .join(surv.withColumnRenamed("doc_id", "b_id"), "b_id")
     assert(coSurvive.count() === 0)
   }
+
+  test("dedup impact: bucket totals reconcile with the corpus and the survivor set") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val impact = graft.operators.Dedup.dedupImpact(spark, dir).collect()
+    val nDocs = Tables(spark, dir, "documents").count()
+    val nSurv = graft.operators.Dedup.survivors(spark, dir).count()
+    // documents partition exactly into the buckets
+    assert(impact.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    // removed docs = corpus − survivors (one kept per cluster)
+    assert(impact.map(_.getAs[Long]("n_docs_removed")).sum === nDocs - nSurv)
+    // singleton bucket removes nothing
+    val singles = impact.find(_.getAs[Long]("size_bucket") === 1L).get
+    assert(singles.getAs[Long]("n_docs_removed") === 0L)
+    assert(singles.getAs[Long]("tokens_removed") === 0L)
+    // token loss reconciles against a direct recompute over survivors
+    val tokTotal = Tables(spark, dir, "documents")
+      .agg(sum(size(split(trim(col("text")), " ")).cast("long"))).head().getLong(0)
+    val survToks = Tables(spark, dir, "documents")
+      .join(graft.operators.Dedup.survivors(spark, dir), "doc_id")
+      .agg(sum(size(split(trim(col("text")), " ")).cast("long"))).head().getLong(0)
+    assert(impact.map(_.getAs[Long]("tokens_removed")).sum === tokTotal - survToks)
+  }
 }
