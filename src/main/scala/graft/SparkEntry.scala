@@ -110,6 +110,7 @@ object SparkEntry {
     "q_asof_attribution" -> (Temporal.lastTouchAttribution _),
     "q_multi_touch" -> ((s: SparkSession, d: String) => Temporal.multiTouchAttribution(s, d)),
     "q_sessionize" -> ((s: SparkSession, d: String) => Temporal.sessionize(s, d)),
+    "q_session_stats" -> (Temporal.sessionStats _),
     "q_funnel_conversion" -> (Behavior.funnelConversion _),
     "q_retention_cohorts" -> (Behavior.retentionCohorts _),
     "q_ltv_triangle" -> (Behavior.ltvTriangle _),
@@ -1652,6 +1653,44 @@ object SparkEntry {
         |  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // session product metrics: bounce rate + LOWER-median session
+    // length via cumulative counts over the size histogram (integer
+    // rank pick, no interpolation, no global window)
+    "q_session_stats" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM l),
+        |s AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM s GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT n_events, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM sess GROUP BY 1),
+        |cum AS (
+        |  SELECT h.n_events, sum(h2.cnt) AS cum
+        |  FROM hist h JOIN hist h2 ON h2.n_events <= h.n_events
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_sessions,
+        |    CAST(sum(CASE WHEN n_events = 1 THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS n_bounce
+        |  FROM hist),
+        |med AS (
+        |  SELECT CAST(min(cum.n_events) AS BIGINT) AS med_events
+        |  FROM cum CROSS JOIN tot WHERE cum.cum * 2 >= tot.n_sessions)
+        |SELECT n_sessions, n_bounce,
+        |  round(CAST(n_bounce AS DOUBLE) / n_sessions, 4) AS bounce_rate,
+        |  med_events
+        |FROM tot CROSS JOIN med""".stripMargin,
     // exact integer micros throughout; conv_pct is one rounded division
     // of two exact counts
     "q_funnel_conversion" ->

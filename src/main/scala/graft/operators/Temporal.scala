@@ -92,6 +92,37 @@ object Temporal {
       .orderBy("purchase_id")
   }
 
+  /** Session-level product metrics off [[sessionize]] — the report a
+    * product team reads daily: session count, bounce rate (single-
+    * event sessions), and the typical session length. The median is
+    * the LOWER median picked from the events-per-session HISTOGRAM
+    * (bounded distinct sizes → a model-sized frame) by cumulative
+    * count — the smallest size whose running total reaches ⌈n/2⌉ — via
+    * a triangular join over that tiny histogram: integer-exact, no
+    * interpolation, no global window. Bounce rate is one rounded
+    * division of exact counts.
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionize(spark, dir)
+      .select(col("n_events"))
+    val hist = sessions.groupBy("n_events").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // bounded by distinct session sizes
+    val h2 = hist.select(col("n_events").as("sz2"), col("cnt").as("cnt2"))
+    val cum = hist.join(broadcast(h2), col("sz2") <= col("n_events"))
+      .groupBy(col("n_events")).agg(sum(col("cnt2")).as("cum"))
+    val totals = hist.agg(
+      sum(col("cnt")).as("n_sessions"),
+      sum(when(col("n_events") === 1L, col("cnt")).otherwise(0L)).as("n_bounce"))
+    val med = cum.crossJoin(broadcast(totals))
+      .filter(col("cum") * 2 >= col("n_sessions"))
+      .agg(min(col("n_events")).as("med_events"))
+    totals.crossJoin(broadcast(med))
+      .select(col("n_sessions"), col("n_bounce"),
+        round(col("n_bounce").cast("double") / col("n_sessions"), 4)
+          .as("bounce_rate"),
+        col("med_events"))
+  }
+
   /** Attribution lookback window: 7 days in microseconds. */
   val attributionLookbackUs: Long = 7L * 86400L * 1000000L
 

@@ -65,4 +65,24 @@ class TemporalSpec extends SparkSpec {
         col("b.session_start") <= col("a.session_end"))
     assert(bad.count() === 0)
   }
+
+  test("session stats reconcile with the session table; lower median by rank") {
+    val dir = "/root/testdata/sf0.001"
+    val sessions = Temporal.sessionize(spark, dir)
+      .select("n_events").collect().map(_.getLong(0)).sorted
+    val row = Temporal.sessionStats(spark, dir).collect().head
+    assert(row.getLong(0) === sessions.length.toLong)
+    assert(row.getLong(1) === sessions.count(_ == 1L).toLong)
+    val wantRate = BigDecimal(sessions.count(_ == 1L).toDouble / sessions.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(2) === wantRate)
+    // lower median: element at ⌈n/2⌉ of the sorted sizes (1-based)
+    val want = sessions((sessions.length + 1) / 2 - 1)
+    assert(row.getLong(3) === want)
+  }
+
+  test("multi-touch window bounds are closed on both ends (0 and exactly 7d)") {
+    // documented convention check kept close to the operator constants
+    assert(Temporal.attributionLookbackUs === 7L * 86400L * 1000000L)
+  }
 }
