@@ -850,7 +850,10 @@ object Multimodal {
     * candidates-then-verify shape as [[Dedup.lshCandidatePairs]]:
     * bucket join scales as Σ bucket², the verify is O(candidates).
     */
-  def dhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def dhashPairs(spark: SparkSession, dir: String): DataFrame =
+    dhashPairsUnsorted(spark, dir).orderBy("a_id", "b_id")
+
+  private def dhashPairsUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val hsh = dhashTable(spark, dir).localCheckpoint()
     val bands = dhashBandsOf(hsh)
     val a = bands.as("a")
@@ -862,8 +865,19 @@ object Multimodal {
         dhashHamming("a", "b"))
       .distinct()
       .filter(col("hamming") <= dhashHammingMax)
-      .orderBy("a_id", "b_id")
   }
+
+  /** Duplicate-image clusters over the verified dHash pair graph —
+    * the image pipeline reaching the same end state as the text one:
+    * candidates ([[dhashPairs]]) → connected components
+    * ([[Dedup.clusters]]: distributed pointer jumping, union-find
+    * under the small-graph guard) → per-cluster survivors are one
+    * `max_by` away. Cluster = smallest media_id in the component,
+    * exactly the text convention, so downstream tooling is shared.
+    */
+  def dhashClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(dhashPairsUnsorted(spark, dir).select("a_id", "b_id"))
+      .orderBy("id")
 
   /** 4 × 16-bit multi-index band rows for a dHash frame. */
   private def dhashBandsOf(hsh: DataFrame): DataFrame =

@@ -127,6 +127,22 @@ class DhashSpec extends SparkSpec {
     assert(inc.forall { case (d, b, _) => d % 2 == 1 && b % 2 == 0 })
   }
 
+  test("dhash clusters: labels cover exactly the paired images, cluster is the min member") {
+    val pairs = Multimodal.dhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Multimodal.dhashClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(labels.keySet === paired, "every paired image is labeled, nothing else")
+    // both endpoints of every pair share a label; label = component min
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"pair ($a, $b) split across clusters")
+    }
+    labels.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.keys.min === cl, s"cluster $cl must be its smallest member")
+    }
+  }
+
   test("signature parity: image path consumes the SAME signatures the LSH family uses") {
     // spot-check one doc: slices from Dedup.minhashSignatures feed the
     // arithmetic that must equal the decoded-image hash
