@@ -118,6 +118,7 @@ object SparkEntry {
     "q_hourly_anomalies" -> (Behavior.hourlyAnomalies _),
     "q_robust_anomalies" -> (Behavior.robustAnomalies _),
     "q_salted_join" -> (Skew.saltedSupplierRevenue _),
+    "q_join_skew" -> ((s: SparkSession, d: String) => Skew.joinKeySkew(s, d)),
     // — dedup family over documents (north-star extensions)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash_signatures" -> (Dedup.minhashSignatures _),
@@ -1855,6 +1856,24 @@ object SparkEntry {
         |           CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    // the salting decision input: top-5 heaviest join keys, row share,
+    // and count ÷ mean-count skew ratio — exact integer counts, one
+    // rounded division each
+    "q_join_skew" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys FROM c),
+        |top AS (
+        |  SELECT l_suppkey, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS BIGINT) AS rk
+        |  FROM c)
+        |SELECT rk, l_suppkey, cnt,
+        |  round(CAST(cnt AS DOUBLE) / n_rows, 6) AS share,
+        |  round(CAST(cnt AS DOUBLE) * n_keys / n_rows, 4) AS skew_ratio
+        |FROM top CROSS JOIN t
+        |WHERE rk <= 5 ORDER BY rk""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,

@@ -55,4 +55,33 @@ object Skew {
           .as("revenue"))
       .orderBy("s_name")
   }
+
+  /** Join-key skew diagnostic — the measurement that decides whether
+    * [[saltedSupplierRevenue]]'s salting is worth its fan-out: the
+    * top-k heaviest join keys with each key's row share and its
+    * skew ratio (count ÷ mean count). A ratio near 1 says the
+    * partitioner is already balanced and salting only adds shuffle
+    * width; a hot key at 10× mean is the straggler that serializes
+    * the stage. Measure first, salt second.
+    *
+    * Shape: one map-side-combined key count (key-cardinality-sized),
+    * a TakeOrdered top-k, and ranks via [[Ranks.boundedRank]] on the
+    * k-row frame — no global window, no second pass over the fact
+    * table. Counts are exact integers; share and ratio are one
+    * rounded division each.
+    */
+  def joinKeySkew(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val counts = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("cnt").desc, col("l_suppkey")).limit(k)
+    Ranks.boundedRank(top, "rk", "cnt", "l_suppkey")
+      .crossJoin(broadcast(totals))
+      .select(col("rk"), col("l_suppkey"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        round(col("cnt").cast("double") * col("n_keys") / col("n_rows"), 4)
+          .as("skew_ratio"))
+      .orderBy("rk")
+  }
 }

@@ -66,4 +66,28 @@ class SkewSpec extends SparkSpec {
     assert(salts.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq ===
       again.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq)
   }
+
+  test("joinKeySkew: true top keys, dense ranks, ratio = share × key count") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.Skew.joinKeySkew(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSeq === (1L to 5L))
+    // row 1 is the genuinely heaviest key, recomputed directly
+    val counts = Tables(spark, dir, "lineitem")
+      .groupBy("l_suppkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val trueMax = counts.map(_._2).max
+    assert(got.head.getLong(2) === trueMax)
+    // counts are non-increasing down the ranks
+    val cs = got.map(_.getLong(2))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    // ratio and share agree with the definition on every row
+    val nRows = counts.map(_._2).sum.toDouble
+    val nKeys = counts.length.toDouble
+    got.foreach { r =>
+      val cnt = r.getLong(2).toDouble
+      assert(math.abs(r.getDouble(3) - cnt / nRows) < 1e-6)
+      assert(math.abs(r.getDouble(4) - cnt * nKeys / nRows) < 1e-4)
+    }
+  }
 }
