@@ -752,6 +752,27 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The frozen Bloom artifact a STREAMING ingest serves with: filter
+    * width m (bits) and the corpus bit set packed into m/64 longs —
+    * built exactly like [[bloomIncremental]]'s corpus side (same
+    * fingerprints, same 16-bit digest positions), collected once as a
+    * broadcast-sized model (m ≈ 16n bits stays megabytes at billions
+    * of docs).
+    */
+  def bloomArtifact(spark: SparkSession, dir: String): (Long, Array[Long]) = {
+    val fp = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(md5(col("text").cast("binary")).as("f"))
+    val m = bloomBitsFor(fp.count())
+    val posCols = (0 until bloomProbes).map(j =>
+      conv(substring(col("f"), 8 * j + 1, 4), 16, 10).cast("long") % m)
+    val bits = fp.select(explode(array(posCols: _*)).as("bit"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long]((m / 64L).toInt.max(1))
+    bits.foreach(b => words((b / 64L).toInt) |= 1L << (b % 64L).toInt)
+    (m, words)
+  }
+
   /** k-gram width for [[dupSpans]]: 32 code points ≈ 5-6 words — wide
     * enough that a match is a genuinely repeated passage rather than an
     * incidental shared n-gram (at the [[TextAnalysis.winnowK]] width of
