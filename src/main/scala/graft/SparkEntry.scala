@@ -187,6 +187,7 @@ object SparkEntry {
     "text_quality_calibrated" -> (TextAnalysis.qualityCalibrated _),
     "text_pii_signals" -> (TextAnalysis.piiSignals _),
     "text_pii_redact" -> (TextAnalysis.piiRedact _),
+    "text_greedy_chunks" -> (TextAnalysis.greedyChunks _),
     "text_heavy_hitters" -> (TextAnalysis.heavyHitters _),
     "text_unigram_nll" -> (TextAnalysis.unigramNll _),
     "text_bigram_nll" -> (TextAnalysis.bigramNll _),
@@ -3036,6 +3037,55 @@ object SparkEntry {
          |WHERE round(CAST(src_rank AS DOUBLE) / n_src, 6)
          |      <= ${operators.TextAnalysis.calibratedKeepShare}
          |ORDER BY doc_id""".stripMargin,
+    // word-boundary chunking replayed: unit rule + the greedy pack as
+    // a per-unit recursive CTE (the BPE recursion discipline); md5 of
+    // each chunk substring certifies the bytes
+    "text_greedy_chunks" -> {
+      val mx = operators.TextAnalysis.greedyChunkMax
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n
+         |  FROM documents WHERE len(text) > 0),
+         |bnd AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS i
+         |  FROM d, unnest(generate_series(1, n)) t(i)
+         |  WHERE substr(text, CAST(i AS INTEGER), 1) = ' ' OR i = n),
+         |ends AS (
+         |  SELECT doc_id, i,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS k
+         |  FROM bnd),
+         |nk AS (SELECT doc_id, max(k) AS mk FROM ends GROUP BY doc_id),
+         |walk(doc_id, k, s, last, c_start, c_end) AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+         |         CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |  FROM nk
+         |  UNION ALL
+         |  SELECT w.doc_id, w.k + 1,
+         |    CASE WHEN w.last = 0 THEN w.s
+         |         WHEN e.i - w.s + 1 <= $mx THEN w.s
+         |         ELSE w.last + 1 END,
+         |    e.i,
+         |    CASE WHEN w.last <> 0 AND e.i - w.s + 1 > $mx THEN w.s END,
+         |    CASE WHEN w.last <> 0 AND e.i - w.s + 1 > $mx THEN w.last END
+         |  FROM walk w JOIN ends e ON e.doc_id = w.doc_id AND e.k = w.k + 1),
+         |chunks AS (
+         |  SELECT doc_id, c_start AS chunk_start, c_end AS chunk_end
+         |  FROM walk WHERE c_start IS NOT NULL
+         |  UNION ALL
+         |  SELECT w.doc_id, w.s, w.last
+         |  FROM walk w JOIN nk ON nk.doc_id = w.doc_id AND w.k = nk.mk
+         |  WHERE w.last > 0),
+         |idx AS (
+         |  SELECT doc_id, chunk_start, chunk_end,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY chunk_start)
+         |         AS BIGINT) AS chunk_idx
+         |  FROM chunks)
+         |SELECT x.doc_id, chunk_idx, chunk_start, chunk_end,
+         |  chunk_end - chunk_start + 1 AS chunk_len,
+         |  md5(substr(d2.text, CAST(chunk_start AS INTEGER),
+         |      CAST(chunk_end - chunk_start + 1 AS INTEGER))) AS chunk_md5
+         |FROM idx x JOIN documents d2 ON d2.doc_id = x.doc_id
+         |ORDER BY x.doc_id, chunk_idx""".stripMargin
+    },
     // redaction transform: counts are replacements actually made
     // (email → URL → id-like on the progressively-redacted text), and
     // md5(redacted) certifies the rewritten bytes

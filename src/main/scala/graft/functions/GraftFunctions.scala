@@ -79,6 +79,11 @@ object GraftFunctions {
       arity("bigram_entropy_stats", args, 1)
       BigramEntropyStats(args(0))
     },
+    "greedy_chunk_ends" -> { args =>
+      arity("greedy_chunk_ends", args, 2)
+      GreedyChunkEnds(args(0),
+        intArg(args(1), "greedy_chunk_ends", "max chunk chars"))
+    },
   )
 
   /** Register every native function on a live session. */

@@ -713,6 +713,51 @@ object TextAnalysis {
           round(col("lz_phrases").cast("double") / col("n_chars"), 6)))
       .orderBy("doc_id")
 
+  /** Chunk budget for [[greedyChunks]] (characters). */
+  val greedyChunkMax = 80
+
+  /** Word-boundary greedy chunking — the tokenizer-safe packing
+    * upgrade over [[graft.operators.Sampling.chunkWindows]]'s fixed
+    * character windows: chunks never cut a word in half (a mid-word
+    * cut corrupts both halves for any tokenizer; sentence terminators
+    * need no special casing — they ride inside their word unit). The
+    * greedy pack runs inside the native
+    * [[graft.functions.GreedyChunkEnds]] kernel (codegen'd sequential
+    * scan per document — unit detection + open-chunk state has no
+    * builtin composition), and the oracle replays the identical rule
+    * as a per-unit recursive CTE. Each output row carries `md5` of
+    * the exact chunk substring, so the hash gate certifies the chunk
+    * BYTES, not just offsets.
+    *
+    * Shape: one narrow kernel pass, the chunk-ends array materialized
+    * (`localCheckpoint`) BEFORE the explode so Generate cannot
+    * re-evaluate the kernel per output row (the measured 3.7×
+    * explode-reeval trap), then pure array arithmetic per chunk. No
+    * shuffle but the presentation sort.
+    */
+  def greedyChunks(spark: SparkSession, dir: String): DataFrame = {
+    val withEnds = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        graft.functions.GreedyChunkEnds(col("text"), greedyChunkMax)
+          .as("ends"))
+      .localCheckpoint()
+    withEnds
+      .select(col("doc_id"), col("text"), col("ends"),
+        posexplode(col("ends")).as(Seq("i0", "chunk_end")))
+      .select(col("doc_id"), col("text"),
+        (col("i0") + 1).cast("long").as("chunk_idx"),
+        when(col("i0") === 0, lit(1))
+          .otherwise(element_at(col("ends"), col("i0")) + 1)
+          .cast("long").as("chunk_start"),
+        col("chunk_end").cast("long").as("chunk_end"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        col("chunk_end"),
+        (col("chunk_end") - col("chunk_start") + 1).as("chunk_len"),
+        md5(expr("substring(text, cast(chunk_start AS INT), " +
+          "cast(chunk_end - chunk_start + 1 AS INT))")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Stupid-backoff weight (Brants et al. 2007 use 0.4; the score is a
     * ranking quantity, not a normalized probability).
     */

@@ -87,7 +87,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     "audio_features" -> Multimodal.audioFeatureIndex(spark, dir).count(),
     "pii_redact" -> TextAnalysis.piiRedact(spark, dir).count(),
     "top_pc" -> graft.operators.Quantize.topPrincipalComponent(spark, dir).count(),
-    "abtt" -> graft.operators.Quantize.abttResiduals(spark, dir).count())
+    "abtt" -> graft.operators.Quantize.abttResiduals(spark, dir).count(),
+    "greedy_chunks" -> TextAnalysis.greedyChunks(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -162,6 +163,7 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("top_pc") === 8L,
       "one loading row per fixture dim, all zero for the centered lone vector")
     assert(counts("abtt") === 1L, "lone centered vector projects to (0, 0)")
+    assert(counts("greedy_chunks") === 1L, "the 59-char lone doc is one chunk")
   }
 
   test("constant corpus: zero total variance yields NULL shares, not ANSI 0/0") {
