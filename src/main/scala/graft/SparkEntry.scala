@@ -246,6 +246,7 @@ object SparkEntry {
     "mm_audio_features" -> (Multimodal.audioFeatureIndex _),
     "mm_dhash_incremental" -> (Multimodal.dhashIncremental _),
     "mm_dhash_clusters" -> (Multimodal.dhashClusters _),
+    "mm_dhash_survivors" -> (Multimodal.dhashSurvivors _),
   )
 
   /** DuckDB shingle CTE shared by the minhash oracles: char 8-grams. */
@@ -3831,6 +3832,39 @@ object SparkEntry {
          |dlabels AS (
          |  SELECT id, least(id, min(m)) AS cluster FROM dr GROUP BY id)
          |SELECT id, cluster FROM dlabels ORDER BY id""".stripMargin,
+    // image survivors: one representative per cluster (the smallest
+    // member id = the label itself) plus every singleton
+    "mm_dhash_survivors" ->
+      s"""WITH RECURSIVE ${sigsCte.stripPrefix("WITH ")},
+         |px AS (
+         |  SELECT doc_id, ${dhashRowDigestCols.mkString(", ")}
+         |  FROM sigs),
+         |hsh AS (
+         |  SELECT doc_id,
+         |    CAST(${dhashHalfExpr(4 until 8, 4)} AS BIGINT) AS hi,
+         |    CAST(${dhashHalfExpr(0 until 4, 0)} AS BIGINT) AS lo
+         |  FROM px),
+         |bands AS (
+         |  $dhashBandsCte),
+         |pr AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |      bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+         |    FROM bands a JOIN bands b
+         |      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id) t
+         |  WHERE hamming <= ${operators.Multimodal.dhashHammingMax}),
+         |de AS (SELECT a_id AS u, b_id AS v FROM pr
+         |       UNION SELECT b_id, a_id FROM pr),
+         |dr(id, m) AS (
+         |  SELECT u, v FROM de
+         |  UNION
+         |  SELECT dr.id, de.v FROM dr JOIN de ON dr.m = de.u),
+         |dlabels AS (
+         |  SELECT id, least(id, min(m)) AS cluster FROM dr GROUP BY id)
+         |SELECT h.doc_id AS media_id FROM hsh h
+         |LEFT JOIN dlabels l ON l.id = h.doc_id AND l.id <> l.cluster
+         |WHERE l.id IS NULL
+         |ORDER BY media_id""".stripMargin,
     // REAL WAV codec replayed: the Spark side synthesizes PCM16 WAVs
     // (block j's samples = md5(text@j) bytes as LE int16), decodes
     // them with the true javax.sound parser, and accumulates ONLY

@@ -853,8 +853,14 @@ object Multimodal {
   def dhashPairs(spark: SparkSession, dir: String): DataFrame =
     dhashPairsUnsorted(spark, dir).orderBy("a_id", "b_id")
 
-  private def dhashPairsUnsorted(spark: SparkSession, dir: String): DataFrame = {
-    val hsh = dhashTable(spark, dir).localCheckpoint()
+  private def dhashPairsUnsorted(spark: SparkSession, dir: String): DataFrame =
+    dhashPairsOf(dhashTable(spark, dir).localCheckpoint())
+
+  /** Banded multi-index candidates + Hamming verify over an already
+    * materialized hash frame — shared so composed pipelines
+    * ([[dhashSurvivors]]) pay for the codec pass ONCE.
+    */
+  private def dhashPairsOf(hsh: DataFrame): DataFrame = {
     val bands = dhashBandsOf(hsh)
     val a = bands.as("a")
     val b = bands.as("b")
@@ -878,6 +884,23 @@ object Multimodal {
   def dhashClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.clusters(dhashPairsUnsorted(spark, dir).select("a_id", "b_id"))
       .orderBy("id")
+
+  /** Surviving image set after perceptual dedup — keep ONE image per
+    * dHash cluster plus every singleton. Unlike text (where the
+    * highest-quality copy wins), perceptually-near images carry no
+    * quality signal the hash sees, so the representative is the
+    * cluster label itself (smallest media_id — first-ingested wins,
+    * deterministic). One left anti-join of the hashed domain against
+    * the non-representative labels; no window, no collect.
+    */
+  def dhashSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val hsh = dhashTable(spark, dir).localCheckpoint() // codec pass ONCE
+    val labels = Dedup.clusters(dhashPairsOf(hsh).select("a_id", "b_id"))
+    val removed = labels.filter(col("id") =!= col("cluster")).select("id")
+    hsh.select(col("media_id"))
+      .join(removed, col("media_id") === col("id"), "left_anti")
+      .orderBy("media_id")
+  }
 
   /** 4 × 16-bit multi-index band rows for a dHash frame. */
   private def dhashBandsOf(hsh: DataFrame): DataFrame =

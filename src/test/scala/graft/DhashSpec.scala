@@ -143,6 +143,25 @@ class DhashSpec extends SparkSpec {
     }
   }
 
+  test("dhash survivors: one representative per cluster, singletons untouched") {
+    val labels = Multimodal.dhashClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val surv = Multimodal.dhashSurvivors(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val domain = Multimodal.dhashIndex(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    // exactly the cluster labels survive among paired images
+    labels.foreach { case (id, cl) =>
+      assert(surv.contains(id) === (id == cl), s"image $id survivor rule")
+    }
+    // every unpaired image survives
+    val paired = labels.map(_._1).toSet
+    assert((domain -- paired).subsetOf(surv))
+    // count identity: domain − (paired − clusters)
+    val nClusters = labels.map(_._2).distinct.length
+    assert(surv.size === domain.size - paired.size + nClusters)
+  }
+
   test("signature parity: image path consumes the SAME signatures the LSH family uses") {
     // spot-check one doc: slices from Dedup.minhashSignatures feed the
     // arithmetic that must equal the decoded-image hash
