@@ -330,7 +330,7 @@ object SparkEntry {
          |u$t AS (
          |  SELECT c.dim, round(sum(c.x * s$t.s), 6) AS u
          |  FROM c JOIN s$t USING (vec_id) GROUP BY c.dim),
-         |n$t AS (SELECT sqrt(sum(u * u)) AS nrm FROM u$t),
+         |n$t AS (SELECT sqrt(round(sum(u * u), 6)) AS nrm FROM u$t),
          |v$t AS (
          |  SELECT dim, CASE WHEN n$t.nrm > 0 THEN round(u / n$t.nrm, 6)
          |              ELSE 0.0 END AS v

@@ -44,10 +44,13 @@ object MediaDemo {
 
     val audio = Multimodal.audioFeatures(
       Multimodal.audioFromDocuments(spark, dir)).collect()
-    val avgRms = audio.map(_.rms).sum / audio.length
-    println(f"[demo] audio features: ${audio.length}%d WAVs parsed; " +
-      f"mean RMS $avgRms%.4f, peak range ${audio.map(_.peak).min}%d.." +
-      f"${audio.map(_.peak).max}%d (integer-exact off the real PCM walk)")
+    if (audio.nonEmpty) {
+      val avgRms = audio.map(_.rms).sum / audio.length
+      println(f"[demo] audio features: ${audio.length}%d WAVs parsed; " +
+        f"mean RMS $avgRms%.4f, peak range ${audio.map(_.peak).min}%d.." +
+        f"${audio.map(_.peak).max}%d (integer-exact off the real PCM walk)")
+    } else
+      println("[demo] audio features: 0 WAVs parsed (corpus too short to synthesize audio)")
 
     val spectral = Multimodal.audioSpectral(
       Multimodal.audioFromDocuments(spark, dir)).collect()

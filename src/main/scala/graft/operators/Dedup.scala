@@ -707,6 +707,30 @@ object Dedup {
   def bloomBitsFor(n: Long): Long =
     (1 to 16).map(1L << _).find(_ >= 16L * n).getOrElse(bloomBitsCap.toLong)
 
+  /** Historical-corpus predicate shared by the batch and streaming
+    * Bloom builders (doc_id % 10 ≠ 0 is "already ingested"; = 0 is
+    * the new batch probing it).
+    */
+  private def bloomCorpusSide: Column = col("doc_id") % 10 =!= 0
+
+  /** One md5 fingerprint per document — the single digest every Bloom
+    * position derives from.
+    */
+  private def bloomFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("f"))
+
+  /** The [[bloomProbes]] probe positions off fingerprint column `f`:
+    * position j is the 16-bit integer at hex chars [8j+1, 8j+4] of the
+    * digest, reduced into the m-bit filter. ONE definition so the
+    * batch gate ([[bloomIncremental]]) and the frozen streaming
+    * artifact ([[bloomArtifact]]) can never drift apart on probe count
+    * or slice layout.
+    */
+  private def bloomPositionArray(m: Long): Column =
+    array((0 until bloomProbes).map(j =>
+      conv(substring(col("f"), 8 * j + 1, 4), 16, 10).cast("long") % m): _*)
+
   /** Bloom-filter incremental dedup (E14a): the membership-sketch form
     * of [[lshIncrementalPairs]]'s daily-ingest shape, for EXACT dedup
     * against a historical corpus too large to semi-join raw. The
@@ -727,20 +751,15 @@ object Dedup {
     * broadcast hash join → per-doc conjunction).
     */
   def bloomIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Tables(spark, dir, "documents")
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("f"))
+    val fp = bloomFingerprints(spark, dir)
     // size the filter to the historical corpus (one count job — the
     // same O(1)-result pass a deployment's filter build starts with)
-    val m = bloomBitsFor(fp.filter(col("doc_id") % 10 =!= 0).count())
-    // position j = 16-bit integer at hex chars [8j+1, 8j+4] of the
-    // digest, reduced into the m-bit filter
-    val posCols = (0 until bloomProbes).map(j =>
-      conv(substring(col("f"), 8 * j + 1, 4), 16, 10).cast("long") % m)
+    val m = bloomBitsFor(fp.filter(bloomCorpusSide).count())
     val pos = fp.select(col("doc_id"), col("f"),
-      explode(array(posCols: _*)).as("bit"))
-    val corpusBits = pos.filter(col("doc_id") % 10 =!= 0)
+      explode(bloomPositionArray(m)).as("bit"))
+    val corpusBits = pos.filter(bloomCorpusSide)
       .select("bit").distinct().withColumn("hit", lit(true))
-    val corpusFp = fp.filter(col("doc_id") % 10 =!= 0)
+    val corpusFp = fp.filter(bloomCorpusSide)
       .select("f").distinct().withColumn("dup", lit(true))
     pos.filter(col("doc_id") % 10 === 0)
       .join(broadcast(corpusBits), Seq("bit"), "left")
@@ -760,13 +779,9 @@ object Dedup {
     * of docs).
     */
   def bloomArtifact(spark: SparkSession, dir: String): (Long, Array[Long]) = {
-    val fp = Tables(spark, dir, "documents")
-      .filter(col("doc_id") % 10 =!= 0)
-      .select(md5(col("text").cast("binary")).as("f"))
+    val fp = bloomFingerprints(spark, dir).filter(bloomCorpusSide).select("f")
     val m = bloomBitsFor(fp.count())
-    val posCols = (0 until bloomProbes).map(j =>
-      conv(substring(col("f"), 8 * j + 1, 4), 16, 10).cast("long") % m)
-    val bits = fp.select(explode(array(posCols: _*)).as("bit"))
+    val bits = fp.select(explode(bloomPositionArray(m)).as("bit"))
       .distinct().collect().map(_.getLong(0))
     val words = new Array[Long]((m / 64L).toInt.max(1))
     bits.foreach(b => words((b / 64L).toInt) |= 1L << (b % 64L).toInt)

@@ -551,7 +551,10 @@ object Multimodal {
     * PCM16-in-WAV is lossless, which is what lets a SQL oracle replay
     * the features from the md5 byte arithmetic and certify the codec
     * path. Undecodable payloads yield no row ([[decodeImages]]'s
-    * contract); narrow per-partition work, no shuffle.
+    * contract), and so does a payload whose decoded sample count
+    * disagrees with the header's frame length (a truncated or
+    * header-inconsistent WAV would otherwise skew RMS/duration
+    * silently); narrow per-partition work, no shuffle.
     */
   def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
@@ -568,6 +571,7 @@ object Multimodal {
             var sumSq = 0L
             var peak = 0
             var zc = 0L
+            var nSamples = 0L
             var prevNeg = false
             var first = true
             val buf = new Array[Byte](8192)
@@ -583,11 +587,12 @@ object Multimodal {
                 if (!first && neg != prevNeg) zc += 1
                 prevNeg = neg
                 first = false
+                nSamples += 1
                 i += 2
               }
               read = src.read(buf)
             }
-            if (nFrames <= 0) None
+            if (nFrames <= 0 || nSamples != nFrames) None
             else Some(AudioFeatures(r.media_id, fmt.getSampleRate.toInt,
               nFrames, nFrames * 1000L / fmt.getSampleRate.toLong,
               peak, zc,

@@ -309,10 +309,11 @@ object Quantize {
     * is scanned, never collected; all driver state is O(dims).
     *
     * Float discipline (the [[dimVariance]]/IVF precedent): per-dim
-    * means, per-row scores, and the re-normalized direction are each
-    * ROUNDED AT 6 before reuse, so the oracle's unrolled-iteration
-    * CTEs replay all [[powerIters]] matvecs bit-stable — plain double
-    * sums disagree across engines only below the rounding floor. The
+    * means, per-row scores, the normalization power sum, and the
+    * re-normalized direction are each ROUNDED AT 6 before reuse, so
+    * the oracle's unrolled-iteration CTEs replay all [[powerIters]]
+    * matvecs bit-stable — plain double sums disagree across engines
+    * only below the rounding floor. The
     * seed is the exact constant 1/8 in every dimension (d = 64), sign
     * therefore deterministic.
     */
@@ -353,8 +354,14 @@ object Quantize {
       val u = ctr.join(s, "vec_id")
         .groupBy("dim").agg(round(sum(col("x") * col("s")), 6).as("u"))
         .localCheckpoint() // d rows; also truncates the growing lineage
+      // round the power sum BEFORE the sqrt: the one intermediate in
+      // the round-at-6 chain that is otherwise reused raw — Spark's
+      // shuffle-order sum can differ from DuckDB's sequential sum by
+      // ULPs, and an unrounded nrm could flip a razor-edge
+      // round(u/nrm, 6) digit (absolute 1e-6 safely dominates the
+      // relative ULP gap at every magnitude the sum reaches)
       norm = math.sqrt(
-        u.select(sum(col("u") * col("u"))).as[Option[Double]]
+        u.select(round(sum(col("u") * col("u")), 6)).as[Option[Double]]
           .head().getOrElse(0.0d)) // None ⇔ empty corpus
       val nrm = norm
       v = u.select(col("dim"),

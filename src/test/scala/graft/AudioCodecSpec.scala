@@ -112,6 +112,21 @@ class AudioCodecSpec extends SparkSpec {
     assert(math.abs(b.rms - 0.3 / math.sqrt(2)) < 0.005)
   }
 
+  test("audioFeatures: header-inconsistent (truncated) WAV yields no row") {
+    import spark.implicits._
+    val whole = wav(8000, 1, 1.0, 440.0, 0.8)
+    // chop the tail off the data section: the header still claims 8000
+    // frames but the stream delivers fewer — decoded-sample accounting
+    // must reject it rather than silently skew RMS/duration
+    val truncated = whole.take(whole.length - 1000)
+    val media = Seq(
+      MediaRow(1L, "audio", whole),
+      MediaRow(2L, "audio", truncated)).toDS()
+    val got = Multimodal.audioFeatures(media).collect()
+    assert(got.map(_.media_id).toSet === Set(1L),
+      "truncated payload is dropped, intact one survives")
+  }
+
   test("audioSpectral: Goertzel probe bank finds the played tone, not its neighbours") {
     import spark.implicits._
     val media = Seq(
