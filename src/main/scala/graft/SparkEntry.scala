@@ -98,7 +98,9 @@ object SparkEntry {
     "q_percentiles" -> (Analytics.orderPercentiles _),
     "q_stats_orders" -> (Analytics.orderStats _),
     "q_spend_gini" -> (Analytics.spendGini _),
+    "q_spearman" -> (Analytics.spearmanOrdersSpend _),
     "q_series_correlation" -> (Analytics.seriesCorrelation _),
+    "q_rolling_revenue" -> (operators.Intervals.rollingRevenue _),
     "q_daily_reconciliation" -> (Analytics.dailyReconciliation _),
     "q_range_join_tiers" -> (Analytics.priceTierSummary _),
     "q_order_timeline" -> (Analytics.orderTimeline _),
@@ -111,6 +113,7 @@ object SparkEntry {
     "q_multi_touch" -> ((s: SparkSession, d: String) => Temporal.multiTouchAttribution(s, d)),
     "q_sessionize" -> ((s: SparkSession, d: String) => Temporal.sessionize(s, d)),
     "q_session_stats" -> (Temporal.sessionStats _),
+    "q_concurrent_sessions" -> (operators.Intervals.concurrentSessions _),
     "q_funnel_conversion" -> (Behavior.funnelConversion _),
     "q_retention_cohorts" -> (Behavior.retentionCohorts _),
     "q_ltv_triangle" -> (Behavior.ltvTriangle _),
@@ -160,6 +163,7 @@ object SparkEntry {
     "emb_int8_quant" -> (operators.Quantize.int8Audit _),
     "emb_mrl_topk" -> ((s, d) => operators.Quantize.mrlTopK(s, d)),
     "emb_dim_variance" -> (operators.Quantize.dimVariance _),
+    "emb_whiten" -> (operators.Quantize.whitenAudit _),
     "emb_top_pc" -> (operators.Quantize.topPrincipalComponent _),
     "emb_abtt_residual" -> (operators.Quantize.abttResiduals _),
     "emb_centroid_drift" -> (operators.Quantize.centroidDrift _),
@@ -218,6 +222,7 @@ object SparkEntry {
     "q_forecast_baseline" -> (Behavior.forecastBaseline _),
     "q_weekly_profile" -> (Behavior.weeklyProfile _),
     "q_hll_distinct" -> (operators.Sketches.hllDistinct _),
+    "q_hll_overlap" -> (operators.Sketches.hllCohortOverlap _),
     "text_bpe_merges" ->
       ((s: SparkSession, d: String) => operators.BpeTrainer.train(s, d)),
     "text_bpe_fertility" ->
@@ -1695,6 +1700,60 @@ object SparkEntry {
         |  round(CAST(n_bounce AS DOUBLE) / n_sessions, 4) AS bounce_rate,
         |  med_events
         |FROM tot CROSS JOIN med""".stripMargin,
+    // distributed sweep-line replayed exactly: per-hour boundary
+    // running sums (starts before ends at one instant — inclusive
+    // interval ends) plus triangular prefix carry-in over the
+    // calendar-bounded hour histograms; all integers
+    "q_concurrent_sessions" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM l),
+        |sq AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM f),
+        |s AS (SELECT min(us) AS s_us, max(us) AS e_us
+        |      FROM sq GROUP BY user_id, session_seq),
+        |sh AS (SELECT s_us // 3600000000 AS h, CAST(count(*) AS BIGINT) AS n_start
+        |       FROM s GROUP BY 1),
+        |eh AS (SELECT e_us // 3600000000 AS h, CAST(count(*) AS BIGINT) AS n_end
+        |       FROM s GROUP BY 1),
+        |bounds AS (SELECT min(s_us // 3600000000) AS h0,
+        |                  max(e_us // 3600000000) AS h1 FROM s),
+        |spine AS (SELECT h0 + i AS h FROM bounds
+        |          CROSS JOIN generate_series(0, 200000) t(i)
+        |          WHERE h0 + i <= h1),
+        |sb AS (SELECT spine.h, CAST(sum(sh.n_start) AS BIGINT) AS sb
+        |       FROM spine JOIN sh ON sh.h < spine.h GROUP BY 1),
+        |eb AS (SELECT spine.h, CAST(sum(eh.n_end) AS BIGINT) AS eb
+        |       FROM spine JOIN eh ON eh.h < spine.h GROUP BY 1),
+        |d AS (SELECT s_us // 3600000000 AS h, s_us AS us,
+        |             CAST(1 AS BIGINT) AS delta FROM s
+        |      UNION ALL
+        |      SELECT e_us // 3600000000, e_us, CAST(-1 AS BIGINT) FROM s),
+        |runs AS (SELECT h, sum(delta) OVER (PARTITION BY h
+        |           ORDER BY us, delta DESC ROWS UNBOUNDED PRECEDING) AS run
+        |         FROM d),
+        |mx AS (SELECT h, CAST(max(run) AS BIGINT) AS max_run FROM runs GROUP BY h),
+        |peak AS (SELECT spine.h,
+        |    coalesce(sb.sb, 0) - coalesce(eb.eb, 0) +
+        |      greatest(coalesce(mx.max_run, 0), 0) AS peak
+        |  FROM spine LEFT JOIN sb ON sb.h = spine.h
+        |             LEFT JOIN eb ON eb.h = spine.h
+        |             LEFT JOIN mx ON mx.h = spine.h),
+        |st AS (SELECT s_us // 86400000000 AS day,
+        |              CAST(count(*) AS BIGINT) AS n_started
+        |       FROM s GROUP BY 1),
+        |pd AS (SELECT h // 24 AS day, CAST(max(peak) AS BIGINT) AS peak_concurrent
+        |       FROM peak GROUP BY 1)
+        |SELECT pd.day, CAST(coalesce(st.n_started, 0) AS BIGINT) AS n_started,
+        |  pd.peak_concurrent
+        |FROM pd LEFT JOIN st ON st.day = pd.day ORDER BY pd.day""".stripMargin,
     // exact integer micros throughout; conv_pct is one rounded division
     // of two exact counts
     "q_funnel_conversion" ->
@@ -2433,6 +2492,41 @@ object SparkEntry {
         |  CASE WHEN total_var > 0 THEN round(cum_var / total_var, 6)
         |  END AS cum_share
         |FROM cum ORDER BY dim""".stripMargin,
+    // whitening applied: same power-sum moments as emb_dim_variance,
+    // σ = round-6 sqrt, each z round-6 before the round-4 read-offs;
+    // σ = 0 dims whiten to exactly 0 on both engines
+    "emb_whiten" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN
+        |    generate_series(1, ${operators.Quantize.embeddingDim}) t(i)
+        |  WHERE i <= len(embedding)),
+        |st AS (
+        |  SELECT dim, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+        |  FROM e GROUP BY 1),
+        |mo AS (
+        |  SELECT dim, round(s / n, 6) AS mean,
+        |    CASE WHEN n > 1
+        |      THEN round((ss - s * (s / n)) / (n - 1), 6) END AS variance
+        |  FROM st),
+        |md AS (
+        |  SELECT dim, mean,
+        |    CASE WHEN variance > 0
+        |      THEN round(sqrt(greatest(variance, 0.0)), 6)
+        |      ELSE 0.0 END AS sigma
+        |  FROM mo),
+        |z AS (
+        |  SELECT e.vec_id,
+        |    CASE WHEN md.sigma > 0
+        |      THEN round((e.x - md.mean) / md.sigma, 6)
+        |      ELSE 0.0 END AS z
+        |  FROM e JOIN md ON md.dim = e.dim)
+        |SELECT vec_id, round(sqrt(sum(z * z)), 4) AS z_norm,
+        |  round(max(abs(z)), 4) AS z_max,
+        |  CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_extreme_dims
+        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "emb_mrl_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS q_emb
@@ -2960,6 +3054,51 @@ object SparkEntry {
         |          CAST(n_customers AS DOUBLE), 6)
         |  END AS gini
         |FROM a""".stripMargin,
+    // id-tiebroken Spearman: both row_number orders are total (metric,
+    // custkey), so every intermediate is an exact integer; the single
+    // float is the final ρ expression, stated in the same op order
+    "q_spearman" ->
+      """WITH cust AS (
+        |  SELECT o_custkey AS custkey, CAST(count(*) AS DOUBLE) AS m_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS m_spend
+        |  FROM orders GROUP BY 1),
+        |r1 AS (SELECT custkey,
+        |  CAST(row_number() OVER (ORDER BY m_orders, custkey) AS BIGINT) AS r1
+        |  FROM cust),
+        |r2 AS (SELECT custkey,
+        |  CAST(row_number() OVER (ORDER BY m_spend, custkey) AS BIGINT) AS r2
+        |  FROM cust),
+        |j AS (SELECT r1.custkey, r1.r1, r2.r2
+        |      FROM r1 JOIN r2 ON r2.custkey = r1.custkey),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2 FROM j)
+        |SELECT n_customers, sum_d2,
+        |  CASE WHEN n_customers > 1 THEN
+        |    round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) /
+        |      (CAST(n_customers AS DOUBLE) *
+        |       (CAST(n_customers AS DOUBLE) * CAST(n_customers AS DOUBLE)
+        |        - 1.0)), 6)
+        |  END AS rho
+        |FROM agg""".stripMargin,
+    // trailing frame as a range self-join over the calendar-bounded
+    // daily reduction; revenue stays DECIMAL end to end, cast to
+    // double only in the final projection (exact below 2^53 scaled)
+    "q_rolling_revenue" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT d.day, d.rev, sum(d2.rev) AS rev_7d,
+        |    CAST(count(*) AS BIGINT) AS n_active_days
+        |  FROM daily d JOIN daily d2
+        |    ON d2.day >= d.day - 6 AND d2.day <= d.day
+        |  GROUP BY d.day, d.rev)
+        |SELECT day, CAST(rev AS DOUBLE) AS rev,
+        |  CAST(rev_7d AS DOUBLE) AS rev_7d, n_active_days,
+        |  round(CAST(rev_7d AS DOUBLE) / n_active_days, 4)
+        |    AS rev_per_active_day
+        |FROM j ORDER BY day""".stripMargin,
     "q_rfm_segments" ->
       """WITH per AS (
         |  SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us,

@@ -601,4 +601,49 @@ object Analytics {
         col("r_decile") * 100L + col("f_decile") * 10L + col("m_decile"))
       .orderBy("o_custkey")
   }
+
+  /** Spearman rank correlation between per-customer order count and
+    * spend — the monotone-association companion to the Pearson row
+    * ([[seriesCorrelation]]'s family): does ordering more mean
+    * spending more, robust to the spend distribution's heavy tail?
+    *
+    * Rank discipline: BOTH total orders are deterministic
+    * (metric ASC, custkey ASC — the id tie-break makes row_number a
+    * total order, so tied metrics contribute a fixed, engine-agreed
+    * rank; this is the id-tiebroken Spearman variant, documented
+    * rather than the average-rank one because it keeps EVERY
+    * intermediate an exact integer). Both orders rank in ONE
+    * [[Ranks.globalTagged]] staged pass over the customer-reduced
+    * frame — never an ntile/global window. Spend sorts as an exact
+    * double (scale-4 decimal sum < 2⁵³), so the sort order is
+    * engine-identical.
+    *
+    * ρ = 1 − 6·Σd²/(n(n²−1)) evaluates in double ONLY at the final
+    * projection over two exact integers, with the operation order
+    * stated identically in the oracle; n ≤ 1 yields NULL (the formula
+    * is undefined), never an ANSI 0/0.
+    */
+  def spearmanOrdersSpend(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("double").as("m_orders"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("m_spend"))
+      .localCheckpoint() // two tag projections off one materialization
+    def tagged(metric: String, t: String): DataFrame =
+      per.select(col("o_custkey"), lit(t).as("t"), col(metric).as("v"))
+    val ranked = Ranks.globalTagged(
+      tagged("m_orders", "o").unionByName(tagged("m_spend", "s")),
+      "t", "rk", col("v").asc, col("o_custkey").asc)
+    val pairs = ranked.groupBy("o_custkey").agg(
+      max(when(col("t") === "o", col("rk"))).as("r1"),
+      max(when(col("t") === "s", col("rk"))).as("r2"))
+    val d = col("r1") - col("r2")
+    val nD = col("n_customers").cast("double")
+    pairs.agg(count(lit(1)).as("n_customers"),
+        sum(d * d).as("sum_d2"))
+      .select(col("n_customers"), col("sum_d2"),
+        when(col("n_customers") > 1L,
+          round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+            (nD * (nD * nD - lit(1.0))), 6)).as("rho"))
+  }
 }

@@ -146,8 +146,12 @@ object Quantize {
     * engines divide identical inputs (the double-sum reorder noise
     * sits ~8 orders below the rounding quantum).
     */
-  def dimVariance(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables(spark, dir, "embeddings")
+  /** Per-dim (mean, sample variance) off one power-sum pass — the
+    * 64-row model frame shared by [[dimVariance]] and [[whitenAudit]];
+    * both moments round at 6 before any reuse.
+    */
+  private def dimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
       .groupBy("dim")
@@ -160,6 +164,9 @@ object Quantize {
         when(col("n") > 1L,
           round((col("ss") - col("s") * (col("s") / col("n"))) /
             (col("n") - 1d), 6)).as("variance"))
+
+  def dimVariance(spark: SparkSession, dir: String): DataFrame = {
+    val cells = dimStats(spark, dir)
       .localCheckpoint() // 64 rows feeding total + triangular join
     val total = cells.agg(sum(col("variance")).as("total_var"))
     val cum = cells.select(col("dim").as("d2"), col("variance").as("v2"))
@@ -208,6 +215,48 @@ object Quantize {
         round(sqrt(sum((col("m_old") - col("m_new")) *
           (col("m_old") - col("m_new")))), 4).as("centroid_dist"),
         round(max(abs(col("m_old") - col("m_new"))), 6).as("max_dim_drift"))
+  }
+
+  /** Whitening (per-dimension standardization) APPLIED per vector, with
+    * its audit read off each transformed row: z_d = (x_d − μ_d)/σ_d
+    * over the corpus-fitted [[dimStats]] moments, emitted as the
+    * whitened norm (≈ √d for in-distribution vectors), the largest
+    * |z| coordinate, and the count of |z| > 3 coordinates — the
+    * standard out-of-distribution row screen an embedding ingest runs
+    * before indexing (a vector whose max-z spikes is a model or
+    * pipeline defect, not data).
+    *
+    * Float discipline: μ and σ² come round-6 from the shared stats
+    * frame, σ = round-6 sqrt of the (floored-at-0) variance, each z is
+    * rounded at 6 before reuse, and the three read-offs round at 4 —
+    * every division sits behind a σ > 0 guard (a constant dimension
+    * whitens to exactly 0, both engines), so no ANSI 0/0 anywhere.
+    *
+    * Shape: one 64-row broadcast model join onto the exploded corpus,
+    * then a per-vector map-side-combined aggregate — one shuffle on
+    * vec_id, no window, no collect.
+    */
+  def whitenAudit(spark: SparkSession, dir: String): DataFrame = {
+    val model = dimStats(spark, dir)
+      .select(col("dim"), col("mean"),
+        when(col("variance") > 0d,
+          round(sqrt(greatest(col("variance"), lit(0.0d))), 6))
+          .otherwise(lit(0.0d)).as("sigma"))
+      .localCheckpoint() // 64-row fitted moments
+    val cells = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+    cells.join(broadcast(model), "dim")
+      .select(col("vec_id"),
+        when(col("sigma") > 0d,
+          round((col("x") - col("mean")) / col("sigma"), 6))
+          .otherwise(lit(0.0d)).as("z"))
+      .groupBy("vec_id")
+      .agg(round(sqrt(sum(col("z") * col("z"))), 4).as("z_norm"),
+        round(max(abs(col("z"))), 4).as("z_max"),
+        sum(when(abs(col("z")) > 3.0d, 1L).otherwise(0L)).as("n_extreme_dims"))
+      .orderBy("vec_id")
   }
 
   /** Label-separation audit of the embedding space: for every label

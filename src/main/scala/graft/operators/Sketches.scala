@@ -325,22 +325,80 @@ object Sketches {
     */
   def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
     val regs = hllRegistersOf(Tables(spark, dir, "orders"), "o_custkey")
+    val exact = Tables(spark, dir, "orders")
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    estimateOf(regs).crossJoin(exact)
+      .select(lit(hllRegisters.toLong).as("m"), col("n_exact"),
+        col("zeros").as("n_zero_regs"), col("est").as("est_distinct"),
+        // NULL (not an ANSI 0/0) on an empty key table
+        when(col("n_exact") > 0L,
+          round(abs(col("est") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 4)).as("rel_err"))
+  }
+
+  /** The estimator read-off shared by every flat-sketch consumer
+    * ([[hllDistinct]], [[hllCohortOverlap]]): one row `(est, zeros)` off
+    * a 64-row register frame — αm²/Σ2^(−ρ) with the linear-counting
+    * small-range correction, rounded at 4 (the sum of dyadic terms is
+    * order-exact; the single division/ln is the only float).
+    */
+  private def estimateOf(regs: DataFrame): DataFrame = {
+    val m = lit(hllRegisters.toDouble)
     val sket = regs.agg(
       sum(pow(lit(2.0), -col("max_rho"))).as("harm"),
       sum(when(col("max_rho") === 0L, 1L).otherwise(0L)).as("zeros"))
-    val exact = Tables(spark, dir, "orders")
-      .agg(countDistinct(col("o_custkey")).as("n_exact"))
-    val m = lit(hllRegisters.toDouble)
     val raw = lit(hllAlpha) * m * m / col("harm")
-    val est = round(
-      when(raw <= lit(2.5) * m && col("zeros") > 0L,
-        m * log(m / col("zeros").cast("double"))).otherwise(raw), 4)
-    sket.crossJoin(exact)
-      .select(lit(hllRegisters.toLong).as("m"), col("n_exact"),
-        col("zeros").as("n_zero_regs"), est.as("est_distinct"),
-        // NULL (not an ANSI 0/0) on an empty key table
-        when(col("n_exact") > 0L,
-          round(abs(est - col("n_exact").cast("double")) /
-            col("n_exact").cast("double"), 4)).as("rel_err"))
+    sket.select(col("zeros"),
+      round(when(raw <= lit(2.5) * m && col("zeros") > 0L,
+        m * log(m / col("zeros").cast("double"))).otherwise(raw), 4).as("est"))
+  }
+
+  /** HLL SET ALGEBRA — cohort overlap by inclusion–exclusion: how many
+    * customers place BOTH urgent and low-priority orders, estimated
+    * purely from three mergeable sketches (|A∩B| ≈ est(A) + est(B) −
+    * est(A∪B), where the union sketch is just the register-wise MAX of
+    * the two — the only set operation HLL supports natively). This is
+    * the estimator a deployment uses to size audience intersections
+    * across billions of keys without ever co-shuffling the raw key
+    * sets; the exact INTERSECT rides alongside as the honesty column,
+    * with rel_err. (The priority cohorts are the partial-overlap pair
+    * on this corpus — event-type cohorts all saturate to the full user
+    * set, which would make the algebra vacuous.)
+    *
+    * Inclusion–exclusion inherits the union sketch's absolute error on
+    * a (possibly much smaller) intersection, so the estimate is
+    * floored at 0 and its relative error is honest-by-construction in
+    * the output. Arithmetic: the three read-offs are each rounded at 4
+    * ([[estimateOf]]); the combination is one further round-4
+    * expression over those identical inputs.
+    *
+    * Shape: two filtered register builds + one 64-row merge join —
+    * three map-side-combined O(m) aggregates; the exact side is one
+    * INTERSECT (distinct-equi-join) emitted as a single count.
+    */
+  def hllCohortOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_custkey"))
+    val a = ord.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    val b = ord.filter(col("o_orderpriority") === "5-LOW")
+      .select("o_custkey")
+    val regsA = hllRegistersOf(a, "o_custkey")
+    val regsB = hllRegistersOf(b, "o_custkey")
+    val regsU = regsA.select(col("reg"), col("max_rho").as("ra"))
+      .join(regsB.select(col("reg"), col("max_rho").as("rb")), "reg")
+      .select(col("reg"), greatest(col("ra"), col("rb")).as("max_rho"))
+    val exact = a.intersect(b).agg(count(lit(1)).as("n_exact_both"))
+    val estBoth = round(
+      greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0d)), 4)
+    estimateOf(regsA).select(col("est").as("est_a"))
+      .crossJoin(estimateOf(regsB).select(col("est").as("est_b")))
+      .crossJoin(estimateOf(regsU).select(col("est").as("est_union")))
+      .crossJoin(exact)
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        estBoth.as("est_both"), col("n_exact_both"),
+        when(col("n_exact_both") > 0L,
+          round(abs(estBoth - col("n_exact_both").cast("double")) /
+            col("n_exact_both").cast("double"), 4)).as("rel_err"))
   }
 }
