@@ -45,6 +45,13 @@ object Bench {
     }
 
     def materialize(name: String): Double = {
+      // Level the heap before the timer starts: memoized-model
+      // localCheckpoint blocks accumulate across the 180-row run, and
+      // without this the GC debt they create lands on whichever row
+      // runs NEXT — the r10 emb_jl / r11 ann_pq "flagged in-suite,
+      // at-floor isolated" pattern. The pause itself is between
+      // measurements, so it never inflates a reported time.
+      System.gc()
       val t0 = System.nanoTime()
       try benched(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

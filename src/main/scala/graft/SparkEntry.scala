@@ -1725,9 +1725,7 @@ object SparkEntry {
         |       FROM s GROUP BY 1),
         |bounds AS (SELECT min(s_us // 3600000000) AS h0,
         |                  max(e_us // 3600000000) AS h1 FROM s),
-        |spine AS (SELECT h0 + i AS h FROM bounds
-        |          CROSS JOIN generate_series(0, 200000) t(i)
-        |          WHERE h0 + i <= h1),
+        |spine AS (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds),
         |sb AS (SELECT spine.h, CAST(sum(sh.n_start) AS BIGINT) AS sb
         |       FROM spine JOIN sh ON sh.h < spine.h GROUP BY 1),
         |eb AS (SELECT spine.h, CAST(sum(eh.n_end) AS BIGINT) AS eb
@@ -2493,7 +2491,9 @@ object SparkEntry {
         |  END AS cum_share
         |FROM cum ORDER BY dim""".stripMargin,
     // whitening applied: same power-sum moments as emb_dim_variance,
-    // σ = round-6 sqrt, each z round-6 before the round-4 read-offs;
+    // σ = round-6 sqrt, each z round-6 before reuse; Σz² rounds at 6
+    // before the sqrt (pcFit discipline) and z_max stays at scale 6
+    // (coarser re-rounds of round-6 values are true-tie coin flips);
     // σ = 0 dims whiten to exactly 0 on both engines
     "emb_whiten" ->
       s"""WITH e AS (
@@ -2522,8 +2522,8 @@ object SparkEntry {
         |      THEN round((e.x - md.mean) / md.sigma, 6)
         |      ELSE 0.0 END AS z
         |  FROM e JOIN md ON md.dim = e.dim)
-        |SELECT vec_id, round(sqrt(sum(z * z)), 4) AS z_norm,
-        |  round(max(abs(z)), 4) AS z_max,
+        |SELECT vec_id, round(sqrt(round(sum(z * z), 6)), 4) AS z_norm,
+        |  round(max(abs(z)), 6) AS z_max,
         |  CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_extreme_dims
         |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
@@ -3700,6 +3700,69 @@ object SparkEntry {
     },
     "q_hll_registers" -> s"""$hllRegsCte
         |SELECT reg, max_rho FROM regs ORDER BY reg""".stripMargin,
+    // HLL set algebra replay (Sketches.hllCohortOverlap): two filtered
+    // register builds (same md5/ρ chain as q_hll_registers), union =
+    // register-wise MAX, three round-4 estimator read-offs, round-4
+    // inclusion–exclusion floored at 0; the exact side is one INTERSECT
+    "q_hll_overlap" -> {
+      val m = operators.Sketches.hllRegisters
+      val a = operators.Sketches.hllAlpha
+      val wordMod = 1L << operators.Sketches.hllWordBits
+      val hex8 = (0 until 8).map(o =>
+        s"(strpos('0123456789abcdef', substr(d, ${1 + o}, 1)) - 1) * " +
+          s"CAST(${1L << (4 * (7 - o))} AS BIGINT)").mkString(" + ")
+      // register chain for one priority cohort: hh/mx/regs suffixed
+      def chain(sfx: String, prio: String) =
+        s"""hh$sfx AS (
+           |  SELECT ($hex8) AS h
+           |  FROM (SELECT md5(CAST(o_custkey AS VARCHAR)) AS d
+           |        FROM orders WHERE o_orderpriority = '$prio')),
+           |mx$sfx AS (
+           |  SELECT h // $wordMod AS reg,
+           |    max(${operators.Sketches.rhoSql(s"(h % $wordMod)")}) AS max_rho
+           |  FROM hh$sfx GROUP BY 1),
+           |regs$sfx AS (
+           |  SELECT spine.reg,
+           |    CAST(coalesce(mx$sfx.max_rho, 0) AS BIGINT) AS max_rho
+           |  FROM spine LEFT JOIN mx$sfx ON mx$sfx.reg = spine.reg)"""
+          .stripMargin
+      // one-row (est) read-off per register frame — estimateOf replay
+      def est(sfx: String, out: String) =
+        s"""sk$sfx AS (
+           |  SELECT sum(power(2, -max_rho)) AS harm,
+           |    CAST(sum(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS zeros
+           |  FROM regs$sfx),
+           |es$sfx AS (
+           |  SELECT round(CASE WHEN $a * $m.0 * $m.0 / harm <= 2.5 * $m.0
+           |                         AND zeros > 0
+           |    THEN $m.0 * ln($m.0 / CAST(zeros AS DOUBLE))
+           |    ELSE $a * $m.0 * $m.0 / harm END, 4) AS $out
+           |  FROM sk$sfx)""".stripMargin
+      val estBoth = "greatest(est_a + est_b - est_union, 0.0)"
+      s"""WITH spine AS (
+         |  SELECT CAST(i AS BIGINT) AS reg
+         |  FROM generate_series(0, ${m - 1}) t(i)),
+         |${chain("a", "1-URGENT")},
+         |${chain("b", "5-LOW")},
+         |regsu AS (
+         |  SELECT ra.reg, greatest(ra.max_rho, rb.max_rho) AS max_rho
+         |  FROM regsa ra JOIN regsb rb ON rb.reg = ra.reg),
+         |${est("a", "est_a")},
+         |${est("b", "est_b")},
+         |${est("u", "est_union")},
+         |ex AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_exact_both FROM (
+         |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         |    INTERSECT
+         |    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'))
+         |SELECT est_a, est_b, est_union,
+         |  round($estBoth, 4) AS est_both, n_exact_both,
+         |  CASE WHEN n_exact_both > 0 THEN
+         |    round(abs(round($estBoth, 4) - CAST(n_exact_both AS DOUBLE)) /
+         |          CAST(n_exact_both AS DOUBLE), 4) END AS rel_err
+         |FROM esa, esb, esu, ex""".stripMargin
+    },
     "q_hll_distinct" -> {
       val m = operators.Sketches.hllRegisters
       s"""$hllRegsCte,

@@ -777,14 +777,24 @@ object Dedup {
     * fingerprints, same 16-bit digest positions), collected once as a
     * broadcast-sized model (m ≈ 16n bits stays megabytes at billions
     * of docs).
+    *
+    * The packing itself is DISTRIBUTED: each bit becomes (word index,
+    * in-word mask) and a map-side-combined `bit_or` per word builds the
+    * array on the executors — OR is idempotent, so no `distinct` pass
+    * is needed and duplicate probes cost nothing. The only driver-side
+    * materialization is the final word rows: at most m/64 longs (the
+    * artifact itself), never the O(m) set-bit list.
     */
   def bloomArtifact(spark: SparkSession, dir: String): (Long, Array[Long]) = {
     val fp = bloomFingerprints(spark, dir).filter(bloomCorpusSide).select("f")
     val m = bloomBitsFor(fp.count())
-    val bits = fp.select(explode(bloomPositionArray(m)).as("bit"))
-      .distinct().collect().map(_.getLong(0))
+    val wordRows = fp.select(explode(bloomPositionArray(m)).as("bit"))
+      .select(expr("bit div 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").as("mask"))
+      .groupBy("w").agg(expr("bit_or(mask)").as("word"))
+      .collect()
     val words = new Array[Long]((m / 64L).toInt.max(1))
-    bits.foreach(b => words((b / 64L).toInt) |= 1L << (b % 64L).toInt)
+    wordRows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
     (m, words)
   }
 

@@ -127,7 +127,8 @@ object Intervals {
     */
   def rollingRevenue(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables(spark, dir, "orders")
-      .groupBy(expr(s"unix_micros(o_orderdate) div $dayUs").as("day"))
+      .groupBy(expr(s"unix_micros(cast(o_orderdate as timestamp)) div $dayUs")
+        .as("day"))
       .agg(sum(col("o_totalprice").cast(dec)).as("rev"))
       .localCheckpoint() // calendar-bounded daily frame
     val trail = daily.select(col("day").as("d2"), col("rev").as("rev2"))

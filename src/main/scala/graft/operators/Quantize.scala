@@ -228,9 +228,12 @@ object Quantize {
     *
     * Float discipline: μ and σ² come round-6 from the shared stats
     * frame, σ = round-6 sqrt of the (floored-at-0) variance, each z is
-    * rounded at 6 before reuse, and the three read-offs round at 4 —
-    * every division sits behind a σ > 0 guard (a constant dimension
-    * whitens to exactly 0, both engines), so no ANSI 0/0 anywhere.
+    * rounded at 6 before reuse; Σz² rounds at 6 before the sqrt and
+    * the norm reads off at 4, while z_max stays at the z grid's own
+    * scale 6 (never re-round a round-6 value at a coarser scale — the
+    * …50 tail is a true tie the two engines break differently). Every
+    * division sits behind a σ > 0 guard (a constant dimension whitens
+    * to exactly 0, both engines), so no ANSI 0/0 anywhere.
     *
     * Shape: one 64-row broadcast model join onto the exploded corpus,
     * then a per-vector map-side-combined aggregate — one shuffle on
@@ -253,8 +256,13 @@ object Quantize {
           round((col("x") - col("mean")) / col("sigma"), 6))
           .otherwise(lit(0.0d)).as("z"))
       .groupBy("vec_id")
-      .agg(round(sqrt(sum(col("z") * col("z"))), 4).as("z_norm"),
-        round(max(abs(col("z"))), 4).as("z_max"),
+      // Σz² rounds at 6 before the sqrt (the pcFit discipline: the raw
+      // power sum carries shuffle-order ULP noise); z_max stays at the
+      // z grid's own scale 6 — max of round-6 inputs is already exact,
+      // and a coarser re-round would be a true-tie coin flip whenever a
+      // z ends in …50 at the 6th decimal (~1 in 100 values).
+      .agg(round(sqrt(round(sum(col("z") * col("z")), 6)), 4).as("z_norm"),
+        round(max(abs(col("z"))), 6).as("z_max"),
         sum(when(abs(col("z")) > 3.0d, 1L).otherwise(0L)).as("n_extreme_dims"))
       .orderBy("vec_id")
   }
