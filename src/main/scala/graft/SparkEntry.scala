@@ -101,6 +101,8 @@ object SparkEntry {
     "q_spearman" -> (Analytics.spearmanOrdersSpend _),
     "q_series_correlation" -> (Analytics.seriesCorrelation _),
     "q_rolling_revenue" -> (operators.Intervals.rollingRevenue _),
+    "q_interval_overlap" -> (operators.Intervals.anomalyOverlap _),
+    "q_market_basket" -> (operators.Associations.marketBasket _),
     "q_daily_reconciliation" -> (Analytics.dailyReconciliation _),
     "q_range_join_tiers" -> (Analytics.priceTierSummary _),
     "q_order_timeline" -> (Analytics.orderTimeline _),
@@ -142,6 +144,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
+    "dedup_prefix_join" -> (Dedup.prefixJaccardJoin _),
     "q_contamination" -> (Dedup.contamination _),
     // — similarity search over embeddings
     "ann_brute_force" -> (Similarity.bruteForceTopK _),
@@ -237,6 +240,7 @@ object SparkEntry {
     "q_source_cap" ->
       ((s: SparkSession, d: String) => Sampling.sourceCap(s, d)),
     "q_pack_sequences" -> (Sampling.packSequences _),
+    "text_pareto_frontier" -> (Sampling.paretoFrontier _),
     "text_chunk_windows" -> (Sampling.chunkWindows _),
     "q_shuffle_order" -> (Sampling.shuffleOrder _),
     "q_curriculum" -> (Sampling.curriculumSchedule _),
@@ -1752,6 +1756,67 @@ object SparkEntry {
         |SELECT pd.day, CAST(coalesce(st.n_started, 0) AS BIGINT) AS n_started,
         |  pd.peak_concurrent
         |FROM pd LEFT JOIN st ON st.day = pd.day ORDER BY pd.day""".stripMargin,
+    // interval×interval overlap via hour banding: sessions replayed as
+    // in q_concurrent_sessions, anomalous hours as in
+    // q_hourly_anomalies; per-(session, hour) overlap micros are exact
+    // integers (inclusive-end arithmetic), so every output is integer
+    "q_interval_overlap" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM l),
+        |sq AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM f),
+        |s AS (SELECT user_id, session_seq, min(us) AS s_us, max(us) AS e_us
+        |      FROM sq GROUP BY user_id, session_seq),
+        |hh AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |hs AS (
+        |  SELECT event_type, hour_idx, n,
+        |    CAST(count(n) OVER wf AS BIGINT) AS b_cnt,
+        |    CAST(sum(n) OVER wf AS BIGINT) AS b_sum,
+        |    CAST(sum(n * n) OVER wf AS BIGINT) AS b_ss
+        |  FROM hh
+        |  WINDOW wf AS (PARTITION BY event_type ORDER BY hour_idx
+        |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |zz AS (
+        |  SELECT hour_idx,
+        |    CASE WHEN b_cnt = 24 AND b_ss * b_cnt > b_sum * b_sum THEN
+        |      round((CAST(n AS DOUBLE) -
+        |             CAST(b_sum AS DOUBLE) / CAST(b_cnt AS DOUBLE)) /
+        |            sqrt((CAST(b_ss AS DOUBLE) -
+        |                  CAST(b_sum AS DOUBLE) *
+        |                  (CAST(b_sum AS DOUBLE) / CAST(b_cnt AS DOUBLE))) /
+        |                 (CAST(b_cnt AS DOUBLE) - 1)), 4)
+        |    END AS z
+        |  FROM hs),
+        |anom AS (SELECT DISTINCT hour_idx AS h FROM zz
+        |         WHERE z IS NOT NULL AND abs(z) > 3),
+        |cov AS (
+        |  SELECT s.user_id, s.session_seq, s.s_us, s.e_us,
+        |    unnest(generate_series(s.s_us // 3600000000,
+        |                           s.e_us // 3600000000)) AS h
+        |  FROM s),
+        |per AS (
+        |  SELECT user_id, session_seq, s_us,
+        |    CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(least(e_us, (h + 1) * 3600000000 - 1) -
+        |             greatest(s_us, h * 3600000000) + 1) AS BIGINT) AS ov_us
+        |  FROM cov JOIN anom USING (h)
+        |  GROUP BY 1, 2, 3)
+        |SELECT s_us // 86400000000 AS day,
+        |  CAST(count(*) AS BIGINT) AS n_affected_sessions,
+        |  CAST(sum(n_hours) AS BIGINT) AS n_session_hours,
+        |  CAST(sum(ov_us) AS BIGINT) AS total_overlap_us
+        |FROM per GROUP BY 1 ORDER BY day""".stripMargin,
     // exact integer micros throughout; conv_pct is one rounded division
     // of two exact counts
     "q_funnel_conversion" ->
@@ -2149,6 +2214,52 @@ object SparkEntry {
         |JOIN sizes cb ON b_id = cb.doc_id
         |WHERE i / (ca.c + cb.c - i) >= 0.1
         |ORDER BY a_id, b_id""".stripMargin,
+    // prefix-filtered exact Jaccard join replay: word-trigram sets,
+    // per-doc rarity order (df asc, tk asc), prefix = rarest
+    // s − ⌈τs⌉ + 1 shingles, τ cuts as integer cross-multiplications;
+    // the only float is the display Jaccard (one division, round 6)
+    "dedup_prefix_join" -> {
+      val tn = operators.Dedup.prefixTauNum
+      val td = operators.Dedup.prefixTauDen
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(trim(text), ' ') AS ws
+         |  FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tk
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(generate_series(1, len(ws) - 2)) AS i FROM w)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s
+         |       FROM tok GROUP BY 1),
+         |df AS (SELECT tk, count(*) AS df FROM tok GROUP BY 1),
+         |pf AS (
+         |  SELECT doc_id, tk, s, pos FROM (
+         |    SELECT t.doc_id, t.tk, sz.s,
+         |      row_number() OVER (PARTITION BY t.doc_id
+         |                         ORDER BY df.df, t.tk) AS pos
+         |    FROM tok t JOIN df USING (tk) JOIN sz USING (doc_id))
+         |  WHERE pos <= s - ($tn * s + ${td - 1}) // $td + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.s AS sa, b.s AS sb
+         |  FROM pf a JOIN pf b
+         |    ON a.tk = b.tk AND a.doc_id < b.doc_id
+         |  WHERE $td * b.s >= $tn * a.s AND $td * a.s >= $tn * b.s
+         |    AND ${td + tn} * (1 + least(a.s - a.pos, b.s - b.pos))
+         |          >= $tn * (a.s + b.s)),
+         |ver AS (
+         |  SELECT c.a_id, c.b_id, c.sa, c.sb,
+         |    CAST(count(*) AS BIGINT) AS i
+         |  FROM cand c
+         |  JOIN tok ta ON ta.doc_id = c.a_id
+         |  JOIN tok tb ON tb.doc_id = c.b_id AND tb.tk = ta.tk
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT a_id, b_id, sa, sb, i,
+         |  round(CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE), 6)
+         |    AS jaccard
+         |FROM ver WHERE $td * i >= $tn * (sa + sb - i)
+         |ORDER BY a_id, b_id""".stripMargin
+    },
     "dedup_containment" ->
       s"""WITH s AS (
         |  SELECT doc_id, lang, text FROM documents
@@ -3099,6 +3210,30 @@ object SparkEntry {
         |  round(CAST(rev_7d AS DOUBLE) / n_active_days, 4)
         |    AS rev_per_active_day
         |FROM j ORDER BY day""".stripMargin,
+    // the a-priori prune is plan-only (downward closure: it cannot
+    // change which pairs clear the floor), so the oracle skips it;
+    // all metrics are fixed double expressions over exact int64 counts
+    "q_market_basket" ->
+      s"""WITH i AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS nb FROM i),
+         |ic AS (SELECT p, CAST(count(*) AS BIGINT) AS n_item
+         |       FROM i GROUP BY 1),
+         |pr AS (
+         |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS n_both
+         |  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= ${operators.Associations.pairSupportFloor})
+         |SELECT p1, p2, n_both, c1.n_item AS n_p1, c2.n_item AS n_p2,
+         |  round(CAST(n_both AS DOUBLE) / nb, 6) AS support,
+         |  round(CAST(n_both AS DOUBLE) / CAST(c1.n_item AS DOUBLE), 6)
+         |    AS confidence,
+         |  round(CAST(n_both AS DOUBLE) * nb /
+         |    (CAST(c1.n_item AS DOUBLE) * CAST(c2.n_item AS DOUBLE)), 6)
+         |    AS lift
+         |FROM pr JOIN ic c1 ON c1.p = pr.p1 JOIN ic c2 ON c2.p = pr.p2
+         |CROSS JOIN n
+         |ORDER BY p1, p2""".stripMargin,
     "q_rfm_segments" ->
       """WITH per AS (
         |  SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us,
@@ -3271,6 +3406,26 @@ object SparkEntry {
         |          CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
         |        FROM documents) d) t
         |WHERE rk <= 25 ORDER BY source, rk""".stripMargin,
+    // INDEPENDENT dominance formulation (NOT EXISTS over the bounded
+    // ppm grid) vs the engine's triangular-join reduction — both axes
+    // are exact integers, so membership is bit-identical
+    "text_pareto_frontier" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS t,
+        |    CAST(len(list_filter(string_split(trim(text), ' '),
+        |      x -> x IN ('the','a','of','and','in','to','is'))) AS BIGINT)
+        |      AS ns
+        |  FROM documents),
+        |p AS (SELECT doc_id, t, (1000000 * ns) // t AS q
+        |      FROM d WHERE t > 0),
+        |g AS (SELECT q, max(t) AS tm FROM p GROUP BY 1),
+        |f AS (SELECT a.q, a.tm FROM g a
+        |      WHERE NOT EXISTS (SELECT 1 FROM g b
+        |                        WHERE b.q > a.q AND b.tm >= a.tm))
+        |SELECT p.doc_id, p.t AS n_tokens, p.q AS stop_ppm
+        |FROM p JOIN f ON p.q = f.q AND p.t = f.tm
+        |ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH d AS (
          |  SELECT lang, doc_id,

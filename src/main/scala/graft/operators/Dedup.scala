@@ -888,4 +888,110 @@ object Dedup {
           .as("n_chars_removed"))
       .orderBy("doc_id")
   }
+
+  /** Jaccard threshold for [[prefixJaccardJoin]] as an exact integer
+    * ratio (τ = num/den = 0.6): every similarity cut in the operator is
+    * an integer cross-multiplication, so threshold membership never
+    * rides float noise on either engine.
+    */
+  val prefixTauNum = 6
+  val prefixTauDen = 10
+
+  /** Word-trigram shingle ARRAYS (doc_id, gs), distinct per doc — the
+    * set representation for [[prefixJaccardJoin]], kept in array form
+    * so verification can intersect in-row. Word 3-grams, not single
+    * words: this corpus's vocabulary is tiny, so word SETS are
+    * near-identical across unrelated documents (the same degeneracy
+    * that forced [[maxShingleDf]] on the char-gram side), while
+    * trigram shingles are sequence-sensitive and high-cardinality —
+    * max document frequency stays single-digit. Checkpointed so the
+    * consumer's explode never re-evaluates the build (the measured
+    * Generate-reeval trap, see [[dfCappedGrams]]).
+    */
+  private def trigramArrays(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+      .select(col("doc_id"), array_distinct(expr(
+        "CASE WHEN size(ws) >= 3 THEN " +
+          "transform(sequence(1, size(ws) - 2), " +
+          "i -> concat_ws(' ', slice(ws, i, 3))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("gs"))
+      .localCheckpoint()
+
+  /** EXACT set-similarity join by prefix filtering (the PPJoin family —
+    * Xiao et al., WWW'08; public algorithm): every document pair with
+    * word-trigram Jaccard ≥ τ, found WITHOUT the all-pairs join and
+    * WITHOUT the MinHash path's false-negative probability — the
+    * certification twin of [[lshCandidatePairs]] a release runs when
+    * the dedup sweep must be provably complete at a threshold.
+    *
+    * Candidate generation: every document sorts its own shingles by
+    * the canonical rarity order (document frequency ascending, shingle
+    * ascending — a per-document window, NEVER a global sort: the order
+    * is a pure function of the broadcast-joinable DF table, so no
+    * global rank materializes anywhere) and keeps only its p = s −
+    * ⌈τ·s⌉ + 1 rarest shingles as its PREFIX. If J(A,B) ≥ τ, the
+    * rarity-minimal common shingle provably sits inside both prefixes
+    * (≥ ⌈τ·max(|A|, |B|)⌉ common shingles must follow it in both
+    * sorted orders), so the prefix-prefix equi-join misses nothing; it
+    * joins ~(1−τ) of the shingle table against itself instead of all
+    * of it, with the size filter τ·|A| ≤ |B| ≤ |A|/τ (integer
+    * cross-multiplied) applied inside the join, along with PPJoin's
+    * POSITIONAL filter: a match at sorted positions (pa, pb) bounds
+    * the overlap by 1 + min(s_a−pa, s_b−pb), and J ≥ τ needs overlap
+    * ≥ τ(s_a+s_b)/(1+τ), so pairs whose only shared prefix shingles
+    * sit too deep are dropped before verification (measured 2.8×
+    * candidate cut at sf0.1: 193k → 69k, output preserved exactly —
+    * the rarity-minimal common shingle always passes the bound).
+    * Verification then intersects the two gram arrays in-row for
+    * candidate pairs only — never corpus×corpus.
+    *
+    * Output: qualifying pairs with exact set sizes, intersection, and
+    * Jaccard (one division of exact integers, round 6; the τ cut
+    * itself is the integer predicate 10·i ≥ 6·(sa+sb−i)).
+    */
+  def prefixJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arrays = trigramArrays(spark, dir)
+    // set size rides the explode (array length — no per-doc aggregate)
+    val grams = arrays.select(col("doc_id"),
+      size(col("gs")).cast("long").as("s"), explode(col("gs")).as("tk"))
+    val dfTab = grams.groupBy("tk").agg(count(lit(1)).as("df"))
+    val prefix = grams
+      .join(dfTab, "tk")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tk"))))
+      .filter(col("pos") <=
+        col("s") - expr(s"($prefixTauNum * s + ${prefixTauDen - 1}) div $prefixTauDen") + 1)
+      .select(col("doc_id"), col("tk"), col("s"), col("pos"))
+      .localCheckpoint() // the (1−τ)-fraction prefix table
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id") &&
+          lit(prefixTauDen) * col("b.s") >= lit(prefixTauNum) * col("a.s") &&
+          lit(prefixTauDen) * col("a.s") >= lit(prefixTauNum) * col("b.s") &&
+          // positional filter: (1+τ)·(1 + min suffix room) ≥ τ·(sa+sb)
+          lit(prefixTauDen + prefixTauNum) *
+            (lit(1) + least(col("a.s") - col("a.pos"),
+              col("b.s") - col("b.pos"))) >=
+            lit(prefixTauNum) * (col("a.s") + col("b.s")))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+      .distinct()
+    // verification IN-ROW: each candidate pair pulls both gram ARRAYS
+    // (two equi-joins — same shuffled volume as re-joining the exploded
+    // gram table, since a doc ships once per candidate pair either
+    // way) and intersects them inside codegen — no 20×-fan-out
+    // pair×gram frame, no aggregation shuffle
+    val union = col("sa") + col("sb") - col("i")
+    cand
+      .join(arrays.select(col("doc_id").as("a_id"), col("gs").as("gsa")), "a_id")
+      .join(arrays.select(col("doc_id").as("b_id"), col("gs").as("gsb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("sa"), col("sb"),
+        size(array_intersect(col("gsa"), col("gsb"))).cast("long").as("i"))
+      .filter(lit(prefixTauDen) * col("i") >= lit(prefixTauNum) * union)
+      .select(col("a_id"), col("b_id"), col("sa"), col("sb"), col("i"),
+        round(col("i").cast("double") / union.cast("double"), 6).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
 }

@@ -143,4 +143,48 @@ object Intervals {
           .as("rev_per_active_day"))
       .orderBy("day")
   }
+
+  /** Sessions impacted by anomalous traffic hours — the interval×interval
+    * OVERLAP JOIN an incident report runs ("which user sessions ran
+    * during the flagged hours, and for how long"): user sessions
+    * ([[Temporal.sessionize]] intervals, inclusive ends) against the
+    * hours [[Behavior.hourlyAnomalies]] flags, reported per session-start
+    * day as affected-session count, session·hour incidences, and total
+    * overlapped time.
+    *
+    * Join shape (the banding idiom): a session emits its covered hour
+    * buckets (`explode(sequence(...))` — fan-out bounded by session
+    * length in hours, never corpus-quadratic) and equi-joins the
+    * anomalous-hour set, which is calendar-bounded (flagged hours ⊆
+    * corpus hours) and broadcast — the corpus never co-shuffles against
+    * the interval set. Overlap micros per (session, hour) is
+    * min(e, hEnd) − max(s, hStart) + 1 in inclusive-microsecond terms —
+    * every output is an exact integer, so the oracle replay is
+    * bit-trivial.
+    */
+  def anomalyOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val anom = Behavior.hourlyAnomalies(spark, dir)
+      .filter(col("is_anomaly"))
+      .select(col("hour_idx").as("h")).distinct()
+      .localCheckpoint() // calendar-bounded flagged-hour set
+    val s = Temporal.sessionize(spark, dir)
+      .select(col("user_id"), col("session_seq"),
+        unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"))
+    val covered = s.select(col("user_id"), col("session_seq"),
+      col("s_us"), col("e_us"),
+      explode(sequence(expr(s"s_us div $hourUs"), expr(s"e_us div $hourUs")))
+        .as("h"))
+    val perSession = covered.join(broadcast(anom), Seq("h"))
+      .groupBy(col("user_id"), col("session_seq"), col("s_us"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(least(col("e_us"), (col("h") + 1) * hourUs - 1) -
+          greatest(col("s_us"), col("h") * hourUs) + 1).as("ov_us"))
+    perSession
+      .groupBy(expr(s"s_us div $dayUs").as("day"))
+      .agg(count(lit(1)).as("n_affected_sessions"),
+        sum(col("n_hours")).as("n_session_hours"),
+        sum(col("ov_us")).as("total_overlap_us"))
+      .orderBy("day")
+  }
 }

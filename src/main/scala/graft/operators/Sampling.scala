@@ -371,4 +371,54 @@ object Sampling {
         round(aggregate(col("avt"), lit(0.0d),
           (acc, x) => acc + x.getField("t_vt")), 6).as("kl_val_train"))
   }
+
+  /** Pareto-frontier document selection — the multi-objective cut a
+    * curation pipeline runs when no single score ranks documents: keep
+    * every document NOT dominated on (prose-likeness, content volume),
+    * i.e. no other document is at least as good on both axes and
+    * strictly better on one. Axes are exact integers — stopword parts
+    * per million by floor division (the Gopher integer discipline; a
+    * float ratio would put the frontier on ULP noise) and the
+    * whitespace token count — so membership is bit-identical on both
+    * engines.
+    *
+    * Distributed shape (never a global sort, never all-pairs over the
+    * corpus): one map-side-combined aggregate collapses the corpus to
+    * its (stop_ppm → max tokens) grid — BOUNDED at 10⁶+1 rows by the
+    * ppm scale, corpus-size-independent — then the dominance test is a
+    * triangular join over that tiny frame (the `ltvTriangle`
+    * discipline: m(q) = max tokens over strictly-better ppm; q survives
+    * iff its max beats m(q)), and frontier documents come back via one
+    * broadcast semi-join on the surviving (ppm, tokens) cells. Within a
+    * dominated ppm cell every document dies with it; within a surviving
+    * cell exactly the max-token documents are non-dominated — both
+    * facts fall out of the grid reduction, which is why the corpus
+    * never self-joins.
+    */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    val stop = size(filter(toks,
+      t => t.isInCollection(Seq("the", "a", "of", "and", "in", "to", "is"))))
+    val scored = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(toks).cast("long").as("t"),
+        stop.cast("long").as("ns"))
+      .filter(col("t") > 0L)
+      .select(col("doc_id"), col("t"),
+        expr("(1000000 * ns) div t").as("q"))
+      .localCheckpoint() // feeds the grid and the member read-back
+    val grid = scored.groupBy("q").agg(max(col("t")).as("tm"))
+    val better = grid.as("a")
+      .join(grid.select(col("q").as("q2"), col("tm").as("tm2")).as("b"),
+        col("q2") > col("q"), "left")
+      .groupBy(col("q"), col("tm"))
+      .agg(max(col("tm2")).as("m"))
+    val frontier = better
+      .filter(col("m").isNull || col("tm") > col("m"))
+      .select(col("q").as("fq"), col("tm").as("ftm"))
+    scored.join(broadcast(frontier),
+        col("q") === col("fq") && col("t") === col("ftm"))
+      .select(col("doc_id"), col("t").as("n_tokens"),
+        col("q").as("stop_ppm"))
+      .orderBy("doc_id")
+  }
 }

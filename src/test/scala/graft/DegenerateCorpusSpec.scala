@@ -88,7 +88,9 @@ class DegenerateCorpusSpec extends SparkSpec {
     "pii_redact" -> TextAnalysis.piiRedact(spark, dir).count(),
     "top_pc" -> graft.operators.Quantize.topPrincipalComponent(spark, dir).count(),
     "abtt" -> graft.operators.Quantize.abttResiduals(spark, dir).count(),
-    "greedy_chunks" -> TextAnalysis.greedyChunks(spark, dir).count())
+    "greedy_chunks" -> TextAnalysis.greedyChunks(spark, dir).count(),
+    "pareto" -> Sampling.paretoFrontier(spark, dir).count(),
+    "prefix_join" -> Dedup.prefixJaccardJoin(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -164,6 +166,8 @@ class DegenerateCorpusSpec extends SparkSpec {
       "one loading row per fixture dim, all zero for the centered lone vector")
     assert(counts("abtt") === 1L, "lone centered vector projects to (0, 0)")
     assert(counts("greedy_chunks") === 1L, "the 59-char lone doc is one chunk")
+    assert(counts("pareto") === 1L, "the lone doc dominates nothing and is undominated")
+    assert(counts("prefix_join") === 0L, "no pair universe with one document")
   }
 
   test("constant corpus: zero total variance yields NULL shares, not ANSI 0/0") {
@@ -215,6 +219,9 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("asof") === 0L)
     assert(counts("snapshot_diff") === 0L, "both cuts below the only event")
     assert(counts("merge_apply") === 0L)
+    // one event = one session, but a 1-hour baseline can never flag
+    assert(graft.operators.Intervals.anomalyOverlap(spark, dir).count() === 0L,
+      "no hour has a full 24-hour prior baseline, so nothing flags")
   }
 
   test("empty warehouse: orders/events aggregates degrade, none throws") {
@@ -227,7 +234,14 @@ class DegenerateCorpusSpec extends SparkSpec {
     Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    Seq.empty[(Long, Long, Double)]
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
     assert(graft.operators.Analytics.rfmSegments(spark, dir).count() === 0L)
+    assert(graft.operators.Associations.marketBasket(spark, dir).count() === 0L,
+      "no baskets, no pairs — and the support division never sees a row")
+    assert(graft.operators.Intervals.anomalyOverlap(spark, dir).count() === 0L,
+      "no sessions and no flagged hours on an empty event log")
     // gini's (n+1)/n term is a non-null 1/0 on an empty warehouse —
     // must degrade to a NULL gini behind its CASE guard, not ANSI-throw
     val gini = graft.operators.Analytics.spendGini(spark, dir).collect()
