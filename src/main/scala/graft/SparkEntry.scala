@@ -100,9 +100,20 @@ object SparkEntry {
     "q_spend_gini" -> (Analytics.spendGini _),
     "q_spearman" -> (Analytics.spearmanOrdersSpend _),
     "q_series_correlation" -> (Analytics.seriesCorrelation _),
+    "q_chi_square" -> (operators.Stats.chiSquare _),
+    "q_ks_test" -> (operators.Stats.ksTest _),
+    "q_cusum_changepoint" -> (operators.Stats.cusumChangepoint _),
+    "q_welch_ttest" -> (operators.Stats.welchTTest _),
+    "q_benford_digits" -> (operators.Stats.benfordDigits _),
+    "q_mann_kendall" -> (operators.Stats.mannKendall _),
+    "q_theil_sen" -> (operators.Stats.theilSen _),
+    "q_column_profile" -> (operators.Profiling.columnProfile _),
     "q_rolling_revenue" -> (operators.Intervals.rollingRevenue _),
+    "q_ewma_revenue" -> (operators.Intervals.ewmaRevenue _),
     "q_interval_overlap" -> (operators.Intervals.anomalyOverlap _),
+    "q_fuzzy_names" -> (operators.Fuzzy.nameJoin _),
     "q_market_basket" -> (operators.Associations.marketBasket _),
+    "q_basket_triples" -> (operators.Associations.basketTriples _),
     "q_daily_reconciliation" -> (Analytics.dailyReconciliation _),
     "q_range_join_tiers" -> (Analytics.priceTierSummary _),
     "q_order_timeline" -> (Analytics.orderTimeline _),
@@ -117,6 +128,7 @@ object SparkEntry {
     "q_session_stats" -> (Temporal.sessionStats _),
     "q_concurrent_sessions" -> (operators.Intervals.concurrentSessions _),
     "q_funnel_conversion" -> (Behavior.funnelConversion _),
+    "q_funnel_latency" -> (Behavior.funnelLatency _),
     "q_retention_cohorts" -> (Behavior.retentionCohorts _),
     "q_ltv_triangle" -> (Behavior.ltvTriangle _),
     "q_event_transitions" -> (Behavior.eventTransitions _),
@@ -145,6 +157,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
     "dedup_prefix_join" -> (Dedup.prefixJaccardJoin _),
+    "dedup_cc_incremental" -> (Dedup.ccIncremental _),
     "q_contamination" -> (Dedup.contamination _),
     // — similarity search over embeddings
     "ann_brute_force" -> (Similarity.bruteForceTopK _),
@@ -171,6 +184,7 @@ object SparkEntry {
     "emb_abtt_residual" -> (operators.Quantize.abttResiduals _),
     "emb_centroid_drift" -> (operators.Quantize.centroidDrift _),
     "emb_label_separation" -> (operators.Quantize.labelSeparation _),
+    "emb_hard_negatives" -> (operators.Quantize.hardNegatives _),
     "text_novelty" -> (TextAnalysis.noveltyScores _),
     "text_bigram_entropy" -> (TextAnalysis.bigramEntropy _),
     "emb_mrl_overlap" -> (operators.Quantize.mrlOverlap _),
@@ -199,6 +213,10 @@ object SparkEntry {
     "text_unigram_nll" -> (TextAnalysis.unigramNll _),
     "text_bigram_nll" -> (TextAnalysis.bigramNll _),
     "text_quality_classifier" -> (operators.Perceptron.classifier _),
+    "q_classifier_auc" -> (operators.Evaluation.auc _),
+    "q_classifier_eval" -> (operators.Evaluation.confusion _),
+    "q_lift_chart" -> (operators.Evaluation.liftChart _),
+    "text_heaps_law" -> (TextAnalysis.heapsLaw _),
     "text_repetition" -> (TextAnalysis.repetitionSignals _),
     "text_winnow_pairs" -> (TextAnalysis.winnowPassagePairs _),
     "q_pagerank_dupgraph" -> (operators.GraphRank.pagerankDupGraph _),
@@ -1145,7 +1163,17 @@ object SparkEntry {
     * epoch a misclassified-set delta (u_e) and the weight update (e_e).
     * Pure integer arithmetic start to finish.
     */
-  private def perceptronOracle: String = {
+  private def perceptronOracle: String =
+    s"""WITH $perceptronScoredCtes
+       |SELECT doc_id, score, pred_en, is_en
+       |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** The training-replay CTE chain ending in
+    * `scored(doc_id, score, pred_en, is_en)` — shared by the
+    * classifier row and the evaluation rows ([[operators.Evaluation]]),
+    * so all three certify the SAME unrolled training.
+    */
+  private def perceptronScoredCtes: String = {
     val dims = 0 until 6
     def sums(f: Int => String) = dims.map(f).mkString(", ")
     def marginOf(e: String) = dims.map(i => s"$e.w$i*x$i").mkString(" + ")
@@ -1174,16 +1202,17 @@ object SparkEntry {
          |  FROM $p, u$e)""".stripMargin
     }.mkString(",\n")
     val last = s"e${operators.Perceptron.epochs}"
-    s"""WITH $featCte,
+    s"""$featCte,
        |e1 AS (
        |  SELECT ${sums(i => s"sum(y*x$i) AS w$i")}
        |  FROM f),
-       |$epochCtes
-       |SELECT f.doc_id,
-       |  CAST(${marginOf(last)} AS BIGINT) AS score,
-       |  (${marginOf(last)}) > 0 AS pred_en,
-       |  f.is_en
-       |FROM f, $last ORDER BY f.doc_id""".stripMargin
+       |$epochCtes,
+       |scored AS (
+       |  SELECT f.doc_id,
+       |    CAST(${marginOf(last)} AS BIGINT) AS score,
+       |    (${marginOf(last)}) > 0 AS pred_en,
+       |    f.is_en
+       |  FROM f, $last)""".stripMargin
   }
 
   /** DSIR oracle CTE chain ending in `s(doc_id, n_tokens, sc)` —
@@ -1847,6 +1876,52 @@ object SparkEntry {
          |      (SELECT CAST(users AS DOUBLE) FROM s WHERE stage_idx = 1), 6)
          |  END AS conv_pct
          |FROM s ORDER BY stage_idx""".stripMargin,
+    // same funnel frames as q_funnel_conversion (c/p additionally carry
+    // the prior stage time); quantiles picked by INTEGER rank over
+    // (delta, user_id) — lower median at ⌈n/2⌉, p90 at ⌈9n/10⌉, never
+    // interpolated; all values exact integer micros
+    "q_funnel_latency" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+         |v AS (
+         |  SELECT user_id, min(us) AS v_us FROM e
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |c AS (
+         |  SELECT e.user_id, min(e.us) AS c_us, min(v.v_us) AS v_us
+         |  FROM e JOIN v ON e.user_id = v.user_id
+         |  WHERE e.event_type = 'click' AND e.us > v.v_us
+         |    AND e.us <= v.v_us + ${operators.Behavior.funnelWindowUs}
+         |  GROUP BY 1),
+         |p AS (
+         |  SELECT e.user_id, min(e.us) AS p_us, min(c.c_us) AS c_us
+         |  FROM e JOIN c ON e.user_id = c.user_id
+         |  WHERE e.event_type = 'purchase' AND e.us > c.c_us
+         |    AND e.us <= c.v_us + ${operators.Behavior.funnelWindowUs}
+         |  GROUP BY 1),
+         |d AS (
+         |  SELECT '1_view_click' AS transition, c_us - v_us AS delta,
+         |    user_id FROM c
+         |  UNION ALL
+         |  SELECT '2_click_purchase', p_us - c_us, user_id FROM p),
+         |r AS (
+         |  SELECT transition, delta,
+         |    row_number() OVER (PARTITION BY transition
+         |                       ORDER BY delta, user_id) AS rk
+         |  FROM d),
+         |st AS (
+         |  SELECT transition, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(min(delta) AS BIGINT) AS min_us,
+         |    CAST(max(delta) AS BIGINT) AS max_us
+         |  FROM d GROUP BY 1)
+         |SELECT st.transition, st.n_users, st.min_us,
+         |  CAST(med.delta AS BIGINT) AS med_us,
+         |  CAST(p90.delta AS BIGINT) AS p90_us, st.max_us
+         |FROM st
+         |JOIN r med ON med.transition = st.transition
+         |  AND med.rk = (st.n_users + 1) // 2
+         |JOIN r p90 ON p90.transition = st.transition
+         |  AND p90.rk = (9 * st.n_users + 9) // 10
+         |ORDER BY st.transition""".stripMargin,
     // integer epoch-week arithmetic; retained_pct one rounded division
     "q_ltv_triangle" ->
       s"""WITH ew AS (
@@ -2117,6 +2192,13 @@ object SparkEntry {
     // identical fixpoint to dedup_clusters — the Spark side runs the
     // distributed propagation loop instead of the union-find fast path
     "dedup_clusters_dist" ->
+      s"""$clusterLabelsCte
+         |SELECT id, cluster FROM labels ORDER BY id""".stripMargin,
+    // identical fixpoint again — the Spark side runs the INCREMENTAL
+    // merge (frozen base components + delta-edge label graph), and
+    // equality with this full-recompute oracle IS the incremental-
+    // correctness certification
+    "dedup_cc_incremental" ->
       s"""$clusterLabelsCte
          |SELECT id, cluster FROM labels ORDER BY id""".stripMargin,
     "dedup_survivors" ->
@@ -2493,6 +2575,43 @@ object SparkEntry {
          |FROM pairs p JOIN intra ia ON ia.label = p.label_a
          |             JOIN intra ib ON ib.label = p.label_b
          |ORDER BY 1, 2""".stripMargin,
+    // the labelSeparation distance convention (round-6 centroids,
+    // round-4 Euclidean); nearest-other is the min-probe + smallest
+    // clabel read-off, mirrored — see Quantize.hardNegatives
+    "emb_hard_negatives" ->
+      s"""WITH dims AS (
+         |  SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
+         |    CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+         |  FROM embeddings CROSS JOIN
+         |    generate_series(1, ${operators.Quantize.embeddingDim}) t(i)
+         |  WHERE i <= len(embedding)),
+         |means AS (
+         |  SELECT label AS clabel, dim, round(sum(x) / count(*), 6) AS m
+         |  FROM dims GROUP BY 1, 2),
+         |dist AS (
+         |  SELECT d.vec_id, d.label, m.clabel,
+         |    round(sqrt(sum((d.x - m.m) * (d.x - m.m))), 4) AS dd
+         |  FROM dims d JOIN means m ON m.dim = d.dim
+         |  GROUP BY 1, 2, 3),
+         |own AS (
+         |  SELECT vec_id, label, dd AS d_own FROM dist
+         |  WHERE label = clabel),
+         |mo AS (
+         |  SELECT vec_id, min(dd) AS d_other FROM dist
+         |  WHERE label <> clabel GROUP BY 1),
+         |ne AS (
+         |  SELECT t.vec_id, t.dd AS d_other,
+         |    CAST(min(t.clabel) AS INTEGER) AS other_label
+         |  FROM dist t JOIN mo ON mo.vec_id = t.vec_id
+         |    AND t.dd = mo.d_other
+         |  WHERE t.label <> t.clabel
+         |  GROUP BY 1, 2)
+         |SELECT o.vec_id, o.label, o.d_own, ne.other_label, ne.d_other,
+         |  round(ne.d_other - o.d_own, 4) AS margin,
+         |  (ne.d_other - o.d_own <
+         |    ${operators.Quantize.hardNegativeMargin}) AS is_hard
+         |FROM own o JOIN ne ON ne.vec_id = o.vec_id
+         |ORDER BY o.vec_id""".stripMargin,
     "text_bigram_entropy" ->
       """WITH b AS (
         |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bg
@@ -3210,6 +3329,292 @@ object SparkEntry {
         |  round(CAST(rev_7d AS DOUBLE) / n_active_days, 4)
         |    AS rev_per_active_day
         |FROM j ORDER BY day""".stripMargin,
+    // same daily frame as q_rolling_revenue; the exact-int64 weights
+    // 3^d·4^(13−d) regenerate from pow() (every factor and product is
+    // < 2^27, exactly representable in double before the BIGINT cast);
+    // the numerator accumulates in HUGEINT (weight×micros products
+    // overflow int64 past ~1.4·10⁷ revenue units/day) and the half-up
+    // round-4 is the INTEGER form (2·10⁴·num+den)//(2·den) — mirrors
+    // Intervals.ewmaRevenue's DECIMAL(38,0) discipline bit for bit
+    "q_ewma_revenue" ->
+      s"""WITH daily AS (
+         |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+         |  FROM orders GROUP BY 1),
+         |w AS (
+         |  SELECT d, CAST(pow(3, d) AS BIGINT) *
+         |    CAST(pow(4, ${operators.Intervals.ewmaDays - 1} - d) AS BIGINT)
+         |    AS w
+         |  FROM generate_series(0, ${operators.Intervals.ewmaDays - 1}) t(d)),
+         |cum AS (SELECT d, CAST(sum(w) OVER (ORDER BY d) AS BIGINT) AS cw
+         |        FROM w),
+         |d0 AS (SELECT min(day) AS d0 FROM daily),
+         |num AS (
+         |  SELECT d.day, d.rev,
+         |    sum(CAST(w.w AS HUGEINT) * CAST(d2.rev * 10000 AS HUGEINT))
+         |      AS num
+         |  FROM daily d
+         |  JOIN daily d2 ON d2.day >= d.day - ${operators.Intervals.ewmaDays - 1}
+         |    AND d2.day <= d.day
+         |  JOIN w ON w.d = d.day - d2.day
+         |  GROUP BY d.day, d.rev),
+         |fin AS (
+         |  SELECT n.day, n.rev, n.num,
+         |    CAST(c.cw AS HUGEINT) * 10000 AS den
+         |  FROM num n, d0, cum c
+         |  WHERE c.d = least(${operators.Intervals.ewmaDays - 1},
+         |                    n.day - d0.d0))
+         |SELECT day, CAST(rev AS DOUBLE) AS rev,
+         |  CAST((num * 10000 * 2 + den) // (den * 2) AS DOUBLE) / 10000
+         |    AS ewma_rev
+         |FROM fin ORDER BY day""".stripMargin,
+    // each cell's χ² contribution is floored to exact integer ppm
+    // BEFORE the sum (the engine's Stats.chiSquare discipline), so the
+    // only doubles are the final /1e6 and the round-6 sqrt
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT seg, CAST(sum(n_obs) AS BIGINT) AS r_i
+        |      FROM cells GROUP BY 1),
+        |c AS (SELECT prio, CAST(sum(n_obs) AS BIGINT) AS c_j
+        |      FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n,
+        |        CAST(count(DISTINCT seg) AS BIGINT) AS nr,
+        |        CAST(count(DISTINCT prio) AS BIGINT) AS nc
+        |      FROM cells),
+        |p AS (
+        |  SELECT n, nr, nc,
+        |    CAST(sum((1000000 *
+        |        (CAST(n AS HUGEINT) * n_obs - CAST(r_i AS HUGEINT) * c_j) *
+        |        (CAST(n AS HUGEINT) * n_obs - CAST(r_i AS HUGEINT) * c_j))
+        |      // (CAST(n AS HUGEINT) * r_i * c_j)) AS BIGINT) AS ppm
+        |  FROM cells JOIN r USING (seg) JOIN c USING (prio) CROSS JOIN t
+        |  GROUP BY 1, 2, 3)
+        |SELECT n AS n_total, (nr - 1) * (nc - 1) AS dof,
+        |  CAST(ppm AS DOUBLE) / 1e6 AS chi2,
+        |  CASE WHEN n > 0 AND least(nr, nc) > 1 THEN
+        |    round(sqrt(CAST(ppm AS DOUBLE) / 1e6 /
+        |      CAST(n * (least(nr, nc) - 1) AS DOUBLE)), 6) END AS cramers_v
+        |FROM p""".stripMargin,
+    // inclusive prefix of the per-distinct-price integer n2*c1 - n1*c2
+    // IS n1*n2*(F1-F2); max |.| and the min-price argmax read-off
+    "q_ks_test" ->
+      s"""WITH seg AS (
+         |  SELECT c_custkey, c_mktsegment FROM customer
+         |  WHERE c_mktsegment IN ('${operators.Stats.ksSegments._1}',
+         |                         '${operators.Stats.ksSegments._2}')),
+         |hist AS (
+         |  SELECT o_totalprice AS price,
+         |    CAST(sum(CASE WHEN c_mktsegment =
+         |        '${operators.Stats.ksSegments._1}' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN c_mktsegment =
+         |        '${operators.Stats.ksSegments._2}' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c2
+         |  FROM orders JOIN seg ON c_custkey = o_custkey GROUP BY 1),
+         |sz AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         |         CAST(sum(c2) AS BIGINT) AS n2 FROM hist),
+         |cum AS (
+         |  SELECT price, n1, n2,
+         |    CAST(abs(sum(n2 * c1 - n1 * c2) OVER (ORDER BY price))
+         |      AS BIGINT) AS gap
+         |  FROM hist CROSS JOIN sz),
+         |pk AS (SELECT n1, n2, max(gap) AS d_num FROM cum GROUP BY 1, 2)
+         |SELECT c.n1, c.n2, p.d_num,
+         |  CASE WHEN c.n1 > 0 AND c.n2 > 0 THEN
+         |    round(CAST(p.d_num AS DOUBLE) /
+         |      CAST(c.n1 * c.n2 AS DOUBLE), 6) END AS d,
+         |  CAST(min(price) AS DOUBLE) AS ks_at
+         |FROM cum c JOIN pk p
+         |  ON c.n1 = p.n1 AND c.n2 = p.n2 AND c.gap = p.d_num
+         |GROUP BY 1, 2, 3""".stripMargin,
+    // n·S_t = n·P_t - t·T in exact 1e-4 revenue units (HUGEINT); every
+    // mean read-off is the half-up (2·num+den)//(2·den) fixed point
+    "q_cusum_changepoint" ->
+      s"""WITH daily AS (
+         |  SELECT epoch_us(o_orderdate) // ${operators.Behavior.dayUs} AS day,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+         |      AS HUGEINT) AS x
+         |  FROM orders GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS t
+         |        FROM daily),
+         |s AS (
+         |  SELECT day, n, t,
+         |    abs(CAST(n AS HUGEINT) * sum(x) OVER (ORDER BY day) -
+         |      CAST(row_number() OVER (ORDER BY day) AS HUGEINT) * t)
+         |      AS ns
+         |  FROM daily CROSS JOIN tot),
+         |pk AS (SELECT n, t, max(ns) AS ns_max FROM s GROUP BY 1, 2),
+         |cp AS (SELECT s.n, s.t, p.ns_max, min(s.day) AS cp_day
+         |       FROM s JOIN pk p ON s.ns = p.ns_max GROUP BY 1, 2, 3),
+         |b AS (SELECT CAST(count(*) AS BIGINT) AS n_b, sum(x) AS s_b
+         |      FROM daily, cp WHERE day <= cp_day),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_a, sum(x) AS s_a
+         |      FROM daily, cp WHERE day > cp_day)
+         |SELECT n AS n_days, cp_day,
+         |  CASE WHEN n > 0 THEN
+         |    CAST((ns_max * 2 + n) // (n * 2) AS DOUBLE) / 1e4
+         |    END AS cusum_peak,
+         |  CASE WHEN n_b > 0 THEN
+         |    CAST((s_b * 2 + n_b) // (n_b * 2) AS DOUBLE) / 1e4
+         |    END AS mean_before,
+         |  CASE WHEN n_a > 0 THEN
+         |    CAST((s_a * 2 + n_a) // (n_a * 2) AS DOUBLE) / 1e4
+         |    END AS mean_after
+         |FROM cp CROSS JOIN b CROSS JOIN a""".stripMargin,
+    // exact HUGEINT moments (n, Σx, Σx² on the scale-4 integer price)
+    // reduce to the same sub-2⁵³ fixed-point mean/variance integers as
+    // the engine; t and df are then identical IEEE chains — see
+    // Stats.welchTTest for the exactness argument
+    "q_welch_ttest" ->
+      s"""WITH g AS (
+         |  SELECT o_orderstatus AS grp,
+         |    CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+         |      AS HUGEINT)) AS HUGEINT) AS s,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+         |      AS HUGEINT) *
+         |      CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+         |      AS HUGEINT)) AS HUGEINT) AS ss
+         |  FROM orders
+         |  WHERE o_orderstatus IN ('${operators.Stats.welchGroups._1}',
+         |    '${operators.Stats.welchGroups._2}')
+         |  GROUP BY 1),
+         |fx AS (
+         |  SELECT grp, CAST(n AS BIGINT) AS n,
+         |    CAST((2 * s + n) // (2 * n) AS DOUBLE) AS m4,
+         |    CASE WHEN n > 1 THEN
+         |      CAST((2 * (n * ss - s * s) + 10000 * n * (n - 1)) //
+         |        (2 * (10000 * n * (n - 1))) AS DOUBLE) END AS v4
+         |  FROM g),
+         |a AS (SELECT n AS n1, m4 AS ma, v4 AS va FROM fx
+         |      WHERE grp = '${operators.Stats.welchGroups._1}'),
+         |b AS (SELECT n AS n2, m4 AS mb, v4 AS vb FROM fx
+         |      WHERE grp = '${operators.Stats.welchGroups._2}'),
+         |j AS (
+         |  SELECT n1, n2, ma, mb, va, vb,
+         |    va / 1e4 / CAST(n1 AS DOUBLE) + vb / 1e4 / CAST(n2 AS DOUBLE)
+         |      AS se2
+         |  FROM a CROSS JOIN b)
+         |SELECT n1, n2,
+         |  ma / 1e4 AS mean_f, mb / 1e4 AS mean_o,
+         |  va / 1e4 AS var_f, vb / 1e4 AS var_o,
+         |  CASE WHEN n1 > 1 AND n2 > 1 AND se2 > 0 THEN
+         |    round((ma / 1e4 - mb / 1e4) / sqrt(se2), 6) END AS t,
+         |  CASE WHEN n1 > 1 AND n2 > 1 AND se2 > 0 THEN
+         |    round(se2 * se2 /
+         |      ((va / 1e4 / CAST(n1 AS DOUBLE)) *
+         |        (va / 1e4 / CAST(n1 AS DOUBLE)) /
+         |        CAST(n1 - 1 AS DOUBLE) +
+         |       (vb / 1e4 / CAST(n2 AS DOUBLE)) *
+         |        (vb / 1e4 / CAST(n2 AS DOUBLE)) /
+         |        CAST(n2 - 1 AS DOUBLE)), 6) END AS welch_df
+         |FROM j""".stripMargin,
+    // digit from the DECIMAL's string form (never log10 on data); the
+    // nine expected-ppm constants sit far from rounding boundaries, so
+    // a 1-ulp libm disagreement cannot flip them — see
+    // Stats.benfordDigits
+    "q_benford_digits" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(o_totalprice AS VARCHAR), 1, 1)
+        |      AS INT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM orders WHERE o_totalprice >= 1
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM d),
+        |e AS (
+        |  SELECT digit, n_obs, n,
+        |    (1000000 * n_obs) // n AS obs_ppm,
+        |    CAST(round(log10(1 + 1.0 / digit) * 1e6, 0) AS BIGINT)
+        |      AS exp_ppm
+        |  FROM d CROSS JOIN t)
+        |SELECT digit, n_obs, obs_ppm, exp_ppm,
+        |  obs_ppm - exp_ppm AS dev_ppm,
+        |  CAST((CAST(1000000 * n_obs - n * exp_ppm AS HUGEINT) *
+        |   CAST(1000000 * n_obs - n * exp_ppm AS HUGEINT)) //
+        |    (CAST(n AS HUGEINT) * exp_ppm) AS BIGINT) AS chi2_ppm
+        |FROM e ORDER BY digit""".stripMargin,
+    // S and the tie-corrected variance are pure integers over exact
+    // DECIMAL revenue comparisons; z and τ_a are one IEEE division +
+    // sqrt each — see Stats.mannKendall
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS x
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(sum(CASE WHEN a.x > b.x THEN 1
+        |    WHEN a.x < b.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON b.day < a.day),
+        |ties AS (
+        |  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+        |    AS BIGINT) AS tie_term
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY x HAVING count(*) > 1)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |v AS (
+        |  SELECT n, s_stat,
+        |    n * (n - 1) * (2 * n + 5) - tie_term AS var18
+        |  FROM s CROSS JOIN n CROSS JOIN ties)
+        |SELECT n AS n_days, s_stat, var18,
+        |  CASE WHEN n > 1 THEN
+        |    round(CAST(s_stat AS DOUBLE) /
+        |      CAST(n * (n - 1) // 2 AS DOUBLE), 6) END AS tau_a,
+        |  CASE WHEN var18 > 0 THEN
+        |    round(CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+        |      WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS DOUBLE) /
+        |      sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) END AS z
+        |FROM v""".stripMargin,
+    // each slope is ONE IEEE division of the exact decimal delta by
+    // the integer day gap; the Sen slope is the LOWER median order
+    // statistic over (slope, day_i, day_j) — see Stats.theilSen
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS x
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT b.day AS d1, a.day AS dd,
+        |    CAST(a.x - b.x AS DOUBLE) / CAST(a.day - b.day AS DOUBLE)
+        |      AS slope
+        |  FROM daily a JOIN daily b ON b.day < a.day),
+        |r AS (
+        |  SELECT slope,
+        |    CAST(row_number() OVER (ORDER BY slope, d1, dd) AS BIGINT)
+        |      AS rk
+        |  FROM p),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM p),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+        |SELECT n_days, n_pairs, round(slope, 6) AS sen_slope
+        |FROM r CROSS JOIN m CROSS JOIN nd
+        |WHERE rk = (n_pairs + 1) // 2""".stripMargin,
+    // every column profiled in its canonical string form; min/max are
+    // LEXICOGRAPHIC on that form by contract — see
+    // Profiling.columnProfile
+    "q_column_profile" ->
+      """WITH s AS (
+        |  SELECT 'o_orderkey' AS col_name,
+        |    CAST(o_orderkey AS VARCHAR) AS val FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate',
+        |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority FROM orders)
+        |SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null,
+        |  CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+        |  min(val) AS min_val, max(val) AS max_val
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // the a-priori prune is plan-only (downward closure: it cannot
     // change which pairs clear the floor), so the oracle skips it;
     // all metrics are fixed double expressions over exact int64 counts
@@ -3234,6 +3639,61 @@ object SparkEntry {
          |FROM pr JOIN ic c1 ON c1.p = pr.p1 JOIN ic c2 ON c2.p = pr.p2
          |CROSS JOIN n
          |ORDER BY p1, p2""".stripMargin,
+    // the oracle states the triple census directly; the engine's
+    // two-level A-priori prunes cannot change the floor-cut result
+    // (downward closure), only the work
+    "q_basket_triples" ->
+      s"""WITH i AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS nb FROM i),
+         |pr AS (
+         |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS n_p12
+         |  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= ${operators.Associations.pairSupportFloor}),
+         |tr AS (
+         |  SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+         |    CAST(count(*) AS BIGINT) AS n_all
+         |  FROM i a
+         |  JOIN i b ON a.o = b.o AND a.p < b.p
+         |  JOIN i c ON b.o = c.o AND b.p < c.p
+         |  GROUP BY 1, 2, 3
+         |  HAVING count(*) >= ${operators.Associations.pairSupportFloor})
+         |SELECT tr.p1, tr.p2, tr.p3, tr.n_all, pr.n_p12,
+         |  round(CAST(n_all AS DOUBLE) / nb, 6) AS support,
+         |  round(CAST(n_all AS DOUBLE) / CAST(n_p12 AS DOUBLE), 6)
+         |    AS confidence
+         |FROM tr JOIN pr ON pr.p1 = tr.p1 AND pr.p2 = tr.p2
+         |CROSS JOIN n
+         |ORDER BY 1, 2, 3""".stripMargin,
+    // the deletion-neighborhood theorem, same as the engine:
+    // ed(a,b) ≤ 1 implies a and b share a form in {identity} ∪
+    // {delete one char} (substitution: delete the differing position
+    // from both; ins/del: the longer string's deletion IS the shorter;
+    // equality: identity) — then the same levenshtein verification
+    "q_fuzzy_names" ->
+      """WITH nm AS (
+        |  SELECT c_custkey AS id, c_name AS name FROM customer
+        |  WHERE length(c_name) >= 2),
+        |f AS (
+        |  SELECT id, name, name AS form FROM nm
+        |  UNION
+        |  SELECT DISTINCT id, name,
+        |    substr(name, 1, CAST(i AS INT) - 1) ||
+        |      substr(name, CAST(i AS INT) + 1) AS form
+        |  FROM (SELECT id, name, unnest(range(1, length(name) + 1)) AS i
+        |        FROM nm) u),
+        |cand AS (
+        |  SELECT DISTINCT least(a.id, b.id) AS id1,
+        |    greatest(a.id, b.id) AS id2,
+        |    CASE WHEN a.id < b.id THEN a.name ELSE b.name END AS n1,
+        |    CASE WHEN a.id < b.id THEN b.name ELSE a.name END AS n2
+        |  FROM f a JOIN f b ON a.form = b.form AND a.id <> b.id)
+        |SELECT id1 AS a_custkey, id2 AS b_custkey,
+        |  CAST(levenshtein(n1, n2) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(n1, n2) <= 1
+        |ORDER BY 1, 2""".stripMargin,
     "q_rfm_segments" ->
       """WITH per AS (
         |  SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us,
@@ -3391,6 +3851,113 @@ object SparkEntry {
     // arithmetic — the trained model is replayed exactly, not
     // approximately (mirrors operators.Perceptron.train).
     "text_quality_classifier" -> perceptronOracle,
+    // same training replay as text_quality_classifier (shared CTE
+    // chain), then the Mann–Whitney histogram form: per distinct score
+    // the (n_pos, n_neg) counts, exclusive running negatives over
+    // score order, numerator kept as the INTEGER 2·wins + ties — one
+    // double division, round 6, NULL on a one-class corpus
+    "q_classifier_auc" ->
+      s"""WITH $perceptronScoredCtes,
+         |g AS (
+         |  SELECT score,
+         |    CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos,
+         |    CAST(sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_neg
+         |  FROM scored GROUP BY 1),
+         |wc AS (
+         |  SELECT n_pos, n_neg,
+         |    CAST(coalesce(sum(n_neg) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS neg_below
+         |  FROM g),
+         |a AS (
+         |  SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         |    CAST(sum(n_neg) AS BIGINT) AS n_neg,
+         |    CAST(sum(n_pos * neg_below) AS BIGINT) AS pairs_won,
+         |    CAST(sum(n_pos * n_neg) AS BIGINT) AS pairs_tied
+         |  FROM wc)
+         |SELECT n_pos, n_neg, pairs_won, pairs_tied,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |    round(CAST(2 * pairs_won + pairs_tied AS DOUBLE) /
+         |      CAST(2 * n_pos * n_neg AS DOUBLE), 6)
+         |  END AS auc
+         |FROM a""".stripMargin,
+    // confusion counts in one pass over the same scored frame; κ in
+    // the n²-scaled integer form so every metric is a single division
+    // of exact int64s; zero denominators → NULL, never 0/0
+    "q_classifier_eval" ->
+      s"""WITH $perceptronScoredCtes,
+         |c AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN pred_en AND is_en THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN pred_en AND NOT is_en THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN NOT pred_en AND is_en THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN NOT pred_en AND NOT is_en THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tn
+         |  FROM scored),
+         |m AS (
+         |  SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n,
+         |    (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn) AS e
+         |  FROM c)
+         |SELECT tp, fp, fn, tn,
+         |  CASE WHEN n > 0 THEN
+         |    round(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |  END AS accuracy,
+         |  CASE WHEN tp + fp > 0 THEN
+         |    round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+         |  END AS "precision",
+         |  CASE WHEN tp + fn > 0 THEN
+         |    round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+         |  END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+         |    round(CAST(2 * tp AS DOUBLE) /
+         |      CAST(2 * tp + fp + fn AS DOUBLE), 6)
+         |  END AS f1,
+         |  CASE WHEN n * n - e <> 0 THEN
+         |    round(CAST(n * (tp + tn) - e AS DOUBLE) /
+         |      CAST(n * n - e AS DOUBLE), 6)
+         |  END AS kappa
+         |FROM m""".stripMargin,
+    // same replayed training; decile = the integer grid
+    // (rank−1)·10 div n + 1 over (score desc, doc_id), cumulated over
+    // the ≤10-row grid — all exact-int64 products, round-6 divisions
+    "q_lift_chart" ->
+      s"""WITH $perceptronScoredCtes,
+         |r AS (
+         |  SELECT doc_id, is_en,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |      AS BIGINT) AS rk
+         |  FROM scored),
+         |t AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS total_pos
+         |  FROM scored),
+         |d AS (
+         |  SELECT (rk - 1) * 10 // n + 1 AS decile,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos
+         |  FROM r CROSS JOIN t GROUP BY 1),
+         |cum AS (
+         |  SELECT d.decile, d.n_docs, d.n_pos,
+         |    CAST(sum(d2.n_docs) AS BIGINT) AS cum_docs,
+         |    CAST(sum(d2.n_pos) AS BIGINT) AS cum_pos
+         |  FROM d JOIN d d2 ON d2.decile <= d.decile
+         |  GROUP BY 1, 2, 3)
+         |SELECT decile, n_docs, n_pos, cum_docs, cum_pos,
+         |  CASE WHEN total_pos > 0 THEN
+         |    round(CAST(cum_pos AS DOUBLE) / CAST(total_pos AS DOUBLE), 6)
+         |  END AS capture,
+         |  CASE WHEN total_pos > 0 AND cum_docs > 0 THEN
+         |    round(CAST(cum_pos * n AS DOUBLE) /
+         |      CAST(cum_docs * total_pos AS DOUBLE), 6)
+         |  END AS lift
+         |FROM cum CROSS JOIN t ORDER BY decile""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
         |  SELECT lang, doc_id,
@@ -3545,6 +4112,36 @@ object SparkEntry {
          |  round(min(quality), 4) AS min_quality
          |FROM r WHERE pre < ${operators.Sampling.mixBudgetTokens}
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // same two bounded histograms (per-word first doc_id, per-doc
+    // token count) probed by the 10-row decile spine; every count an
+    // exact integer, TTR the single round-6 division
+    "text_heaps_law" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |  FROM documents),
+        |sp AS (
+        |  SELECT g.d AS decile, (g.d * m.idmax) // 10 AS thr
+        |  FROM generate_series(1, 10) g(d),
+        |    (SELECT max(doc_id) AS idmax FROM t) m),
+        |nw AS (
+        |  SELECT first_doc, CAST(count(*) AS BIGINT) AS n_new FROM (
+        |    SELECT w, min(doc_id) AS first_doc
+        |    FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY w)
+        |  GROUP BY 1),
+        |va AS (
+        |  SELECT sp.decile, sp.thr, CAST(sum(nw.n_new) AS BIGINT) AS n_vocab
+        |  FROM sp JOIN nw ON nw.first_doc <= sp.thr GROUP BY 1, 2),
+        |ta AS (
+        |  SELECT sp.decile, sp.thr, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+        |  FROM sp JOIN t ON t.doc_id <= sp.thr GROUP BY 1, 2)
+        |SELECT ta.decile, ta.thr, ta.n_docs, ta.n_tokens, va.n_vocab,
+        |  CASE WHEN ta.n_tokens > 0 THEN
+        |    round(CAST(va.n_vocab AS DOUBLE) /
+        |      CAST(ta.n_tokens AS DOUBLE), 6)
+        |  END AS ttr
+        |FROM ta JOIN va ON ta.decile = va.decile AND ta.thr = va.thr
+        |ORDER BY ta.decile""".stripMargin,
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents

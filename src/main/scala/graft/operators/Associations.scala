@@ -74,4 +74,65 @@ object Associations {
           .as("lift"))
       .orderBy("p1", "p2")
   }
+
+  /** Frequent item TRIPLES — the next A-priori level over the same
+    * baskets: for every part triple co-ordered in ≥
+    * [[pairSupportFloor]] orders, the triple count, the (p1,p2) pair
+    * count, support = n_all/N, and confidence((p1,p2)→p3) =
+    * n_all/n_p12 — both round-6 single divisions of exact int64s.
+    *
+    * Scale notes (100 TB), beyond [[marketBasket]]'s:
+    *  - downward closure runs at BOTH levels: items prune to the
+    *    frequent-item set before any pair forms, and the (a,b) leg
+    *    semi-joins against the frequent-PAIR set before the third item
+    *    joins — a triple can only reach the floor if all three of its
+    *    sub-pairs did, so the candidate fan-out after the prune is
+    *    bounded by the frequent-pair census, not C(k,3);
+    *  - the frequent-pair set is floor-cut and item-universe²-bounded;
+    *    it broadcasts here, and past broadcast size the same semi-joins
+    *    run as shuffle joins unchanged (AQE picks);
+    *  - basket width k is schema-bounded (≤ 7 lineitems/order), so even
+    *    the raw per-order expansion is a constant, never corpus-scaled.
+    */
+  def basketTriples(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint() // feeds the total, item counts, pairs, triples
+    val nBaskets = items.agg(countDistinct(col("o")).as("n_baskets"))
+    val itemCnt = items.groupBy("p").agg(count(lit(1)).as("n_item"))
+    val frequent = itemCnt.filter(col("n_item") >= pairSupportFloor)
+      .select("p")
+    val pruned = items.join(broadcast(frequent), Seq("p"), "left_semi")
+      .localCheckpoint() // both the pair pass and the triple legs scan it
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.o").as("o"), col("a.p").as("p1"), col("b.p").as("p2"))
+    val freqPairs = pairs.groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_p12"))
+      .filter(col("n_p12") >= pairSupportFloor)
+      .localCheckpoint() // floor-cut pair census: broadcast below
+    // A-priori: the (p1,p2) leg must itself be frequent before the
+    // third item joins; the (p1,p3)/(p2,p3) closures prune after
+    val ab = pairs.join(broadcast(freqPairs.select("p1", "p2")),
+      Seq("p1", "p2"), "left_semi")
+    val abc = ab.join(pruned.select(col("o"), col("p").as("p3")), "o")
+      .filter(col("p2") < col("p3"))
+      .join(broadcast(freqPairs.select(col("p1"),
+        col("p2").as("p3"))), Seq("p1", "p3"), "left_semi")
+      .join(broadcast(freqPairs.select(col("p1").as("p2"),
+        col("p2").as("p3"))), Seq("p2", "p3"), "left_semi")
+    abc.groupBy("p1", "p2", "p3")
+      .agg(count(lit(1)).as("n_all"))
+      .filter(col("n_all") >= pairSupportFloor)
+      .join(broadcast(freqPairs), Seq("p1", "p2"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("p1"), col("p2"), col("p3"), col("n_all"), col("n_p12"),
+        round(col("n_all").cast("double") /
+          col("n_baskets").cast("double"), 6).as("support"),
+        round(col("n_all").cast("double") / col("n_p12").cast("double"), 6)
+          .as("confidence"))
+      .orderBy("p1", "p2", "p3")
+  }
 }

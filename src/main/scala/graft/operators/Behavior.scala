@@ -88,6 +88,67 @@ object Behavior {
       .orderBy("stage_idx")
   }
 
+  /** Stage-to-stage latency quantiles for the [[funnelConversion]]
+    * funnel — the time-to-convert report product reads next to the
+    * conversion counts ("users click a median N hours after first
+    * view"): per transition (view→click, click→purchase), the
+    * converting-user count and the min / median / p90 / max of the
+    * stage-time delta.
+    *
+    * Engine-exactness: deltas are exact integer micros; the median is
+    * the LOWER median — the element at rank ⌈n/2⌉ of the (delta,
+    * user_id) total order — and p90 the element at rank ⌈9n/10⌉,
+    * picked by INTEGER rank, never interpolated (the
+    * percentile-interpolation ban: Spark computes a+(b−a)f, DuckDB
+    * a(1−f)+bf, and the one-ULP disagreement flips boundary rows).
+    *
+    * Shape: both transitions rank in ONE [[Ranks.globalTagged]] staged
+    * pass over the skinny (transition, delta, user_id) union — never a
+    * single-partition window; the two quantile read-offs are
+    * broadcast-joined rank probes against the 2-row stats frame.
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    val v = e.filter(col("event_type") === funnelStages(0))
+      .groupBy("user_id").agg(min(col("us")).as("v_us"))
+    val c = e.filter(col("event_type") === funnelStages(1))
+      .join(v, "user_id")
+      .filter(col("us") > col("v_us") &&
+        col("us") <= col("v_us") + funnelWindowUs)
+      .groupBy("user_id")
+      .agg(min(col("us")).as("c_us"), min(col("v_us")).as("v_us"))
+    val p = e.filter(col("event_type") === funnelStages(2))
+      .join(c, "user_id")
+      .filter(col("us") > col("c_us") &&
+        col("us") <= col("v_us") + funnelWindowUs)
+      .groupBy("user_id")
+      .agg(min(col("us")).as("p_us"), min(col("c_us")).as("c_us"))
+    val deltas = c.select(lit("1_view_click").as("transition"),
+        (col("c_us") - col("v_us")).as("delta"), col("user_id"))
+      .unionByName(p.select(lit("2_click_purchase").as("transition"),
+        (col("p_us") - col("c_us")).as("delta"), col("user_id")))
+      .localCheckpoint() // feeds the stats aggregate and the rank pass
+    val ranked = Ranks.globalTagged(deltas, "transition", "rk",
+      col("delta").asc, col("user_id").asc)
+    val stats = deltas.groupBy("transition")
+      .agg(count(lit(1)).as("n_users"), min(col("delta")).as("min_us"),
+        max(col("delta")).as("max_us"))
+      .localCheckpoint() // 2-row frame probed twice
+    def probe(rankExpr: String, out: String): DataFrame = ranked
+      .join(broadcast(stats.select(col("transition"),
+        expr(rankExpr).as("__target"))), "transition")
+      .filter(col("rk") === col("__target"))
+      .select(col("transition"), col("delta").as(out))
+    stats
+      .join(probe("(n_users + 1) div 2", "med_us"), "transition")
+      .join(probe("(9 * n_users + 9) div 10", "p90_us"), "transition")
+      .select(col("transition"), col("n_users"), col("min_us"),
+        col("med_us"), col("p90_us"), col("max_us"))
+      .orderBy("transition")
+  }
+
   /** Micros per day / days per week — the integer cohort calendar. */
   val dayUs: Long = 86400L * 1000 * 1000
 

@@ -495,6 +495,58 @@ object Dedup {
   def clustersDistQuery(spark: SparkSession, dir: String): DataFrame =
     clusters(lshPairsUnsorted(spark, dir), smallGraphLimit = 0L).orderBy("id")
 
+  /** INCREMENTAL connected components — the daily-ingest form of
+    * [[clustersQuery]] that completes the incremental family
+    * ([[lshIncrementalPairs]], [[bloomIncremental]],
+    * [[Multimodal.dhashIncremental]]): yesterday's component labels
+    * are a FROZEN artifact (modeled here as components over the
+    * base-only pair graph, doc_id % 10 ≠ 0 — the bloom/LSH delta
+    * convention), and a new batch merges in with work proportional to
+    * the DELTA, never a full-graph recompute:
+    *
+    *  1. delta edges (≥ 1 new-batch endpoint) LIFT into label space —
+    *     each endpoint becomes its frozen component label (new docs
+    *     label themselves), a broadcast-or-shuffle equi-join;
+    *  2. connected components run on that label graph, which is
+    *     O(delta edges) — new docs plus only the old components they
+    *     actually bridge; untouched components never move;
+    *  3. one relabel join maps every node through (frozen label →
+    *     merged label).
+    *
+    * Labels are min-ids at every step, so min(merged group) =
+    * min(min base ids, new ids) = the full component's global min —
+    * the output is BIT-EQUAL to a full recompute over base ∪ delta,
+    * which is exactly what the oracle states (the same recursive
+    * reachability fixpoint as `dedup_clusters`, full graph). Delta
+    * edges cannot lift to self-loops (a delta edge has ≥ 1 endpoint
+    * outside the frozen label set), but the filter stays as a guard.
+    */
+  def ccIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairsUnsorted(spark, dir).localCheckpoint()
+    val delta = (c: Column) => c % 10 === 0
+    val basePairs = pairs.filter(!delta(col("a_id")) && !delta(col("b_id")))
+    val deltaPairs = pairs.filter(delta(col("a_id")) || delta(col("b_id")))
+    val base = clusters(basePairs).localCheckpoint() // the frozen artifact
+    val labelEdges = deltaPairs
+      .join(base.select(col("id").as("a_id"), col("cluster").as("la")),
+        Seq("a_id"), "left")
+      .join(base.select(col("id").as("b_id"), col("cluster").as("lb")),
+        Seq("b_id"), "left")
+      .select(coalesce(col("la"), col("a_id")).as("a_id"),
+        coalesce(col("lb"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    val merged = clusters(labelEdges)
+    val nodes = pairs.select(col("a_id").as("id"))
+      .unionByName(pairs.select(col("b_id").as("id"))).distinct()
+    nodes
+      .join(base.select(col("id"), col("cluster").as("bl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("bl"), col("id")).as("lbl"))
+      .join(merged.select(col("id").as("lbl"), col("cluster").as("ml")),
+        Seq("lbl"), "left")
+      .select(col("id"), coalesce(col("ml"), col("lbl")).as("cluster"))
+      .orderBy("id")
+  }
+
   /** Document-frequency cap for the Jaccard shingle join: shingles
     * appearing in more than this many documents are dropped before the
     * self-join (standard practice — they are non-discriminative, all

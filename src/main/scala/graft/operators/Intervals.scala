@@ -144,6 +144,85 @@ object Intervals {
       .orderBy("day")
   }
 
+  /** Trailing-window length for [[ewmaRevenue]] — the EWMA is
+    * truncated at 14 calendar days so the weights stay EXACT int64s
+    * (an unbounded (3/4)^d tail cannot: 3^d outgrows the 53-bit
+    * mantissa past d=33, and decimal powers of 0.75 grow two digits
+    * per day).
+    */
+  val ewmaDays = 14
+
+  /** Integer EWMA weights, most-recent-first: w(d) = 3^d · 4^(K−1−d)
+    * for calendar gap d — the (3/4)^d decay (α = 1/4) scaled by
+    * 4^(K−1) so every weight is an exact int64.
+    */
+  private[graft] val ewmaW: Array[Long] = {
+    val k = ewmaDays
+    (0 until k).map(d =>
+      BigInt(3).pow(d).toLong * BigInt(4).pow(k - 1 - d).toLong).toArray
+  }
+
+  /** Inclusive prefix sums of [[ewmaW]]: cum(m) = Σ_{d≤m} w(d) — the
+    * warm-up denominators (a day m < K−1 days past the corpus start
+    * has only m+1 calendar days behind it).
+    */
+  private[graft] val ewmaCum: Array[Long] = ewmaW.scanLeft(0L)(_ + _).tail
+
+  /** Exponentially-weighted trailing revenue per order day — the
+    * smoothed trend twin of [[rollingRevenue]] (recent days weighted
+    * (3/4)^gap instead of uniformly), the line a dashboard overlays on
+    * the raw daily series.
+    *
+    * CALENDAR convention: a day with no orders contributes zero
+    * revenue but still occupies its weight slot — the denominator is
+    * the full window's weight mass Σ_{d≤min(K−1, t−t0)} w(d) (warm-up
+    * aware), not just the active days', so a quiet week genuinely
+    * drags the average down. Numerator terms only exist for active
+    * days (zero terms are zero), so the join stays over the daily
+    * frame.
+    *
+    * Float discipline: daily revenue is DECIMAL(18,4) (exact scaled
+    * units) and weights exact int64s, but a weight×revenue PRODUCT
+    * overflows int64 once daily revenue passes ~1.4·10⁷ units (4^13 ·
+    * 10⁴ · rev > 2⁶³ — sf0.1 already trips it), so the numerator
+    * accumulates in DECIMAL(38,0) (HUGEINT on the oracle side) and
+    * the half-up round-to-4-decimals happens entirely in integer
+    * space — r = (2·10⁴·num + den) div (2·den) — so neither engine ever
+    * casts a >2⁵³ value to double; the only float op is r/10⁴ on a
+    * ≲10¹² integer, IEEE-exact in both engines. Headroom: 38 digits
+    * carry the numerator past 10³⁰, i.e. any conceivable daily
+    * revenue. Shape: daily reduction first (one map-side-combined
+    * shuffle), then the trailing frame as a broadcast range self-join
+    * over the calendar-bounded daily frame — never a corpus-row
+    * window.
+    */
+  def ewmaRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(expr(s"unix_micros(cast(o_orderdate as timestamp)) div $dayUs")
+        .as("day"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("rev"))
+      .localCheckpoint() // calendar-bounded daily frame
+    val trail = daily.select(col("day").as("d2"),
+      (col("rev") * 10000).cast("decimal(20,0)").as("ru"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    daily
+      .join(broadcast(trail),
+        col("d2") >= col("day") - (ewmaDays - 1) && col("d2") <= col("day"))
+      .groupBy(col("day"), col("rev"))
+      .agg(sum(element_at(lit(ewmaW),
+        (col("day") - col("d2") + 1).cast("int")).cast("decimal(10,0)") *
+        col("ru")).as("num"))
+      .crossJoin(broadcast(d0))
+      .withColumn("den",
+        element_at(lit(ewmaCum),
+          (least(lit(ewmaDays - 1L), col("day") - col("d0")) + 1)
+            .cast("int")) * lit(10000L))
+      .select(col("day"), col("rev").cast("double").as("rev"),
+        (expr("(num * 10000 * 2 + den) div (den * 2)").cast("double")
+          / 10000.0).as("ewma_rev"))
+      .orderBy("day")
+  }
+
   /** Sessions impacted by anomalous traffic hours — the interval×interval
     * OVERLAP JOIN an incident report runs ("which user sessions ran
     * during the flagged hours, and for how long"): user sessions

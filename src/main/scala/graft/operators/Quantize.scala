@@ -451,4 +451,64 @@ object Quantize {
           .as("residual_norm"))
       .orderBy("vec_id")
   }
+
+  /** Margin below which a vector counts as a hard negative — its
+    * nearest OTHER-label centroid sits within this much of its own.
+    * Calibrated to this corpus's near-chance label geometry (median
+    * margin ≈ −0.006): 0.01 splits the corpus ~4:1 hard:easy.
+    */
+  val hardNegativeMargin = 0.01
+
+  /** Hard-negative mining against the label-centroid field — the
+    * training-batch curation pass that finds the vectors teaching a
+    * contrastive model the most: for every embedding, its distance to
+    * its OWN label centroid, the nearest other-label centroid (ties →
+    * smallest label) and distance, the margin, and the
+    * `is_hard` flag (margin < [[hardNegativeMargin]]).
+    *
+    * Distances are the [[labelSeparation]] convention exactly —
+    * round-6 per-dim centroid means, per-vector Euclidean rounded at
+    * 4 — so the margin is a subtraction of identical round-4 doubles
+    * and the flag is an exact comparison. The nearest-other argmin is
+    * the broadcast min-probe + smallest-label read-off (the KS-peak
+    * pattern), never an unordered arg_min.
+    *
+    * Shape (100 TB): the labels×64 centroid grid is the only
+    * reduction artifact (broadcast); the scoring pass fans each vector
+    * out by the label count (bounded by the label universe, 10 here)
+    * inside one narrow join + reaggregate — no pair joins, no global
+    * sorts beyond the presentation order.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        col("x").cast("double").as("x"))
+    val means = dims.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(round(sum(col("x")) / count(lit(1)), 6).as("m"))
+      .localCheckpoint() // labels×64 centroid grid: broadcast
+    val dist = dims.join(broadcast(means), "dim")
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(round(sqrt(sum((col("x") - col("m")) * (col("x") - col("m")))), 4)
+        .as("d"))
+      .localCheckpoint() // feeds own-, min-, and argmin-probes
+    val own = dist.filter(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("d").as("d_own"))
+    val others = dist.filter(col("label") =!= col("clabel"))
+    // corpus-sized per-vector minima: a co-partitioned shuffle join on
+    // vec_id (NOT a broadcast — this frame scales with the corpus)
+    val minOther = others.groupBy("vec_id").agg(min(col("d")).as("d_other"))
+    val nearest = others
+      .join(minOther, "vec_id")
+      .filter(col("d") === col("d_other"))
+      .groupBy(col("vec_id"), col("d_other"))
+      .agg(min(col("clabel")).as("other_label"))
+    own.join(nearest, "vec_id")
+      .select(col("vec_id"), col("label"), col("d_own"),
+        col("other_label"), col("d_other"),
+        round(col("d_other") - col("d_own"), 4).as("margin"),
+        (col("d_other") - col("d_own") < hardNegativeMargin).as("is_hard"))
+      .orderBy("vec_id")
+  }
 }

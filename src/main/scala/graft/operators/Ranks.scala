@@ -96,6 +96,43 @@ object Ranks {
       .drop("__pid", "__lrn", "__off")
   }
 
+  /** Distributed EXCLUSIVE prefix sum over a total order — the running
+    * "everything strictly before me" aggregate ([[global]]'s sibling
+    * for sums instead of counts): range-partition on the order columns,
+    * cumulate locally per partition (all partitions in parallel), and
+    * add the cumulative per-partition totals — a numPartitions-row
+    * collect, the same bounded-artifact discipline as [[global]]'s
+    * offsets. The local window is `rowsBetween(unboundedPreceding,
+    * -1)`, so the row's own value is excluded; callers add it back when
+    * they want the inclusive form.
+    *
+    * The order must be total (tie-break on a unique key), same contract
+    * as [[global]] — equal keys must not straddle a range boundary.
+    */
+  def prefixSum(df: DataFrame, valueCol: String, sumCol: String,
+                order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val staged = df.repartitionByRange(nParts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val sums = staged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (p, s) => val o = acc; acc += s; (p, o) }
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    staged
+      .withColumn("__lps",
+        coalesce(sum(col(valueCol)).over(local), lit(0L)))
+      .join(broadcast(offDf), "__pid")
+      .withColumn(sumCol, col("__off") + col("__lps"))
+      .drop("__pid", "__lps", "__off")
+  }
+
   /** Exact `row_number` under (score DESC, id ASC) for a BOUNDED frame
     * (a TakeOrdered output — tens to hundreds of rows) with no window
     * at all: rank(x) = 1 + |{y : y.score > x.score ∨ (y.score = x.score

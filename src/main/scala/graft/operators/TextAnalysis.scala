@@ -832,4 +832,48 @@ object TextAnalysis {
           (acc, x) => acc + x.getField("ll")) / col("n_bigrams"), 4).as("nll"))
       .orderBy("doc_id")
   }
+
+  /** Vocabulary-growth (Heaps-law) curve — the corpus-health report a
+    * pretraining pipeline reads before committing a crawl slice: at 10
+    * doc_id checkpoints (deciles of the id span), the cumulative doc
+    * count, token count, distinct-word vocabulary, and type–token
+    * ratio. A vocabulary that stops growing means the crawl is
+    * re-reading itself; a TTR spike means boilerplate flooded in.
+    *
+    * Shape (100 TB): the corpus reduces to two bounded-by-corpus
+    * histograms in single map-side-combined passes — per-word FIRST
+    * doc_id (one shuffle on word), collapsed to a per-doc new-word
+    * histogram, and per-doc token counts — then the 10-row checkpoint
+    * spine broadcast-inequality-joins each histogram (fan-out ≤ 10 per
+    * row). Never a global sort, never a running window over the
+    * corpus. All counts exact integers; TTR is the only division,
+    * rounded at 6.
+    */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .localCheckpoint() // feeds the word pass, the token pass, the spine
+    val spine = docs.agg(max(col("doc_id")).as("idmax"))
+      .select(explode(sequence(lit(1L), lit(10L))).as("decile"), col("idmax"))
+      .select(col("decile"), expr("(decile * idmax) div 10").as("thr"))
+    val newWords = docs.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("w").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy("first_doc").agg(count(lit(1)).as("n_new"))
+    val docStats = docs
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+    val vocabAt = broadcast(spine)
+      .join(newWords, col("first_doc") <= col("thr"))
+      .groupBy("decile", "thr").agg(sum(col("n_new")).as("n_vocab"))
+    val tokAt = broadcast(spine)
+      .join(docStats, col("doc_id") <= col("thr"))
+      .groupBy("decile", "thr")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    tokAt.join(vocabAt, Seq("decile", "thr"))
+      .select(col("decile"), col("thr"), col("n_docs"), col("n_tokens"),
+        col("n_vocab"),
+        when(col("n_tokens") > 0,
+          round(col("n_vocab").cast("double") /
+            col("n_tokens").cast("double"), 6)).as("ttr"))
+      .orderBy("decile")
+  }
 }

@@ -90,7 +90,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     "abtt" -> graft.operators.Quantize.abttResiduals(spark, dir).count(),
     "greedy_chunks" -> TextAnalysis.greedyChunks(spark, dir).count(),
     "pareto" -> Sampling.paretoFrontier(spark, dir).count(),
-    "prefix_join" -> Dedup.prefixJaccardJoin(spark, dir).count())
+    "prefix_join" -> Dedup.prefixJaccardJoin(spark, dir).count(),
+    "cc_incremental" -> Dedup.ccIncremental(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -168,6 +169,7 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("greedy_chunks") === 1L, "the 59-char lone doc is one chunk")
     assert(counts("pareto") === 1L, "the lone doc dominates nothing and is undominated")
     assert(counts("prefix_join") === 0L, "no pair universe with one document")
+    assert(counts("cc_incremental") === 0L, "no pairs, no graph nodes")
   }
 
   test("constant corpus: zero total variance yields NULL shares, not ANSI 0/0") {
@@ -222,6 +224,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     // one event = one session, but a 1-hour baseline can never flag
     assert(graft.operators.Intervals.anomalyOverlap(spark, dir).count() === 0L,
       "no hour has a full 24-hour prior baseline, so nothing flags")
+    assert(Behavior.funnelLatency(spark, dir).count() === 0L,
+      "a lone click is no transition — empty report, not a throw")
   }
 
   test("empty warehouse: orders/events aggregates degrade, none throws") {

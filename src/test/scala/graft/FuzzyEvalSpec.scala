@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Certifies the two theorems the DuckDB oracles cannot state:
+  *
+  *  - [[operators.Fuzzy.nameJoin]]'s deletion-neighborhood blocking is
+  *    COMPLETE — the blocked join equals the all-pairs brute force at
+  *    sf0.001, including on an adversarial synthetic corpus with
+  *    variable lengths (insert/delete pairs, not just substitutions);
+  *  - [[operators.Evaluation]]'s metrics agree with the O(n²)
+  *    definitional forms computed directly (AUC as the literal mean
+  *    over all positive×negative pairs; κ from the probability form).
+  */
+class FuzzyEvalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("fuzzy blocking is complete vs the all-pairs brute force at sf0.001") {
+    val got = operators.Fuzzy.nameJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val nm = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .filter(length(col("name")) >= 2)
+    val brute = nm.as("a")
+      .join(nm.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("d"))
+      .filter(col("d") <= operators.Fuzzy.tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "sequential TPC-H names must yield distance-1 pairs")
+  }
+
+  test("fuzzy blocking finds insert/delete pairs across lengths") {
+    import spark.implicits._
+    // ed(abcd, abd)=1 del; ed(abcd, xabcd)=1 ins; ed(abcd, abxd)=1 sub;
+    // ed(abd, abxd)=1 ins; ed(abd, ab)=1 del; ed(abcd, dcba)=4;
+    // ed(ab, ba)=2 (the cross-position trap)
+    val rows = Seq(1L -> "abcd", 2L -> "abd", 3L -> "xabcd",
+      4L -> "abxd", 5L -> "dcba", 6L -> "ab", 7L -> "ba")
+    val df = rows.toDF("c_custkey", "c_name")
+    val tmp = java.nio.file.Files.createTempDirectory("fuzzy").toString
+    df.write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val got = operators.Fuzzy.nameJoin(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L), (2L, 6L)))
+  }
+
+  test("AUC equals the definitional pairwise mean, and orders as expected") {
+    val row = operators.Evaluation.auc(spark, dir).head()
+    val scored = operators.Perceptron.classifier(spark, dir)
+      .select(col("score"), col("is_en")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    var won = 0L; var tied = 0L
+    for (p <- pos; n <- neg) {
+      if (p > n) won += 1 else if (p == n) tied += 1
+    }
+    assert(row.getAs[Long]("n_pos") === pos.length.toLong)
+    assert(row.getAs[Long]("n_neg") === neg.length.toLong)
+    assert(row.getAs[Long]("pairs_won") === won)
+    assert(row.getAs[Long]("pairs_tied") === tied)
+    val exact = (2.0 * won + tied) / (2.0 * pos.length * neg.length)
+    assert(math.abs(row.getAs[Double]("auc") - exact) < 5e-7)
+    // the perceptron is a deliberately tiny replayable model, near
+    // chance on this corpus — assert the metric's range, not quality
+    assert(row.getAs[Double]("auc") >= 0.0 && row.getAs[Double]("auc") <= 1.0)
+  }
+
+  test("confusion metrics match the probability-form definitions") {
+    val row = operators.Evaluation.confusion(spark, dir).head()
+    val (tp, fp, fn, tn) = (row.getAs[Long]("tp"), row.getAs[Long]("fp"),
+      row.getAs[Long]("fn"), row.getAs[Long]("tn"))
+    val n = (tp + fp + fn + tn).toDouble
+    assert(n > 0)
+    val po = (tp + tn) / n
+    val pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n * n)
+    val kappa = (po - pe) / (1 - pe)
+    assert(math.abs(row.getAs[Double]("accuracy") - po) < 5e-7)
+    assert(math.abs(row.getAs[Double]("kappa") - kappa) < 5e-7)
+    val prec = tp.toDouble / (tp + fp)
+    val rec = tp.toDouble / (tp + fn)
+    val f1 = 2 * prec * rec / (prec + rec)
+    assert(math.abs(row.getAs[Double]("precision") - prec) < 5e-7)
+    assert(math.abs(row.getAs[Double]("recall") - rec) < 5e-7)
+    assert(math.abs(row.getAs[Double]("f1") - f1) < 5e-7)
+  }
+
+  test("ewma stays exact where int64 weight products overflow") {
+    import spark.implicits._
+    // one 2^31-unit day: w(0)·rev·10⁴ = 4^13·2^31·10^4 ≈ 1.9e21 ≫ 2^63;
+    // with a single active day the EWMA must equal that day's revenue
+    // exactly on day 0 (full weight mass is the day's own slot... day 0
+    // is the corpus start, so cum = w(0) and ewma = rev exactly)
+    val rev = math.pow(2, 31).toLong
+    val df = Seq(("1995-01-01", rev.toDouble))
+      .toDF("d", "p")
+      .select(to_timestamp(col("d")).as("o_orderdate"),
+        col("p").cast("decimal(12,2)").as("o_totalprice"))
+    val tmp = java.nio.file.Files.createTempDirectory("ewma").toString
+    df.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = operators.Intervals.ewmaRevenue(spark, tmp).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("ewma_rev") === rev.toDouble,
+      "a silent int64 wrap would shatter this equality")
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Certifies the column profiler against per-column direct aggregates
+  * and the hard-negative miner against a definitional replay of the
+  * centroid-distance arithmetic at sf0.001.
+  */
+class ProfilingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("column profile matches per-column direct aggregates") {
+    val prof = operators.Profiling.columnProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val orders = Tables(spark, dir, "orders")
+    val exprs = Map(
+      "o_orderkey" -> col("o_orderkey").cast("string"),
+      "o_custkey" -> col("o_custkey").cast("string"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_totalprice" -> col("o_totalprice").cast("string"),
+      "o_orderdate" -> col("o_orderdate").cast("date").cast("string"),
+      "o_orderpriority" -> col("o_orderpriority"))
+    assert(prof.keySet === exprs.keySet)
+    val n = orders.count()
+    exprs.foreach { case (name, e) =>
+      val d = orders.select(e.as("v"))
+        .agg(sum(when(col("v").isNull, 1L).otherwise(0L)),
+          countDistinct(col("v")), min(col("v")), max(col("v")))
+        .head()
+      val row = prof(name)
+      assert(row.getAs[Long]("n_rows") === n, name)
+      assert(row.getAs[Long]("n_null") === d.getLong(0), name)
+      assert(row.getAs[Long]("n_distinct") === d.getLong(1), name)
+      assert(row.getAs[String]("min_val") === d.getString(2), name)
+      assert(row.getAs[String]("max_val") === d.getString(3), name)
+    }
+  }
+
+  test("hard negatives replay the definitional centroid arithmetic") {
+    val rows = operators.Quantize.hardNegatives(spark, dir).collect()
+    val embs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def round(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byLabel = embs.groupBy(_._2)
+    val centroids = byLabel.map { case (l, vs) =>
+      l -> Array.tabulate(vs.head._3.length) { d =>
+        round(vs.map(_._3(d)).sum / vs.length, 6)
+      }
+    }
+    def dist(v: Array[Double], c: Array[Double]) =
+      round(math.sqrt(v.zip(c).map { case (a, b) =>
+        (a - b) * (a - b) }.sum), 4)
+    assert(rows.length === embs.length)
+    val rowsById = rows.map(r => r.getLong(0) -> r).toMap
+    embs.foreach { case (id, label, v) =>
+      val r = rowsById(id)
+      val dOwn = dist(v, centroids(label))
+      val others = centroids.toSeq.filter(_._1 != label)
+        .map { case (l, c) => (dist(v, c), l) }
+      val dOther = others.map(_._1).min
+      // the unordered float sums inside the engine can differ from
+      // this sequential replay by ulps before the round-4; compare at
+      // the rounded grain with a one-ulp-of-grain slack, and accept
+      // any label whose replay distance sits within that slack of the
+      // replay minimum (a grain-tie can flip the argmin either way)
+      assert(math.abs(r.getAs[Double]("d_own") - dOwn) < 2e-4, id)
+      assert(math.abs(r.getAs[Double]("d_other") - dOther) < 2e-4, id)
+      val nearTies = others.filter(_._1 <= dOther + 2e-4).map(_._2).toSet
+      assert(nearTies.contains(r.getAs[Int]("other_label")), id)
+      assert(math.abs(r.getAs[Double]("margin") -
+        (r.getAs[Double]("d_other") - r.getAs[Double]("d_own"))) < 1e-9, id)
+      assert(r.getAs[Boolean]("is_hard") ===
+        (r.getAs[Double]("d_other") - r.getAs[Double]("d_own") <
+          operators.Quantize.hardNegativeMargin), id)
+    }
+    // the statistic is only useful if both classes occur on this corpus
+    assert(rows.exists(_.getAs[Boolean]("is_hard")))
+    assert(rows.exists(!_.getAs[Boolean]("is_hard")))
+  }
+}

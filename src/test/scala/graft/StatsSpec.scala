@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Certifies [[operators.Stats]] against definitional brute-force
+  * computations at sf0.001 — the χ² cell sum, the KS gap as a literal
+  * max over the merged EDFs, and CUSUM as the literal argmax of the
+  * deviation prefix sums — plus range sanity for each statistic.
+  */
+class StatsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("chi-square matches the definitional cell sum") {
+    val row = operators.Stats.chiSquare(spark, dir).head()
+    val cells = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = cells.map(_._3).sum
+    val rT = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val cT = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    // the engine's fixed-point convention: per-cell ppm floor, then sum
+    val ppm = cells.map { case (s, p, o) =>
+      val num = BigInt(1000000) * BigInt(n * o - rT(s) * cT(p)).pow(2)
+      val den = BigInt(n) * rT(s) * cT(p)
+      (num / den).toLong
+    }.sum
+    assert(row.getAs[Long]("n_total") === n)
+    assert(row.getAs[Long]("dof") ===
+      (rT.size - 1).toLong * (cT.size - 1).toLong)
+    assert(row.getAs[Double]("chi2") === ppm.toDouble / 1e6)
+    val v = row.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
+  test("KS statistic matches the brute-force EDF gap maximum") {
+    val row = operators.Stats.ksTest(spark, dir).head()
+    val (s1, s2) = operators.Stats.ksSegments
+    val vals = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer")
+        .filter(col("c_mktsegment").isin(s1, s2)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_totalprice").cast("double"), col("c_mktsegment"))
+      .collect().map(r => (r.getDouble(0), r.getString(1)))
+    val a = vals.filter(_._2 == s1).map(_._1).sorted
+    val b = vals.filter(_._2 == s2).map(_._1).sorted
+    val steps = (a ++ b).distinct.sorted
+    val gaps = steps.map { x =>
+      val c1 = a.count(_ <= x); val c2 = b.count(_ <= x)
+      (math.abs(b.length.toLong * c1 - a.length.toLong * c2), x)
+    }
+    val dNum = gaps.map(_._1).max
+    assert(row.getAs[Long]("n1") === a.length.toLong)
+    assert(row.getAs[Long]("n2") === b.length.toLong)
+    assert(row.getAs[Long]("d_num") === dNum)
+    assert(row.getAs[Double]("ks_at") === gaps.filter(_._1 == dNum).map(_._2).min)
+    val d = row.getAs[Double]("d")
+    assert(d >= 0.0 && d <= 1.0)
+  }
+
+  test("CUSUM peak day matches the brute-force deviation argmax") {
+    val row = operators.Stats.cusumChangepoint(spark, dir).head()
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,4)")) * 10000)
+        .cast("decimal(38,0)").as("x"))
+      .collect().map(r => r.getLong(0) -> BigInt(r.getDecimal(1).toBigInteger))
+      .sortBy(_._1)
+    val n = daily.length
+    val t = daily.map(_._2).sum
+    var p = BigInt(0)
+    val s = daily.zipWithIndex.map { case ((day, x), i) =>
+      p += x
+      (day, (BigInt(n) * p - BigInt(i + 1) * t).abs)
+    }
+    val peak = s.map(_._2).max
+    val cpDay = s.filter(_._2 == peak).map(_._1).min
+    assert(row.getAs[Long]("n_days") === n.toLong)
+    assert(row.getAs[Long]("cp_day") === cpDay)
+    val expectPeak = ((peak * 2 + n) / (BigInt(n) * 2)).toDouble / 1e4
+    assert(row.getAs[Double]("cusum_peak") === expectPeak)
+    // before/after means bracket the series mean on opposite sides at a
+    // genuine level shift — assert the exact fixed-point read-offs
+    val before = daily.filter(_._1 <= cpDay)
+    val sB = before.map(_._2).sum
+    val nB = BigInt(before.length)
+    assert(row.getAs[Double]("mean_before") ===
+      ((sB * 2 + nB) / (nB * 2)).toDouble / 1e4)
+  }
+
+  test("degenerate frames: one day, one segment, empty warehouse") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("stats").toString
+    Seq(("1995-01-01", 100.0, 1L))
+      .toDF("d", "p", "k")
+      .select(to_timestamp(col("d")).as("o_orderdate"),
+        col("p").cast("decimal(12,2)").as("o_totalprice"),
+        col("k").as("o_custkey"),
+        lit("1-URGENT").as("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq((1L, "BUILDING")).toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    // single cell: chi2 = 0, cramers NULL (min(R,C) = 1)
+    val chi = operators.Stats.chiSquare(spark, tmp).head()
+    assert(chi.getAs[Double]("chi2") === 0.0)
+    assert(chi.isNullAt(chi.fieldIndex("cramers_v")))
+    // one-sided KS: n2 = 0 -> d NULL, gap 0
+    val ks = operators.Stats.ksTest(spark, tmp).head()
+    assert(ks.getAs[Long]("n2") === 0L)
+    assert(ks.isNullAt(ks.fieldIndex("d")))
+    // single-day CUSUM: S_1 = 0, no after-side -> NULL mean_after
+    val cu = operators.Stats.cusumChangepoint(spark, tmp).head()
+    assert(cu.getAs[Long]("n_days") === 1L)
+    assert(cu.getAs[Double]("cusum_peak") === 0.0)
+    assert(cu.getAs[Double]("mean_before") === 100.0)
+    assert(cu.isNullAt(cu.fieldIndex("mean_after")))
+  }
+
+  test("Welch t matches the definitional statistic within fixed-point grain") {
+    val row = operators.Stats.welchTTest(spark, dir).head()
+    val (g1, g2) = operators.Stats.welchGroups
+    val vals = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus").isin(g1, g2))
+      .select(col("o_orderstatus"), col("o_totalprice").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def moments(g: String) = {
+      val x = vals.filter(_._1 == g).map(_._2)
+      val n = x.length
+      val m = x.sum / n
+      val v = x.map(t => (t - m) * (t - m)).sum / (n - 1)
+      (n, m, v)
+    }
+    val (n1, m1, v1) = moments(g1)
+    val (n2, m2, v2) = moments(g2)
+    assert(row.getAs[Long]("n1") === n1.toLong)
+    assert(row.getAs[Long]("n2") === n2.toLong)
+    // the engine reads means/variances off at scale-4 fixed point, so
+    // the definitional doubles agree to that grain
+    assert(math.abs(row.getAs[Double]("mean_f") - m1) < 1e-4)
+    assert(math.abs(row.getAs[Double]("var_f") - v1) < 1e-4 * (1 + v1.abs))
+    val se2 = v1 / n1 + v2 / n2
+    val tDef = (m1 - m2) / math.sqrt(se2)
+    val dfDef = se2 * se2 /
+      (v1 * v1 / (n1.toDouble * n1 * (n1 - 1)) +
+        v2 * v2 / (n2.toDouble * n2 * (n2 - 1)))
+    assert(math.abs(row.getAs[Double]("t") - tDef) < 1e-3)
+    assert(math.abs(row.getAs[Double]("welch_df") - dfDef) < 1e-2 * dfDef)
+  }
+
+  test("Benford digits: exact counts, ppm accounting, known-digit corpus") {
+    val rows = operators.Stats.benfordDigits(spark, dir).collect()
+    val n = rows.map(_.getAs[Long]("n_obs")).sum
+    assert(n === Tables(spark, dir, "orders")
+      .filter(col("o_totalprice") >= 1).count())
+    assert(rows.forall(r => (1 to 9).contains(r.getAs[Int]("digit"))))
+    // floor-divided shares: Σ obs_ppm within 9 of 10⁶, never over
+    val ppmSum = rows.map(_.getAs[Long]("obs_ppm")).sum
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - 9)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      assert(r.getAs[Long]("exp_ppm") ===
+        math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+      assert(r.getAs[Long]("dev_ppm") ===
+        r.getAs[Long]("obs_ppm") - r.getAs[Long]("exp_ppm"))
+      assert(r.getAs[Long]("chi2_ppm") >= 0L)
+    }
+    // synthetic corpus with known leading digits, incl. the 1000.00
+    // boundary a log10 read would misclassify on a 1-ulp error
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("benford").toString
+    Seq(1000.00, 102.50, 19.99, 2.00, 250.00, 999.99, 0.50)
+      .toDF("p")
+      .select(col("p").cast("decimal(12,2)").as("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val syn = operators.Stats.benfordDigits(spark, tmp).collect()
+      .map(r => r.getAs[Int]("digit") -> r.getAs[Long]("n_obs")).toMap
+    // 0.50 is excluded by the >= 1 contract; 1000.00/102.50/19.99 -> 1
+    assert(syn === Map(1 -> 3L, 2 -> 2L, 9 -> 1L))
+  }
+
+  private def dailySeries(): Array[(Long, BigDecimal)] =
+    Tables(spark, dir, "orders")
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("x"))
+      .collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDecimal(1))))
+      .sortBy(_._1)
+
+  test("Mann-Kendall S, variance, and z match the brute force") {
+    val row = operators.Stats.mannKendall(spark, dir).head()
+    val xs = dailySeries().map(_._2)
+    val n = xs.length
+    var s = 0L
+    for (i <- 0 until n; j <- (i + 1) until n)
+      s += xs(j).compare(xs(i)).sign.toLong
+    val tieTerm = xs.groupBy(identity).values.map(_.length.toLong)
+      .filter(_ > 1).map(t => t * (t - 1) * (2 * t + 5)).sum
+    val var18 = n.toLong * (n - 1) * (2L * n + 5) - tieTerm
+    assert(row.getAs[Long]("n_days") === n.toLong)
+    assert(row.getAs[Long]("s_stat") === s)
+    assert(row.getAs[Long]("var18") === var18)
+    val zDef = (if (s > 0) s - 1.0 else if (s < 0) s + 1.0 else 0.0) /
+      math.sqrt(var18 / 18.0)
+    assert(math.abs(row.getAs[Double]("z") - zDef) < 5e-7)
+    assert(math.abs(row.getAs[Double]("tau_a") -
+      s.toDouble / (n.toLong * (n - 1) / 2)) < 5e-7)
+  }
+
+  test("Theil-Sen slope is the lower-median pairwise slope") {
+    val row = operators.Stats.theilSen(spark, dir).head()
+    val d = dailySeries()
+    val slopes = (for {
+      i <- d.indices; j <- (i + 1) until d.length
+    } yield ((d(j)._2 - d(i)._2).toDouble / (d(j)._1 - d(i)._1),
+      d(i)._1, d(j)._1)).sortBy(t => (t._1, t._2, t._3))
+    val m = slopes.length
+    assert(row.getAs[Long]("n_days") === d.length.toLong)
+    assert(row.getAs[Long]("n_pairs") === m.toLong)
+    val med = slopes((m + 1) / 2 - 1)._1
+    assert(math.abs(row.getAs[Double]("sen_slope") - med) < 5e-7)
+  }
+}
