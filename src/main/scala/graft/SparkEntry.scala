@@ -107,6 +107,7 @@ object SparkEntry {
     "q_benford_digits" -> (operators.Stats.benfordDigits _),
     "q_mann_kendall" -> (operators.Stats.mannKendall _),
     "q_theil_sen" -> (operators.Stats.theilSen _),
+    "q_acf_daily" -> (operators.Stats.acfDaily _),
     "q_column_profile" -> (operators.Profiling.columnProfile _),
     "q_rolling_revenue" -> (operators.Intervals.rollingRevenue _),
     "q_ewma_revenue" -> (operators.Intervals.ewmaRevenue _),
@@ -3591,6 +3592,34 @@ object SparkEntry {
         |SELECT n_days, n_pairs, round(slope, 6) AS sen_slope
         |FROM r CROSS JOIN m CROSS JOIN nd
         |WHERE rk = (n_pairs + 1) // 2""".stripMargin,
+    // deviations from the half-up scale-4 fixed-point mean; every
+    // product/sum exact HUGEINT, one round-4 double division at the
+    // end — see Stats.acfDaily
+    "q_acf_daily" ->
+      s"""WITH daily AS (
+         |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+         |      AS HUGEINT) AS x
+         |  FROM orders GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS t
+         |  FROM daily),
+         |dev AS (
+         |  SELECT day, x - (2 * t + n) // (2 * n) AS e
+         |  FROM daily CROSS JOIN tot),
+         |dn AS (SELECT CAST(sum(e * e) AS HUGEINT) AS den FROM dev),
+         |nm AS (
+         |  SELECT b.day - a.day AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(a.e * b.e) AS HUGEINT) AS num
+         |  FROM dev a JOIN dev b
+         |    ON b.day > a.day AND b.day <= a.day + ${operators.Stats.acfMaxLag}
+         |  GROUP BY 1)
+         |SELECT lag, n_pairs,
+         |  CASE WHEN den > 0 THEN
+         |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4)
+         |  END AS acf
+         |FROM nm CROSS JOIN dn ORDER BY lag""".stripMargin,
     // every column profiled in its canonical string form; min/max are
     // LEXICOGRAPHIC on that form by contract — see
     // Profiling.columnProfile

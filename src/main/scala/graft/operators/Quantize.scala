@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{DotProductD, Int8QuantStats}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Int8 embedding quantization for storage/serving — the standard 4×
@@ -510,5 +510,56 @@ object Quantize {
         round(col("d_other") - col("d_own"), 4).as("margin"),
         (col("d_other") - col("d_own") < hardNegativeMargin).as("is_hard"))
       .orderBy("vec_id")
+  }
+
+  /** The trained label-centroid artifact alone — labels × round-6
+    * per-dim means, sorted by (label, dim), collected as the bounded
+    * O(model) frame that rides a serving plan as literals (the IVF
+    * centroid discipline).
+    */
+  def labelCentroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    Tables(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(sum(col("x").cast("double")) / count(lit(1)), 6).as("m"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq
+      .map { case (l, rows) => l -> rows.sortBy(_._2).map(_._3).toSeq }
+      .sortBy(_._1)
+
+  /** Score a STREAM of labeled vectors against frozen
+    * [[labelCentroids]] — the serve half of [[hardNegatives]] (same
+    * pattern as `Perceptron.streamingScores`): the centroid grid rides
+    * the plan as array literals, every distance is an ORDERED
+    * ascending-dim fold (bit-equal to the batch aggregation, whose
+    * per-vector partials also accumulate in posexplode order), and the
+    * nearest-other argmin is `array_min` over (distance, label)
+    * structs — lexicographic, so ties break to the smallest label
+    * exactly like the batch min-probe. Stateless narrow projection:
+    * zero shuffles, per-row parity with the batch miner is
+    * spec-pinned. `vecs` needs (vec_id, label, embedding).
+    */
+  def streamingHardNegatives(vecs: DataFrame,
+                             centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one trained centroid")
+    def distTo(c: Seq[Double]): Column =
+      round(sqrt(aggregate(
+        zip_with(col("embedding"), typedlit(c),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0d), (acc, v) => acc + v)), 4)
+    val all = array(centroids.map { case (l, c) =>
+      struct(distTo(c).as("d"), lit(l).as("l")) }: _*)
+    vecs
+      .withColumn("__own",
+        element_at(filter(all, s => s("l") === col("label")), 1))
+      .withColumn("__mo", array_min(filter(all, s => s("l") =!= col("label"))))
+      .select(col("vec_id"), col("label"),
+        col("__own")("d").as("d_own"),
+        col("__mo")("l").as("other_label"),
+        col("__mo")("d").as("d_other"),
+        round(col("__mo")("d") - col("__own")("d"), 4).as("margin"),
+        (col("__mo")("d") - col("__own")("d") < hardNegativeMargin)
+          .as("is_hard"))
   }
 }

@@ -403,6 +403,62 @@ object Stats {
         round(col("slope"), 6).as("sen_slope"))
   }
 
+  /** Longest calendar lag [[acfDaily]] reports. */
+  val acfMaxLag = 14
+
+  /** Autocorrelation of the daily-revenue series at calendar lags
+    * 1..[[acfMaxLag]] — the seasonality fingerprint read before
+    * trusting any weekly model (lag-7 spikes = weekly cycle): per lag
+    * the active-day pair count and
+    * r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)², over pairs of ACTIVE
+    * days exactly k calendar days apart (documented: gaps contribute
+    * no pair).
+    *
+    * Exactness: deviations are taken from the HALF-UP scale-4
+    * fixed-point mean ((2T+n) div 2n — the ewma read-off discipline;
+    * the n²-scaled exact-mean form would push Σe² past DECIMAL(38,0)
+    * at 100 TB daily magnitudes, and a 10⁻⁴-of-a-day's-revenue mean
+    * shift is far below the round-6 output grain), so every product
+    * and sum is an exact DECIMAL(38,0) integer (e ≈ 10¹⁷ worst case →
+    * Σe² ≈ 10³⁷, inside the ceiling, calendar-bounded regardless of
+    * corpus rows). The read-off is ONE double division of the two
+    * exact decimals, rounded at 4 — the repo's established
+    * int128→double discipline (a 10⁶-scaled integer read-off would
+    * itself overflow the 38-digit ceiling at these magnitudes).
+    *
+    * Shape (100 TB): corpus → daily frame, then ONE broadcast band
+    * self-join (0 < gap ≤ maxLag) over the calendar-bounded frame
+    * grouped by gap — the [[cusumChangepoint]] family shape.
+    */
+  def acfDaily(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(expr(
+        s"unix_micros(cast(o_orderdate as timestamp)) div ${Behavior.dayUs}")
+        .as("day"))
+      .agg((sum(col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4))) * 10000)
+        .cast(d38).as("x"))
+      .localCheckpoint() // calendar-bounded daily frame
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("t"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("day"),
+        (col("x") - expr("(2 * t + n) div (2 * n)")).as("e"))
+      .localCheckpoint() // (x − mean₄) per day: feeds den and the band join
+    val den = dev.agg(sum(col("e") * col("e")).as("den"))
+    dev
+      .join(broadcast(dev.select(col("day").as("day2"), col("e").as("e2"))),
+        col("day2") > col("day") && col("day2") <= col("day") + acfMaxLag)
+      .groupBy((col("day2") - col("day")).as("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("e") * col("e2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        when(col("den") > 0,
+          round(col("num").cast("double") / col("den").cast("double"), 4))
+          .as("acf"))
+      .orderBy("lag")
+  }
+
   /** DECIMAL(38,0) square — keeps the χ² numerator integer-exact. */
   private def pow2(c: Column): Column = c * c
 }

@@ -82,4 +82,42 @@ class ProfilingSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("is_hard")))
     assert(rows.exists(!_.getAs[Boolean]("is_hard")))
   }
+
+  test("streaming hard negatives hit batch parity per vector") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val centroids = operators.Quantize.labelCentroids(spark, dir)
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])].collect()
+
+    val in = MemoryStream[(Long, Int, Seq[Float])]
+    val q = operators.Quantize.streamingHardNegatives(
+        in.toDF().toDF("vec_id", "label", "embedding"), centroids)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hardneg").start()
+    try {
+      val (w1, w2) = vecs.splitAt(vecs.length / 2)
+      in.addData(w1.toSeq); q.processAllAvailable()
+      in.addData(w2.toSeq); q.processAllAvailable()
+      val got = spark.table("hardneg").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Double]("d_own"), r.getAs[Int]("other_label"),
+            r.getAs[Double]("d_other"), r.getAs[Double]("margin"),
+            r.getAs[Boolean]("is_hard"))).toMap
+      val batch = operators.Quantize.hardNegatives(spark, dir).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Double]("d_own"), r.getAs[Int]("other_label"),
+            r.getAs[Double]("d_other"), r.getAs[Double]("margin"),
+            r.getAs[Boolean]("is_hard"))).toMap
+      assert(got.size === batch.size)
+      // the stream's ordered ascending-dim fold must be BIT-equal to
+      // the batch aggregation's posexplode-order partials
+      batch.foreach { case (id, b) =>
+        assert(got(id) === b, s"vec $id")
+      }
+    } finally q.stop()
+  }
 }

@@ -223,4 +223,24 @@ class StatsSpec extends SparkSpec {
     val med = slopes((m + 1) / 2 - 1)._1
     assert(math.abs(row.getAs[Double]("sen_slope") - med) < 5e-7)
   }
+
+  test("ACF replays the fixed-point-mean deviation products per lag") {
+    val rows = operators.Stats.acfDaily(spark, dir).collect()
+    val d = dailySeries().map { case (day, x) =>
+      (day, (x * 10000).toBigInt) }
+    val n = BigInt(d.length)
+    val t = d.map(_._2).sum
+    val m4 = (2 * t + n) / (2 * n)
+    val e = d.map { case (day, x) => (day, x - m4) }.toMap
+    val den = e.values.map(v => v * v).sum
+    assert(rows.nonEmpty && rows.length <= operators.Stats.acfMaxLag)
+    rows.foreach { r =>
+      val lag = r.getAs[Long]("lag")
+      val pairs = e.keys.toSeq.filter(day => e.contains(day + lag))
+      assert(r.getAs[Long]("n_pairs") === pairs.length.toLong, lag)
+      val num = pairs.map(day => e(day) * e(day + lag)).sum
+      assert(math.abs(r.getAs[Double]("acf") -
+        (BigDecimal(num) / BigDecimal(den)).toDouble) < 5e-5, lag)
+    }
+  }
 }
