@@ -91,7 +91,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     "greedy_chunks" -> TextAnalysis.greedyChunks(spark, dir).count(),
     "pareto" -> Sampling.paretoFrontier(spark, dir).count(),
     "prefix_join" -> Dedup.prefixJaccardJoin(spark, dir).count(),
-    "cc_incremental" -> Dedup.ccIncremental(spark, dir).count())
+    "cc_incremental" -> Dedup.ccIncremental(spark, dir).count(),
+    "hard_negatives" -> graft.operators.Quantize.hardNegatives(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -170,6 +171,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("pareto") === 1L, "the lone doc dominates nothing and is undominated")
     assert(counts("prefix_join") === 0L, "no pair universe with one document")
     assert(counts("cc_incremental") === 0L, "no pairs, no graph nodes")
+    assert(counts("hard_negatives") === 0L,
+      "a one-label universe has no other-label centroid to mine against")
   }
 
   test("constant corpus: zero total variance yields NULL shares, not ANSI 0/0") {

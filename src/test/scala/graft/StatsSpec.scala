@@ -99,10 +99,14 @@ class StatsSpec extends SparkSpec {
       .select(to_timestamp(col("d")).as("o_orderdate"),
         col("p").cast("decimal(12,2)").as("o_totalprice"),
         col("k").as("o_custkey"),
-        lit("1-URGENT").as("o_orderpriority"))
+        col("k").as("o_orderkey"),
+        lit("1-URGENT").as("o_orderpriority"),
+        lit("F").as("o_orderstatus"))
       .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
     Seq((1L, "BUILDING")).toDF("c_custkey", "c_mktsegment")
       .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    Seq((1L, 11L)).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
     // single cell: chi2 = 0, cramers NULL (min(R,C) = 1)
     val chi = operators.Stats.chiSquare(spark, tmp).head()
     assert(chi.getAs[Double]("chi2") === 0.0)
@@ -117,6 +121,25 @@ class StatsSpec extends SparkSpec {
     assert(cu.getAs[Double]("cusum_peak") === 0.0)
     assert(cu.getAs[Double]("mean_before") === 100.0)
     assert(cu.isNullAt(cu.fieldIndex("mean_after")))
+    // one-sided Welch: the 'O' population is empty -> empty cross join
+    assert(operators.Stats.welchTTest(spark, tmp).count() === 0L)
+    // single-row Benford: one digit row, the full ppm mass, finite chi2
+    val bf = operators.Stats.benfordDigits(spark, tmp).collect()
+    assert(bf.length === 1 && bf.head.getAs[Int]("digit") === 1)
+    assert(bf.head.getAs[Long]("obs_ppm") === 1000000L)
+    // single-day Mann-Kendall: S undefined-as-null, zero variance -> z NULL
+    val mk = operators.Stats.mannKendall(spark, tmp).head()
+    assert(mk.getAs[Long]("n_days") === 1L)
+    assert(mk.getAs[Long]("var18") === 0L)
+    assert(mk.isNullAt(mk.fieldIndex("z")))
+    assert(mk.isNullAt(mk.fieldIndex("tau_a")))
+    // no pairs: Theil-Sen and ACF are empty, never a 0/0 throw
+    assert(operators.Stats.theilSen(spark, tmp).count() === 0L)
+    assert(operators.Stats.acfDaily(spark, tmp).count() === 0L)
+    // a one-line basket has no pairs, hence no triples
+    assert(operators.Associations.basketTriples(spark, tmp).count() === 0L)
+    // the single-column-universe profile still profiles
+    assert(operators.Profiling.columnProfile(spark, tmp).count() === 6L)
   }
 
   test("Welch t matches the definitional statistic within fixed-point grain") {
