@@ -108,6 +108,7 @@ object SparkEntry {
     "q_mann_kendall" -> (operators.Stats.mannKendall _),
     "q_theil_sen" -> (operators.Stats.theilSen _),
     "q_acf_daily" -> (operators.Stats.acfDaily _),
+    "q_order_gaps" -> (Analytics.orderGaps _),
     "q_column_profile" -> (operators.Profiling.columnProfile _),
     "q_rolling_revenue" -> (operators.Intervals.rollingRevenue _),
     "q_ewma_revenue" -> (operators.Intervals.ewmaRevenue _),
@@ -186,6 +187,7 @@ object SparkEntry {
     "emb_centroid_drift" -> (operators.Quantize.centroidDrift _),
     "emb_label_separation" -> (operators.Quantize.labelSeparation _),
     "emb_hard_negatives" -> (operators.Quantize.hardNegatives _),
+    "emb_mutual_knn" -> (Similarity.mutualKnnPairs _),
     "text_novelty" -> (TextAnalysis.noveltyScores _),
     "text_bigram_entropy" -> (TextAnalysis.bigramEntropy _),
     "emb_mrl_overlap" -> (operators.Quantize.mrlOverlap _),
@@ -2613,6 +2615,29 @@ object SparkEntry {
          |    ${operators.Quantize.hardNegativeMargin}) AS is_hard
          |FROM own o JOIN ne ON ne.vec_id = o.vec_id
          |ORDER BY o.vec_id""".stripMargin,
+    // bucketedTopK's determinism contract (round-4 cosine, rank by
+    // cos desc then vec_id) both directions, then the reciprocal
+    // equi-join — see Similarity.mutualKnnPairs
+    "emb_mutual_knn" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM e a JOIN e b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |tk AS (
+         |  SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS rn
+         |    FROM pairs) t
+         |  WHERE rn <= ${Similarity.mutualK})
+         |SELECT x.q_id AS vec_a, x.vec_id AS vec_b, x.cos AS cos,
+         |  x.rn AS rank_ab, y.rn AS rank_ba
+         |FROM tk x JOIN tk y
+         |  ON x.q_id = y.vec_id AND x.vec_id = y.q_id
+         |  AND x.q_id < x.vec_id
+         |ORDER BY 1, 2""".stripMargin,
     "text_bigram_entropy" ->
       """WITH b AS (
         |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bg
@@ -3620,6 +3645,37 @@ object SparkEntry {
          |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4)
          |  END AS acf
          |FROM nm CROSS JOIN dn ORDER BY lag""".stripMargin,
+    // gaps from the (day, orderkey) total order; median is the LOWER
+    // order statistic at integer rank — see Analytics.orderGaps
+    "q_order_gaps" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS day
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    day - lag(day) OVER (PARTITION BY o_custkey
+        |      ORDER BY day, o_orderkey) AS gap
+        |  FROM o),
+        |g2 AS (SELECT * FROM g WHERE gap IS NOT NULL),
+        |r AS (
+        |  SELECT o_custkey, gap,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY gap, o_orderkey) AS BIGINT) AS rk
+        |  FROM g2),
+        |st AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(min(gap) AS BIGINT) AS min_gap,
+        |    CAST(max(gap) AS BIGINT) AS max_gap,
+        |    CAST(sum(gap) AS BIGINT) AS gap_sum
+        |  FROM g2 GROUP BY 1)
+        |SELECT st.o_custkey, n_gaps + 1 AS n_orders, n_gaps, min_gap,
+        |  max_gap, CAST(r.gap AS BIGINT) AS median_gap,
+        |  round(CAST(gap_sum AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6)
+        |    AS mean_gap
+        |FROM st JOIN r ON r.o_custkey = st.o_custkey
+        |  AND r.rk = (n_gaps + 1) // 2
+        |ORDER BY 1""".stripMargin,
     // every column profiled in its canonical string form; min/max are
     // LEXICOGRAPHIC on that form by contract — see
     // Profiling.columnProfile

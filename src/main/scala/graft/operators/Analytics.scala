@@ -646,4 +646,51 @@ object Analytics {
           round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
             (nD * (nD * nD - lit(1.0))), 6)).as("rho"))
   }
+
+  /** Per-customer order inter-arrival profile — the purchase-cadence
+    * report behind churn/reorder models: for every customer with ≥ 2
+    * orders, the order count, gap count, min/max/median gap in days,
+    * and the mean gap (the ONLY non-integer, one round-6 division).
+    *
+    * The median is the LOWER order statistic at integer rank
+    * ⌈g/2⌉ over (gap, first-day, orderkey) — the interpolation ban —
+    * read off by a rank filter INSIDE the per-customer window (windows
+    * partitioned by a corpus-scale key parallelize; only the
+    * empty-partition global window is banned). Same-day orders gap 0
+    * by the (day, orderkey) total order.
+    *
+    * Shape (100 TB): two narrow window passes partitioned on
+    * o_custkey + one groupBy on the same key — ONE shuffle of the
+    * skinny (custkey, day, orderkey) projection, everything after is
+    * co-partitioned.
+    */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("day"))
+    val seq0 = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = o
+      .withColumn("prev", lag(col("day"), 1).over(seq0))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("day") - col("prev")).as("gap"))
+    val ranked = gaps.withColumn("rk",
+      row_number().over(Window.partitionBy(col("o_custkey"))
+        .orderBy(col("gap"), col("o_orderkey"))).cast("long"))
+    val stats = gaps.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_gaps"), min(col("gap")).as("min_gap"),
+        max(col("gap")).as("max_gap"), sum(col("gap")).as("gap_sum"))
+    stats
+      .join(ranked, Seq("o_custkey"))
+      .filter(col("rk") === expr("(n_gaps + 1) div 2"))
+      .select(col("o_custkey"), (col("n_gaps") + 1).as("n_orders"),
+        col("n_gaps"), col("min_gap"), col("max_gap"),
+        col("gap").as("median_gap"),
+        round(col("gap_sum").cast("double") /
+          col("n_gaps").cast("double"), 6).as("mean_gap"))
+      .orderBy("o_custkey")
+  }
 }

@@ -614,4 +614,52 @@ object Similarity {
       .select("cell", "sample_rank", "vec_id")
       .orderBy("cell", "sample_rank")
   }
+  /** Neighbors-per-vector for [[mutualKnnPairs]]. */
+  val mutualK = 5
+
+  /** Mutual-kNN graph edges over the sign-bucketed candidate space —
+    * the reciprocal-neighbor filter a pipeline applies before trusting
+    * an ANN graph for clustering or graph-dedup: an edge (a, b)
+    * survives only when b is in a's bucket-local top-[[mutualK]] AND a
+    * is in b's — one-directional "hub" edges (a popular vector in many
+    * top-k lists that reciprocates few) are exactly what mutuality
+    * prunes. Output is canonical (vec_a < vec_b) with the shared
+    * rounded cosine and BOTH ranks.
+    *
+    * Same determinism contract as [[bucketedTopK]]: round-4 cosine,
+    * rank by (cos desc, vec_id) inside the per-vector window
+    * (partitioned by the corpus-scale query key — parallel, never the
+    * banned global window), candidates only within the 64-way sign
+    * bucket (the documented IVF-style approximation; recall is the
+    * bucketed family's certified trade).
+    *
+    * Shape (100 TB): one shuffle by bucket for the candidate join
+    * (never all-pairs), one shuffle by query for the rank, and the
+    * mutuality check is a self-equi-join of the tiny top-k frame on
+    * the reversed key pair.
+    */
+  def mutualKnnPairs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("bucket", bucket(col("embedding")))
+      .withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("bucket"), col("nrm"))
+    val scored = emb.as("a")
+      .join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("vec_id"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+    val topk = topPerQuery(scored, mutualK)
+      .localCheckpoint() // tiny top-k frame: both sides of the mutual join
+    topk.as("x")
+      .join(topk.as("y"),
+        col("x.q_id") === col("y.vec_id") &&
+          col("x.vec_id") === col("y.q_id") &&
+          col("x.q_id") < col("x.vec_id"))
+      .select(col("x.q_id").as("vec_a"), col("x.vec_id").as("vec_b"),
+        col("x.cos").as("cos"),
+        col("x.rn").as("rank_ab"), col("y.rn").as("rank_ba"))
+      .orderBy("vec_a", "vec_b")
+  }
 }

@@ -92,7 +92,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     "pareto" -> Sampling.paretoFrontier(spark, dir).count(),
     "prefix_join" -> Dedup.prefixJaccardJoin(spark, dir).count(),
     "cc_incremental" -> Dedup.ccIncremental(spark, dir).count(),
-    "hard_negatives" -> graft.operators.Quantize.hardNegatives(spark, dir).count())
+    "hard_negatives" -> graft.operators.Quantize.hardNegatives(spark, dir).count(),
+    "mutual_knn" -> Similarity.mutualKnnPairs(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -173,6 +174,7 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("cc_incremental") === 0L, "no pairs, no graph nodes")
     assert(counts("hard_negatives") === 0L,
       "a one-label universe has no other-label centroid to mine against")
+    assert(counts("mutual_knn") === 0L, "no pair universe with one vector")
   }
 
   test("constant corpus: zero total variance yields NULL shares, not ANSI 0/0") {

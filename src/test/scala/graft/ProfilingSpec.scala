@@ -120,4 +120,70 @@ class ProfilingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("order gaps replay the per-customer (day, orderkey) total order") {
+    val rows = operators.Analytics.orderGaps(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCust = orders.groupBy(_._1)
+    val multi = byCust.filter(_._2.length >= 2)
+    assert(rows.keySet === multi.keySet)
+    multi.foreach { case (ck, os) =>
+      val seqd = os.sortBy(o => (o._3, o._2))
+      // gap rows keyed by the LATER order's key (the lag convention)
+      val gaps = seqd.sliding(2).map { case Array(a, b) =>
+        (b._3 - a._3, b._2) }.toArray
+      val r = rows(ck)
+      assert(r.getAs[Long]("n_orders") === os.length.toLong, ck)
+      assert(r.getAs[Long]("n_gaps") === gaps.length.toLong, ck)
+      assert(r.getAs[Long]("min_gap") === gaps.map(_._1).min, ck)
+      assert(r.getAs[Long]("max_gap") === gaps.map(_._1).max, ck)
+      val sorted = gaps.sortBy(identity)
+      assert(r.getAs[Long]("median_gap") ===
+        sorted((gaps.length + 1) / 2 - 1)._1, ck)
+      assert(math.abs(r.getAs[Double]("mean_gap") -
+        gaps.map(_._1).sum.toDouble / gaps.length) < 5e-7, ck)
+    }
+  }
+
+  test("mutual kNN edges are exactly the reciprocal bucket-local top-k") {
+    val got = operators.Similarity.mutualKnnPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Double]("cos"), r.getAs[Long]("rank_ab"),
+          r.getAs[Long]("rank_ba"))).toMap
+    val embs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def bucketOf(v: Array[Double]) =
+      (0 until 6).map(j => if (v(j) > 0) 1 << j else 0).sum
+    def round4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byBucket = embs.groupBy { case (_, v) => bucketOf(v) }
+    val topk = embs.flatMap { case (id, v) =>
+      val cands = byBucket(bucketOf(v)).filter(_._1 != id)
+        .map { case (cid, cv) =>
+          (round4(dot(v, cv) / (math.sqrt(dot(v, v)) *
+            math.sqrt(dot(cv, cv)))), cid) }
+        .sortBy { case (c, cid) => (-c, cid) }
+        .take(operators.Similarity.mutualK).zipWithIndex
+      cands.map { case ((c, cid), i) => (id, cid) -> (c, i.toLong + 1) }
+    }.toMap
+    val mutual = topk.keys.filter { case (a, b) =>
+      a < b && topk.contains((b, a)) }.toSet
+    assert(got.keySet === mutual)
+    mutual.foreach { case (a, b) =>
+      val (c, rab) = topk((a, b)); val (_, rba) = topk((b, a))
+      assert(got((a, b)) === ((c, rab, rba)), s"($a,$b)")
+    }
+    assert(got.nonEmpty, "the sign buckets must yield reciprocal pairs")
+  }
 }

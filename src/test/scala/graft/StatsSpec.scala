@@ -140,6 +140,8 @@ class StatsSpec extends SparkSpec {
     assert(operators.Associations.basketTriples(spark, tmp).count() === 0L)
     // the single-column-universe profile still profiles
     assert(operators.Profiling.columnProfile(spark, tmp).count() === 6L)
+    // a one-order customer has no inter-arrival gaps
+    assert(operators.Analytics.orderGaps(spark, tmp).count() === 0L)
   }
 
   test("Welch t matches the definitional statistic within fixed-point grain") {
