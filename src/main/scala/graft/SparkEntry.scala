@@ -128,6 +128,7 @@ object SparkEntry {
     "q_multi_touch" -> ((s: SparkSession, d: String) => Temporal.multiTouchAttribution(s, d)),
     "q_sessionize" -> ((s: SparkSession, d: String) => Temporal.sessionize(s, d)),
     "q_session_stats" -> (Temporal.sessionStats _),
+    "q_top_paths" -> ((s: SparkSession, d: String) => Temporal.topPaths(s, d)),
     "q_concurrent_sessions" -> (operators.Intervals.concurrentSessions _),
     "q_funnel_conversion" -> (Behavior.funnelConversion _),
     "q_funnel_latency" -> (Behavior.funnelLatency _),
@@ -3676,6 +3677,41 @@ object SparkEntry {
         |FROM st JOIN r ON r.o_custkey = st.o_custkey
         |  AND r.rk = (n_gaps + 1) // 2
         |ORDER BY 1""".stripMargin,
+    // per-session (us, event_id)-ordered type path, truncated at the
+    // documented cap with the truncation count carried — see
+    // Temporal.topPaths
+    "q_top_paths" ->
+      s"""WITH l AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |f AS (
+         |  SELECT *, CASE WHEN prev IS NULL OR us - prev > 21600000000
+         |    THEN 1 ELSE 0 END AS is_new
+         |  FROM l),
+         |sq AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+         |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM f),
+         |r AS (
+         |  SELECT user_id, sid, event_type,
+         |    row_number() OVER (PARTITION BY user_id, sid
+         |      ORDER BY us, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY user_id, sid) AS n_ev
+         |  FROM sq),
+         |p AS (
+         |  SELECT user_id, sid,
+         |    string_agg(event_type, '>' ORDER BY rn) AS path,
+         |    max(n_ev) AS n_ev
+         |  FROM r WHERE rn <= ${Temporal.pathMaxLen}
+         |  GROUP BY 1, 2)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(CASE WHEN n_ev > ${Temporal.pathMaxLen}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated
+         |FROM p GROUP BY 1
+         |HAVING count(*) >= ${Temporal.pathFloor}
+         |ORDER BY n_sessions DESC, path""".stripMargin,
     // every column profiled in its canonical string form; min/max are
     // LEXICOGRAPHIC on that form by contract — see
     // Profiling.columnProfile

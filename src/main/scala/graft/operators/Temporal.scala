@@ -193,4 +193,55 @@ object Temporal {
         sum(col("value").cast(dec)).cast("double").as("total_value"))
       .orderBy("user_id", "session_seq")
   }
+
+  /** Events a session path keeps before truncation ([[topPaths]]). */
+  val pathMaxLen = 8
+
+  /** Session floor for a path to appear in the [[topPaths]] census. */
+  val pathFloor = 2L
+
+  /** Session path analysis — the "what do users actually DO" census
+    * behind funnel design: each session's first [[pathMaxLen]] event
+    * types joined as `a>b>c`, counted across sessions, floor-cut at
+    * [[pathFloor]] (an exact integer cut, never a fractional top-k),
+    * with the truncated-session count carried so long sessions are
+    * visible, not silent.
+    *
+    * Determinism: the per-session event order is the (us, event_id)
+    * total order via `sort_array` over (us, event_id, type) structs —
+    * event_id unique makes the sort exact; every output is an integer
+    * or a string.
+    *
+    * Shape (100 TB): sessions label with the [[sessionize]] per-user
+    * window (partitioned — parallel), ONE groupBy collects each
+    * session's bounded event list (bounded by the session gap
+    * semantics, same contract as sessionize itself), and the census is
+    * a map-side-combined count keyed by the ≤ pathMaxLen-type string.
+    */
+  def topPaths(spark: SparkSession, dir: String,
+               gapUs: Long = 6L * 3600 * 1000 * 1000): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val paths = Tables(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(running))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(sort_array(collect_list(
+        struct(col("us"), col("event_id"), col("event_type")))).as("evs"))
+      .select(
+        concat_ws(">", expr(
+          s"transform(slice(evs, 1, $pathMaxLen), e -> e.event_type)"))
+          .as("path"),
+        (size(col("evs")) > pathMaxLen).as("truncated"))
+    paths.groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("truncated"), 1L).otherwise(0L)).as("n_truncated"))
+      .filter(col("n_sessions") >= pathFloor)
+      .orderBy(col("n_sessions").desc, col("path"))
+  }
 }

@@ -229,6 +229,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     // one event = one session, but a 1-hour baseline can never flag
     assert(graft.operators.Intervals.anomalyOverlap(spark, dir).count() === 0L,
       "no hour has a full 24-hour prior baseline, so nothing flags")
+    assert(graft.operators.Temporal.topPaths(spark, dir).count() === 0L,
+      "one session's path cannot reach the 2-session floor")
     assert(Behavior.funnelLatency(spark, dir).count() === 0L,
       "a lone click is no transition — empty report, not a throw")
   }

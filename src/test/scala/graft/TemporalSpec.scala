@@ -85,4 +85,36 @@ class TemporalSpec extends SparkSpec {
     // documented convention check kept close to the operator constants
     assert(Temporal.attributionLookbackUs === 7L * 86400L * 1000000L)
   }
+
+  test("top paths replay the per-session ordered type census") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = Temporal.topPaths(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_truncated"))).toMap
+    val gap = 6L * 3600 * 1000 * 1000
+    val evs = Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = evs.groupBy(_._1).values.flatMap { rows =>
+      val seqd = rows.sortBy(r => (r._2, r._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(seqd.head))
+      seqd.sliding(2).foreach { case Array(a, b) =>
+        if (b._2 - a._2 > gap) sessions += scala.collection.mutable.ArrayBuffer(b)
+        else sessions.last += b
+      }
+      sessions.map { s =>
+        (s.take(Temporal.pathMaxLen).map(_._4).mkString(">"),
+          s.length > Temporal.pathMaxLen)
+      }
+    }.toSeq
+    val brute = paths.groupBy(_._1).view.mapValues(v =>
+        (v.size.toLong, v.count(_._2).toLong))
+      .filter(_._2._1 >= Temporal.pathFloor).toMap
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
 }
