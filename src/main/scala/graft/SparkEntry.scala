@@ -110,6 +110,7 @@ object SparkEntry {
     "q_acf_daily" -> (operators.Stats.acfDaily _),
     "q_order_gaps" -> (Analytics.orderGaps _),
     "q_column_profile" -> (operators.Profiling.columnProfile _),
+    "q_profile_incremental" -> (operators.Profiling.profileIncremental _),
     "q_rolling_revenue" -> (operators.Intervals.rollingRevenue _),
     "q_ewma_revenue" -> (operators.Intervals.ewmaRevenue _),
     "q_interval_overlap" -> (operators.Intervals.anomalyOverlap _),
@@ -3736,6 +3737,71 @@ object SparkEntry {
         |  CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
         |  min(val) AS min_val, max(val) AS max_val
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle profiles the WHOLE table directly: the engine's
+    // base+delta merge (sum / least / greatest / register-wise max)
+    // equals it by slice-invariance — that equality IS the theorem
+    // this row certifies. See Profiling.profileIncremental
+    "q_profile_incremental" -> {
+      val wordMod = 1L << operators.Sketches.hllWordBits
+      val m = operators.Sketches.hllRegisters
+      val a = operators.Sketches.hllAlpha
+      val hex8 = (0 until 8).map(o =>
+        s"(strpos('0123456789abcdef', substr(d, ${1 + o}, 1)) - 1) * " +
+          s"CAST(${1L << (4 * (7 - o))} AS BIGINT)").mkString(" + ")
+      val raw = s"$a * $m.0 * $m.0 / " +
+        s"(harm_present + ($m.0 - CAST(n_present AS DOUBLE)))"
+      s"""WITH st AS (
+         |  SELECT 'o_orderkey' AS col_name,
+         |    CAST(o_orderkey AS VARCHAR) AS val FROM orders
+         |  UNION ALL
+         |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+         |  UNION ALL
+         |  SELECT 'o_orderstatus', o_orderstatus FROM orders
+         |  UNION ALL
+         |  SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+         |  UNION ALL
+         |  SELECT 'o_orderdate',
+         |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders
+         |  UNION ALL
+         |  SELECT 'o_orderpriority', o_orderpriority FROM orders),
+         |sc AS (
+         |  SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_null,
+         |    min(val) AS min_val, max(val) AS max_val
+         |  FROM st GROUP BY 1),
+         |hh AS (
+         |  SELECT col_name, ($hex8) AS h
+         |  FROM (SELECT col_name, md5(val) AS d FROM st
+         |        WHERE val IS NOT NULL)),
+         |rr AS (
+         |  SELECT col_name, h // $wordMod AS reg,
+         |    ${operators.Sketches.rhoSql(s"(h % $wordMod)")} AS rho
+         |  FROM hh),
+         |mx AS (SELECT col_name, reg, max(rho) AS max_rho
+         |       FROM rr GROUP BY 1, 2),
+         |sk AS (
+         |  SELECT col_name, CAST(count(*) AS BIGINT) AS n_present,
+         |    sum(power(2, -max_rho)) AS harm_present
+         |  FROM mx GROUP BY 1),
+         |es AS (
+         |  SELECT col_name, $m - n_present AS zeros,
+         |    round(CASE WHEN ($raw) <= 2.5 * $m AND $m - n_present > 0
+         |      THEN $m.0 * ln($m.0 / CAST($m - n_present AS DOUBLE))
+         |      ELSE ($raw) END, 4) AS distinct_est
+         |  FROM sk),
+         |ex AS (
+         |  SELECT col_name, CAST(count(DISTINCT val) AS BIGINT) AS n_exact
+         |  FROM st WHERE val IS NOT NULL GROUP BY 1)
+         |SELECT sc.col_name, n_rows, n_null, min_val, max_val,
+         |  distinct_est, n_exact,
+         |  CASE WHEN n_exact > 0 THEN
+         |    round(abs(distinct_est - CAST(n_exact AS DOUBLE)) /
+         |      CAST(n_exact AS DOUBLE), 4) END AS rel_err
+         |FROM sc JOIN es ON es.col_name = sc.col_name
+         |        JOIN ex ON ex.col_name = sc.col_name
+         |ORDER BY 1""".stripMargin
+    },
     // the a-priori prune is plan-only (downward closure: it cannot
     // change which pairs clear the floor), so the oracle skips it;
     // all metrics are fixed double expressions over exact int64 counts

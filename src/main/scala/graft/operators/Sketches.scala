@@ -150,7 +150,7 @@ object Sketches {
     * discipline), so the SKETCH STATE itself is replayed bit-exactly
     * by the oracle, not just its summary.
     */
-  private def hllHash(key: Column): Column =
+  private[operators] def hllHash(key: Column): Column =
     conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long")
 
@@ -159,7 +159,7 @@ object Sketches {
     * when w = 0 — a generated integer CASE chain, no float log
     * anywhere, identical in the oracle's generated SQL.
     */
-  private def rhoExpr(w: Column): Column =
+  private[operators] def rhoExpr(w: Column): Column =
     ((hllWordBits - 1) to 0 by -1).foldLeft(lit(hllWordBits + 1): Column) {
       (acc, p) =>
         when(shiftright(w, p).bitwiseAND(lit(1L)) === 1L, lit(p + 1))

@@ -37,6 +37,28 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("incremental profile merge equals the full recompute") {
+    val inc = operators.Profiling.profileIncremental(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val full = operators.Profiling.columnProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(inc.keySet === full.keySet)
+    full.foreach { case (name, f) =>
+      val i = inc(name)
+      // the mergeable scalars are slice-invariant: bit-equal to full
+      assert(i.getAs[Long]("n_rows") === f.getAs[Long]("n_rows"), name)
+      assert(i.getAs[Long]("n_null") === f.getAs[Long]("n_null"), name)
+      assert(i.getAs[String]("min_val") === f.getAs[String]("min_val"), name)
+      assert(i.getAs[String]("max_val") === f.getAs[String]("max_val"), name)
+      // the honesty column is the full table's exact distinct
+      assert(i.getAs[Long]("n_exact") === f.getAs[Long]("n_distinct"), name)
+      // 64 registers: typical rel err ~13%; generous envelope, and the
+      // estimate must be a positive finite number
+      assert(i.getAs[Double]("distinct_est") > 0.0, name)
+      assert(i.getAs[Double]("rel_err") < 0.6, name)
+    }
+  }
+
   test("hard negatives replay the definitional centroid arithmetic") {
     val rows = operators.Quantize.hardNegatives(spark, dir).collect()
     val embs = Tables(spark, dir, "embeddings")

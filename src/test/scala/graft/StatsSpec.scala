@@ -140,6 +140,9 @@ class StatsSpec extends SparkSpec {
     assert(operators.Associations.basketTriples(spark, tmp).count() === 0L)
     // the single-column-universe profile still profiles
     assert(operators.Profiling.columnProfile(spark, tmp).count() === 6L)
+    // incremental merge survives an EMPTY delta slice (orderkey 1 is
+    // base-side; nothing lands in % 10 = 0)
+    assert(operators.Profiling.profileIncremental(spark, tmp).count() === 6L)
     // a one-order customer has no inter-arrival gaps
     assert(operators.Analytics.orderGaps(spark, tmp).count() === 0L)
   }
