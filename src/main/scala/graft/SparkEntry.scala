@@ -190,6 +190,7 @@ object SparkEntry {
     "emb_label_separation" -> (operators.Quantize.labelSeparation _),
     "emb_hard_negatives" -> (operators.Quantize.hardNegatives _),
     "emb_mutual_knn" -> (Similarity.mutualKnnPairs _),
+    "emb_knn_accuracy" -> (Similarity.knnLabelAccuracy _),
     "text_novelty" -> (TextAnalysis.noveltyScores _),
     "text_bigram_entropy" -> (TextAnalysis.bigramEntropy _),
     "emb_mrl_overlap" -> (operators.Quantize.mrlOverlap _),
@@ -239,6 +240,7 @@ object SparkEntry {
     "text_pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
     "q_rfm_segments" -> (Analytics.rfmSegments _),
     "text_split_kl" -> (Sampling.splitKlDrift _),
+    "text_source_kl" -> (Sampling.sourceKlDrift _),
     "q_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
     "q_hll_registers" -> (operators.Sketches.hllRegistersQuery _),
     "q_hll_daily" -> (operators.Sketches.hllDailyUsers _),
@@ -2640,6 +2642,44 @@ object SparkEntry {
          |  ON x.q_id = y.vec_id AND x.vec_id = y.q_id
          |  AND x.q_id < x.vec_id
          |ORDER BY 1, 2""".stripMargin,
+    // majority vote over the same bucket-local top-k; ties break to
+    // the smallest label via the max-count probe + min read-off — see
+    // Similarity.knnLabelAccuracy
+    "emb_knn_accuracy" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, label, $bucketSql AS bucket
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+         |    b.label AS v_label,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM e a JOIN e b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |tk AS (
+         |  SELECT q_id, v_label FROM (
+         |    SELECT q_id, v_label, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS rn
+         |    FROM pairs) t
+         |  WHERE rn <= ${Similarity.mutualK}),
+         |votes AS (
+         |  SELECT q_id, v_label, CAST(count(*) AS BIGINT) AS n_votes
+         |  FROM tk GROUP BY 1, 2),
+         |tp AS (SELECT q_id, max(n_votes) AS n_top FROM votes GROUP BY 1),
+         |pred AS (
+         |  SELECT v.q_id, CAST(min(v.v_label) AS INTEGER) AS pred_label
+         |  FROM votes v JOIN tp ON tp.q_id = v.q_id
+         |    AND v.n_votes = tp.n_top
+         |  GROUP BY 1),
+         |sc AS (
+         |  SELECT e.label, CAST(count(*) AS BIGINT) AS n_scored,
+         |    CAST(sum(CASE WHEN pred_label = e.label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct
+         |  FROM pred JOIN e ON e.vec_id = pred.q_id
+         |  GROUP BY 1)
+         |SELECT label, n_scored, n_correct,
+         |  round(CAST(n_correct AS DOUBLE) / CAST(n_scored AS DOUBLE), 6)
+         |    AS accuracy
+         |FROM sc ORDER BY 1""".stripMargin,
     "text_bigram_entropy" ->
       """WITH b AS (
         |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bg
@@ -3232,6 +3272,41 @@ object SparkEntry {
          |        list(t_vt ORDER BY token)), (acc, x) -> acc + x), 6)
          |    AS kl_val_train
          |FROM terms""".stripMargin,
+    // full source×vocab cross with add-1 smoothing; the per-source
+    // sum is the same token-ordered fold as text_split_kl — see
+    // Sampling.sourceKlDrift
+    "text_source_kl" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(trim(text), ' ')) AS token
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS cs
+        |  FROM tok GROUP BY 1, 2),
+        |c AS (SELECT token, CAST(sum(cs) AS BIGINT) AS cc
+        |      FROM st GROUP BY 1),
+        |srct AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ts
+        |         FROM st GROUP BY 1),
+        |t AS (SELECT CAST(sum(cc) AS BIGINT) AS tc,
+        |             CAST(count(*) AS BIGINT) AS v FROM c),
+        |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM documents GROUP BY 1),
+        |x AS (
+        |  SELECT s.source, s.ts, c.token,
+        |    (CAST(coalesce(st.cs, 0) + 1 AS DOUBLE) /
+        |       CAST(s.ts + t.v AS DOUBLE)) *
+        |    ln((CAST(coalesce(st.cs, 0) + 1 AS DOUBLE) /
+        |        CAST(s.ts + t.v AS DOUBLE)) /
+        |       (CAST(c.cc + 1 AS DOUBLE) / CAST(t.tc + t.v AS DOUBLE)))
+        |      AS term
+        |  FROM c CROSS JOIN srct s
+        |  LEFT JOIN st ON st.source = s.source AND st.token = c.token
+        |  CROSS JOIN t)
+        |SELECT x.source, nd.n_docs, max(x.ts) AS n_tokens,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(term ORDER BY token)), (acc, y) -> acc + y), 6)
+        |    AS kl_source_corpus
+        |FROM x JOIN nd ON nd.source = x.source
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "text_pmi_pairs" -> {
       val leads = (1 to operators.TextAnalysis.pmiWindow)
         .map(d => s"lead(tok, $d) OVER w AS l$d").mkString(",\n  |    ")

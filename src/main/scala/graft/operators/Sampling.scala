@@ -372,6 +372,55 @@ object Sampling {
           (acc, x) => acc + x.getField("t_vt")), 6).as("kl_val_train"))
   }
 
+  /** Per-source distribution drift — the data-mix diagnostic behind
+    * source weighting: for every source, KL(P_source ‖ P_corpus) over
+    * add-1-smoothed unigram distributions on the SHARED corpus vocab
+    * (tokens the source never emits still contribute their smoothed
+    * mass — the full-vocab cross is what makes the divergences
+    * comparable across sources). A source that parrots the corpus mix
+    * reads ≈ 0; a specialized source reads high — the signal
+    * `q_token_budget_mix`-style samplers act on.
+    *
+    * Float discipline: the [[splitKlDrift]] convention — every term is
+    * a fixed IEEE expression over exact integer counts, and the
+    * per-source sum is an ORDERED fold over the token-sorted term
+    * list, round-6; identical in the oracle.
+    *
+    * Shape (100 TB): one map-side-combined (source, token) count, the
+    * corpus marginal derived by re-aggregating it (no second corpus
+    * pass), the full cross built from the vocab-sized marginal × the
+    * broadcast source list, and one fold per source over the
+    * vocab-bounded term frame.
+    */
+  def sourceKlDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val st = docs
+      .select(col("source"), explode(split(trim(col("text")), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cs"))
+      .localCheckpoint() // (source, token) counts: marginal + cross
+    val corpus = st.groupBy("token").agg(sum(col("cs")).as("cc"))
+    val srcTot = st.groupBy("source").agg(sum(col("cs")).as("ts"))
+    val tot = corpus.agg(sum(col("cc")).as("tc"), count(lit(1)).as("v"))
+    val p = (coalesce(col("cs"), lit(0L)) + 1L).cast("double") /
+      (col("ts") + col("v")).cast("double")
+    val q = (col("cc") + 1L).cast("double") /
+      (col("tc") + col("v")).cast("double")
+    val terms = corpus
+      .crossJoin(broadcast(srcTot))
+      .join(st, Seq("source", "token"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("ts"),
+        struct(col("token"), (p * log(p / q)).as("t")).as("term"))
+    terms.groupBy(col("source"), col("ts"))
+      .agg(sort_array(collect_list(col("term"))).as("a"))
+      .join(broadcast(nDocs), "source")
+      .select(col("source"), col("n_docs"), col("ts").as("n_tokens"),
+        round(aggregate(col("a"), lit(0.0d),
+          (acc, x) => acc + x.getField("t")), 6).as("kl_source_corpus"))
+      .orderBy("source")
+  }
+
   /** Pareto-frontier document selection — the multi-objective cut a
     * curation pipeline runs when no single score ranks documents: keep
     * every document NOT dominated on (prose-likeness, content volume),

@@ -638,7 +638,11 @@ object Similarity {
     * mutuality check is a self-equi-join of the tiny top-k frame on
     * the reversed key pair.
     */
-  def mutualKnnPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Every vector's bucket-local top-[[mutualK]] under the
+    * [[bucketedTopK]] determinism contract — shared by the mutual-kNN
+    * filter and the kNN label audit.
+    */
+  private[graft] def bucketTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("bucket", bucket(col("embedding")))
       .withColumn("nrm", norm(col("embedding")))
@@ -650,7 +654,11 @@ object Similarity {
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("vec_id"),
         round(dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm")), 4).as("cos"))
-    val topk = topPerQuery(scored, mutualK)
+    topPerQuery(scored, mutualK)
+  }
+
+  def mutualKnnPairs(spark: SparkSession, dir: String): DataFrame = {
+    val topk = bucketTopK(spark, dir)
       .localCheckpoint() // tiny top-k frame: both sides of the mutual join
     topk.as("x")
       .join(topk.as("y"),
@@ -661,5 +669,44 @@ object Similarity {
         col("x.cos").as("cos"),
         col("x.rn").as("rank_ab"), col("y.rn").as("rank_ba"))
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** kNN label-consistency audit — "do the embeddings agree with the
+    * labels?": every vector's bucket-local top-[[mutualK]] neighbors
+    * vote by label; the prediction is the majority label (ties → the
+    * smallest label, via the max-count probe + min read-off — never an
+    * unordered arg_max), scored against the vector's own label. One
+    * row per label: voters-present count, correct count, round-6
+    * accuracy — the cheap proxy a pipeline checks before paying for a
+    * trained classifier, and a drift alarm when an embedding refresh
+    * silently shuffles the label geometry.
+    *
+    * Shape (100 TB): rides [[bucketTopK]] (bucket-bounded candidate
+    * join, per-vector windows); the vote is two map-side-combined
+    * aggregates and two broadcast-free co-partitioned joins on vec_id.
+    */
+  def knnLabelAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val votes = bucketTopK(spark, dir)
+      .join(labels.select(col("vec_id"), col("label").as("v_label")),
+        "vec_id")
+      .groupBy(col("q_id"), col("v_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .localCheckpoint() // feeds the max probe and the argmax read-off
+    val top = votes.groupBy("q_id").agg(max(col("n_votes")).as("n_top"))
+    val pred = votes.join(top, "q_id")
+      .filter(col("n_votes") === col("n_top"))
+      .groupBy("q_id").agg(min(col("v_label")).as("pred_label"))
+    pred
+      .join(labels.select(col("vec_id").as("q_id"), col("label")), "q_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("pred_label") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_scored"), col("n_correct"),
+        round(col("n_correct").cast("double") /
+          col("n_scored").cast("double"), 6).as("accuracy"))
+      .orderBy("label")
   }
 }

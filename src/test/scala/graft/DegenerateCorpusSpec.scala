@@ -93,7 +93,9 @@ class DegenerateCorpusSpec extends SparkSpec {
     "prefix_join" -> Dedup.prefixJaccardJoin(spark, dir).count(),
     "cc_incremental" -> Dedup.ccIncremental(spark, dir).count(),
     "hard_negatives" -> graft.operators.Quantize.hardNegatives(spark, dir).count(),
-    "mutual_knn" -> Similarity.mutualKnnPairs(spark, dir).count())
+    "mutual_knn" -> Similarity.mutualKnnPairs(spark, dir).count(),
+    "knn_accuracy" -> Similarity.knnLabelAccuracy(spark, dir).count(),
+    "source_kl" -> Sampling.sourceKlDrift(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -175,6 +177,9 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("hard_negatives") === 0L,
       "a one-label universe has no other-label centroid to mine against")
     assert(counts("mutual_knn") === 0L, "no pair universe with one vector")
+    assert(counts("knn_accuracy") === 0L, "no neighbors, no votes")
+    assert(counts("source_kl") === 1L,
+      "the lone source IS the corpus — one row, KL exactly 0")
   }
 
   test("constant corpus: zero total variance yields NULL shares, not ANSI 0/0") {

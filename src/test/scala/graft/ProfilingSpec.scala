@@ -208,4 +208,60 @@ class ProfilingSpec extends SparkSpec {
     }
     assert(got.nonEmpty, "the sign buckets must yield reciprocal pairs")
   }
+
+  test("kNN label accuracy replays the majority vote per label") {
+    val got = operators.Similarity.knnLabelAccuracy(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getAs[Long]("n_scored"),
+        r.getAs[Long]("n_correct"), r.getAs[Double]("accuracy"))).toMap
+    val labels = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the certified bucket-local top-k from the production operator
+    val topk = operators.Similarity.bucketTopK(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+    val preds = topk.groupBy(_._1).map { case (q, vs) =>
+      val votes = vs.map(v => labels(v._2)).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val topN = votes.values.max
+      q -> votes.filter(_._2 == topN).keys.min
+    }
+    val perLabel = preds.toSeq.groupBy { case (q, _) => labels(q) }
+      .map { case (l, ps) =>
+        l -> (ps.size.toLong, ps.count { case (q, p) => p == labels(q) }.toLong)
+      }
+    assert(got.keySet === perLabel.keySet)
+    perLabel.foreach { case (l, (n, c)) =>
+      val (gn, gc, acc) = got(l)
+      assert(gn === n, l); assert(gc === c, l)
+      assert(math.abs(acc - c.toDouble / n) < 5e-7, l)
+    }
+  }
+
+  test("per-source KL replays the smoothed full-vocab fold") {
+    val rows = operators.Sampling.sourceKlDrift(spark, dir).collect()
+    val docs = Tables(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = docs.flatMap { case (s, t) =>
+      t.trim.split(" ").map(s -> _) }
+    val corpus = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val v = corpus.size.toLong
+    val tc = corpus.values.sum
+    val bySource = toks.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet === bySource.keySet)
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val st = bySource(s).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val ts = st.values.sum
+      assert(r.getAs[Long]("n_docs") === docs.count(_._1 == s).toLong, s)
+      assert(r.getAs[Long]("n_tokens") === ts, s)
+      val kl = corpus.toSeq.sortBy(_._1).map { case (tok, cc) =>
+        val p = (st.getOrElse(tok, 0L) + 1).toDouble / (ts + v)
+        val q = (cc + 1).toDouble / (tc + v)
+        p * math.log(p / q)
+      }.sum
+      assert(math.abs(r.getAs[Double]("kl_source_corpus") - kl) < 5e-6, s)
+      assert(r.getAs[Double]("kl_source_corpus") >= 0.0, s)
+    }
+  }
 }
