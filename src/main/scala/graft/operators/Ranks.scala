@@ -108,6 +108,15 @@ object Ranks {
     *
     * The order must be total (tie-break on a unique key), same contract
     * as [[global]] — equal keys must not straddle a range boundary.
+    *
+    * Value contract (stated, like [[global]]'s total-order contract):
+    * `valueCol` is integer-valued and its GRAND total fits int64 — the
+    * per-partition sums are cast to bigint before the bounded driver
+    * collect (so an int/decimal-typed integer column is fine), nulls
+    * in the value column count as 0 toward the offsets (an all-null
+    * partition no longer NPEs), and a total past 2⁶³ would wrap — the
+    * callers here (KS cell counts, AUC label counts) are corpus-count
+    * bounded, far below it.
     */
   def prefixSum(df: DataFrame, valueCol: String, sumCol: String,
                 order: Column*): DataFrame = {
@@ -118,7 +127,7 @@ object Ranks {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val sums = staged.groupBy(col("__pid"))
-      .agg(sum(col(valueCol)).as("__s"))
+      .agg(coalesce(sum(col(valueCol).cast("long")), lit(0L)).as("__s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
     val offsets = sums.map { case (p, s) => val o = acc; acc += s; (p, o) }
@@ -127,10 +136,54 @@ object Ranks {
       .rowsBetween(Window.unboundedPreceding, -1)
     staged
       .withColumn("__lps",
-        coalesce(sum(col(valueCol)).over(local), lit(0L)))
+        coalesce(sum(col(valueCol).cast("long")).over(local), lit(0L)))
       .join(broadcast(offDf), "__pid")
       .withColumn(sumCol, col("__off") + col("__lps"))
       .drop("__pid", "__lps", "__off")
+  }
+
+  /** Distributed EXCLUSIVE running max over a total order —
+    * [[prefixSum]]'s sibling for max: each row gets the max of
+    * `valueCol` over all rows STRICTLY before it (NULL for the global
+    * first row, so "no predecessor" is distinguishable from any real
+    * value). Same two-pass shape: range-partition on the order, one
+    * bounded numPartitions-row collect of per-partition maxes turned
+    * into running-max offsets, then a local exclusive window max
+    * combined with the broadcast offset via `greatest` (which skips
+    * the NULL offset of the first partitions).
+    *
+    * Same contracts as [[prefixSum]]: total order (tie-break on a
+    * unique key) and an integer-valued `valueCol` (cast to bigint;
+    * nulls never contribute — `max` skips them on both passes).
+    */
+  def prefixMax(df: DataFrame, valueCol: String, maxCol: String,
+                order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val staged = df.repartitionByRange(nParts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val maxes = staged.groupBy(col("__pid"))
+      .agg(max(col(valueCol).cast("long")).as("__m"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    var acc: Option[Long] = None
+    val offsets = maxes.map { case (p, m) =>
+      val o = acc
+      acc = (acc ++ m).reduceOption(_ max _)
+      (p, o)
+    }
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    staged
+      .withColumn("__lpm", max(col(valueCol).cast("long")).over(local))
+      .join(broadcast(offDf), "__pid")
+      .withColumn(maxCol, greatest(col("__off"), col("__lpm")))
+      .drop("__pid", "__lpm", "__off")
   }
 
   /** Exact `row_number` under (score DESC, id ASC) for a BOUNDED frame

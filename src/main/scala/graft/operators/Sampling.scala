@@ -434,15 +434,20 @@ object Sampling {
     * Distributed shape (never a global sort, never all-pairs over the
     * corpus): one map-side-combined aggregate collapses the corpus to
     * its (stop_ppm → max tokens) grid — BOUNDED at 10⁶+1 rows by the
-    * ppm scale, corpus-size-independent — then the dominance test is a
-    * triangular join over that tiny frame (the `ltvTriangle`
-    * discipline: m(q) = max tokens over strictly-better ppm; q survives
-    * iff its max beats m(q)), and frontier documents come back via one
-    * broadcast semi-join on the surviving (ppm, tokens) cells. Within a
-    * dominated ppm cell every document dies with it; within a surviving
-    * cell exactly the max-token documents are non-dominated — both
-    * facts fall out of the grid reduction, which is why the corpus
-    * never self-joins.
+    * ppm scale, corpus-size-independent — then the dominance test is
+    * ONE [[Ranks.prefixMax]] pass in ppm-DESCENDING order (m(q) = max
+    * tokens over all strictly-better ppm = the exclusive running max;
+    * q survives iff its own max beats m(q)), and frontier documents
+    * come back via one broadcast semi-join on the surviving
+    * (ppm, tokens) cells. The prefix pass replaces the earlier
+    * triangular inequality self-join over the grid — worst case that
+    * join was quadratic in distinct-ppm cells (~5·10¹¹ comparisons at
+    * the full 10⁶ grid), while the two-pass range-partitioned running
+    * max is linear and never leaves the distributed plan. Within a
+    * dominated ppm cell every document dies with it; within a
+    * surviving cell exactly the max-token documents are non-dominated
+    * — both facts fall out of the grid reduction, which is why the
+    * corpus never self-joins.
     */
   def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(trim(col("text")), " ")
@@ -456,11 +461,10 @@ object Sampling {
         expr("(1000000 * ns) div t").as("q"))
       .localCheckpoint() // feeds the grid and the member read-back
     val grid = scored.groupBy("q").agg(max(col("t")).as("tm"))
-    val better = grid.as("a")
-      .join(grid.select(col("q").as("q2"), col("tm").as("tm2")).as("b"),
-        col("q2") > col("q"), "left")
-      .groupBy(col("q"), col("tm"))
-      .agg(max(col("tm2")).as("m"))
+    // exclusive running max of tm in q-DESC order = max over strictly
+    // better ppm (q is distinct after the groupBy, so the order is
+    // total); NULL marks "no better cell exists"
+    val better = Ranks.prefixMax(grid, "tm", "m", col("q").desc)
     val frontier = better
       .filter(col("m").isNull || col("tm") > col("m"))
       .select(col("q").as("fq"), col("tm").as("ftm"))

@@ -27,15 +27,28 @@ object Stats {
     * freedom, the χ² statistic, and Cramér's V effect size.
     *
     * Exactness: with row totals r_i, column totals c_j, and grand
-    * total n, each cell's contribution is
-    * (n·n_ij − r_i·c_j)² / (n·r_i·c_j); both numerator and denominator
-    * are exact integers carried in DECIMAL(38,0) (the square passes
-    * 2⁶³ once n·n_ij clears ~3·10⁹ — true well below 100 TB), and each
-    * cell is floored to ppm BEFORE the sum (contrib_ppm = 10⁶·num div
-    * den), so χ² = Σppm/10⁶ is a sum of exact integers with one float
-    * division at the end — never a sum of doubles whose order the two
-    * engines could disagree on. Cramér's V takes one IEEE sqrt of that
-    * exact rational, rounded at 6.
+    * total n, each cell's contribution is a² / (n·r_i·c_j) with
+    * residual a = n·n_ij − r_i·c_j; both sides are exact integers
+    * carried in DECIMAL(38,0) (the square passes 2⁶³ once n·n_ij
+    * clears ~3·10⁹ — true well below 100 TB), and each cell is floored
+    * to ppm BEFORE the sum via the STAGED identity
+    * 10⁶·a² div den = 10⁶·(a² div den) + 10⁶·(a² mod den) div den —
+    * exact floor algebra that never forms the 10⁶·a² product, so
+    * χ² = Σppm/10⁶ is a sum of exact integers with one float division
+    * at the end — never a sum of doubles whose order the two engines
+    * could disagree on. Cramér's V takes one IEEE sqrt of that exact
+    * rational, rounded at 6.
+    *
+    * Exactness envelope (honest ceiling, not just the 2⁶³ crossing):
+    * the staged form needs a² < 10³⁸ (i.e. |a| < 10¹⁹) and
+    * 10⁶·(a² mod den) < 10³⁸ (den = n·r_i·c_j ≤ n³, i.e.
+    * n < 4.6·10¹⁰). The residual bound is the binding one only under
+    * near-total dependence (|a| ≤ n²/4 ⇒ worst-case exact through
+    * n ≈ 6·10⁹ orders); at realistic effect sizes |a| ≈ φ·n·√(r·c)
+    * stays under 10¹⁹ well past 10¹⁰ rows. Beyond the envelope Spark's
+    * non-ANSI decimal overflow nulls chi2/cramers_v in the 1-row
+    * output — visible, but a ceiling to know about. (The pre-staged
+    * form overflowed ~30× earlier, at n ≈ 2·10⁸ adversarial.)
     *
     * Shape (100 TB): orders join the broadcast customer-segment dim,
     * reduce map-side to the R×C cell grid (BOUNDED by the category
@@ -61,13 +74,17 @@ object Stats {
       .join(broadcast(rows), "seg")
       .join(broadcast(cols), "prio")
       .crossJoin(broadcast(tot))
-      .withColumn("num", expr(s"cast(1000000 as $d38)") *
+      .withColumn("a2",
         pow2(col("n").cast(d38) * col("n_obs").cast(d38) -
           col("r_i").cast(d38) * col("c_j").cast(d38)))
       .withColumn("den", col("n").cast(d38) * col("r_i").cast(d38) *
         col("c_j").cast(d38))
+      // staged floor: 10⁶·a² div den without ever forming 10⁶·a²
+      .withColumn("q2", expr("a2 div den"))
       .select(col("n"), col("nr"), col("nc"),
-        expr("num div den").as("ppm"))
+        (expr(s"cast(1000000 as $d38)") * col("q2") +
+          expr(s"(cast(1000000 as $d38) * (a2 - q2 * den)) div den"))
+          .as("ppm"))
       .groupBy(col("n"), col("nr"), col("nc"))
       .agg(sum(col("ppm")).as("ppm"))
       .select(col("n").as("n_total"),
@@ -210,41 +227,77 @@ object Stats {
     * round-4 means and sample variances, the t statistic, and the
     * Welch–Satterthwaite degrees of freedom, both round-6.
     *
-    * Exactness: per group the pass reduces to n, Σx, Σx² with x the
-    * EXACT scale-4 integer price (Σx² ≤ n·(5·10⁹)² — DECIMAL(38,0)
-    * holds it past 10¹² rows). The mean and variance then leave the
-    * integer domain ONLY as fixed-point read-offs below 2⁵³ — mean
-    * half-up at scale 4 ((2Σx+n) div 2n), variance at scale 4 of
-    * price² ((2(nΣx²−(Σx)²) + 10⁴n(n−1)) div 2·10⁴n(n−1); variance is
-    * intrinsic, it does not grow with corpus size) — so the doubles
-    * both engines feed the t formula are IDENTICAL integers/10⁴, and
-    * t and df are fixed chains of IEEE +,−,×,÷,√ (all correctly
+    * Exactness — the textbook TWO-PASS anchored variance (Chan et
+    * al.'s corrected two-pass, in exact integers): pass 1 reduces each
+    * group to (n, Σx) with x the EXACT scale-4 integer price and
+    * anchors at the integer floor-mean m = Σx div n; pass 2 sums the
+    * anchored squares S2 = Σ(x−m)². The variance numerator
+    * n·Σx² − (Σx)² equals n·S2 − S1² for ANY constant shift (here
+    * S1 = Σ(x−m) = Σx mod n < n), but the anchored operands stay
+    * INTRINSIC: S2 ≤ n·spread² (spread = max price deviation, a domain
+    * constant ~5.6·10⁹ at scale 4) and S1² < n² — the raw route's
+    * (Σx)² ≈ n²·μ² crossed DECIMAL(38,0) at n ≈ 2·10⁹ rows. The v4
+    * read-off then avoids even the n·S2 product via staged floor
+    * algebra: with T = S2 − (S1² div n), u = S1² mod n,
+    * X = 2T + 10⁴(n−1), Y = 2·10⁴(n−1), q = X div Y, r = X mod Y,
+    *   v4 = (2(n·S2−S1²) + 10⁴n(n−1)) div (2·10⁴n(n−1))
+    *      = q − [n·r < 2·u]
+    * (exact: the numerator is n·X − 2u = q·nY + (n·r − 2u) with
+    * |n·r − 2u| < nY, so the floor is q minus one exactly when
+    * n·r < 2u). Largest intermediate is S2 ≤ n·3.2·10¹⁹ — inside
+    * DECIMAL(38,0) past 10¹⁷ rows, so the 10¹²-row claim now holds
+    * with room (the pre-anchored form silently nulled var/t/df at
+    * n ≈ 2·10⁹ via Spark's non-ANSI decimal overflow). Mean stays the
+    * half-up scale-4 read-off ((2Σx+n) div 2n). The doubles both
+    * engines feed the t formula are therefore IDENTICAL integers/10⁴,
+    * and t and df are fixed chains of IEEE +,−,×,÷,√ (all correctly
     * rounded, engine-independent), rounded at 6. Groups of n < 2 yield
     * NULL t/df, never 0/0.
     *
-    * Shape (100 TB): ONE map-side-combined aggregate to a 2-row frame;
-    * everything after is driver-trivial broadcast arithmetic.
+    * Shape (100 TB): TWO map-side-combined aggregates over the same
+    * 2-column projection (the anchor join is a broadcast of the 2-row
+    * group frame) — the extra scan is the price of an exact variance
+    * envelope that actually covers the corpus; everything after is
+    * driver-trivial broadcast arithmetic.
     */
   def welchTTest(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val dec = org.apache.spark.sql.types.DecimalType(18, 4)
-    val g = Tables(spark, dir, "orders")
+    val xs = Tables(spark, dir, "orders")
       .filter(col("o_orderstatus").isin(welchGroups._1, welchGroups._2))
       .select(col("o_orderstatus").as("grp"),
         (col("o_totalprice").cast(dec) * 10000).cast(d38).as("x"))
+    // pass 1: (n, Σx) + the integer floor-mean anchor per group
+    val base = xs.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .withColumn("m", expr("s div n"))
+    // pass 2: anchored squared deviations — (x−m) is intrinsic (price
+    // spread, not corpus mass), so S2 never carries the n²·μ² term
+    // that overflowed the raw n·Σx² − (Σx)² route
+    val dev = xs
+      .join(broadcast(base.select(col("grp"), col("m"))), "grp")
       .groupBy("grp")
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
-        sum(col("x") * col("x")).as("ss"))
+      .agg(sum(pow2(col("x") - col("m"))).as("s2"))
+    val g = base.join(dev, "grp")
+      // S1 = Σ(x−m) = s − n·m = s mod n ∈ [0, n) — algebraic, no
+      // third pass; n enters every product as DECIMAL (bare bigint
+      // 10⁴·n·(n−1) would wrap past n ≈ 10⁸ rows)
+      .withColumn("s1", expr(s"s - cast(n as $d38) * m"))
+      .withColumn("tt", expr(s"s2 - (s1 * s1) div cast(n as $d38)"))
+      .withColumn("u",
+        expr(s"s1 * s1 - cast(n as $d38) * ((s1 * s1) div cast(n as $d38))"))
+      .withColumn("xx", expr(s"2 * tt + 10000 * (cast(n as $d38) - 1)"))
+      .withColumn("yy", expr(s"2 * 10000 * (cast(n as $d38) - 1)"))
+      .withColumn("qq", expr("xx div yy"))
+      .withColumn("rr", expr("xx - qq * yy"))
       // fixed-point read-offs: the ONLY exit from the integer domain
       .select(col("grp"), col("n"),
         expr("(2 * s + n) div (2 * n)").cast("double").as("m4"),
         when(col("n") > 1,
-          // n enters the weight product as DECIMAL — the bare bigint
-          // 10⁴·n·(n−1) would wrap past n ≈ 10⁸ rows
-          expr(s"""(2 * (n * ss - s * s) +
-                  |  10000 * cast(n as $d38) * (n - 1)) div
-                  |  (2 * (10000 * cast(n as $d38) * (n - 1)))""".stripMargin)
-            .cast("double")).as("v4"))
+          // staged floor of (2(n·S2−S1²) + 10⁴n(n−1)) / (2·10⁴n(n−1)):
+          // q minus one exactly when n·r < 2·u (see scaladoc proof)
+          (col("qq") - when(expr(s"cast(n as $d38) * rr < 2 * u"), 1)
+            .otherwise(0)).cast("double")).as("v4"))
     val a = g.filter(col("grp") === welchGroups._1)
       .select(col("n").as("n1"), col("m4").as("ma"), col("v4").as("va"))
     val b = g.filter(col("grp") === welchGroups._2)

@@ -29,6 +29,34 @@ class RanksSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("prefixMax == exclusive running max reference, incl. NULL head") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // enough rows to spread over every shuffle partition, value ties
+    // and a non-trivial order so partition boundaries are exercised
+    val rows = (0L until 500L).map(i => (i, rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "v").repartition(7)
+    val got = Ranks.prefixMax(df, "v", "m", col("id").desc)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // reference: exclusive running max in id-DESC order
+    var acc: Option[Long] = None
+    val expect = rows.sortBy(-_._1).map { case (id, v) =>
+      val o = acc
+      acc = Some(acc.fold(v)(_ max v))
+      id -> o
+    }.toMap
+    assert(got === expect)
+    assert(got(499L) === None, "global first row has no predecessor")
+    // degenerate: empty frame, single row
+    assert(Ranks.prefixMax(Seq.empty[(Long, Long)].toDF("id", "v"),
+      "v", "m", col("id").asc).count() === 0L)
+    val one = Ranks.prefixMax(Seq((1L, 5L)).toDF("id", "v"),
+      "v", "m", col("id").asc).head()
+    assert(one.isNullAt(2))
+  }
+
   test("globalTagged: empty frame ranks to empty, single tag matches global") {
     import spark.implicits._
     assert(Ranks.globalTagged(

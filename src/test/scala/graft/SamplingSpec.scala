@@ -167,4 +167,28 @@ class SamplingSpec extends SparkSpec {
     assert(row.getAs[Double]("kl_train_val") >= 0.0)
     assert(row.getAs[Double]("kl_val_train") >= 0.0)
   }
+
+  test("pareto frontier equals the definitional dominance scan") {
+    // the prefix-max grid walk must agree with the O(n²) definition:
+    // keep d iff no d' is >= on both axes and > on one
+    val got = Sampling.paretoFrontier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stops = Set("the", "a", "of", "and", "in", "to", "is")
+    val scored = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).trim.split(" ", -1)
+        val t = toks.length.toLong
+        val ns = toks.count(stops.contains).toLong
+        (r.getLong(0), t, 1000000L * ns / t)
+      }
+      .filter(_._2 > 0L)
+    val expect = scored.filter { case (_, t, q) =>
+      !scored.exists { case (_, t2, q2) =>
+        t2 >= t && q2 >= q && (t2 > t || q2 > q)
+      }
+    }.toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
 }

@@ -9,17 +9,27 @@ Usage:
   # check a bench capture (a file holding the Bench stdout JSON lines):
   python3 tools/check_bench_budget.py /tmp/bench.json
   # re-record the budget after an intentional plan/surface change:
-  python3 tools/check_bench_budget.py /tmp/bench.json --update
+  python3 tools/check_bench_budget.py /tmp/bench.json --update \
+      [--reverify reports/bench_reverify_rN.txt]
 
 Exit 1 on any regression (check mode) so it can gate a round script.
 The budget lives at src/main/resources/bench_budget.tsv; Bench itself
 also reads it and reports "regressions" in its summary line.
+
+Floor-raise guard (round-12 verdict item): --update REFUSES to raise
+any query's floor more than RAISE_CAP (1.3x) over its committed
+predecessor unless an isolated-reverify line for that query exists in
+the report passed via --reverify. A wholesale "refresh the floors"
+move can otherwise absorb a real regression — the guard forces every
+big raise to carry its own fresh-JVM adjudication evidence. New
+queries (no predecessor) are exempt; lowering a floor always allowed.
 """
 import json
 import os
 import sys
 
 THRESHOLD = 1.5
+RAISE_CAP = 1.3
 BUDGET = os.path.join(os.path.dirname(__file__), "..",
                       "src", "main", "resources", "bench_budget.tsv")
 
@@ -40,8 +50,33 @@ def load_queries(path):
     raise SystemExit(f"no bench JSON line with 'queries' in {path}")
 
 
+def load_budget(path):
+    budget = {}
+    if os.path.exists(path):
+        for line in open(path):
+            name, t = line.strip().split("\t")
+            budget[name] = float(t)
+    return budget
+
+
+def reverified_queries(path):
+    """Query names adjudicated in a bench_reverify report: non-comment
+    lines lead with the query name (see reports/bench_reverify_r12.txt).
+    """
+    names = set()
+    for line in open(path):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        names.add(line.split()[0])
+    return names
+
+
 def main(argv):
     bench, update = argv[1], "--update" in argv[2:]
+    reverify = None
+    if "--reverify" in argv[2:]:
+        reverify = argv[argv.index("--reverify") + 1]
     queries, sf = load_queries(bench)
     # Bench records -1 for a query whose materialization threw; that is
     # a hard failure in either mode, never a time to compare or record.
@@ -53,15 +88,31 @@ def main(argv):
         if not sf.endswith("sf0.1"):
             raise SystemExit(f"refusing to record budgets from sf={sf!r}: "
                              "budgets are defined at sf0.1")
+        old = load_budget(BUDGET)
+        adjudicated = reverified_queries(reverify) if reverify else set()
+        unjustified = []
+        for name in sorted(queries):
+            if name in old and queries[name] > RAISE_CAP * old[name] \
+                    and name not in adjudicated:
+                unjustified.append(
+                    f"{name}: {queries[name]:.2f}s > {RAISE_CAP}x committed "
+                    f"floor {old[name]:.2f}s with no isolated-reverify line"
+                    + (f" in {reverify}" if reverify else
+                       " (--reverify not given)"))
+        if unjustified:
+            for u in unjustified:
+                print(f"REFUSED {u}")
+            raise SystemExit(
+                f"refusing to raise {len(unjustified)} floor(s) past "
+                f"{RAISE_CAP}x without adjudication evidence — re-time each "
+                "isolated (fresh JVM) into the round's bench_reverify "
+                "report and pass it via --reverify")
         with open(BUDGET, "w") as f:
             for name in sorted(queries):
                 f.write(f"{name}\t{queries[name]:.3f}\n")
         print(f"recorded {len(queries)} budgets to {BUDGET}")
         return 0
-    budget = {}
-    for line in open(BUDGET):
-        name, t = line.strip().split("\t")
-        budget[name] = float(t)
+    budget = load_budget(BUDGET)
     failures = [f"{n}: FAILED during bench" for n in crashed]
     if sf.endswith("sf0.1"):
         for name in sorted(set(queries) | set(budget)):

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Tests for the check_bench_budget floor-raise guard (stdlib unittest).
+
+Run: python3 tools/test_check_bench_budget.py
+"""
+import json
+import os
+import sys
+import tempfile
+import unittest
+
+sys.path.insert(0, os.path.dirname(__file__))
+import check_bench_budget as cbb  # noqa: E402
+
+
+def write(path, text):
+    with open(path, "w") as f:
+        f.write(text)
+    return path
+
+
+class RaiseGuardTest(unittest.TestCase):
+    def setUp(self):
+        self.tmp = tempfile.mkdtemp()
+        self.budget = os.path.join(self.tmp, "bench_budget.tsv")
+        self._old_budget = cbb.BUDGET
+        cbb.BUDGET = self.budget
+        write(self.budget, "q_fast\t1.000\nq_slow\t4.000\n")
+
+    def tearDown(self):
+        cbb.BUDGET = self._old_budget
+
+    def bench(self, queries):
+        line = json.dumps({"metric": "bench", "value": sum(queries.values()),
+                           "unit": "sec", "queries": queries,
+                           "sf": "/root/testdata/sf0.1"})
+        return write(os.path.join(self.tmp, "bench.json"), line + "\n")
+
+    def update(self, queries, reverify_text=None):
+        argv = ["prog", self.bench(queries), "--update"]
+        if reverify_text is not None:
+            argv += ["--reverify",
+                     write(os.path.join(self.tmp, "reverify.txt"),
+                           reverify_text)]
+        return cbb.main(argv)
+
+    def read_budget(self):
+        return {n: float(t) for n, t in
+                (l.split("\t") for l in open(self.budget))}
+
+    def test_update_within_cap_allowed(self):
+        rc = self.update({"q_fast": 1.2, "q_slow": 4.1})
+        self.assertEqual(rc, 0)
+        self.assertEqual(self.read_budget()["q_fast"], 1.2)
+
+    def test_update_refuses_unjustified_raise(self):
+        with self.assertRaises(SystemExit):
+            self.update({"q_fast": 2.0, "q_slow": 4.0})
+        # budget file untouched on refusal
+        self.assertEqual(self.read_budget()["q_fast"], 1.0)
+
+    def test_update_allows_raise_with_reverify_line(self):
+        rc = self.update({"q_fast": 2.0, "q_slow": 4.0},
+                         reverify_text="# adjudication\n"
+                                       "q_fast  1.9  1.0  1.95 / 2.0  "
+                                       "plan changed intentionally\n")
+        self.assertEqual(rc, 0)
+        self.assertEqual(self.read_budget()["q_fast"], 2.0)
+
+    def test_reverify_must_name_the_raised_query(self):
+        with self.assertRaises(SystemExit):
+            self.update({"q_fast": 2.0, "q_slow": 4.0},
+                        reverify_text="q_slow 4.0 4.0 4.0 at floor\n")
+
+    def test_new_query_needs_no_justification(self):
+        rc = self.update({"q_fast": 1.0, "q_slow": 4.0, "q_new": 9.9})
+        self.assertEqual(rc, 0)
+        self.assertEqual(self.read_budget()["q_new"], 9.9)
+
+    def test_lowering_always_allowed(self):
+        rc = self.update({"q_fast": 0.1, "q_slow": 0.1})
+        self.assertEqual(rc, 0)
+
+    def test_comment_lines_do_not_adjudicate(self):
+        with self.assertRaises(SystemExit):
+            self.update({"q_fast": 2.0, "q_slow": 4.0},
+                        reverify_text="# q_fast mentioned in a comment\n")
+
+
+if __name__ == "__main__":
+    unittest.main()
