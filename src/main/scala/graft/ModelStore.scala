@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent trained-artifact store: every model the engine trains
+  * (IVF centroids, PQ codebooks, BPE merge table + segmentation,
+  * perceptron weights, Bloom bitmap) can be saved to a parquet
+  * directory stamped with its [[DataVersion]] and reloaded into the
+  * exact serving slot it came from — the production contract the
+  * session-local memo caches only approximate (a real pipeline trains
+  * once, persists, and serves every later job from reloaded state;
+  * the reference's analog is its persisted connector configs,
+  * `/root/reference/connectors/debezium_configuration.json:1-53`).
+  *
+  * Layout (all Spark-native parquet, so artifacts live on the same
+  * lake/filesystem as the data at any scale):
+  *
+  *   <path>/meta.parquet     one row: family, data_version, params
+  *   <path>/payload.parquet  the model rows, with an explicit `ord`
+  *                           column where the artifact is an ordered
+  *                           Seq — reload returns EXACTLY the saved
+  *                           sequence, element order included
+  *
+  * Exactness: parquet stores IEEE doubles and int64s losslessly, so a
+  * reloaded artifact is structurally EQUAL to the saved one (the
+  * round-trip specs assert `==`, not approximate closeness) and
+  * serving from it is bit-equal to serving from the in-memory
+  * original.
+  *
+  * Staleness: [[load]] re-fingerprints the CURRENT dataset directory
+  * and refuses an artifact whose stamp disagrees — the same
+  * regenerated-data contract the memo caches get from
+  * [[DataVersion.key]], now enforced across process restarts. Callers
+  * that want to serve anyway (e.g. a pinned model over a moving
+  * corpus) can pass `requireFresh = false` and get the stamp back to
+  * decide themselves.
+  */
+object ModelStore {
+
+  /** What a stored artifact says about itself. `dataVersion` is the
+    * [[DataVersion.key]] of the training input at save time; `params`
+    * is the family's free-form hyperparameter string (k, merge
+    * budget, …) so a load can refuse a model trained at different
+    * settings.
+    */
+  final case class Meta(family: String, dataVersion: String, params: String)
+
+  def save(spark: SparkSession, path: String, meta: Meta,
+           payload: DataFrame): Unit = {
+    import spark.implicits._
+    payload.write.mode("overwrite").parquet(s"$path/payload.parquet")
+    Seq((meta.family, meta.dataVersion, meta.params))
+      .toDF("family", "data_version", "params")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta.parquet")
+  }
+
+  /** Load an artifact's payload after validating the stamp: the
+    * family must match, and (with `requireFresh`) the stored
+    * data-version stamp must equal `expectedVersion` — pass the
+    * freshly recomputed [[DataVersion.key]] of the dataset the model
+    * will serve, so a stale or foreign artifact fails LOUDLY at load,
+    * never silently at query time.
+    */
+  def load(spark: SparkSession, path: String, family: String,
+           expectedVersion: String, expectedParams: Option[String] = None,
+           requireFresh: Boolean = true): (Meta, DataFrame) = {
+    val m = spark.read.parquet(s"$path/meta.parquet").head()
+    val meta = Meta(m.getAs[String]("family"),
+      m.getAs[String]("data_version"), m.getAs[String]("params"))
+    require(meta.family == family,
+      s"artifact at $path is family '${meta.family}', expected '$family'")
+    expectedParams.foreach(p => require(meta.params == p,
+      s"artifact at $path trained with params '${meta.params}', " +
+        s"expected '$p'"))
+    if (requireFresh)
+      require(meta.dataVersion == expectedVersion,
+        s"STALE artifact at $path: stamped '${meta.dataVersion}', the " +
+          s"dataset now fingerprints '$expectedVersion' — retrain or pass " +
+          "requireFresh = false to serve a pinned model deliberately")
+    (meta, spark.read.parquet(s"$path/payload.parquet"))
+  }
+
+  // ---- IVF centroids --------------------------------------------------
+
+  def saveIvf(spark: SparkSession, path: String, dir: String,
+              centroids: Seq[(Long, Seq[Double])]): Unit = {
+    import spark.implicits._
+    save(spark, path,
+      Meta("ivf", DataVersion.key(dir, "embeddings", "ivf"), ""),
+      centroids.zipWithIndex
+        .map { case ((cid, c), i) => (i, cid, c) }
+        .toDF("ord", "c_id", "c_emb"))
+  }
+
+  /** Reload the centroid artifact (stamp-validated against the
+    * CURRENT `dir`) in exactly the saved order.
+    */
+  def loadIvf(spark: SparkSession, path: String,
+              dir: String): Seq[(Long, Seq[Double])] = {
+    import spark.implicits._
+    load(spark, path, "ivf", DataVersion.key(dir, "embeddings", "ivf"))._2
+      .orderBy("ord").select("c_id", "c_emb")
+      .as[(Long, Seq[Double])].collect().toSeq
+  }
+
+  /** Install a reloaded centroid model into the serving slot
+    * ([[operators.Similarity]]'s memo) so every IVF consumer
+    * (`ann_ivf`, recall audits, the streaming scorer) serves from the
+    * store-loaded artifact.
+    */
+  def installIvf(dir: String, model: Seq[(Long, Seq[Double])]): Unit =
+    operators.Similarity.installCentroids(dir, model)
+
+  // ---- PQ codebook ----------------------------------------------------
+
+  def savePq(spark: SparkSession, path: String, dir: String, k: Int,
+             codebook: Seq[(Int, Long, Seq[Double])]): Unit = {
+    import spark.implicits._
+    save(spark, path,
+      Meta("pq", DataVersion.key(dir, "embeddings", s"pq$k"), s"k=$k"),
+      codebook.zipWithIndex
+        .map { case ((m, cid, c), i) => (i, m, cid, c) }
+        .toDF("ord", "m", "c_id", "c_emb"))
+  }
+
+  def loadPq(spark: SparkSession, path: String, dir: String,
+             k: Int): Seq[(Int, Long, Seq[Double])] = {
+    import spark.implicits._
+    load(spark, path, "pq", DataVersion.key(dir, "embeddings", s"pq$k"),
+      Some(s"k=$k"))._2
+      .orderBy("ord").select("m", "c_id", "c_emb")
+      .as[(Int, Long, Seq[Double])].collect().toSeq
+  }
+
+  def installPq(dir: String, k: Int,
+                model: Seq[(Int, Long, Seq[Double])]): Unit =
+    operators.Pq.installCodebook(dir, k, model)
+
+  // ---- BPE merges + segmentation --------------------------------------
+
+  def saveBpeMerges(spark: SparkSession, path: String, dir: String,
+                    merges: Int, smallTypeLimit: Long,
+                    rows: Seq[(Long, String, String, String, Long)]): Unit = {
+    import spark.implicits._
+    save(spark, path,
+      Meta("bpe_merges", DataVersion.key(dir, "documents", "bpe"),
+        s"merges=$merges#gate=$smallTypeLimit"),
+      rows.toDF("rank", "left", "right", "merged", "n"))
+  }
+
+  def loadBpeMerges(spark: SparkSession, path: String, dir: String,
+                    merges: Int, smallTypeLimit: Long
+                   ): Seq[(Long, String, String, String, Long)] = {
+    import spark.implicits._
+    load(spark, path, "bpe_merges", DataVersion.key(dir, "documents", "bpe"),
+      Some(s"merges=$merges#gate=$smallTypeLimit"))._2
+      .orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+  }
+
+  /** The segmentation artifact is a word-type table (w → subword
+    * array), keyed not ordered — saved as-is; consumers join on `w`.
+    */
+  def saveBpeSegmentation(spark: SparkSession, path: String, dir: String,
+                          merges: Int, smallTypeLimit: Long,
+                          seg: DataFrame): Unit =
+    save(spark, path,
+      Meta("bpe_seg", DataVersion.key(dir, "documents", "bpe"),
+        s"merges=$merges#gate=$smallTypeLimit"),
+      seg.select("w", "sub"))
+
+  def loadBpeSegmentation(spark: SparkSession, path: String, dir: String,
+                          merges: Int, smallTypeLimit: Long): DataFrame =
+    load(spark, path, "bpe_seg", DataVersion.key(dir, "documents", "bpe"),
+      Some(s"merges=$merges#gate=$smallTypeLimit"))._2
+
+  def installBpe(spark: SparkSession, dir: String, merges: Int,
+                 smallTypeLimit: Long,
+                 trainRows: Seq[(Long, String, String, String, Long)],
+                 seg: DataFrame): Unit =
+    operators.BpeTrainer.installModel(spark, dir, merges, smallTypeLimit,
+      trainRows, seg)
+
+  // ---- Perceptron weights ----------------------------------------------
+
+  def savePerceptron(spark: SparkSession, path: String, dir: String,
+                     w: Array[Long]): Unit = {
+    import spark.implicits._
+    save(spark, path,
+      Meta("perceptron", DataVersion.key(dir, "documents", "perceptron"), ""),
+      w.toSeq.zipWithIndex.map { case (v, i) => (i, v) }.toDF("ord", "w"))
+  }
+
+  def loadPerceptron(spark: SparkSession, path: String,
+                     dir: String): Array[Long] = {
+    import spark.implicits._
+    load(spark, path, "perceptron",
+      DataVersion.key(dir, "documents", "perceptron"))._2
+      .orderBy("ord").select("w").as[Long].collect()
+  }
+
+  def installPerceptron(dir: String, w: Array[Long]): Unit =
+    operators.Perceptron.installWeights(dir, w)
+
+  // ---- Bloom bitmap -----------------------------------------------------
+
+  def saveBloom(spark: SparkSession, path: String, dir: String,
+                m: Long, words: Array[Long]): Unit = {
+    import spark.implicits._
+    save(spark, path,
+      Meta("bloom", DataVersion.key(dir, "documents", "bloom"), s"m=$m"),
+      words.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("ord", "word"))
+  }
+
+  def loadBloom(spark: SparkSession, path: String,
+                dir: String): (Long, Array[Long]) = {
+    import spark.implicits._
+    val (meta, df) = load(spark, path, "bloom",
+      DataVersion.key(dir, "documents", "bloom"))
+    (meta.params.stripPrefix("m=").toLong,
+      df.orderBy("ord").select("word").as[Long].collect())
+  }
+}

@@ -396,6 +396,26 @@ object BpeTrainer {
     learned.toDF("rank", "left", "right", "merged", "n")
   }
 
+  /** Install a [[graft.ModelStore]]-reloaded tokenizer (merge table +
+    * segmentation) into the serving slots (same sessionKeys the
+    * trainer memoizes under) so every consumer — [[train]]'s merge
+    * view, [[encode]], [[fertility]], [[vocab]] — serves from the
+    * reloaded model. The segmentation frame is re-checkpointed so the
+    * slot holds a materialized table, exactly like the trained path.
+    */
+  private[graft] def installModel(spark: SparkSession, dir: String,
+      merges: Int, smallTypeLimit: Long,
+      trainRows: Seq[(Long, String, String, String, Long)],
+      seg: DataFrame): Unit = {
+    sessionModels(spark).put(
+      graft.DataVersion.sessionKey(spark, dir, "documents",
+        s"merges#$merges#$smallTypeLimit"), trainRows: AnyRef)
+    sessionModels(spark).put(
+      graft.DataVersion.sessionKey(spark, dir, "documents",
+        s"seg#$merges#$smallTypeLimit"),
+      seg.localCheckpoint(true): AnyRef)
+  }
+
   /** Train-then-segment: the per-word-TYPE subword arrays under the
     * learned merges — the tokenizer model artifact every downstream
     * consumer (fertility, corpus encoding, streaming serving) reuses.
@@ -404,7 +424,7 @@ object BpeTrainer {
     * pass per training round) — the corpus itself is never re-segmented
     * row by row, the 1000× type-table reduction again.
     */
-  private[operators] def segmentation(spark: SparkSession, dir: String,
+  private[graft] def segmentation(spark: SparkSession, dir: String,
       merges: Int = defaultMerges,
       smallTypeLimit: Long = driverTypeLimit): DataFrame = {
     import spark.implicits._

@@ -106,7 +106,7 @@ object Perceptron {
     */
   def classifier(spark: SparkSession, dir: String): DataFrame = {
     val f = features(spark, dir).localCheckpoint(true)
-    val w = train(f)
+    val w = trainedWeights(spark, dir)
     f.select(col("doc_id"),
         margin(w).as("score"),
         (margin(w) > 0).as("pred_en"),
@@ -114,11 +114,27 @@ object Perceptron {
       .orderBy("doc_id")
   }
 
+  /** Per-dataset memo of the trained weight vector — the
+    * [[Similarity]]/[[Pq]] train-once-serve-many discipline (training
+    * is deterministic: fixed epoch count, exact integer updates, so
+    * the artifact is a pure function of the dataset version).
+    */
+  private val weightsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
   /** The trained weight vector alone (for specs / reuse on a stream —
     * weights ride any plan as literals like the IVF centroids do).
     */
   def trainedWeights(spark: SparkSession, dir: String): Array[Long] =
-    train(features(spark, dir).localCheckpoint(true))
+    weightsCache.computeIfAbsent(
+      graft.DataVersion.key(dir, "documents", "perceptron"),
+      _ => train(features(spark, dir).localCheckpoint(true)))
+
+  /** Install a [[graft.ModelStore]]-reloaded weight vector into the
+    * serving slot (same DataVersion key the trainer memoizes under).
+    */
+  private[graft] def installWeights(dir: String, w: Array[Long]): Unit =
+    weightsCache.put(graft.DataVersion.key(dir, "documents", "perceptron"), w)
 
   /** Score a STREAM of documents with batch-trained weights — the
     * train-batch/serve-stream half of the classifier (same pattern as

@@ -279,6 +279,15 @@ object Pq {
       graft.DataVersion.key(dir, "embeddings", s"pq$k"),
       _ => trainCodebook(spark, dir, k))
 
+  /** Install a [[graft.ModelStore]]-reloaded codebook into the serving
+    * slot (same DataVersion key the trainer memoizes under), so every
+    * PQ consumer at this K serves from the reloaded model.
+    */
+  private[graft] def installCodebook(dir: String, k: Int,
+      model: Seq[(Int, Long, Seq[Double])]): Unit =
+    codebookCache.put(graft.DataVersion.key(dir, "embeddings", s"pq$k"),
+      model)
+
   private def trainCodebook(spark: SparkSession, dir: String,
       k: Int): Seq[(Int, Long, Seq[Double])] = {
     import spark.implicits._

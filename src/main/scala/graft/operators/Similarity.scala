@@ -391,6 +391,14 @@ object Similarity {
       graft.DataVersion.key(dir, "embeddings", "ivf"),
       _ => trainCentroids(spark, dir))
 
+  /** Install a [[graft.ModelStore]]-reloaded centroid artifact into
+    * the serving slot (same DataVersion key the trainer memoizes
+    * under), so every IVF consumer serves from the reloaded model.
+    */
+  private[graft] def installCentroids(dir: String,
+      model: Seq[(Long, Seq[Double])]): Unit =
+    centroidCache.put(graft.DataVersion.key(dir, "embeddings", "ivf"), model)
+
   private def trainCentroids(spark: SparkSession, dir: String,
       means: DataFrame => DataFrame = cellMeans): Seq[(Long, Seq[Double])] = {
     val emb = Tables(spark, dir, "embeddings")

@@ -1,0 +1,158 @@
+package graft
+
+import graft.operators.{BpeTrainer, Dedup, Perceptron, Pq, Similarity}
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persistent-artifact contract (round-12 verdict item 1): every
+  * trained model family round-trips through [[ModelStore]] — save →
+  * stamp-validated reload → install into the serving slot — and the
+  * RELOADED artifact serves bit-equal to the memoized (just-trained)
+  * path. Two layers per family:
+  *
+  *   1. structural: the reloaded artifact `==` the trained one,
+  *      element order included (parquet carries IEEE doubles and
+  *      int64s losslessly; the `ord` column freezes Seq order);
+  *   2. serving: the flagship consumer query re-collected after
+  *      installing the reloaded model equals its pre-install output
+  *      row for row.
+  *
+  * Plus the staleness gate: a load against a dataset whose fingerprint
+  * moved (or with different hyperparameters) must THROW, never serve.
+  */
+class ModelStoreSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"modelstore-$tag").toString
+
+  private def collected(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("IVF centroids: save -> stamped reload -> bit-equal ann_ivf serving") {
+    val trained = Similarity.trainedCentroids(spark, dir)
+    val baseline = collected(SparkEntry.queries("ann_ivf")(spark, dir))
+    val path = tmp("ivf")
+    ModelStore.saveIvf(spark, path, dir, trained)
+    val loaded = ModelStore.loadIvf(spark, path, dir)
+    assert(loaded === trained, "parquet round-trip must be exact")
+    ModelStore.installIvf(dir, loaded)
+    // the serving slot now holds the RELOADED object, not the trained one
+    assert(Similarity.trainedCentroids(spark, dir) eq
+      loaded.asInstanceOf[AnyRef])
+    assert(collected(SparkEntry.queries("ann_ivf")(spark, dir)) === baseline)
+  }
+
+  test("PQ K=256 codebook: save -> reload -> bit-equal recall serving") {
+    val k = Pq.productionCodebookSize
+    val trained = Pq.trainedCodebook(spark, dir, k)
+    val baseline =
+      collected(SparkEntry.queries("ann_pq_recall_k256")(spark, dir))
+    val path = tmp("pq")
+    ModelStore.savePq(spark, path, dir, k, trained)
+    val loaded = ModelStore.loadPq(spark, path, dir, k)
+    assert(loaded === trained, "parquet round-trip must be exact")
+    ModelStore.installPq(dir, k, loaded)
+    assert(Pq.trainedCodebook(spark, dir, k) eq loaded.asInstanceOf[AnyRef])
+    assert(collected(SparkEntry.queries("ann_pq_recall_k256")(spark, dir))
+      === baseline)
+    // wrong hyperparameter: a K=256 artifact must not serve a K=32 ask
+    intercept[IllegalArgumentException] {
+      ModelStore.loadPq(spark, path, dir, Pq.codebookSize)
+    }
+  }
+
+  test("BPE merges + segmentation: save -> reload -> bit-equal encode") {
+    import spark.implicits._
+    val merges = BpeTrainer.defaultMerges
+    val gate = BpeTrainer.driverTypeLimit
+    val trainRows = BpeTrainer.train(spark, dir)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val baseline = collected(SparkEntry.queries("text_bpe_encode")(spark, dir))
+    val seg = BpeTrainer.segmentation(spark, dir)
+    val path = tmp("bpe")
+    ModelStore.saveBpeMerges(spark, path + "/m", dir, merges, gate, trainRows)
+    val loadedMerges =
+      ModelStore.loadBpeMerges(spark, path + "/m", dir, merges, gate)
+    assert(loadedMerges === trainRows, "merge table round-trip must be exact")
+    ModelStore.saveBpeSegmentation(spark, path + "/s", dir, merges, gate, seg)
+    val loadedSeg =
+      ModelStore.loadBpeSegmentation(spark, path + "/s", dir, merges, gate)
+    assert(collected(loadedSeg.orderBy("w")) === collected(seg.orderBy("w")),
+      "segmentation round-trip must be exact")
+    ModelStore.installBpe(spark, dir, merges, gate, loadedMerges, loadedSeg)
+    assert(collected(SparkEntry.queries("text_bpe_encode")(spark, dir))
+      === baseline)
+    // the merge view also serves from the installed rows
+    assert(BpeTrainer.train(spark, dir)
+      .as[(Long, String, String, String, Long)].collect().toSeq === trainRows)
+  }
+
+  test("perceptron weights: save -> reload -> bit-equal classifier") {
+    val trained = Perceptron.trainedWeights(spark, dir)
+    val baseline =
+      collected(SparkEntry.queries("text_quality_classifier")(spark, dir))
+    val path = tmp("perceptron")
+    ModelStore.savePerceptron(spark, path, dir, trained)
+    val loaded = ModelStore.loadPerceptron(spark, path, dir)
+    assert(loaded.toSeq === trained.toSeq, "weight round-trip must be exact")
+    ModelStore.installPerceptron(dir, loaded)
+    assert(Perceptron.trainedWeights(spark, dir) eq
+      loaded.asInstanceOf[AnyRef])
+    assert(collected(SparkEntry.queries("text_quality_classifier")(spark, dir))
+      === baseline)
+  }
+
+  test("Bloom bitmap: save -> reload -> bit-equal streaming-gate probe") {
+    val (m, words) = Dedup.bloomArtifact(spark, dir)
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val baseline = collected(
+      StreamingDedup.maybeDupStream(docs, m, words).orderBy("doc_id"))
+    val path = tmp("bloom")
+    ModelStore.saveBloom(spark, path, dir, m, words)
+    val (m2, words2) = ModelStore.loadBloom(spark, path, dir)
+    assert(m2 === m)
+    assert(words2.toSeq === words.toSeq, "bitmap round-trip must be exact")
+    assert(collected(
+      StreamingDedup.maybeDupStream(docs, m2, words2).orderBy("doc_id"))
+      === baseline)
+    // every CORPUS-SIDE document (doc_id % 10 != 0 — the split the
+    // artifact is built from; % 10 == 0 is the probe batch) must probe
+    // true: the no-false-negative contract survives persistence
+    assert(StreamingDedup.maybeDupStream(docs, m2, words2)
+      .filter(col("doc_id") % 10 =!= 0).filter(!col("maybe_dup"))
+      .count() === 0L)
+  }
+
+  test("staleness gate: moved fingerprint and wrong family both refuse") {
+    import spark.implicits._
+    val path = tmp("stale")
+    // stamp an artifact against a COPY of the dataset, then touch the
+    // copy: the fingerprint moves, the load must throw
+    val copy = tmp("data")
+    Tables(spark, dir, "documents").write.parquet(s"$copy/documents.parquet")
+    val w = Array(1L, 2L, 3L, 4L, 5L, 6L)
+    ModelStore.savePerceptron(spark, path, copy, w)
+    assert(ModelStore.loadPerceptron(spark, path, copy).toSeq === w.toSeq)
+    // regenerate the table under the same path -> new fingerprint
+    // (reads from the ORIGINAL dir so the overwritten path is not
+    // simultaneously a read source)
+    Tables(spark, dir, "documents").limit(5).write.mode("overwrite")
+      .parquet(s"$copy/documents.parquet")
+    intercept[IllegalArgumentException] {
+      ModelStore.loadPerceptron(spark, path, copy)
+    }
+    // wrong family: an ivf ask on a perceptron artifact refuses
+    intercept[IllegalArgumentException] {
+      ModelStore.load(spark, path, "ivf", "whatever", requireFresh = false)
+    }
+    // deliberate pinned-model serve: requireFresh=false loads anyway
+    val (meta, payload) = ModelStore.load(spark, path, "perceptron",
+      "ignored", requireFresh = false)
+    assert(meta.family === "perceptron")
+    assert(payload.orderBy("ord").select("w").as[Long].collect().toSeq
+      === w.toSeq)
+  }
+}
