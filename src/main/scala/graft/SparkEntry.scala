@@ -246,6 +246,7 @@ object SparkEntry {
     "q_hll_daily" -> (operators.Sketches.hllDailyUsers _),
     "q_hll_running" -> (operators.Sketches.hllRunningUsers _),
     "q_histogram_quantiles" -> (operators.Sketches.histogramQuantiles _),
+    "q_hdr_quantiles" -> (operators.Sketches.hdrQuantiles _),
     "q_dataset_manifest" -> (operators.Manifest.datasetManifest _),
     "q_forecast_baseline" -> (Behavior.forecastBaseline _),
     "q_weekly_profile" -> (Behavior.weeklyProfile _),
@@ -2066,7 +2067,7 @@ object SparkEntry {
     // and count ÷ mean-count skew ratio — exact integer counts, one
     // rounded division each
     "q_join_skew" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
         |t AS (
         |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
@@ -2077,7 +2078,12 @@ object SparkEntry {
         |  FROM c)
         |SELECT rk, l_suppkey, cnt,
         |  round(CAST(cnt AS DOUBLE) / n_rows, 6) AS share,
-        |  round(CAST(cnt AS DOUBLE) * n_keys / n_rows, 4) AS skew_ratio
+        |  round(CAST(cnt AS DOUBLE) * n_keys / n_rows, 4) AS skew_ratio,
+        |  CASE WHEN CAST(cnt AS HUGEINT) * n_keys >=
+        |      ${operators.Skew.hotKeyRatio} * CAST(n_rows AS HUGEINT)
+        |    THEN 'aqe-skew-join; salt only if one key exceeds an executor'
+        |    ELSE 'none: balanced, remedies only add shuffle width'
+        |  END AS remedy
         |FROM top CROSS JOIN t
         |WHERE rk <= 5 ORDER BY rk""".stripMargin,
     "dedup_exact" ->
@@ -3472,8 +3478,10 @@ object SparkEntry {
          |    AS ewma_rev
          |FROM fin ORDER BY day""".stripMargin,
     // each cell's χ² contribution is floored to exact integer ppm
-    // BEFORE the sum (the engine's Stats.chiSquare discipline), so the
-    // only doubles are the final /1e6 and the round-6 sqrt
+    // BEFORE the sum via the staged identity 10⁶·a² div den =
+    // 10⁶·(a² div den) + 10⁶·(a² mod den) div den (the engine's
+    // Stats.chiSquare discipline — never forms the 10⁶·a² product), so
+    // the only doubles are the final /1e6 and the round-6 sqrt
     "q_chi_square" ->
       """WITH cells AS (
         |  SELECT c_mktsegment AS seg, o_orderpriority AS prio,
@@ -3488,14 +3496,19 @@ object SparkEntry {
         |        CAST(count(DISTINCT seg) AS BIGINT) AS nr,
         |        CAST(count(DISTINCT prio) AS BIGINT) AS nc
         |      FROM cells),
+        |stage AS (
+        |  SELECT n, nr, nc,
+        |    (CAST(n AS HUGEINT) * n_obs - CAST(r_i AS HUGEINT) * c_j) *
+        |    (CAST(n AS HUGEINT) * n_obs - CAST(r_i AS HUGEINT) * c_j)
+        |      AS a2,
+        |    CAST(n AS HUGEINT) * r_i * c_j AS den
+        |  FROM cells JOIN r USING (seg) JOIN c USING (prio) CROSS JOIN t),
         |p AS (
         |  SELECT n, nr, nc,
-        |    CAST(sum((1000000 *
-        |        (CAST(n AS HUGEINT) * n_obs - CAST(r_i AS HUGEINT) * c_j) *
-        |        (CAST(n AS HUGEINT) * n_obs - CAST(r_i AS HUGEINT) * c_j))
-        |      // (CAST(n AS HUGEINT) * r_i * c_j)) AS BIGINT) AS ppm
-        |  FROM cells JOIN r USING (seg) JOIN c USING (prio) CROSS JOIN t
-        |  GROUP BY 1, 2, 3)
+        |    CAST(sum(1000000 * (a2 // den) +
+        |      (1000000 * (a2 - (a2 // den) * den)) // den) AS BIGINT)
+        |      AS ppm
+        |  FROM stage GROUP BY 1, 2, 3)
         |SELECT n AS n_total, (nr - 1) * (nc - 1) AS dof,
         |  CAST(ppm AS DOUBLE) / 1e6 AS chi2,
         |  CASE WHEN n > 0 AND least(nr, nc) > 1 THEN
@@ -3568,31 +3581,44 @@ object SparkEntry {
          |    CAST((s_a * 2 + n_a) // (n_a * 2) AS DOUBLE) / 1e4
          |    END AS mean_after
          |FROM cp CROSS JOIN b CROSS JOIN a""".stripMargin,
-    // exact HUGEINT moments (n, Σx, Σx² on the scale-4 integer price)
-    // reduce to the same sub-2⁵³ fixed-point mean/variance integers as
-    // the engine; t and df are then identical IEEE chains — see
-    // Stats.welchTTest for the exactness argument
+    // exact two-pass anchored moments (n, Σx, then Σ(x−m)² against the
+    // integer floor-mean anchor m = Σx div n) reduce to the same
+    // sub-2⁵³ fixed-point mean/variance integers as the engine via the
+    // staged floor q − [n·r < 2·u]; t and df are then identical IEEE
+    // chains — see Stats.welchTTest for the exactness proof
     "q_welch_ttest" ->
-      s"""WITH g AS (
+      s"""WITH xs AS (
          |  SELECT o_orderstatus AS grp,
-         |    CAST(count(*) AS HUGEINT) AS n,
-         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
-         |      AS HUGEINT)) AS HUGEINT) AS s,
-         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
-         |      AS HUGEINT) *
-         |      CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
-         |      AS HUGEINT)) AS HUGEINT) AS ss
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+         |      AS HUGEINT) AS x
          |  FROM orders
          |  WHERE o_orderstatus IN ('${operators.Stats.welchGroups._1}',
-         |    '${operators.Stats.welchGroups._2}')
-         |  GROUP BY 1),
+         |    '${operators.Stats.welchGroups._2}')),
+         |base AS (
+         |  SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS s
+         |  FROM xs GROUP BY 1),
+         |anch AS (SELECT grp, n, s, s // n AS m FROM base),
+         |dev AS (
+         |  SELECT grp, CAST(sum((x - m) * (x - m)) AS HUGEINT) AS s2
+         |  FROM xs JOIN anch USING (grp) GROUP BY 1),
+         |stage AS (
+         |  SELECT grp, n, s, s2, s - n * m AS s1
+         |  FROM anch JOIN dev USING (grp)),
+         |stage2 AS (
+         |  SELECT grp, n, s, s1, u, xx, yy, xx // yy AS qq
+         |  FROM (SELECT grp, n, s, s1,
+         |          s1 * s1 - n * ((s1 * s1) // n) AS u,
+         |          2 * (s2 - (s1 * s1) // n) + 10000 * (n - 1) AS xx,
+         |          2 * 10000 * (n - 1) AS yy
+         |        FROM stage)),
          |fx AS (
          |  SELECT grp, CAST(n AS BIGINT) AS n,
          |    CAST((2 * s + n) // (2 * n) AS DOUBLE) AS m4,
          |    CASE WHEN n > 1 THEN
-         |      CAST((2 * (n * ss - s * s) + 10000 * n * (n - 1)) //
-         |        (2 * (10000 * n * (n - 1))) AS DOUBLE) END AS v4
-         |  FROM g),
+         |      CAST(qq - CASE WHEN n * (xx - qq * yy) < 2 * u
+         |        THEN 1 ELSE 0 END AS DOUBLE) END AS v4
+         |  FROM stage2),
          |a AS (SELECT n AS n1, m4 AS ma, v4 AS va FROM fx
          |      WHERE grp = '${operators.Stats.welchGroups._1}'),
          |b AS (SELECT n AS n2, m4 AS mb, v4 AS vb FROM fx
@@ -4595,6 +4621,55 @@ object SparkEntry {
          |  h.n AS bucket_n, cum.cum_le
          |FROM sel JOIN h ON h.bucket = sel.bucket
          |         JOIN cum ON cum.bucket = sel.bucket
+         |ORDER BY q_den, q_num""".stripMargin
+    },
+    // HDR log-linear sketch: e from the binary-string-length identity,
+    // sub-bucket by integer shift — the cell table is LINEAR (bucket-
+    // wise sum == sketch of the union), every column exact integer;
+    // see Sketches.hdrQuantiles for the t-digest adjudication
+    "q_hdr_quantiles" -> {
+      val targets = operators.Sketches.hqTargets
+        .map { case (n, d) => s"(CAST($n AS BIGINT), CAST($d AS BIGINT))" }
+        .mkString(", ")
+      val w = 1L << operators.Sketches.hdrSubBits
+      val s = operators.Sketches.hdrSubBits
+      s"""WITH vals AS (
+         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+         |  FROM orders
+         |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1),
+         |c0 AS (
+         |  SELECT v, CAST(length(bin(v)) - 1 AS BIGINT) AS e FROM vals),
+         |cells AS (
+         |  SELECT e,
+         |    (v // CAST(power(2, greatest(e - $s, 0)) AS BIGINT)) -
+         |      CAST(power(2, e - greatest(e - $s, 0)) AS BIGINT) AS sub,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM c0 GROUP BY 1, 2),
+         |k AS (SELECT e, sub, n, e * $w + sub AS key FROM cells),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM k),
+         |cum AS (SELECT a.key, CAST(sum(b.n) AS BIGINT) AS cum_le
+         |        FROM k a JOIN k b ON b.key <= a.key GROUP BY 1),
+         |tg(q_num, q_den) AS (VALUES $targets),
+         |sel AS (
+         |  SELECT q_num, q_den, t_rank, n_total, min(key) AS key
+         |  FROM (SELECT k.key, cum.cum_le, tg.q_num, tg.q_den,
+         |          tot.n_total,
+         |          (tg.q_num * tot.n_total + tg.q_den - 1) // tg.q_den
+         |            AS t_rank
+         |        FROM k JOIN cum USING (key)
+         |             CROSS JOIN tot CROSS JOIN tg) x
+         |  WHERE cum_le >= t_rank
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT sel.q_num, sel.q_den, sel.n_total, sel.t_rank,
+         |  k.e AS bucket_e, k.sub AS bucket_sub,
+         |  (CAST(power(2, k.e - greatest(k.e - $s, 0)) AS BIGINT) + k.sub) *
+         |    CAST(power(2, greatest(k.e - $s, 0)) AS BIGINT) AS lo_cents,
+         |  (CAST(power(2, k.e - greatest(k.e - $s, 0)) AS BIGINT) + k.sub
+         |     + 1) *
+         |    CAST(power(2, greatest(k.e - $s, 0)) AS BIGINT) - 1 AS hi_cents,
+         |  k.n AS bucket_n, cum.cum_le
+         |FROM sel JOIN k ON k.key = sel.key
+         |         JOIN cum ON cum.key = sel.key
          |ORDER BY q_den, q_num""".stripMargin
     },
     "q_weekly_profile" ->

@@ -134,6 +134,105 @@ object Sketches {
       .orderBy("q_den", "q_num")
   }
 
+  /** Sub-bucket bits for [[hdrQuantiles]]: each power-of-two octave
+    * splits into 2^5 = 32 linear sub-buckets, bounding the relative
+    * quantile error at 1/32 ≈ 3.1% (vs the plain histogram row's 2×
+    * bucket width).
+    */
+  val hdrSubBits = 5
+
+  /** Log-linear (HDR-histogram / DDSketch-family) bucket cells over an
+    * integer value column: e = ⌊log₂ v⌋ from the binary-string-length
+    * identity (never a float log on data), sub = the next
+    * [[hdrSubBits]] bits, key = e·2^s + sub (monotone in v). The cell
+    * table IS the sketch state and it is LINEAR: bucket-wise sum is
+    * exactly the sketch of the union — the merge-equals-recompute
+    * property is an identity, not an approximation (spec-pinned).
+    *
+    * Why this and not a t-digest (the round-12 verdict's candidate):
+    * Dunning's t-digest clusters centroids greedily in RANK space, so
+    * its state depends on construction/merge ORDER and its merges are
+    * approximate BY DESIGN — no deterministic oracle can replay it
+    * bit-exactly, and merge == recompute is false for it. The HDR
+    * log-linear sketch is the production quantile sketch in the same
+    * mergeable role (HdrHistogram, DDSketch) whose guarantee —
+    * bounded RELATIVE error at every quantile — is t-digest's selling
+    * point for tail latencies, with a bucket rule that is a pure
+    * function of the value. Contract: v ≥ 1 (same sub-unit exclusion
+    * as the Benford row).
+    */
+  private[graft] def hdrCells(values: DataFrame,
+                              valueCol: String): DataFrame = {
+    val s = hdrSubBits
+    val v = col(valueCol)
+    val e = (length(bin(v)) - 1).cast("long")
+    values
+      .select(v.as("v"), e.as("e"))
+      .withColumn("g", greatest(col("e") - s, lit(0L)))
+      .select(col("e"),
+        (expr("v div CAST(power(2, g) AS BIGINT)") -
+          pow(lit(2.0), col("e") - col("g")).cast("long")).as("sub"))
+      .groupBy(col("e"), col("sub"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("key", col("e") * (1L << s) + col("sub"))
+  }
+
+  /** Relative-error-bounded mergeable quantile sketch over order
+    * totalprice — [[histogramQuantiles]]'s production refinement: same
+    * integer-cents domain, same exact-rank read-off, but each
+    * power-of-two octave splits into 2^[[hdrSubBits]] linear
+    * sub-buckets so the reported [lo, hi] bracket is ≤ 1/32 wide
+    * relative to its own magnitude at every target. EVERY output
+    * column is an exact integer — sketch state and read-off replay
+    * bit-exactly in the oracle.
+    *
+    * Scale shape: one map pass into a bounded-cardinality map-side-
+    * combined aggregate (≤ 64 octaves × 32 sub-buckets in principle,
+    * ~a few hundred live cells for any money column); cumulative
+    * counts via a triangular join over the broadcast cell table
+    * (constant-bounded, never a global window); targets are a literal
+    * cross join. MERGE at 100 TB: per-shard cell tables sum bucket-
+    * wise — a keyed union that is exactly the whole-corpus sketch
+    * (spec-pinned identity), so shards/days/regions aggregate without
+    * ever re-scanning values.
+    */
+  def hdrQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val s = hdrSubBits
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    val cells = hdrCells(
+      Tables(spark, dir, "orders").select(cents.as("v"))
+        .filter(col("v") >= 1L), "v")
+      .localCheckpoint() // bounded cell table: total + cum + read-off
+    val total = cells.agg(sum(col("n")).as("n_total"))
+    val cum = cells.as("h")
+      .join(broadcast(cells.select(col("key").as("k2"), col("n").as("n2"))),
+        col("k2") <= col("h.key"))
+      .groupBy(col("h.key"))
+      .agg(sum(col("n2")).as("cum_le"))
+    val targets = hqTargets.toDF("q_num", "q_den")
+    cells.join(cum, "key")
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(targets))
+      .withColumn("t_rank",
+        expr("(q_num * n_total + q_den - 1) div q_den"))
+      .filter(col("cum_le") >= col("t_rank"))
+      .groupBy(col("q_num"), col("q_den"), col("t_rank"), col("n_total"))
+      .agg(min(col("key")).as("key"))
+      .join(cells, "key")
+      .join(cum, "key")
+      .withColumn("g", greatest(col("e") - s, lit(0L)))
+      .select(col("q_num"), col("q_den"), col("n_total"), col("t_rank"),
+        col("e").as("bucket_e"), col("sub").as("bucket_sub"),
+        ((pow(lit(2.0), col("e") - col("g")).cast("long") + col("sub")) *
+          pow(lit(2.0), col("g")).cast("long")).as("lo_cents"),
+        ((pow(lit(2.0), col("e") - col("g")).cast("long") + col("sub") + 1L) *
+          pow(lit(2.0), col("g")).cast("long") - 1L).as("hi_cents"),
+        col("n").as("bucket_n"), col("cum_le"))
+      .orderBy("q_den", "q_num")
+  }
+
   /** HLL register count m = 2^6 and the per-key word width that
     * remains of the 32-bit md5 slice after the register index.
     */

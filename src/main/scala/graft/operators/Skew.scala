@@ -56,19 +56,38 @@ object Skew {
       .orderBy("s_name")
   }
 
+  /** A key counts as HOT (remedy-worthy) when its count reaches this
+    * multiple of the mean key count — below it the partitioner is
+    * already balanced and any remedy only adds shuffle width. The
+    * [[joinKeySkew]] remedy column tests it in exact integers
+    * (cnt·n_keys ≥ ratio·n_rows), never on the rounded double.
+    */
+  val hotKeyRatio = 2L
+
   /** Join-key skew diagnostic — the measurement that decides whether
     * [[saltedSupplierRevenue]]'s salting is worth its fan-out: the
-    * top-k heaviest join keys with each key's row share and its
-    * skew ratio (count ÷ mean count). A ratio near 1 says the
-    * partitioner is already balanced and salting only adds shuffle
-    * width; a hot key at 10× mean is the straggler that serializes
-    * the stage. Measure first, salt second.
+    * top-k heaviest join keys with each key's row share, its skew
+    * ratio (count ÷ mean count), and the REMEDY adjudication: a ratio
+    * near 1 says the partitioner is already balanced and any remedy
+    * only adds shuffle width; a hot key (≥ [[hotKeyRatio]]× mean)
+    * first gets AQE's runtime skew-join split — on by default, it
+    * subdivides the oversized sort-merge partitions with no plan
+    * change and no small-side replication (spec-pinned in SkewSpec:
+    * the executed plan marks the join `skew=true`) — and manual
+    * salting remains the fallback for what AQE cannot reach: a single
+    * key too large for ONE executor even after splitting (AQE splits
+    * between keys' partitions, not within a key's sort group on the
+    * build side... more precisely it splits by data size so a single
+    * monster key still lands its matches together on the probe side),
+    * or a pre-partitioned layout that must stay identical across
+    * stages. Measure first, let AQE split second, salt last.
     *
     * Shape: one map-side-combined key count (key-cardinality-sized),
     * a TakeOrdered top-k, and ranks via [[Ranks.boundedRank]] on the
     * k-row frame — no global window, no second pass over the fact
     * table. Counts are exact integers; share and ratio are one
-    * rounded division each.
+    * rounded division each; the remedy compares exact integers so the
+    * verdict can never flip on a rounding boundary.
     */
   def joinKeySkew(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val counts = Tables(spark, dir, "lineitem")
@@ -76,12 +95,18 @@ object Skew {
     val totals = counts.agg(sum(col("cnt")).as("n_rows"),
       count(lit(1)).as("n_keys"))
     val top = counts.orderBy(col("cnt").desc, col("l_suppkey")).limit(k)
+    val d38 = "decimal(38,0)"
     Ranks.boundedRank(top, "rk", "cnt", "l_suppkey")
       .crossJoin(broadcast(totals))
       .select(col("rk"), col("l_suppkey"), col("cnt"),
         round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
         round(col("cnt").cast("double") * col("n_keys") / col("n_rows"), 4)
-          .as("skew_ratio"))
+          .as("skew_ratio"),
+        when(expr(s"cast(cnt as $d38) * n_keys >= " +
+            s"$hotKeyRatio * cast(n_rows as $d38)"),
+          lit("aqe-skew-join; salt only if one key exceeds an executor"))
+          .otherwise(lit("none: balanced, remedies only add shuffle width"))
+          .as("remedy"))
       .orderBy("rk")
   }
 }

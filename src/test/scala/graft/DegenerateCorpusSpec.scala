@@ -273,6 +273,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(est.getAs[Long]("n_exact") === 0L)
     assert(est.isNullAt(est.fieldIndex("rel_err")))
     assert(Sketches.histogramQuantiles(spark, dir).count() === 0L)
+    // empty warehouse: no cells, no targets can be met -> empty read-off
+    assert(Sketches.hdrQuantiles(spark, dir).count() === 0L)
     assert(Behavior.forecastBaseline(spark, dir).count() === 0L)
     assert(Behavior.eventTransitions(spark, dir).count() === 0L)
     assert(Behavior.hourlyAnomalies(spark, dir).count() === 0L)

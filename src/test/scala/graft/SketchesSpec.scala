@@ -220,6 +220,46 @@ class SketchesSpec extends SparkSpec {
     assert(merged === histOf(orders))
   }
 
+  test("hdr quantiles: tight relative bracket; merge == recompute exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = Sketches.hdrQuantiles(spark, dir).collect()
+    assert(rows.length === Sketches.hqTargets.length)
+    val cents = Tables(spark, dir, "orders")
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect().map(_.getLong(0)).filter(_ >= 1L).sorted
+    rows.foreach { r =>
+      val (qn, qd) = (r.getAs[Long]("q_num"), r.getAs[Long]("q_den"))
+      val tRank = r.getAs[Long]("t_rank")
+      assert(tRank === (qn * cents.length + qd - 1) / qd)
+      val exact = cents(tRank.toInt - 1)
+      val (lo, hi) = (r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents"))
+      assert(exact >= lo && exact <= hi, s"q=$qn/$qd exact=$exact [$lo,$hi]")
+      // the HDR guarantee the plain histogram row lacks: the bracket is
+      // narrow RELATIVE to its own magnitude (1/2^subBits at e>subBits)
+      assert(hi - lo + 1 <= math.max(1L, lo / (1L << (Sketches.hdrSubBits - 1))),
+        s"bracket [$lo,$hi] too wide for 2^-${Sketches.hdrSubBits} rel err")
+      assert(r.getAs[Long]("cum_le") >= tRank)
+    }
+    // merge == recompute is an IDENTITY for the log-linear cells:
+    // bucket-wise sum of two parity shards equals the union's sketch
+    // cell for cell — the t-digest property that fails is exact here
+    val orders = Tables(spark, dir, "orders")
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hdrCells(
+          df.select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+            .filter(col("v") >= 1L), "v")
+        .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("n")).toMap
+    val a = cellsOf(orders.filter(col("o_orderkey") % 2 === 0))
+    val b = cellsOf(orders.filter(col("o_orderkey") % 2 === 1))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged === cellsOf(orders))
+    // sub-buckets genuinely refine: more live cells than octaves
+    val full = cellsOf(orders)
+    assert(full.keySet.map(_ / (1L << Sketches.hdrSubBits)).size <
+      full.size, "sub-bucketing must split octaves")
+  }
+
   test("hll estimate: inside the 3-sigma error envelope of exact") {
     val row = Sketches.hllDistinct(spark, dir).collect().head
     val exact = row.getAs[Long]("n_exact").toDouble

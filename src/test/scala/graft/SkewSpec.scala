@@ -89,5 +89,14 @@ class SkewSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3) - cnt / nRows) < 1e-6)
       assert(math.abs(r.getDouble(4) - cnt * nKeys / nRows) < 1e-4)
     }
+    // remedy adjudication: exact-integer hot-key rule, AQE named first
+    // (the runtime split the first test proves), salting as fallback
+    got.foreach { r =>
+      val cnt = BigInt(r.getLong(2))
+      val hot = cnt * counts.length >= Skew.hotKeyRatio * counts.map(_._2).sum
+      val remedy = r.getString(5)
+      if (hot) assert(remedy.startsWith("aqe-skew-join"), remedy)
+      else assert(remedy.startsWith("none"), remedy)
+    }
   }
 }
