@@ -204,6 +204,44 @@ object ModelStore {
   def installPerceptron(dir: String, w: Array[Long]): Unit =
     operators.Perceptron.installWeights(dir, w)
 
+  // ---- DSIR domain model ------------------------------------------------
+
+  /** The hashed-n-gram domain model (dense per-bucket scaled
+    * log-ratios) that [[operators.Dsir.streamingScores]] serves —
+    * saved like the perceptron (ord, w).
+    */
+  def saveDsir(spark: SparkSession, path: String, dir: String,
+               w: Array[Long]): Unit = {
+    import spark.implicits._
+    save(spark, path,
+      Meta("dsir", DataVersion.key(dir, "documents", "dsir"),
+        s"buckets=${w.length}"),
+      w.toSeq.zipWithIndex.map { case (v, i) => (i, v) }.toDF("ord", "w"))
+  }
+
+  def loadDsir(spark: SparkSession, path: String, dir: String): Array[Long] = {
+    import spark.implicits._
+    load(spark, path, "dsir", DataVersion.key(dir, "documents", "dsir"))._2
+      .orderBy("ord").select("w").as[Long].collect()
+  }
+
+  // ---- Anomaly baseline ---------------------------------------------------
+
+  /** The frozen per-event-type hourly baseline (b_cnt, b_sum, b_ss —
+    * exact integers) that [[operators.Behavior.streamingAnomalies]]
+    * scores against; keyed by event_type, saved as-is.
+    */
+  def saveAnomalyBaseline(spark: SparkSession, path: String, dir: String,
+                          baseline: DataFrame): Unit =
+    save(spark, path,
+      Meta("anomaly_baseline", DataVersion.key(dir, "events", "anomaly"), ""),
+      baseline.select("event_type", "b_cnt", "b_sum", "b_ss"))
+
+  def loadAnomalyBaseline(spark: SparkSession, path: String,
+                          dir: String): DataFrame =
+    load(spark, path, "anomaly_baseline",
+      DataVersion.key(dir, "events", "anomaly"))._2
+
   // ---- Bloom bitmap -----------------------------------------------------
 
   def saveBloom(spark: SparkSession, path: String, dir: String,

@@ -126,6 +126,37 @@ class ModelStoreSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("DSIR domain model: save -> reload -> bit-equal streaming scores") {
+    val trained = operators.Dsir.trainedWeights(spark, dir)
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val baseline = collected(
+      operators.Dsir.streamingScores(docs, trained).orderBy("doc_id"))
+    val path = tmp("dsir")
+    ModelStore.saveDsir(spark, path, dir, trained)
+    val loaded = ModelStore.loadDsir(spark, path, dir)
+    assert(loaded.toSeq === trained.toSeq, "weight round-trip must be exact")
+    assert(collected(
+      operators.Dsir.streamingScores(docs, loaded).orderBy("doc_id"))
+      === baseline)
+  }
+
+  test("anomaly baseline: save -> reload -> bit-equal monitor scores") {
+    val trained = operators.Behavior.anomalyBaseline(spark, dir)
+      .localCheckpoint(true)
+    val events = Tables(spark, dir, "events")
+    def scores(b: org.apache.spark.sql.DataFrame) = collected(
+      operators.Behavior.streamingAnomalies(events, b)
+        .orderBy("event_type", "hour_idx"))
+    val baseline = scores(trained)
+    val path = tmp("anomaly")
+    ModelStore.saveAnomalyBaseline(spark, path, dir, trained)
+    val loaded = ModelStore.loadAnomalyBaseline(spark, path, dir)
+    assert(collected(loaded.orderBy("event_type")) ===
+      collected(trained.orderBy("event_type")),
+      "baseline round-trip must be exact")
+    assert(scores(loaded) === baseline)
+  }
+
   test("staleness gate: moved fingerprint and wrong family both refuse") {
     import spark.implicits._
     val path = tmp("stale")
