@@ -49,6 +49,11 @@ object ModelStore {
   def save(spark: SparkSession, path: String, meta: Meta,
            payload: DataFrame): Unit = {
     import spark.implicits._
+    // write order is the crash contract: payload FIRST, meta LAST —
+    // the 1-row meta is the commit marker, so a save that dies midway
+    // leaves a store [[load]] refuses (no meta → read error; stale
+    // meta → stamp mismatch), never a silently half-written artifact
+    // served as fresh
     payload.write.mode("overwrite").parquet(s"$path/payload.parquet")
     Seq((meta.family, meta.dataVersion, meta.params))
       .toDF("family", "data_version", "params")

@@ -278,7 +278,7 @@ object Stats {
       .join(broadcast(base.select(col("grp"), col("m"))), "grp")
       .groupBy("grp")
       .agg(sum(pow2(col("x") - col("m"))).as("s2"))
-    val g = base.join(dev, "grp")
+    val g = base.join(broadcast(dev), "grp")
       // S1 = Σ(x−m) = s − n·m = s mod n ∈ [0, n) — algebraic, no
       // third pass; n enters every product as DECIMAL (bare bigint
       // 10⁴·n·(n−1) would wrap past n ≈ 10⁸ rows)
@@ -298,6 +298,9 @@ object Stats {
           // q minus one exactly when n·r < 2·u (see scaladoc proof)
           (col("qq") - when(expr(s"cast(n as $d38) * rr < 2 * u"), 1)
             .otherwise(0)).cast("double")).as("v4"))
+      // the 2-row fixed-point frame feeds BOTH group branches below —
+      // materialize once or each branch re-runs both corpus passes
+      .localCheckpoint(true)
     val a = g.filter(col("grp") === welchGroups._1)
       .select(col("n").as("n1"), col("m4").as("ma"), col("v4").as("va"))
     val b = g.filter(col("grp") === welchGroups._2)
