@@ -247,6 +247,7 @@ object SparkEntry {
     "q_hll_running" -> (operators.Sketches.hllRunningUsers _),
     "q_histogram_quantiles" -> (operators.Sketches.histogramQuantiles _),
     "q_hdr_quantiles" -> (operators.Sketches.hdrQuantiles _),
+    "q_hdr_incremental" -> (operators.Sketches.hdrQuantilesIncremental _),
     "q_dataset_manifest" -> (operators.Manifest.datasetManifest _),
     "q_forecast_baseline" -> (Behavior.forecastBaseline _),
     "q_weekly_profile" -> (Behavior.weeklyProfile _),
@@ -510,6 +511,52 @@ object SparkEntry {
        |s AS (SELECT doc_id, $sBits FROM h GROUP BY doc_id),
        |sh AS (SELECT doc_id, $compose AS simhash FROM s)""".stripMargin
   }
+
+  private lazy val hdrOracleSql: String = {
+      val targets = operators.Sketches.hqTargets
+        .map { case (n, d) => s"(CAST($n AS BIGINT), CAST($d AS BIGINT))" }
+        .mkString(", ")
+      val w = 1L << operators.Sketches.hdrSubBits
+      val s = operators.Sketches.hdrSubBits
+      s"""WITH vals AS (
+         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+         |  FROM orders
+         |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1),
+         |c0 AS (
+         |  SELECT v, CAST(length(bin(v)) - 1 AS BIGINT) AS e FROM vals),
+         |cells AS (
+         |  SELECT e,
+         |    (v // CAST(power(2, greatest(e - $s, 0)) AS BIGINT)) -
+         |      CAST(power(2, e - greatest(e - $s, 0)) AS BIGINT) AS sub,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM c0 GROUP BY 1, 2),
+         |k AS (SELECT e, sub, n, e * $w + sub AS key FROM cells),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM k),
+         |cum AS (SELECT a.key, CAST(sum(b.n) AS BIGINT) AS cum_le
+         |        FROM k a JOIN k b ON b.key <= a.key GROUP BY 1),
+         |tg(q_num, q_den) AS (VALUES $targets),
+         |sel AS (
+         |  SELECT q_num, q_den, t_rank, n_total, min(key) AS key
+         |  FROM (SELECT k.key, cum.cum_le, tg.q_num, tg.q_den,
+         |          tot.n_total,
+         |          (tg.q_num * tot.n_total + tg.q_den - 1) // tg.q_den
+         |            AS t_rank
+         |        FROM k JOIN cum USING (key)
+         |             CROSS JOIN tot CROSS JOIN tg) x
+         |  WHERE cum_le >= t_rank
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT sel.q_num, sel.q_den, sel.n_total, sel.t_rank,
+         |  k.e AS bucket_e, k.sub AS bucket_sub,
+         |  (CAST(power(2, k.e - greatest(k.e - $s, 0)) AS BIGINT) + k.sub) *
+         |    CAST(power(2, greatest(k.e - $s, 0)) AS BIGINT) AS lo_cents,
+         |  (CAST(power(2, k.e - greatest(k.e - $s, 0)) AS BIGINT) + k.sub
+         |     + 1) *
+         |    CAST(power(2, greatest(k.e - $s, 0)) AS BIGINT) - 1 AS hi_cents,
+         |  k.n AS bucket_n, cum.cum_le
+         |FROM sel JOIN k ON k.key = sel.key
+         |         JOIN cum ON cum.key = sel.key
+         |ORDER BY q_den, q_num""".stripMargin
+    }
 
   private val simhashOracle =
     s"$simhashCte\nSELECT doc_id, simhash FROM sh ORDER BY doc_id"
@@ -4627,51 +4674,10 @@ object SparkEntry {
     // sub-bucket by integer shift — the cell table is LINEAR (bucket-
     // wise sum == sketch of the union), every column exact integer;
     // see Sketches.hdrQuantiles for the t-digest adjudication
-    "q_hdr_quantiles" -> {
-      val targets = operators.Sketches.hqTargets
-        .map { case (n, d) => s"(CAST($n AS BIGINT), CAST($d AS BIGINT))" }
-        .mkString(", ")
-      val w = 1L << operators.Sketches.hdrSubBits
-      val s = operators.Sketches.hdrSubBits
-      s"""WITH vals AS (
-         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
-         |  FROM orders
-         |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1),
-         |c0 AS (
-         |  SELECT v, CAST(length(bin(v)) - 1 AS BIGINT) AS e FROM vals),
-         |cells AS (
-         |  SELECT e,
-         |    (v // CAST(power(2, greatest(e - $s, 0)) AS BIGINT)) -
-         |      CAST(power(2, e - greatest(e - $s, 0)) AS BIGINT) AS sub,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM c0 GROUP BY 1, 2),
-         |k AS (SELECT e, sub, n, e * $w + sub AS key FROM cells),
-         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM k),
-         |cum AS (SELECT a.key, CAST(sum(b.n) AS BIGINT) AS cum_le
-         |        FROM k a JOIN k b ON b.key <= a.key GROUP BY 1),
-         |tg(q_num, q_den) AS (VALUES $targets),
-         |sel AS (
-         |  SELECT q_num, q_den, t_rank, n_total, min(key) AS key
-         |  FROM (SELECT k.key, cum.cum_le, tg.q_num, tg.q_den,
-         |          tot.n_total,
-         |          (tg.q_num * tot.n_total + tg.q_den - 1) // tg.q_den
-         |            AS t_rank
-         |        FROM k JOIN cum USING (key)
-         |             CROSS JOIN tot CROSS JOIN tg) x
-         |  WHERE cum_le >= t_rank
-         |  GROUP BY 1, 2, 3, 4)
-         |SELECT sel.q_num, sel.q_den, sel.n_total, sel.t_rank,
-         |  k.e AS bucket_e, k.sub AS bucket_sub,
-         |  (CAST(power(2, k.e - greatest(k.e - $s, 0)) AS BIGINT) + k.sub) *
-         |    CAST(power(2, greatest(k.e - $s, 0)) AS BIGINT) AS lo_cents,
-         |  (CAST(power(2, k.e - greatest(k.e - $s, 0)) AS BIGINT) + k.sub
-         |     + 1) *
-         |    CAST(power(2, greatest(k.e - $s, 0)) AS BIGINT) - 1 AS hi_cents,
-         |  k.n AS bucket_n, cum.cum_le
-         |FROM sel JOIN k ON k.key = sel.key
-         |         JOIN cum ON cum.key = sel.key
-         |ORDER BY q_den, q_num""".stripMargin
-    },
+    "q_hdr_quantiles" -> hdrOracleSql,
+    // same full-recompute oracle: the merged base+delta read-off must
+    // hash-equal the whole-corpus sketch (linearity, driver-certified)
+    "q_hdr_incremental" -> hdrOracleSql,
     "q_weekly_profile" ->
       """WITH c AS (
         |  SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,

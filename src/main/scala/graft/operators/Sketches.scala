@@ -197,13 +197,22 @@ object Sketches {
     * ever re-scanning values.
     */
   def hdrQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    hdrReadOff(spark, hdrCells(
+      Tables(spark, dir, "orders").select(cents.as("v"))
+        .filter(col("v") >= 1L), "v"))
+  }
+
+  /** The exact ⌈q·N⌉ rank read-off over an HDR cell table — shared by
+    * the whole-corpus row and the incremental (merged base+delta)
+    * row, which is what makes the merge contract driver-certifiable:
+    * identical read-off, different cell provenance, same oracle.
+    */
+  private def hdrReadOff(spark: SparkSession, cellsIn: DataFrame): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
     val s = hdrSubBits
-    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
-    val cells = hdrCells(
-      Tables(spark, dir, "orders").select(cents.as("v"))
-        .filter(col("v") >= 1L), "v")
+    val cells = cellsIn
       .localCheckpoint() // bounded cell table: total + cum + read-off
     val total = cells.agg(sum(col("n")).as("n_total"))
     val cum = cells.as("h")
@@ -231,6 +240,28 @@ object Sketches {
           pow(lit(2.0), col("g")).cast("long") - 1L).as("hi_cents"),
         col("n").as("bucket_n"), col("cum_le"))
       .orderBy("q_den", "q_num")
+  }
+
+  /** Incremental HDR serving — the pattern the sketch's linearity
+    * exists for: BASE cells (the persisted nightly sketch a
+    * [[graft.ModelStore]]-style store holds) plus DELTA cells (the
+    * day's new slice — orderkey % 10 == 0, the bloomIncremental split
+    * convention) merged by KEYED SUM, then the identical read-off.
+    * Because the cell table is linear, the merged read-off is
+    * BIT-IDENTICAL to the whole-corpus row — the DuckDB oracle replays
+    * the FULL recompute, so the driver hash-certifies the
+    * merge-equals-recompute identity end-to-end (not only in a spec),
+    * and at 100 TB the nightly job touches ONLY the delta slice.
+    */
+  def hdrQuantilesIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    def side(pred: Column): DataFrame = hdrCells(
+      Tables(spark, dir, "orders").filter(pred)
+        .select(cents.as("v")).filter(col("v") >= 1L), "v")
+    val merged = side(col("o_orderkey") % 10 =!= 0)
+      .unionByName(side(col("o_orderkey") % 10 === 0))
+      .groupBy("e", "sub", "key").agg(sum(col("n")).as("n"))
+    hdrReadOff(spark, merged)
   }
 
   /** HLL register count m = 2^6 and the per-key word width that

@@ -275,6 +275,7 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(Sketches.histogramQuantiles(spark, dir).count() === 0L)
     // empty warehouse: no cells, no targets can be met -> empty read-off
     assert(Sketches.hdrQuantiles(spark, dir).count() === 0L)
+    assert(Sketches.hdrQuantilesIncremental(spark, dir).count() === 0L)
     assert(Behavior.forecastBaseline(spark, dir).count() === 0L)
     assert(Behavior.eventTransitions(spark, dir).count() === 0L)
     assert(Behavior.hourlyAnomalies(spark, dir).count() === 0L)

@@ -126,6 +126,33 @@ class ModelStoreSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("Bloom reload serves a LIVE stream identically to the trained artifact") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (m, words) = operators.Dedup.bloomArtifact(spark, dir)
+    val path = tmp("bloom-live")
+    ModelStore.saveBloom(spark, path, dir, m, words)
+    val (mL, wordsL) = ModelStore.loadBloom(spark, path, dir)
+    val probeDocs = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    def gateOn(mm: Long, ww: Array[Long], name: String): Map[Long, Boolean] = {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingDedup.maybeDupStream(
+          in.toDF().toDF("doc_id", "text"), mm, ww)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        in.addData(probeDocs: _*)
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      } finally q.stop()
+    }
+    assert(gateOn(mL, wordsL, "gate_loaded") === gateOn(m, words, "gate_mem"))
+  }
+
   test("DSIR domain model: save -> reload -> bit-equal streaming scores") {
     val trained = operators.Dsir.trainedWeights(spark, dir)
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
