@@ -247,6 +247,31 @@ object ModelStore {
     load(spark, path, "anomaly_baseline",
       DataVersion.key(dir, "events", "anomaly"))._2
 
+  // ---- HDR sketch cells ---------------------------------------------------
+
+  /** The HDR quantile sketch's cell table (e, sub, key, n — exact
+    * integers) — SKETCH state rather than model weights, but the same
+    * persistence contract: the nightly job saves its cells, the next
+    * increment reloads them and merges the day's delta by keyed sum
+    * ([[operators.Sketches.hdrQuantilesServed]]); linearity makes the
+    * served read-off bit-equal to a full recompute. Stamped against
+    * the BASE slice's source table like every other artifact — a
+    * caller serving base+delta over a moved corpus passes the base
+    * fingerprint it saved under.
+    */
+  def saveHdrCells(spark: SparkSession, path: String, dir: String,
+                   slice: String, cells: DataFrame): Unit =
+    save(spark, path,
+      Meta("hdr_cells", DataVersion.key(dir, "orders", s"hdr#$slice"),
+        s"subBits=${operators.Sketches.hdrSubBits}"),
+      cells.select("e", "sub", "key", "n"))
+
+  def loadHdrCells(spark: SparkSession, path: String, dir: String,
+                   slice: String): DataFrame =
+    load(spark, path, "hdr_cells",
+      DataVersion.key(dir, "orders", s"hdr#$slice"),
+      Some(s"subBits=${operators.Sketches.hdrSubBits}"))._2
+
   // ---- Bloom bitmap -----------------------------------------------------
 
   def saveBloom(spark: SparkSession, path: String, dir: String,

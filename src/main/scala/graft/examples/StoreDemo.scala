@@ -111,6 +111,16 @@ object StoreDemo {
     println(s"[demo] anomaly: ${baseL.count()} type baselines " +
       s"monitor-parity=$monParity")
 
+    // HDR sketch cells: persisted nightly base + fresh delta slice
+    import graft.operators.Sketches
+    ModelStore.saveHdrCells(spark, s"$store/hdr", dir, "base",
+      Sketches.hdrCellsOf(spark, dir, Sketches.hdrBaseSide))
+    val hdrParity =
+      rows(Sketches.hdrQuantilesServed(spark, dir, s"$store/hdr")) ==
+      rows(Sketches.hdrQuantiles(spark, dir))
+    println(s"[demo] hdr-cells: store-served base+delta == full recompute: " +
+      s"$hdrParity")
+
     // staleness: the stamp refuses an artifact for a different dataset
     val refused =
       try { ModelStore.loadIvf(spark, s"$store/ivf", "/root/testdata/sf0.01"); false }

@@ -254,12 +254,39 @@ object Sketches {
     * and at 100 TB the nightly job touches ONLY the delta slice.
     */
   def hdrQuantilesIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val merged = hdrCellsOf(spark, dir, hdrBaseSide)
+      .unionByName(hdrCellsOf(spark, dir, hdrDeltaSide))
+      .groupBy("e", "sub", "key").agg(sum(col("n")).as("n"))
+    hdrReadOff(spark, merged)
+  }
+
+  /** The base/delta slice predicates [[hdrQuantilesIncremental]] and
+    * the store-served form share (the bloomIncremental convention:
+    * % 10 == 0 is the "new batch").
+    */
+  private[graft] def hdrBaseSide: Column = col("o_orderkey") % 10 =!= 0
+  private[graft] def hdrDeltaSide: Column = col("o_orderkey") % 10 === 0
+
+  /** HDR cells over one slice of orders — what a nightly job persists
+    * via [[graft.ModelStore.saveHdrCells]].
+    */
+  private[graft] def hdrCellsOf(spark: SparkSession, dir: String,
+                                pred: Column): DataFrame = {
     val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
-    def side(pred: Column): DataFrame = hdrCells(
-      Tables(spark, dir, "orders").filter(pred)
-        .select(cents.as("v")).filter(col("v") >= 1L), "v")
-    val merged = side(col("o_orderkey") % 10 =!= 0)
-      .unionByName(side(col("o_orderkey") % 10 === 0))
+    hdrCells(Tables(spark, dir, "orders").filter(pred)
+      .select(cents.as("v")).filter(col("v") >= 1L), "v")
+  }
+
+  /** STORE-SERVED incremental quantiles — the literal nightly shape:
+    * reload the persisted base cells (stamp-validated), sketch ONLY
+    * the delta slice, merge by keyed sum, read off. Bit-equal to the
+    * whole-corpus [[hdrQuantiles]] by linearity (spec-pinned); the
+    * corpus's base side is never re-scanned.
+    */
+  def hdrQuantilesServed(spark: SparkSession, dir: String,
+                         storePath: String): DataFrame = {
+    val base = graft.ModelStore.loadHdrCells(spark, storePath, dir, "base")
+    val merged = base.unionByName(hdrCellsOf(spark, dir, hdrDeltaSide))
       .groupBy("e", "sub", "key").agg(sum(col("n")).as("n"))
     hdrReadOff(spark, merged)
   }

@@ -184,6 +184,22 @@ class ModelStoreSpec extends SparkSpec {
     assert(scores(loaded) === baseline)
   }
 
+  test("HDR cells: persisted base + fresh delta serves == full recompute") {
+    import graft.operators.Sketches
+    val path = tmp("hdr")
+    // the nightly save: base-slice cells only
+    ModelStore.saveHdrCells(spark, path, dir, "base",
+      Sketches.hdrCellsOf(spark, dir, Sketches.hdrBaseSide))
+    // the increment: reload base (stamp-validated), sketch the delta,
+    // merge, read off — must equal the whole-corpus row bit for bit
+    assert(collected(Sketches.hdrQuantilesServed(spark, dir, path)) ===
+      collected(Sketches.hdrQuantiles(spark, dir)))
+    // wrong slice name refuses (it is part of the stamp)
+    intercept[IllegalArgumentException] {
+      ModelStore.loadHdrCells(spark, path, dir, "delta")
+    }
+  }
+
   test("staleness gate: moved fingerprint and wrong family both refuse") {
     import spark.implicits._
     val path = tmp("stale")
