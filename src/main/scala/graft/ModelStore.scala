@@ -254,10 +254,20 @@ object ModelStore {
     * persistence contract: the nightly job saves its cells, the next
     * increment reloads them and merges the day's delta by keyed sum
     * ([[operators.Sketches.hdrQuantilesServed]]); linearity makes the
-    * served read-off bit-equal to a full recompute. Stamped against
-    * the BASE slice's source table like every other artifact — a
-    * caller serving base+delta over a moved corpus passes the base
-    * fingerprint it saved under.
+    * served read-off bit-equal to a full recompute.
+    *
+    * Stamp semantics (stated precisely, because sketch state differs
+    * from model state here): the stamp pins the source-table VERSION
+    * the base was sketched from, so on this round's immutable test
+    * tables a fresh load proves the data did not move under the
+    * sketch. In a production lake, base and delta are separate
+    * partition directories — each slice fingerprints independently
+    * and new delta arrival does NOT touch the base slice's stamp; a
+    * deployment whose "table" is one growing directory instead keeps
+    * its own slice watermark and loads the base with
+    * `requireFresh = false` — the stamp then records provenance
+    * rather than gating it, which is the honest best available when
+    * the store cannot see slice boundaries.
     */
   def saveHdrCells(spark: SparkSession, path: String, dir: String,
                    slice: String, cells: DataFrame): Unit =

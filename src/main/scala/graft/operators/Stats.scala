@@ -288,8 +288,11 @@ object Stats {
         expr(s"s1 * s1 - cast(n as $d38) * ((s1 * s1) div cast(n as $d38))"))
       .withColumn("xx", expr(s"2 * tt + 10000 * (cast(n as $d38) - 1)"))
       .withColumn("yy", expr(s"2 * 10000 * (cast(n as $d38) - 1)"))
-      .withColumn("qq", expr("xx div yy"))
-      .withColumn("rr", expr("xx - qq * yy"))
+      // ANSI: yy = 0 at n = 1, and the eager checkpoint below evaluates
+      // every column — the division must carry its own n > 1 guard (the
+      // read-off's lazy `when` no longer shields it)
+      .withColumn("qq", when(col("n") > 1, expr("xx div yy")))
+      .withColumn("rr", when(col("n") > 1, expr("xx - qq * yy")))
       // fixed-point read-offs: the ONLY exit from the integer domain
       .select(col("grp"), col("n"),
         expr("(2 * s + n) div (2 * n)").cast("double").as("m4"),
