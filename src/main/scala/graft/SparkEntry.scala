@@ -3582,14 +3582,16 @@ object SparkEntry {
          |         CAST(sum(c2) AS BIGINT) AS n2 FROM hist),
          |cum AS (
          |  SELECT price, n1, n2,
-         |    CAST(abs(sum(n2 * c1 - n1 * c2) OVER (ORDER BY price))
-         |      AS BIGINT) AS gap
+         |    CAST(abs(sum(CAST(n2 AS HUGEINT) * c1 -
+         |                 CAST(n1 AS HUGEINT) * c2)
+         |               OVER (ORDER BY price))
+         |      AS DECIMAL(38,0)) AS gap
          |  FROM hist CROSS JOIN sz),
          |pk AS (SELECT n1, n2, max(gap) AS d_num FROM cum GROUP BY 1, 2)
          |SELECT c.n1, c.n2, p.d_num,
          |  CASE WHEN c.n1 > 0 AND c.n2 > 0 THEN
          |    round(CAST(p.d_num AS DOUBLE) /
-         |      CAST(c.n1 * c.n2 AS DOUBLE), 6) END AS d,
+         |      CAST(CAST(c.n1 AS HUGEINT) * c.n2 AS DOUBLE), 6) END AS d,
          |  CAST(min(price) AS DOUBLE) AS ks_at
          |FROM cum c JOIN pk p
          |  ON c.n1 = p.n1 AND c.n2 = p.n2 AND c.gap = p.d_num
@@ -4209,13 +4211,15 @@ object SparkEntry {
          |a AS (
          |  SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
          |    CAST(sum(n_neg) AS BIGINT) AS n_neg,
-         |    CAST(sum(n_pos * neg_below) AS BIGINT) AS pairs_won,
-         |    CAST(sum(n_pos * n_neg) AS BIGINT) AS pairs_tied
+         |    CAST(sum(CAST(n_pos AS HUGEINT) * neg_below)
+         |      AS DECIMAL(38,0)) AS pairs_won,
+         |    CAST(sum(CAST(n_pos AS HUGEINT) * n_neg)
+         |      AS DECIMAL(38,0)) AS pairs_tied
          |  FROM wc)
          |SELECT n_pos, n_neg, pairs_won, pairs_tied,
          |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
          |    round(CAST(2 * pairs_won + pairs_tied AS DOUBLE) /
-         |      CAST(2 * n_pos * n_neg AS DOUBLE), 6)
+         |      CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE), 6)
          |  END AS auc
          |FROM a""".stripMargin,
     // confusion counts in one pass over the same scored frame; κ in

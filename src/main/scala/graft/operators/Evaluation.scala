@@ -35,12 +35,17 @@ object Evaluation {
     * prefix-sum of group negative counts over score order) and tie its
     * own negatives. The numerator is kept as the INTEGER 2·wins + ties
     * so the only float op is the final division (exact rational →
-    * round 6). Degenerate corpora (no positives or no negatives) yield
-    * a NULL auc, never an ANSI 0/0.
+    * round 6). Pair counts carry DECIMAL(38,0): wins are bounded by
+    * n⁺·n⁻, past int64 at ~3·10⁹ documents per class — inside the
+    * 100 TB envelope, where a bigint product would wrap silently —
+    * and [[Ranks.prefixSum]] accumulates in the same type; pairs_won /
+    * pairs_tied are emitted as DECIMAL(38,0). Degenerate corpora (no
+    * positives or no negatives) yield a NULL auc, never an ANSI 0/0.
     *
     * Output: one row — n_pos, n_neg, pairs_won, pairs_tied, auc.
     */
   def auc(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
     val byScore = Perceptron.classifier(spark, dir)
       .groupBy(col("score"))
       .agg(sum(when(col("is_en"), 1L).otherwise(0L)).as("n_pos"),
@@ -50,14 +55,17 @@ object Evaluation {
     withCum
       .agg(sum(col("n_pos")).as("n_pos"),
         sum(col("n_neg")).as("n_neg"),
-        sum(col("n_pos") * col("neg_below")).as("pairs_won"),
-        sum(col("n_pos") * col("n_neg")).as("pairs_tied"))
+        sum(col("n_pos").cast(d38) * col("neg_below")).cast(d38)
+          .as("pairs_won"),
+        sum(col("n_pos").cast(d38) * col("n_neg")).cast(d38)
+          .as("pairs_tied"))
       .select(col("n_pos"), col("n_neg"), col("pairs_won"),
         col("pairs_tied"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
           round((lit(2L) * col("pairs_won") + col("pairs_tied"))
             .cast("double") /
-            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6))
+            (lit(2L) * col("n_pos").cast(d38) * col("n_neg"))
+              .cast("double"), 6))
           .as("auc"))
   }
 

@@ -110,35 +110,51 @@ object Ranks {
     * as [[global]] — equal keys must not straddle a range boundary.
     *
     * Value contract (stated, like [[global]]'s total-order contract):
-    * `valueCol` is integer-valued and its GRAND total fits int64 — the
-    * per-partition sums are cast to bigint before the bounded driver
-    * collect (so an int/decimal-typed integer column is fine), nulls
-    * in the value column count as 0 toward the offsets (an all-null
-    * partition no longer NPEs), and a total past 2⁶³ would wrap — the
-    * callers here (KS cell counts, AUC label counts) are corpus-count
-    * bounded, far below it.
+    * `valueCol` is integer-valued (int/long/decimal-integer all fine);
+    * nulls count 0 toward the offsets (an all-null partition cannot
+    * NPE the driver collect). ACCUMULATION IS EXACT DECIMAL(38,0), on
+    * both the distributed passes and the BigInt driver offsets, and
+    * `sumCol` comes back DECIMAL(38,0): the running values the callers
+    * build are PRODUCTS of corpus counts — the KS gap |n₂·cum₁ −
+    * n₁·cum₂| is bounded by 2·n₁·n₂ and the AUC win count by n⁺·n⁻,
+    * both past int64's 9.2·10¹⁸ at ~3·10⁹ rows per side, i.e. inside
+    * the 100 TB envelope where an int64 prefix would WRAP silently
+    * (not null — wrong answers). DECIMAL(38,0) holds them to ~10¹⁹
+    * rows per side.
     */
   def prefixSum(df: DataFrame, valueCol: String, sumCol: String,
                 order: Column*): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val staged = df.repartitionByRange(nParts, order: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val sums = staged.groupBy(col("__pid"))
-      .agg(coalesce(sum(col(valueCol).cast("long")), lit(0L)).as("__s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
+      .agg(sum(col(valueCol).cast(d38)).as("__s"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) BigInt(0) else BigInt(r.getDecimal(1).toBigInteger)))
+      .sortBy(_._1)
+    var acc = BigInt(0)
     val offsets = sums.map { case (p, s) => val o = acc; acc += s; (p, o) }
-    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(offsets.map { case (p, o) =>
+        org.apache.spark.sql.Row(p, new java.math.BigDecimal(o.bigInteger))
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off", d38,
+          nullable = false))))
     val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     staged
       .withColumn("__lps",
-        coalesce(sum(col(valueCol).cast("long")).over(local), lit(0L)))
+        coalesce(sum(col(valueCol).cast(d38)).over(local),
+          lit(0L).cast(d38)))
       .join(broadcast(offDf), "__pid")
-      .withColumn(sumCol, col("__off") + col("__lps"))
+      .withColumn(sumCol, (col("__off") + col("__lps")).cast(d38))
       .drop("__pid", "__lps", "__off")
   }
 

@@ -110,8 +110,12 @@ object Stats {
     * n₁·cum₂(x)| / (n₁·n₂), and the running difference n₂·cum₁ −
     * n₁·cum₂ is the prefix sum of the per-distinct-price integer
     * n₂·c₁ − n₁·c₂ — ONE [[Ranks.prefixSum]] over price order, exact
-    * int64 throughout (|value| ≤ 2·n₁·n₂), with a single round-6
-    * division at the read-off.
+    * DECIMAL(38,0) throughout (|value| ≤ 2·n₁·n₂ crosses int64 at
+    * ~3·10⁹ rows per side — INSIDE the 100 TB envelope, where an
+    * int64 prefix would wrap silently; the decimal form is exact to
+    * ~10¹⁹ per side and d_num is emitted as DECIMAL(38,0)), with a
+    * single round-6 division at the read-off (both factors widened to
+    * decimal before the product for the same reason).
     *
     * Shape (100 TB): the corpus reduces to the distinct-price
     * histogram (one map-side-combined shuffle), the prefix sum is the
@@ -120,6 +124,7 @@ object Stats {
     * the 1-row max frame. The EDF step set is distinct-value-bounded.
     */
   def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
     val seg = broadcast(Tables(spark, dir, "customer")
       .filter(col("c_mktsegment").isin(ksSegments._1, ksSegments._2))
       .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")))
@@ -134,10 +139,11 @@ object Stats {
     val sizes = hist.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     val diffed = hist.crossJoin(broadcast(sizes))
       .select(col("price"), col("n1"), col("n2"),
-        (col("n2") * col("c1") - col("n1") * col("c2")).as("d"))
+        (col("n2").cast(d38) * col("c1") - col("n1").cast(d38) * col("c2"))
+          .cast(d38).as("d"))
     val cum = Ranks.prefixSum(diffed, "d", "d_below", col("price").asc)
       .select(col("price"), col("n1"), col("n2"),
-        abs(col("d_below") + col("d")).as("gap"))
+        abs(col("d_below") + col("d")).cast(d38).as("gap"))
       .localCheckpoint() // feeds the max and the argmax probe
     val peak = cum.groupBy(col("n1"), col("n2"))
       .agg(max(col("gap")).as("d_num"))
@@ -149,7 +155,7 @@ object Stats {
       .select(col("n1"), col("n2"), col("d_num"),
         when(col("n1") > 0 && col("n2") > 0,
           round(col("d_num").cast("double") /
-            (col("n1") * col("n2")).cast("double"), 6)).as("d"),
+            (col("n1").cast(d38) * col("n2")).cast("double"), 6)).as("d"),
         col("ks_at"))
   }
 
