@@ -3457,7 +3457,8 @@ object SparkEntry {
         |j AS (SELECT r1.custkey, r1.r1, r2.r2
         |      FROM r1 JOIN r2 ON r2.custkey = r1.custkey),
         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
-        |    CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2 FROM j)
+        |    CAST(sum(CAST((r1 - r2) * (r1 - r2) AS HUGEINT))
+        |      AS DECIMAL(38,0)) AS sum_d2 FROM j)
         |SELECT n_customers, sum_d2,
         |  CASE WHEN n_customers > 1 THEN
         |    round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) /

@@ -639,8 +639,12 @@ object Analytics {
       max(when(col("t") === "s", col("rk"))).as("r2"))
     val d = col("r1") - col("r2")
     val nD = col("n_customers").cast("double")
+    // Σd² <= n·(n−1)² wraps int64 at only ~2e6 customers — the sum
+    // must carry DECIMAL(38,0) (the per-pair square itself is safe to
+    // ~3e9); emitted as DECIMAL(38,0), oracle mirrors
     pairs.agg(count(lit(1)).as("n_customers"),
-        sum(d * d).as("sum_d2"))
+        sum((d * d).cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("sum_d2"))
       .select(col("n_customers"), col("sum_d2"),
         when(col("n_customers") > 1L,
           round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /

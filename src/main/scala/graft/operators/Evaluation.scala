@@ -88,9 +88,13 @@ object Evaluation {
         sum(when(col("pred_en") && !col("is_en"), 1L).otherwise(0L)).as("fp"),
         sum(when(!col("pred_en") && col("is_en"), 1L).otherwise(0L)).as("fn"),
         sum(when(!col("pred_en") && !col("is_en"), 1L).otherwise(0L)).as("tn"))
-    val n = col("tp") + col("fp") + col("fn") + col("tn")
-    val e = (col("tp") + col("fp")) * (col("tp") + col("fn")) +
-      (col("fn") + col("tn")) * (col("fp") + col("tn"))
+    // κ's n²-scale products cross int64 at ~3e9 documents (inside the
+    // 100 TB envelope) — carry them in DECIMAL(38,0); the read-off is
+    // one double division either way
+    val d38 = "decimal(38,0)"
+    val n = (col("tp") + col("fp") + col("fn") + col("tn")).cast(d38)
+    val e = (col("tp") + col("fp")).cast(d38) * (col("tp") + col("fn")) +
+      (col("fn") + col("tn")).cast(d38) * (col("fp") + col("tn"))
     def ratio(num: org.apache.spark.sql.Column,
               den: org.apache.spark.sql.Column) =
       when(den > 0, round(num.cast("double") / den.cast("double"), 6))
