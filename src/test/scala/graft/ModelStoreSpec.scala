@@ -200,6 +200,23 @@ class ModelStoreSpec extends SparkSpec {
     }
   }
 
+  test("crash contract: a store without its meta commit marker refuses") {
+    // save order is payload FIRST, meta LAST — simulate a save that
+    // died before the commit marker by deleting meta.parquet: load
+    // must fail loudly (no meta = no artifact), never serve the
+    // orphaned payload
+    val path = tmp("crash")
+    ModelStore.savePerceptron(spark, path, dir, Array(1L, 2L, 3L, 4L, 5L, 6L))
+    def rmdir(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmdir))
+      f.delete()
+    }
+    rmdir(new java.io.File(path, "meta.parquet"))
+    intercept[Exception] {
+      ModelStore.loadPerceptron(spark, path, dir)
+    }
+  }
+
   test("staleness gate: moved fingerprint and wrong family both refuse") {
     import spark.implicits._
     val path = tmp("stale")
