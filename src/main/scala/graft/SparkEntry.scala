@@ -161,6 +161,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
     "dedup_prefix_join" -> (Dedup.prefixJaccardJoin _),
+    "dedup_blocking_eval" -> (Dedup.blockingEval _),
     "dedup_cc_incremental" -> (Dedup.ccIncremental _),
     "q_contamination" -> (Dedup.contamination _),
     // — similarity search over embeddings
@@ -557,6 +558,53 @@ object SparkEntry {
          |         JOIN cum ON cum.key = sel.key
          |ORDER BY q_den, q_num""".stripMargin
     }
+
+  /** The exact τ-Jaccard prefix-filter pipeline as a reusable CTE
+    * chain (w → tok → sz → df → pf → cand → ver) — shared by the
+    * dedup_prefix_join oracle and the blocking-quality eval, which
+    * certifies the LSH blocker against this truth set.
+    */
+  private lazy val prefixJoinCtes: String = {
+    val tn = operators.Dedup.prefixTauNum
+    val td = operators.Dedup.prefixTauDen
+    s"""w AS (
+         |  SELECT doc_id, string_split(trim(text), ' ') AS ws
+         |  FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tk
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(generate_series(1, len(ws) - 2)) AS i FROM w)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s
+         |       FROM tok GROUP BY 1),
+         |df AS (SELECT tk, count(*) AS df FROM tok GROUP BY 1),
+         |pf AS (
+         |  SELECT doc_id, tk, s, pos FROM (
+         |    SELECT t.doc_id, t.tk, sz.s,
+         |      row_number() OVER (PARTITION BY t.doc_id
+         |                         ORDER BY df.df, t.tk) AS pos
+         |    FROM tok t JOIN df USING (tk) JOIN sz USING (doc_id))
+         |  WHERE pos <= s - ($tn * s + ${td - 1}) // $td + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.s AS sa, b.s AS sb
+         |  FROM pf a JOIN pf b
+         |    ON a.tk = b.tk AND a.doc_id < b.doc_id
+         |  WHERE $td * b.s >= $tn * a.s AND $td * a.s >= $tn * b.s
+         |    AND ${td + tn} * (1 + least(a.s - a.pos, b.s - b.pos))
+         |          >= $tn * (a.s + b.s)),
+         |ver AS (
+         |  SELECT c.a_id, c.b_id, c.sa, c.sb,
+         |    CAST(count(*) AS BIGINT) AS i
+         |  FROM cand c
+         |  JOIN tok ta ON ta.doc_id = c.a_id
+         |  JOIN tok tb ON tb.doc_id = c.b_id AND tb.tk = ta.tk
+         |  GROUP BY 1, 2, 3, 4)""".stripMargin
+  }
+
+  private lazy val prefixTauPred: String =
+    s"${operators.Dedup.prefixTauDen} * i >= " +
+      s"${operators.Dedup.prefixTauNum} * (sa + sb - i)"
 
   private val simhashOracle =
     s"$simhashCte\nSELECT doc_id, simhash FROM sh ORDER BY doc_id"
@@ -2360,48 +2408,42 @@ object SparkEntry {
     // per-doc rarity order (df asc, tk asc), prefix = rarest
     // s − ⌈τs⌉ + 1 shingles, τ cuts as integer cross-multiplications;
     // the only float is the display Jaccard (one division, round 6)
-    "dedup_prefix_join" -> {
-      val tn = operators.Dedup.prefixTauNum
-      val td = operators.Dedup.prefixTauDen
-      s"""WITH w AS (
-         |  SELECT doc_id, string_split(trim(text), ' ') AS ws
-         |  FROM documents),
-         |tok AS (
-         |  SELECT DISTINCT doc_id,
-         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tk
-         |  FROM (SELECT doc_id, ws,
-         |          unnest(generate_series(1, len(ws) - 2)) AS i FROM w)),
-         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s
-         |       FROM tok GROUP BY 1),
-         |df AS (SELECT tk, count(*) AS df FROM tok GROUP BY 1),
-         |pf AS (
-         |  SELECT doc_id, tk, s, pos FROM (
-         |    SELECT t.doc_id, t.tk, sz.s,
-         |      row_number() OVER (PARTITION BY t.doc_id
-         |                         ORDER BY df.df, t.tk) AS pos
-         |    FROM tok t JOIN df USING (tk) JOIN sz USING (doc_id))
-         |  WHERE pos <= s - ($tn * s + ${td - 1}) // $td + 1),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         |    a.s AS sa, b.s AS sb
-         |  FROM pf a JOIN pf b
-         |    ON a.tk = b.tk AND a.doc_id < b.doc_id
-         |  WHERE $td * b.s >= $tn * a.s AND $td * a.s >= $tn * b.s
-         |    AND ${td + tn} * (1 + least(a.s - a.pos, b.s - b.pos))
-         |          >= $tn * (a.s + b.s)),
-         |ver AS (
-         |  SELECT c.a_id, c.b_id, c.sa, c.sb,
-         |    CAST(count(*) AS BIGINT) AS i
-         |  FROM cand c
-         |  JOIN tok ta ON ta.doc_id = c.a_id
-         |  JOIN tok tb ON tb.doc_id = c.b_id AND tb.tk = ta.tk
-         |  GROUP BY 1, 2, 3, 4)
+    "dedup_prefix_join" ->
+      s"""WITH $prefixJoinCtes
          |SELECT a_id, b_id, sa, sb, i,
          |  round(CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE), 6)
          |    AS jaccard
-         |FROM ver WHERE $td * i >= $tn * (sa + sb - i)
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+         |FROM ver WHERE $prefixTauPred
+         |ORDER BY a_id, b_id""".stripMargin,
+    // Christen blocking-quality report: the production wide-LSH
+    // blocker graded against the exact τ-Jaccard truth set — both CTE
+    // chains composed verbatim from their certified oracles
+    "dedup_blocking_eval" ->
+      s"""$wideSigsCte,
+         |bands AS (
+         |  $wideBandsCte),
+         |lsh AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key
+         |      AND a.doc_id < b.doc_id),
+         |$prefixJoinCtes,
+         |truth AS (SELECT a_id, b_id FROM ver WHERE $prefixTauPred),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |m AS (SELECT
+         |    CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+         |    CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_candidates,
+         |    CAST((SELECT count(*) FROM truth t
+         |          JOIN lsh USING (a_id, b_id)) AS BIGINT) AS n_caught)
+         |SELECT n_docs, n_truth, n_candidates, n_caught,
+         |  CASE WHEN n_truth > 0 THEN
+         |    round(CAST(n_caught AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+         |  END AS pairs_completeness,
+         |  CASE WHEN n_docs > 1 THEN
+         |    round(1.0 - 2.0 * CAST(n_candidates AS DOUBLE) /
+         |      (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1.0)), 6)
+         |  END AS reduction_ratio
+         |FROM m CROSS JOIN nd""".stripMargin,
     "dedup_containment" ->
       s"""WITH s AS (
         |  SELECT doc_id, lang, text FROM documents

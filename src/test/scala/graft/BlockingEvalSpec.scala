@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Blocking-quality evaluation (Christen pairs-completeness +
+  * reduction ratio): the report row must be the literal composition of
+  * its two certified inputs — recompute every number from the
+  * collected truth (exact τ-Jaccard pairs) and candidate (wide-LSH)
+  * sets and assert exact agreement, plus the report's invariants.
+  */
+class BlockingEvalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("metrics replay exactly from the collected truth and candidate sets") {
+    val row = Dedup.blockingEval(spark, dir).head()
+    val truth = Dedup.prefixJaccardJoin(spark, dir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.lshWideCandidatePairs(spark, dir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nDocs = Tables(spark, dir, "documents").count()
+    val caught = truth.intersect(cand)
+    assert(row.getAs[Long]("n_docs") === nDocs)
+    assert(row.getAs[Long]("n_truth") === truth.size.toLong)
+    assert(row.getAs[Long]("n_candidates") === cand.size.toLong)
+    assert(row.getAs[Long]("n_caught") === caught.size.toLong)
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("pairs_completeness") ===
+      round6(caught.size.toDouble / truth.size))
+    assert(row.getAs[Double]("reduction_ratio") ===
+      round6(1.0 - 2.0 * cand.size / (nDocs.toDouble * (nDocs - 1.0))))
+    // invariants: caught is bounded by both sets; the blocker must
+    // actually block (ratio near 1 on any sane banding), and the
+    // report is honest about what banding misses (completeness <= 1)
+    assert(caught.size <= math.min(truth.size, cand.size))
+    assert(row.getAs[Double]("reduction_ratio") > 0.9)
+    val pc = row.getAs[Double]("pairs_completeness")
+    assert(pc >= 0.0 && pc <= 1.0)
+  }
+}

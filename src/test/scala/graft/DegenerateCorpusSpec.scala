@@ -91,6 +91,7 @@ class DegenerateCorpusSpec extends SparkSpec {
     "greedy_chunks" -> TextAnalysis.greedyChunks(spark, dir).count(),
     "pareto" -> Sampling.paretoFrontier(spark, dir).count(),
     "prefix_join" -> Dedup.prefixJaccardJoin(spark, dir).count(),
+    "blocking_eval" -> Dedup.blockingEval(spark, dir).count(),
     "cc_incremental" -> Dedup.ccIncremental(spark, dir).count(),
     "hard_negatives" -> graft.operators.Quantize.hardNegatives(spark, dir).count(),
     "mutual_knn" -> Similarity.mutualKnnPairs(spark, dir).count(),
@@ -102,7 +103,8 @@ class DegenerateCorpusSpec extends SparkSpec {
     opCounts(dir).foreach { case (name, n) =>
       // recall/audit rows are global aggregates: one row even when empty
       val expect =
-        if (Set("srp_recall", "triangles", "split_kl", "mrl_overlap")(name)) 1L
+        if (Set("srp_recall", "triangles", "split_kl", "mrl_overlap",
+          "blocking_eval")(name)) 1L
         else 0L
       assert(n === expect, s"$name must be ${expect} on an empty corpus")
     }
