@@ -3499,8 +3499,8 @@ object SparkEntry {
         |j AS (SELECT r1.custkey, r1.r1, r2.r2
         |      FROM r1 JOIN r2 ON r2.custkey = r1.custkey),
         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
-        |    CAST(sum(CAST((r1 - r2) * (r1 - r2) AS HUGEINT))
-        |      AS DECIMAL(38,0)) AS sum_d2 FROM j)
+        |    CAST(CAST(sum(CAST((r1 - r2) * (r1 - r2) AS HUGEINT))
+        |      AS DECIMAL(38,0)) AS BIGINT) AS sum_d2 FROM j)
         |SELECT n_customers, sum_d2,
         |  CASE WHEN n_customers > 1 THEN
         |    round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) /
@@ -3631,14 +3631,14 @@ object SparkEntry {
          |      AS DECIMAL(38,0)) AS gap
          |  FROM hist CROSS JOIN sz),
          |pk AS (SELECT n1, n2, max(gap) AS d_num FROM cum GROUP BY 1, 2)
-         |SELECT c.n1, c.n2, p.d_num,
+         |SELECT c.n1, c.n2, CAST(p.d_num AS BIGINT) AS d_num,
          |  CASE WHEN c.n1 > 0 AND c.n2 > 0 THEN
          |    round(CAST(p.d_num AS DOUBLE) /
          |      CAST(CAST(c.n1 AS HUGEINT) * c.n2 AS DOUBLE), 6) END AS d,
          |  CAST(min(price) AS DOUBLE) AS ks_at
          |FROM cum c JOIN pk p
          |  ON c.n1 = p.n1 AND c.n2 = p.n2 AND c.gap = p.d_num
-         |GROUP BY 1, 2, 3""".stripMargin,
+         |GROUP BY c.n1, c.n2, p.d_num""".stripMargin,
     // n·S_t = n·P_t - t·T in exact 1e-4 revenue units (HUGEINT); every
     // mean read-off is the half-up (2·num+den)//(2·den) fixed point
     "q_cusum_changepoint" ->
@@ -4259,7 +4259,9 @@ object SparkEntry {
          |    CAST(sum(CAST(n_pos AS HUGEINT) * n_neg)
          |      AS DECIMAL(38,0)) AS pairs_tied
          |  FROM wc)
-         |SELECT n_pos, n_neg, pairs_won, pairs_tied,
+         |SELECT n_pos, n_neg,
+         |  CAST(pairs_won AS BIGINT) AS pairs_won,
+         |  CAST(pairs_tied AS BIGINT) AS pairs_tied,
          |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
          |    round(CAST(2 * pairs_won + pairs_tied AS DOUBLE) /
          |      CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE), 6)

@@ -641,11 +641,14 @@ object Analytics {
     val nD = col("n_customers").cast("double")
     // Σd² <= n·(n−1)² wraps int64 at only ~2e6 customers — the sum
     // must carry DECIMAL(38,0) (the per-pair square itself is safe to
-    // ~3e9); emitted as DECIMAL(38,0), oracle mirrors
+    // ~3e9). The EMITTED sum_d2 is cast back to BIGINT at the edge
+    // (no DecimalType on the output surface); past ~2e6-customer-scale
+    // ·10³ the cast fails LOUD via ANSI overflow, never wraps.
     pairs.agg(count(lit(1)).as("n_customers"),
         sum((d * d).cast("decimal(38,0)")).cast("decimal(38,0)")
           .as("sum_d2"))
-      .select(col("n_customers"), col("sum_d2"),
+      .select(col("n_customers"),
+        col("sum_d2").cast("bigint").as("sum_d2"),
         when(col("n_customers") > 1L,
           round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
             (nD * (nD * nD - lit(1.0))), 6)).as("rho"))

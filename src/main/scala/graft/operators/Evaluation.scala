@@ -38,9 +38,14 @@ object Evaluation {
     * round 6). Pair counts carry DECIMAL(38,0): wins are bounded by
     * n⁺·n⁻, past int64 at ~3·10⁹ documents per class — inside the
     * 100 TB envelope, where a bigint product would wrap silently —
-    * and [[Ranks.prefixSum]] accumulates in the same type; pairs_won /
-    * pairs_tied are emitted as DECIMAL(38,0). Degenerate corpora (no
-    * positives or no negatives) yield a NULL auc, never an ANSI 0/0.
+    * and [[Ranks.prefixSum]] accumulates in the same type. The EMITTED
+    * pairs_won / pairs_tied columns are cast back to BIGINT at the
+    * final projection (the driver-proven output surface carries no
+    * DecimalType): at driver scales the values are ≤10¹¹, and past
+    * ~3·10⁹ documents per class the edge cast fails LOUD (ANSI
+    * overflow) rather than wrapping — the accumulation itself stays
+    * exact DECIMAL(38,0). Degenerate corpora (no positives or no
+    * negatives) yield a NULL auc, never an ANSI 0/0.
     *
     * Output: one row — n_pos, n_neg, pairs_won, pairs_tied, auc.
     */
@@ -59,8 +64,9 @@ object Evaluation {
           .as("pairs_won"),
         sum(col("n_pos").cast(d38) * col("n_neg")).cast(d38)
           .as("pairs_tied"))
-      .select(col("n_pos"), col("n_neg"), col("pairs_won"),
-        col("pairs_tied"),
+      .select(col("n_pos"), col("n_neg"),
+        col("pairs_won").cast("bigint").as("pairs_won"),
+        col("pairs_tied").cast("bigint").as("pairs_tied"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
           round((lit(2L) * col("pairs_won") + col("pairs_tied"))
             .cast("double") /

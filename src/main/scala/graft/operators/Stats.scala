@@ -113,7 +113,11 @@ object Stats {
     * DECIMAL(38,0) throughout (|value| ≤ 2·n₁·n₂ crosses int64 at
     * ~3·10⁹ rows per side — INSIDE the 100 TB envelope, where an
     * int64 prefix would wrap silently; the decimal form is exact to
-    * ~10¹⁹ per side and d_num is emitted as DECIMAL(38,0)), with a
+    * ~10¹⁹ per side. The EMITTED d_num is cast back to BIGINT at the
+    * final projection (the driver-proven output surface carries no
+    * DecimalType); at any driver scale it fits easily, and past
+    * ~3·10⁹ rows per side the edge cast fails LOUD via ANSI overflow
+    * rather than wrapping — the accumulation stays decimal), with a
     * single round-6 division at the read-off (both factors widened to
     * decimal before the product for the same reason).
     *
@@ -152,7 +156,8 @@ object Stats {
       .filter(col("gap") === col("d_num"))
       .groupBy(col("n1"), col("n2"), col("d_num"))
       .agg(min(col("price")).cast("double").as("ks_at"))
-      .select(col("n1"), col("n2"), col("d_num"),
+      .select(col("n1"), col("n2"),
+        col("d_num").cast("bigint").as("d_num"),
         when(col("n1") > 0 && col("n2") > 0,
           round(col("d_num").cast("double") /
             (col("n1").cast(d38) * col("n2")).cast("double"), 6)).as("d"),

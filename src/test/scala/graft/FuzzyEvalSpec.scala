@@ -61,8 +61,8 @@ class FuzzyEvalSpec extends SparkSpec {
     assert(row.getAs[Long]("n_pos") === pos.length.toLong)
     assert(row.getAs[Long]("n_neg") === neg.length.toLong)
     // pair counts are DECIMAL(38,0) since the int64-wrap fix
-    assert(row.getAs[java.math.BigDecimal]("pairs_won").longValueExact === won)
-    assert(row.getAs[java.math.BigDecimal]("pairs_tied").longValueExact === tied)
+    assert(row.getAs[Long]("pairs_won") === won)
+    assert(row.getAs[Long]("pairs_tied") === tied)
     val exact = (2.0 * won + tied) / (2.0 * pos.length * neg.length)
     assert(math.abs(row.getAs[Double]("auc") - exact) < 5e-7)
     // the perceptron is a deliberately tiny replayable model, near

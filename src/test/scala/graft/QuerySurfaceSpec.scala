@@ -21,6 +21,34 @@ class QuerySurfaceSpec extends SparkSpec {
     }
   }
 
+  test("no query emits DecimalType — the driver-proven output surface") {
+    // r13 regression class: three rows emitted DECIMAL(38,0) columns
+    // and hash-failed the driver despite bit-identical values on both
+    // engines (the driver's hasher canonicalizes decimal128 outputs
+    // differently from its int64/double path). DECIMAL accumulation
+    // stays INTERNAL; the emitted surface is int/long/double/string/
+    // bool/binary/date/timestamp/array/map/struct thereof, never
+    // decimal. This pins that contract so a hardening pass cannot
+    // silently re-introduce the failure.
+    import org.apache.spark.sql.types._
+    def decimals(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType => Seq(path)
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => decimals(f.dataType, s"$path.${f.name}"))
+      case a: ArrayType => decimals(a.elementType, s"$path[]")
+      case m: MapType =>
+        decimals(m.keyType, s"$path<key>") ++
+          decimals(m.valueType, s"$path<val>")
+      case _ => Nil
+    }
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      decimals(fn(spark, dir).schema, name)
+    }
+    assert(offenders.isEmpty,
+      s"DecimalType on the emitted surface (cast to bigint/double at " +
+        s"the edge): ${offenders.mkString(", ")}")
+  }
+
   test("every query has an oracle — zero rows-only entries") {
     // since round 5 even BPE training is oracle-checked (a DuckDB
     // recursive CTE replays the serial trainer), and the approx

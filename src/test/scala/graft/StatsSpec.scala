@@ -54,8 +54,8 @@ class StatsSpec extends SparkSpec {
     val dNum = gaps.map(_._1).max
     assert(row.getAs[Long]("n1") === a.length.toLong)
     assert(row.getAs[Long]("n2") === b.length.toLong)
-    // d_num is DECIMAL(38,0) since the int64-wrap fix
-    assert(row.getAs[java.math.BigDecimal]("d_num").longValueExact === dNum)
+    // d_num accumulates DECIMAL(38,0) internally but is emitted BIGINT
+    assert(row.getAs[Long]("d_num") === dNum)
     assert(row.getAs[Double]("ks_at") === gaps.filter(_._1 == dNum).map(_._2).min)
     val d = row.getAs[Double]("d")
     assert(d >= 0.0 && d <= 1.0)
