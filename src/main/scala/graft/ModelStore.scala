@@ -53,7 +53,20 @@ object ModelStore {
     // the 1-row meta is the commit marker, so a save that dies midway
     // leaves a store [[load]] refuses (no meta → read error; stale
     // meta → stamp mismatch), never a silently half-written artifact
-    // served as fresh
+    // served as fresh. On OVERWRITE the old meta must go FIRST: a
+    // retrain-in-place whose dataset fingerprint hasn't moved would
+    // otherwise leave a still-valid old marker next to a partially
+    // rewritten payload if the save dies mid-payload, and load would
+    // silently serve the truncated artifact — deleting the marker up
+    // front restores the fresh-save invariant on every save.
+    val metaDir = new java.io.File(path, "meta.parquet")
+    if (metaDir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(metaDir)
+    }
     payload.write.mode("overwrite").parquet(s"$path/payload.parquet")
     Seq((meta.family, meta.dataVersion, meta.params))
       .toDF("family", "data_version", "params")
@@ -281,6 +294,51 @@ object ModelStore {
     load(spark, path, "hdr_cells",
       DataVersion.key(dir, "orders", s"hdr#$slice"),
       Some(s"subBits=${operators.Sketches.hdrSubBits}"))._2
+
+  // ---- HLL daily registers ------------------------------------------------
+
+  /** The grouped HLL sketch's register table (day, reg, max_rho —
+    * exact integers), the distinct-count sibling of [[saveHdrCells]]:
+    * the nightly job saves its per-day registers, the next increment
+    * reloads them and MAX-merges the day's delta (the HLL union —
+    * [[operators.Sketches.hllDailyServed]]); the union property makes
+    * the served read-off bit-equal to a full recompute. Same slice-
+    * stamp semantics as the HDR cells (see [[saveHdrCells]]).
+    */
+  def saveHllDailyRegs(spark: SparkSession, path: String, dir: String,
+                       slice: String, regs: DataFrame): Unit =
+    save(spark, path,
+      Meta("hll_daily_regs", DataVersion.key(dir, "events", s"hll#$slice"),
+        s"m=${operators.Sketches.hllRegisters}"),
+      regs.select("day", "reg", "max_rho"))
+
+  def loadHllDailyRegs(spark: SparkSession, path: String, dir: String,
+                       slice: String): DataFrame =
+    load(spark, path, "hll_daily_regs",
+      DataVersion.key(dir, "events", s"hll#$slice"),
+      Some(s"m=${operators.Sketches.hllRegisters}"))._2
+
+  // ---- CMS cells ----------------------------------------------------------
+
+  /** The count-min sketch's cell table (row_j, bucket, cnt — exact
+    * integers), the frequency sibling of [[saveHdrCells]]: cells are
+    * LINEAR (keyed sum is the union), so the increment reloads the
+    * base cells and sums the delta batch's cells
+    * ([[operators.Sketches.cmsTokenCountsServed]]) — bit-equal to a
+    * full recompute. Same slice-stamp semantics as the HDR cells.
+    */
+  def saveCmsCells(spark: SparkSession, path: String, dir: String,
+                   slice: String, cells: DataFrame): Unit =
+    save(spark, path,
+      Meta("cms_cells", DataVersion.key(dir, "documents", s"cms#$slice"),
+        s"d=${operators.Sketches.cmsDepth}#w=${operators.Sketches.cmsWidth}"),
+      cells.select("row_j", "bucket", "cnt"))
+
+  def loadCmsCells(spark: SparkSession, path: String, dir: String,
+                   slice: String): DataFrame =
+    load(spark, path, "cms_cells",
+      DataVersion.key(dir, "documents", s"cms#$slice"),
+      Some(s"d=${operators.Sketches.cmsDepth}#w=${operators.Sketches.cmsWidth}"))._2
 
   // ---- Bloom bitmap -----------------------------------------------------
 

@@ -236,6 +236,7 @@ object SparkEntry {
     "text_dsir_weights" -> (Dsir.weights _),
     "text_dsir_resample" -> (Dsir.resample _),
     "text_cms_counts" -> (operators.Sketches.cmsTokenCounts _),
+    "text_cms_incremental" -> (operators.Sketches.cmsTokenCountsIncremental _),
     "text_lz_complexity" -> (TextAnalysis.lzComplexity _),
     "text_length_histogram" -> (TextAnalysis.lengthHistogram _),
     "text_pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
@@ -245,6 +246,7 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
     "q_hll_registers" -> (operators.Sketches.hllRegistersQuery _),
     "q_hll_daily" -> (operators.Sketches.hllDailyUsers _),
+    "q_hll_incremental" -> (operators.Sketches.hllDailyIncremental _),
     "q_hll_running" -> (operators.Sketches.hllRunningUsers _),
     "q_histogram_quantiles" -> (operators.Sketches.histogramQuantiles _),
     "q_hdr_quantiles" -> (operators.Sketches.hdrQuantiles _),
@@ -511,6 +513,77 @@ object SparkEntry {
        |      FROM (SELECT doc_id, md5(w) AS d FROM tok)),
        |s AS (SELECT doc_id, $sBits FROM h GROUP BY doc_id),
        |sh AS (SELECT doc_id, $compose AS simhash FROM s)""".stripMargin
+  }
+
+  /** CMS full-recompute replay — shared by the whole-corpus row and
+    * the incremental (merged base+delta) row: cell linearity makes
+    * the merged read-off bit-identical, so the SAME oracle certifies
+    * merge == recompute (the hdrOracleSql discipline).
+    */
+  private lazy val cmsOracleSql: String = {
+    // first 32 bits of the md5 hex via the shared strpos trick
+    val hex8 = (0 until 8).map(o =>
+      s"(strpos('0123456789abcdef', substr(d, ${1 + o}, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (7 - o))} AS BIGINT)").mkString(" + ")
+    val js = (0 until operators.Sketches.cmsDepth).mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents),
+       |v AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY 1),
+       |h AS (
+       |  SELECT token, exact_n, j,
+       |    ($hex8) % ${operators.Sketches.cmsWidth} AS bucket
+       |  FROM (SELECT token, exact_n, j,
+       |          md5(token || '#' || CAST(j AS VARCHAR)) AS d
+       |        FROM v, unnest([$js]) t(j))),
+       |cells AS (SELECT j, bucket, sum(exact_n) AS cnt FROM h GROUP BY 1, 2)
+       |SELECT h.token, CAST(h.exact_n AS BIGINT) AS exact_n,
+       |  CAST(min(cells.cnt) AS BIGINT) AS cms_est
+       |FROM h JOIN cells ON h.j = cells.j AND h.bucket = cells.bucket
+       |GROUP BY 1, 2 ORDER BY token""".stripMargin
+  }
+
+  /** HLL daily full-recompute replay — shared by the whole-corpus row
+    * and the incremental (MAX-merged base+delta) row: register-wise
+    * MAX is the HLL union, so the SAME oracle certifies
+    * merge == recompute.
+    */
+  private lazy val hllDailyOracleSql: String = {
+    val hex8 = (0 until 8).map(o =>
+      s"(strpos('0123456789abcdef', substr(d, ${1 + o}, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (7 - o))} AS BIGINT)").mkString(" + ")
+    val wordMod = 1L << operators.Sketches.hllWordBits
+    val m = operators.Sketches.hllRegisters
+    val a = operators.Sketches.hllAlpha
+    val raw = s"$a * $m.0 * $m.0 / " +
+      s"(harm_present + ($m.0 - CAST(n_present AS DOUBLE)))"
+    s"""WITH hh AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day, ($hex8) AS h
+       |  FROM (SELECT ts, md5(CAST(user_id AS VARCHAR)) AS d FROM events)),
+       |rr AS (
+       |  SELECT day, h // $wordMod AS reg,
+       |    ${operators.Sketches.rhoSql(s"(h % $wordMod)")} AS rho
+       |  FROM hh),
+       |mx AS (SELECT day, reg, max(rho) AS max_rho FROM rr GROUP BY 1, 2),
+       |sk AS (
+       |  SELECT day, CAST(count(*) AS BIGINT) AS n_present,
+       |    sum(power(2, -max_rho)) AS harm_present
+       |  FROM mx GROUP BY 1),
+       |ex AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       |  FROM events GROUP BY 1),
+       |es AS (
+       |  SELECT sk.day, ex.n_exact,
+       |    CAST($m - sk.n_present AS BIGINT) AS n_zero_regs,
+       |    round(CASE WHEN $raw <= 2.5 * $m.0 AND $m - n_present > 0
+       |      THEN $m.0 * ln($m.0 / CAST($m - n_present AS DOUBLE))
+       |      ELSE $raw END, 4) AS est_distinct
+       |  FROM sk JOIN ex ON ex.day = sk.day)
+       |SELECT day, n_exact, n_zero_regs, est_distinct,
+       |  CASE WHEN n_exact > 0 THEN
+       |    round(abs(est_distinct - CAST(n_exact AS DOUBLE)) /
+       |          CAST(n_exact AS DOUBLE), 4) END AS rel_err
+       |FROM es ORDER BY day""".stripMargin
   }
 
   private lazy val hdrOracleSql: String = {
@@ -4640,27 +4713,11 @@ object SparkEntry {
          |  CAST(round(p * ${operators.Sampling.tempBudgetTokens}, 0) AS BIGINT)
          |    AS target_tokens
          |FROM s ORDER BY lang""".stripMargin,
-    "text_cms_counts" -> {
-      // first 32 bits of the md5 hex via the shared strpos trick
-      val hex8 = (0 until 8).map(o =>
-        s"(strpos('0123456789abcdef', substr(d, ${1 + o}, 1)) - 1) * " +
-          s"CAST(${1L << (4 * (7 - o))} AS BIGINT)").mkString(" + ")
-      val js = (0 until operators.Sketches.cmsDepth).mkString(", ")
-      s"""WITH tok AS (
-         |  SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents),
-         |v AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY 1),
-         |h AS (
-         |  SELECT token, exact_n, j,
-         |    ($hex8) % ${operators.Sketches.cmsWidth} AS bucket
-         |  FROM (SELECT token, exact_n, j,
-         |          md5(token || '#' || CAST(j AS VARCHAR)) AS d
-         |        FROM v, unnest([$js]) t(j))),
-         |cells AS (SELECT j, bucket, sum(exact_n) AS cnt FROM h GROUP BY 1, 2)
-         |SELECT h.token, CAST(h.exact_n AS BIGINT) AS exact_n,
-         |  CAST(min(cells.cnt) AS BIGINT) AS cms_est
-         |FROM h JOIN cells ON h.j = cells.j AND h.bucket = cells.bucket
-         |GROUP BY 1, 2 ORDER BY token""".stripMargin
-    },
+    "text_cms_counts" -> cmsOracleSql,
+    // same full-recompute oracle: the merged base+delta read-off must
+    // hash-equal the whole-corpus sketch (cell linearity,
+    // driver-certified)
+    "text_cms_incremental" -> cmsOracleSql,
     "q_dataset_manifest" -> {
       def fieldSql(n: String, k: String): String = k match {
         case "i" | "s" => s"COALESCE(CAST($n AS VARCHAR), '')"
@@ -4754,44 +4811,11 @@ object SparkEntry {
         |    THEN CAST(abs(n - forecast) AS DOUBLE) / CAST(n AS DOUBLE) END),
         |    6) AS mape
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_hll_daily" -> {
-      val hex8 = (0 until 8).map(o =>
-        s"(strpos('0123456789abcdef', substr(d, ${1 + o}, 1)) - 1) * " +
-          s"CAST(${1L << (4 * (7 - o))} AS BIGINT)").mkString(" + ")
-      val wordMod = 1L << operators.Sketches.hllWordBits
-      val m = operators.Sketches.hllRegisters
-      val a = operators.Sketches.hllAlpha
-      val raw = s"$a * $m.0 * $m.0 / " +
-        s"(harm_present + ($m.0 - CAST(n_present AS DOUBLE)))"
-      s"""WITH hh AS (
-         |  SELECT epoch_us(ts) // 86400000000 AS day, ($hex8) AS h
-         |  FROM (SELECT ts, md5(CAST(user_id AS VARCHAR)) AS d FROM events)),
-         |rr AS (
-         |  SELECT day, h // $wordMod AS reg,
-         |    ${operators.Sketches.rhoSql(s"(h % $wordMod)")} AS rho
-         |  FROM hh),
-         |mx AS (SELECT day, reg, max(rho) AS max_rho FROM rr GROUP BY 1, 2),
-         |sk AS (
-         |  SELECT day, CAST(count(*) AS BIGINT) AS n_present,
-         |    sum(power(2, -max_rho)) AS harm_present
-         |  FROM mx GROUP BY 1),
-         |ex AS (
-         |  SELECT epoch_us(ts) // 86400000000 AS day,
-         |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
-         |  FROM events GROUP BY 1),
-         |es AS (
-         |  SELECT sk.day, ex.n_exact,
-         |    CAST($m - sk.n_present AS BIGINT) AS n_zero_regs,
-         |    round(CASE WHEN $raw <= 2.5 * $m.0 AND $m - n_present > 0
-         |      THEN $m.0 * ln($m.0 / CAST($m - n_present AS DOUBLE))
-         |      ELSE $raw END, 4) AS est_distinct
-         |  FROM sk JOIN ex ON ex.day = sk.day)
-         |SELECT day, n_exact, n_zero_regs, est_distinct,
-         |  CASE WHEN n_exact > 0 THEN
-         |    round(abs(est_distinct - CAST(n_exact AS DOUBLE)) /
-         |          CAST(n_exact AS DOUBLE), 4) END AS rel_err
-         |FROM es ORDER BY day""".stripMargin
-    },
+    "q_hll_daily" -> hllDailyOracleSql,
+    // same full-recompute oracle: the MAX-merged base+delta read-off
+    // must hash-equal the whole-corpus sketch (HLL union property,
+    // driver-certified)
+    "q_hll_incremental" -> hllDailyOracleSql,
     // cumulative uniques-to-date: register-wise MAX over the day
     // prefix (sketch-union as a triangular join over the D×m frame);
     // exact side prefix-sums first-seen-day counts the same way

@@ -45,21 +45,89 @@ object Sketches {
     * the comparison output wants exact_n anyway.
     */
   def cmsTokenCounts(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = Tables(spark, dir, "documents")
+    val vocab = cmsVocab(spark, dir)
+    val hashed = cmsHashed(vocab)
+    val cells = hashed.groupBy("row_j", "bucket")
+      .agg(sum(col("exact_n")).as("cnt"))
+    cmsReadOff(hashed, cells)
+  }
+
+  /** The full-corpus (token, exact_n) reduction the comparison output
+    * wants — tiny (vocabulary-sized), checkpointed once per caller.
+    */
+  private def cmsVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
       .select(explode(split(trim(col("text")), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("exact_n"))
       .localCheckpoint() // tiny; feeds cells + estimates
-    val hashed = (0 until cmsDepth).map(j =>
+
+  /** Vocab × depth probe rows: each token's (row_j, bucket) addresses. */
+  private def cmsHashed(vocab: DataFrame): DataFrame =
+    (0 until cmsDepth).map(j =>
         vocab.select(col("token"), col("exact_n"), lit(j).as("row_j"),
           cmsBucket(j, col("token")).as("bucket")))
       .reduce(_ unionByName _)
-    val cells = hashed.groupBy("row_j", "bucket")
-      .agg(sum(col("exact_n")).as("cnt"))
+
+  /** The estimate read-off shared by the whole-corpus, incremental,
+    * and store-served rows: probe the (broadcast) cell table at each
+    * token's d addresses, min over rows — identical read-off, cell
+    * provenance is what varies (the [[hdrQuantiles]] discipline).
+    */
+  private def cmsReadOff(hashed: DataFrame, cells: DataFrame): DataFrame =
     hashed.join(broadcast(cells), Seq("row_j", "bucket"))
       .groupBy("token", "exact_n")
       .agg(min(col("cnt")).as("cms_est"))
       .select("token", "exact_n", "cms_est")
       .orderBy("token")
+
+  /** The base/delta document slices the incremental CMS rows share —
+    * the corpus-wide % 10 ingest-batch convention ([[graft.operators
+    * .Dedup]]'s bloomIncremental split).
+    */
+  private[graft] def cmsBaseSide: Column = col("doc_id") % 10 =!= 0
+  private[graft] def cmsDeltaSide: Column = col("doc_id") % 10 === 0
+
+  /** CMS cells over one document slice — what a nightly job persists
+    * via [[graft.ModelStore.saveCmsCells]]: counts aggregate directly
+    * off the slice's token stream ([[streamingCmsCells]]'s form; by
+    * linearity identical to building from a per-slice vocab
+    * reduction).
+    */
+  private[graft] def cmsCellsOf(spark: SparkSession, dir: String,
+                                pred: Column): DataFrame =
+    streamingCmsCells(Tables(spark, dir, "documents").filter(pred)
+      .select(explode(split(trim(col("text")), " ")).as("token")))
+
+  /** Incremental CMS serving — the frequency-sketch twin of
+    * [[hdrQuantilesIncremental]]: BASE cells (the persisted nightly
+    * sketch) plus DELTA cells (the new ingest batch) merged by KEYED
+    * SUM, then the identical probe read-off. The CMS cell table is
+    * LINEAR (cell-wise sum is exactly the sketch of the union), so
+    * the merged read-off is BIT-IDENTICAL to the whole-corpus row —
+    * the DuckDB oracle replays the FULL recompute, driver-certifying
+    * merge == recompute end-to-end; at 100 TB the nightly job touches
+    * ONLY the delta slice's tokens.
+    */
+  def cmsTokenCountsIncremental(spark: SparkSession,
+                                dir: String): DataFrame = {
+    val merged = cmsCellsOf(spark, dir, cmsBaseSide)
+      .unionByName(cmsCellsOf(spark, dir, cmsDeltaSide))
+      .groupBy("row_j", "bucket").agg(sum(col("cnt")).as("cnt"))
+    cmsReadOff(cmsHashed(cmsVocab(spark, dir)), merged)
+  }
+
+  /** STORE-SERVED incremental CMS — the literal nightly shape: reload
+    * the persisted base cells (stamp-validated), sketch ONLY the delta
+    * slice's tokens, merge by keyed sum, read off. Bit-equal to the
+    * whole-corpus [[cmsTokenCounts]] by linearity (spec-pinned); the
+    * base slice is never re-tokenized.
+    */
+  def cmsTokenCountsServed(spark: SparkSession, dir: String,
+                           storePath: String): DataFrame = {
+    val base = graft.ModelStore.loadCmsCells(spark, storePath, dir, "base")
+    val merged = base.unionByName(cmsCellsOf(spark, dir, cmsDeltaSide))
+      .groupBy("row_j", "bucket").agg(sum(col("cnt")).as("cnt"))
+    cmsReadOff(cmsHashed(cmsVocab(spark, dir)), merged)
   }
 
   /** The pure-streaming CMS half: the d×w cells as a streaming
@@ -387,20 +455,43 @@ object Sketches {
     * alongside for the honesty column; estimate and rel_err are each
     * one rounded expression over exact dyadic/integer inputs.
     */
-  def hllDailyUsers(spark: SparkSession, dir: String): DataFrame = {
-    val m = hllRegisters
-    val ev = Tables(spark, dir, "events")
+  def hllDailyUsers(spark: SparkSession, dir: String): DataFrame =
+    hllDailyReadOff(spark, dir, hllDailyRegsOf(spark, dir, lit(true)))
+
+  /** Day-keyed events with the epoch-day bucket — the shared input of
+    * the daily register builds and the exact honesty side.
+    */
+  private def hllDailyEvents(spark: SparkSession, dir: String,
+                             pred: Column): DataFrame =
+    Tables(spark, dir, "events").filter(pred)
       .select(expr(s"unix_micros(ts) div ${86400L * 1000 * 1000}L").as("day"),
         col("user_id"))
+
+  /** (day, reg, max_rho) register table over one event slice — what a
+    * nightly job persists via [[graft.ModelStore.saveHllDailyRegs]].
+    */
+  private[graft] def hllDailyRegsOf(spark: SparkSession, dir: String,
+                                    pred: Column): DataFrame = {
     val h = hllHash(col("user_id"))
-    val regs = ev
+    hllDailyEvents(spark, dir, pred)
       .select(col("day"), shiftright(h, hllWordBits).as("reg"),
         rhoExpr(h.bitwiseAND(lit((1L << hllWordBits) - 1))).as("rho"))
       .groupBy("day", "reg").agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** The per-day estimate read-off over a (day, reg, max_rho) register
+    * table — shared by the whole-corpus, incremental, and store-served
+    * rows ([[hdrQuantiles]]'s provenance discipline). The exact
+    * honesty column always recomputes over the FULL corpus: it is the
+    * audit the estimate is graded against, not sketch state.
+    */
+  private def hllDailyReadOff(spark: SparkSession, dir: String,
+                              regs: DataFrame): DataFrame = {
+    val m = hllRegisters
     val sket = regs.groupBy("day").agg(
       count(lit(1)).as("n_present"),
       sum(pow(lit(2.0), -col("max_rho"))).as("harm_present"))
-    val exact = ev.groupBy("day")
+    val exact = hllDailyEvents(spark, dir, lit(true)).groupBy("day")
       .agg(countDistinct(col("user_id")).as("n_exact"))
     val mD = lit(m.toDouble)
     val harm = col("harm_present") + (mD - col("n_present").cast("double"))
@@ -416,6 +507,45 @@ object Sketches {
           round(abs(est - col("n_exact").cast("double")) /
             col("n_exact").cast("double"), 4)).as("rel_err"))
       .orderBy("day")
+  }
+
+  /** The base/delta event slices the incremental HLL rows share
+    * (event_id % 10 == 0 is the "new batch" — the bloomIncremental
+    * split convention applied to the events table).
+    */
+  private[graft] def hllBaseSide: Column = col("event_id") % 10 =!= 0
+  private[graft] def hllDeltaSide: Column = col("event_id") % 10 === 0
+
+  /** Incremental HLL daily-uniques serving — the distinct-sketch twin
+    * of [[hdrQuantilesIncremental]]: BASE registers (the persisted
+    * nightly sketch) plus DELTA registers (the new event batch) merged
+    * by register-wise MAX — the HLL union — then the identical
+    * read-off. MAX-merge is exactly the sketch of the union, so the
+    * merged read-off is BIT-IDENTICAL to the whole-corpus row; the
+    * DuckDB oracle replays the FULL recompute, driver-certifying
+    * merge == recompute end-to-end. At 100 TB the nightly job hashes
+    * ONLY the delta slice — state is O(days·m) regardless of user
+    * cardinality.
+    */
+  def hllDailyIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val merged = hllDailyRegsOf(spark, dir, hllBaseSide)
+      .unionByName(hllDailyRegsOf(spark, dir, hllDeltaSide))
+      .groupBy("day", "reg").agg(max(col("max_rho")).as("max_rho"))
+    hllDailyReadOff(spark, dir, merged)
+  }
+
+  /** STORE-SERVED incremental daily uniques — the literal nightly
+    * shape: reload the persisted base registers (stamp-validated),
+    * sketch ONLY the delta slice, MAX-merge, read off. Bit-equal to
+    * the whole-corpus [[hllDailyUsers]] by the union property
+    * (spec-pinned); the base slice is never re-hashed.
+    */
+  def hllDailyServed(spark: SparkSession, dir: String,
+                     storePath: String): DataFrame = {
+    val base = graft.ModelStore.loadHllDailyRegs(spark, storePath, dir, "base")
+    val merged = base.unionByName(hllDailyRegsOf(spark, dir, hllDeltaSide))
+      .groupBy("day", "reg").agg(max(col("max_rho")).as("max_rho"))
+    hllDailyReadOff(spark, dir, merged)
   }
 
   /** Running cumulative distinct users by day — the windowed payoff of

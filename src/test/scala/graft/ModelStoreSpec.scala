@@ -200,6 +200,62 @@ class ModelStoreSpec extends SparkSpec {
     }
   }
 
+  test("HLL daily regs: persisted base + fresh delta serves == full recompute") {
+    import graft.operators.Sketches
+    val path = tmp("hll")
+    ModelStore.saveHllDailyRegs(spark, path, dir, "base",
+      Sketches.hllDailyRegsOf(spark, dir, Sketches.hllBaseSide))
+    // reload base (stamp-validated), sketch the delta, MAX-merge (the
+    // HLL union), read off — must equal the whole-corpus row bit for bit
+    assert(collected(Sketches.hllDailyServed(spark, dir, path)) ===
+      collected(Sketches.hllDailyUsers(spark, dir)))
+    intercept[IllegalArgumentException] {
+      ModelStore.loadHllDailyRegs(spark, path, dir, "delta")
+    }
+  }
+
+  test("CMS cells: persisted base + fresh delta serves == full recompute") {
+    import graft.operators.Sketches
+    val path = tmp("cms")
+    ModelStore.saveCmsCells(spark, path, dir, "base",
+      Sketches.cmsCellsOf(spark, dir, Sketches.cmsBaseSide))
+    // reload base (stamp-validated), sketch the delta tokens, keyed
+    // sum (cell linearity), read off — bit-equal to the full recompute
+    assert(collected(Sketches.cmsTokenCountsServed(spark, dir, path)) ===
+      collected(Sketches.cmsTokenCounts(spark, dir)))
+    intercept[IllegalArgumentException] {
+      ModelStore.loadCmsCells(spark, path, dir, "delta")
+    }
+  }
+
+  test("overwrite crash contract: old meta never vouches for a new payload") {
+    // save() must delete the old commit marker BEFORE rewriting the
+    // payload: a retrain-in-place whose dataset fingerprint hasn't
+    // moved would otherwise leave a valid old meta next to a torn new
+    // payload after a mid-payload crash, and load would silently serve
+    // it. Simulate the crash window: after a completed save, delete
+    // the meta (what save() now does first) and corrupt the payload —
+    // load must refuse on the missing marker.
+    val path = tmp("overwrite")
+    ModelStore.savePerceptron(spark, path, dir, Array(1L, 2L, 3L, 4L, 5L, 6L))
+    // second save onto the same path succeeds end-to-end (marker is
+    // re-created after the new payload)
+    ModelStore.savePerceptron(spark, path, dir, Array(9L, 8L, 7L, 6L, 5L, 4L))
+    assert(ModelStore.loadPerceptron(spark, path, dir).toSeq ===
+      Seq(9L, 8L, 7L, 6L, 5L, 4L))
+    // now the torn overwrite: marker deleted (save's first step), then
+    // the process dies mid-payload — whatever the payload dir holds,
+    // load refuses because there is no commit marker
+    def rmdir(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmdir))
+      f.delete()
+    }
+    rmdir(new java.io.File(path, "meta.parquet"))
+    intercept[Exception] {
+      ModelStore.loadPerceptron(spark, path, dir)
+    }
+  }
+
   test("crash contract: a store without its meta commit marker refuses") {
     // save order is payload FIRST, meta LAST — simulate a save that
     // died before the commit marker by deleting meta.parquet: load
