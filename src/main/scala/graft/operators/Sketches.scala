@@ -230,19 +230,30 @@ object Sketches {
     * as the Benford row).
     */
   private[graft] def hdrCells(values: DataFrame,
-                              valueCol: String): DataFrame = {
-    val s = hdrSubBits
-    val v = col(valueCol)
-    val e = (length(bin(v)) - 1).cast("long")
-    values
-      .select(v.as("v"), e.as("e"))
-      .withColumn("g", greatest(col("e") - s, lit(0L)))
-      .select(col("e"),
-        (expr("v div CAST(power(2, g) AS BIGINT)") -
-          pow(lit(2.0), col("e") - col("g")).cast("long")).as("sub"))
+                              valueCol: String): DataFrame =
+    hdrBuckets(values.select(col(valueCol).as("v")), "v")
       .groupBy(col("e"), col("sub"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("key", col("e") * (1L << s) + col("sub"))
+      .withColumn("key", col("e") * (1L << hdrSubBits) + col("sub"))
+
+  /** The per-row (e, sub) log-linear bucket projection — shared by the
+    * batch cell build above and the streaming windowed cell aggregate
+    * ([[graft.streaming.StreamingStats.hdrWindowCells]]), so the two
+    * halves bucket identically by construction. Appends `e` and `sub`,
+    * preserving every other column (the streaming caller keeps its
+    * event-time column for the window group).
+    */
+  private[graft] def hdrBuckets(values: DataFrame,
+                                valueCol: String): DataFrame = {
+    val s = hdrSubBits
+    val v = col(valueCol)
+    values
+      .withColumn("e", (length(bin(v)) - 1).cast("long"))
+      .withColumn("g", greatest(col("e") - s, lit(0L)))
+      .withColumn("sub",
+        (expr(s"$valueCol div CAST(power(2, g) AS BIGINT)") -
+          pow(lit(2.0), col("e") - col("g")).cast("long")))
+      .drop("g")
   }
 
   /** Relative-error-bounded mergeable quantile sketch over order

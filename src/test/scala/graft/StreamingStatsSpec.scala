@@ -38,6 +38,63 @@ class StreamingStatsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed HDR cells equal the batch sketch per window") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // orders replayed as (event-time, cents) rows, OUT OF ORDER across
+    // two batches (second half first) — the watermark must still land
+    // every row in its window because the delay covers the disorder
+    val rows = Tables(spark, dir, "orders")
+      .select(col("o_orderdate").cast("timestamp").cast("long"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(Long, Long)].collect()
+
+    val in = MemoryStream[(Long, Long)]
+    val q = streaming.StreamingStats.hdrWindowCells(
+        in.toDF().select(col("_1").cast("timestamp").as("ts"),
+          col("_2").as("v")),
+        "v", "ts", "7 days", "400 days")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hdrcells").start()
+    try {
+      val (w1, w2) = rows.splitAt(rows.length / 2)
+      in.addData(w2.toSeq); q.processAllAvailable()
+      in.addData(w1.toSeq); q.processAllAvailable()
+      val got = spark.table("hdrcells").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("w_start").getTime,
+          r.getAs[Long]("e"), r.getAs[Long]("sub")) -> r.getAs[Long]("n"))
+        .toMap
+
+      // batch twin: the SAME window assignment (Spark's window() in a
+      // batch frame) + the pinned batch bucket build per window
+      val batch = operators.Sketches.hdrCells(
+          Tables(spark, dir, "orders")
+            .select(window(col("o_orderdate").cast("timestamp"), "7 days")
+                .getField("start").as("w_start"),
+              expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+            .filter(col("v") >= 1L)
+            .withColumn("v2", col("v")), "v2")
+      // hdrCells groups only by (e, sub) — regroup with the window for
+      // the per-window expectation instead
+      val expected = operators.Sketches.hdrBuckets(
+          Tables(spark, dir, "orders")
+            .select(window(col("o_orderdate").cast("timestamp"), "7 days")
+                .getField("start").as("w_start"),
+              expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+            .filter(col("v") >= 1L), "v")
+        .groupBy("w_start", "e", "sub").agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("w_start").getTime,
+          r.getAs[Long]("e"), r.getAs[Long]("sub")) -> r.getAs[Long]("n"))
+        .toMap
+      assert(batch.columns.contains("key")) // batch build untouched
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sub-unit amounts are excluded mid-stream, matching the contract") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
