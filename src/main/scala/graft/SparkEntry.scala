@@ -233,6 +233,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => operators.Retrieval.tfidfKeywords(s, d)),
     "text_bm25" -> (operators.Retrieval.bm25Scores _),
     "text_rrf_fusion" -> (operators.Retrieval.rrfFusion _),
+    "text_ndcg" -> (operators.Retrieval.ndcgQuality _),
     "text_dsir_weights" -> (Dsir.weights _),
     "text_dsir_resample" -> (Dsir.resample _),
     "text_cms_counts" -> (operators.Sketches.cmsTokenCounts _),
@@ -4642,6 +4643,42 @@ object SparkEntry {
          |  round(coalesce(c0, 0.0) + coalesce(c1, 0.0) + coalesce(c2, 0.0), 4)
          |    AS bm25
          |FROM p ORDER BY doc_id""".stripMargin,
+    // nDCG@k over the BM25 ranking: rel = distinct-term coverage,
+    // gain (1<<rel)-1 exact integer, discounts are the SAME double
+    // literals Retrieval.ndcgDiscounts computed (Double.toString
+    // round-trips -- no libm call meets the hash), DCG as the fixed
+    // declaration-order pivoted sum, single round-6 read-offs
+    "text_ndcg" -> {
+      val k = operators.Retrieval.ndcgK
+      val dcgSql: String =
+        (1 to k).map(r =>
+          s"coalesce(max(CASE WHEN rnk = $r THEN " +
+            s"CAST((1 << rel) - 1 AS DOUBLE) END), 0.0) * " +
+            s"${operators.Retrieval.ndcgDiscounts(r - 1)}")
+          .mkString(" + ")
+      s"""WITH $bm25Ctes,
+         |sc AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN c0 IS NOT NULL THEN 1 ELSE 0 END +
+         |     CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END +
+         |     CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS rel,
+         |    round(coalesce(c0, 0.0) + coalesce(c1, 0.0) +
+         |      coalesce(c2, 0.0), 4) AS bm25
+         |  FROM p),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM sc),
+         |sys AS (SELECT * FROM (
+         |  SELECT rel, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+         |    AS BIGINT) AS rnk FROM sc) x WHERE rnk <= $k),
+         |idl AS (SELECT * FROM (
+         |  SELECT rel, CAST(row_number() OVER (ORDER BY rel DESC, doc_id)
+         |    AS BIGINT) AS rnk FROM sc) x WHERE rnk <= $k),
+         |sd AS (SELECT $dcgSql AS dcg FROM sys),
+         |sid AS (SELECT $dcgSql AS idcg FROM idl)
+         |SELECT CAST($k AS BIGINT) AS k, n.n_candidates,
+         |  round(sd.dcg, 6) AS dcg, round(sid.idcg, 6) AS idcg,
+         |  CASE WHEN sid.idcg > 0 THEN round(sd.dcg / sid.idcg, 6) END AS ndcg
+         |FROM sd, sid, n""".stripMargin
+    },
     "text_chunk_windows" ->
       s"""WITH d AS (
          |  SELECT doc_id, string_split(trim(text), ' ') AS toks,

@@ -145,6 +145,77 @@ object Retrieval {
     * bounded 50-row results ([[Ranks.boundedRank]]'s broadcast
     * join-count), and the fused frame (≤100 rows) ranks the same way.
     */
+  /** nDCG cut-off and the per-rank discount constants 1/log₂(r+1),
+    * r = 1..k — computed ONCE here and embedded as the SAME double
+    * literals in the oracle SQL (the affine-MinHash / Benford
+    * constants discipline: Double.toString round-trips exactly, so no
+    * libm call on either engine meets the hash).
+    */
+  val ndcgK = 10
+  val ndcgDiscounts: Seq[Double] =
+    (1 to ndcgK).map(r => math.log(2.0) / math.log(r + 1.0))
+
+  /** Graded-relevance ranking quality of the production BM25 ranking —
+    * the standard nDCG@k eval the retrieval family (BM25, RRF fusion,
+    * recall audits) was missing: gain 2^rel − 1, discount 1/log₂(r+1),
+    * nDCG = DCG@k / IDCG@k with the ideal ranking ordered by rel DESC.
+    *
+    * Relevance labels: rel = n_terms, the count of distinct query
+    * terms the document contains (0–3 graded) — independent enough of
+    * the BM25 ordering (which weighs tf·idf, not term coverage) that
+    * nDCG is non-trivially below 1 on a real corpus, while a perfect
+    * coverage-ordered ranking scores exactly 1 (spec-pinned with
+    * planted perfect/inverted rankings).
+    *
+    * Determinism: both rankings order by (score DESC, doc_id) over the
+    * ROUNDED bm25 (the rrf sparse-side discipline) with integer ranks
+    * from [[Ranks.boundedRank]] inside the TakeOrdered-bounded top-k
+    * frame; gains are exact integers; DCG is a FIXED-ORDER sum of k
+    * pivoted per-rank terms (the bm25 conditional-max discipline) each
+    * gain·discount with the shared literal discounts — one association
+    * order on both engines; single round-6 read-offs, NULL nDCG when
+    * IDCG = 0 (no candidates), never an ANSI 0/0.
+    *
+    * Scale shape: the corpus reduces to the matched-candidate frame
+    * (BM25's one scan + one (doc, token) shuffle), each top-k is a
+    * TakeOrderedAndProject, and everything after is ≤ k rows.
+    */
+  def ndcgQuality(spark: SparkSession, dir: String): DataFrame = {
+    val cand = bm25Scores(spark, dir)
+      .select(col("doc_id"), col("n_terms").as("rel"), col("bm25"))
+      .localCheckpoint() // candidate frame feeds both rankings + count
+    val n = cand.agg(count(lit(1)).as("n_candidates"))
+    val sys = Ranks.boundedRank(
+      cand.orderBy(col("bm25").desc, col("doc_id")).limit(ndcgK),
+      "rank", "bm25", "doc_id")
+    val ideal = Ranks.boundedRank(
+      cand.orderBy(col("rel").desc, col("doc_id")).limit(ndcgK),
+      "rank", "rel", "doc_id")
+    dcgOf(sys, "dcg").crossJoin(dcgOf(ideal, "idcg")).crossJoin(n)
+      .select(lit(ndcgK.toLong).as("k"), col("n_candidates"),
+        round(col("dcg"), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        when(col("idcg") > 0.0, round(col("dcg") / col("idcg"), 6))
+          .as("ndcg"))
+  }
+
+  /** DCG@k of a (rank, rel) frame as ONE row: per-rank gains pivoted
+    * into fixed columns (each rank holds ≤1 row), then the
+    * declaration-order sum Σ gain_r · discount_r — engine-identical
+    * association. Shared by the system and ideal sides and by the
+    * planted-ranking specs.
+    */
+  private[graft] def dcgOf(ranked: DataFrame, out: String): DataFrame = {
+    val gain = (expr("shiftleft(1L, CAST(rel AS INT))") - 1L)
+      .cast("double")
+    val cols = (1 to ndcgK).map(r =>
+      max(when(col("rank") === r, gain)).as(s"g$r"))
+    val dcg = (1 to ndcgK).map(r =>
+        coalesce(col(s"g$r"), lit(0.0)) * lit(ndcgDiscounts(r - 1)))
+      .reduce(_ + _)
+    ranked.agg(cols.head, cols.tail: _*).select(dcg.as(out))
+  }
+
   def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
     val sparseTop = bm25Scores(spark, dir)
       .select(col("doc_id").as("id"), col("bm25"))

@@ -65,6 +65,49 @@ class RetrievalSpec extends SparkSpec {
     expected.foreach { case (k, e) => assert(got(k) === e, s"key $k") }
   }
 
+  test("nDCG: planted perfect ranking scores 1, inverted scores its exact value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // rels in rank order for the planted system ranking; k=10 frame
+    def dcgScala(rels: Seq[Int]): Double =
+      rels.zipWithIndex.map { case (rel, i) =>
+        ((1L << rel) - 1).toDouble * Retrieval.ndcgDiscounts(i)
+      }.sum
+    val rels = Seq(3, 3, 2, 2, 1, 1, 1, 0, 0, 0)
+    def ranked(order: Seq[Int]) =
+      order.zipWithIndex.map { case (rel, i) => (i + 1L, rel.toLong) }
+        .toDF("rank", "rel")
+    // perfect: system order == ideal order -> nDCG exactly 1
+    val perfect = Retrieval.dcgOf(ranked(rels), "dcg").head().getDouble(0)
+    val ideal = Retrieval.dcgOf(ranked(rels.sorted.reverse), "idcg")
+      .head().getDouble(0)
+    assert(perfect === ideal)
+    assert(perfect === dcgScala(rels)) // the Scala twin agrees term-for-term
+    // inverted: worst order of the same rels -> strictly below, exact
+    val inverted = Retrieval.dcgOf(ranked(rels.sorted), "dcg")
+      .head().getDouble(0)
+    assert(inverted === dcgScala(rels.sorted))
+    assert(inverted < perfect)
+    // missing ranks (fewer than k candidates) contribute zero gain
+    val partial = Retrieval.dcgOf(ranked(Seq(3, 2)), "dcg")
+      .head().getDouble(0)
+    assert(partial === dcgScala(Seq(3, 2)))
+  }
+
+  test("nDCG driver row: bounds hold and rel labels are the coverage counts") {
+    val row = Retrieval.ndcgQuality(spark, dir).head()
+    assert(row.getAs[Long]("k") === Retrieval.ndcgK.toLong)
+    val n = row.getAs[Long]("n_candidates")
+    assert(n > 0)
+    val dcg = row.getAs[Double]("dcg")
+    val idcg = row.getAs[Double]("idcg")
+    val ndcg = row.getAs[Double]("ndcg")
+    assert(idcg > 0.0 && dcg >= 0.0 && dcg <= idcg + 1e-9)
+    assert(ndcg >= 0.0 && ndcg <= 1.0)
+    // cross-check n_candidates against the bm25 row count
+    assert(n === Retrieval.bm25Scores(spark, dir).count())
+  }
+
   test("repetition signals match a direct recomputation") {
     val expected = corpus.collect { case (id, toks) if toks.size >= 2 =>
       val bigs = toks.sliding(2).map(_.mkString(" ")).toSeq
