@@ -1012,10 +1012,17 @@ object Dedup {
   private val prefixJoinCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  def prefixJaccardJoin(spark: SparkSession, dir: String): DataFrame =
+  def prefixJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
+    // evict entries owned by stopped sessions: their checkpoint RDD
+    // blocks would otherwise stay pinned for the life of the JVM (and
+    // the cached DataFrames are unusable once their session stops) —
+    // the sessionKey scheme implies session lifetime, enforce it
+    prefixJoinCache.entrySet().removeIf(
+      e => e.getValue.sparkSession.sparkContext.isStopped)
     prefixJoinCache.computeIfAbsent(
       graft.DataVersion.sessionKey(spark, dir, "documents", "prefixjoin"),
       _ => computePrefixJaccardJoin(spark, dir).localCheckpoint())
+  }
 
   private def computePrefixJaccardJoin(spark: SparkSession,
                                        dir: String): DataFrame = {

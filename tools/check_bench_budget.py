@@ -76,7 +76,12 @@ def main(argv):
     bench, update = argv[1], "--update" in argv[2:]
     reverify = None
     if "--reverify" in argv[2:]:
-        reverify = argv[argv.index("--reverify") + 1]
+        # search flags only past the bench path (a capture literally
+        # named '--reverify' must not misparse), and require a value
+        i = argv.index("--reverify", 2)
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            raise SystemExit("--reverify requires a report path argument")
+        reverify = argv[i + 1]
     queries, sf = load_queries(bench)
     # Bench records -1 for a query whose materialization threw; that is
     # a hard failure in either mode, never a time to compare or record.
@@ -107,6 +112,20 @@ def main(argv):
                 f"{RAISE_CAP}x without adjudication evidence — re-time each "
                 "isolated (fresh JVM) into the round's bench_reverify "
                 "report and pass it via --reverify")
+        # a partial capture must not silently ERASE committed floors
+        # (check mode flags 'in budget but not benched'; update mode
+        # must refuse the same hole, or the raise guard loses its
+        # committed predecessor next round)
+        dropped = sorted(set(old) - set(queries))
+        if dropped:
+            for name in dropped:
+                print(f"REFUSED {name}: committed floor {old[name]:.2f}s "
+                      "absent from the capture — partial captures cannot "
+                      "erase floors")
+            raise SystemExit(
+                f"refusing to drop {len(dropped)} committed floor(s) not "
+                "present in the capture; bench the full surface (or remove "
+                "the retired query from the budget by hand, stating why)")
         with open(BUDGET, "w") as f:
             for name in sorted(queries):
                 f.write(f"{name}\t{queries[name]:.3f}\n")

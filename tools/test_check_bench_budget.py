@@ -48,6 +48,28 @@ class RaiseGuardTest(unittest.TestCase):
         return {n: float(t) for n, t in
                 (l.split("\t") for l in open(self.budget))}
 
+    def test_update_refuses_partial_capture_dropping_floors(self):
+        # q_slow absent from the capture: its committed floor must not
+        # be silently erased
+        with self.assertRaises(SystemExit):
+            self.update({"q_fast": 1.1})
+        self.assertEqual(self.read_budget()["q_slow"], 4.0)
+
+    def test_reverify_flag_without_value_refuses(self):
+        argv = ["prog", self.bench({"q_fast": 1.0, "q_slow": 4.0}),
+                "--update", "--reverify"]
+        with self.assertRaises(SystemExit):
+            cbb.main(argv)
+
+    def test_bench_path_named_like_flag_does_not_misparse(self):
+        # a capture file literally named '--reverify' must not be taken
+        # as the flag itself (flags are searched past the bench path)
+        path = self.bench({"q_fast": 1.0, "q_slow": 4.0})
+        flagname = os.path.join(self.tmp, "--reverify")
+        os.rename(path, flagname)
+        rc = cbb.main(["prog", flagname, "--update"])
+        self.assertEqual(rc, 0)
+
     def test_update_within_cap_allowed(self):
         rc = self.update({"q_fast": 1.2, "q_slow": 4.1})
         self.assertEqual(rc, 0)
