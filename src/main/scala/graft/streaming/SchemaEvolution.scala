@@ -23,9 +23,15 @@ import org.apache.spark.sql.types._
   * parquet appends the wider rows, and a FINAL read under
   * `mergeSchema` surfaces the column with pre-DDL rows null-backfilled.
   *
-  * Additive ONLY, matching the safe CDC subset: ADD COLUMN widens;
-  * drops/renames/type changes still dead-letter (they cannot be
-  * applied without rewriting history). Applied DDL is journaled to a
+  * Safe CDC subset ONLY: ADD COLUMN widens, and COLUMN RENAME (the
+  * next most common Debezium DDL event) applies via a journaled ALIAS
+  * MAP — the log is never rewritten; post-rename rows land under the
+  * new name and [[readEvolvedLog]] unifies history with
+  * `coalesce(new, old)` so pre-rename rows backfill under the new
+  * name. Drops/type changes still dead-letter (they cannot be applied
+  * without rewriting history), as do renames of the BASE envelope
+  * columns (the compiled MV projection owns those names) and renames
+  * whose source column is unknown. Applied DDL is journaled to a
   * tiny `_schema` directory so a restarted stream re-parses with the
   * evolved schema, not the compiled-in base — the schema journal is
   * control-plane state exactly like the checkpoint.
@@ -39,6 +45,9 @@ object SchemaEvolution {
 
   /** One additive column change. */
   case class ColumnAdd(table: String, column: String, dataType: DataType)
+
+  /** One column rename — an alias-map entry, never a history rewrite. */
+  case class ColumnRename(table: String, from: String, to: String)
 
   /** PostgreSQL type name → the Spark type Debezium's JSON wire carries
     * for it. Timestamps are epoch-µs Int64 on the wire
@@ -80,6 +89,42 @@ object SchemaEvolution {
         case _ => None
       }
     case _ => Nil
+  }
+
+  private val renameRe =
+    """(?is)ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?"?([A-Za-z_][A-Za-z0-9_]*)"?\s+TO\s+"?([A-Za-z_][A-Za-z0-9_]*)"?\s*""".r
+
+  /** Extract a column rename from one DDL statement. Table renames
+    * (`RENAME TO x` — no column between RENAME and TO) and other
+    * RENAME forms don't match and so dead-letter.
+    */
+  def parseRenames(ddl: String): Seq[ColumnRename] = ddl match {
+    case renameRe(table, from, to) =>
+      Seq(ColumnRename(table.toLowerCase, from.toLowerCase, to.toLowerCase))
+    case _ => Nil
+  }
+
+  /** Widen both images with each rename's TARGET column, carrying the
+    * SOURCE column's type (the wire starts emitting the new name after
+    * the DDL; the old field stays so pre-rename rows in the same batch
+    * and restart replays still parse). Applied in journal order so
+    * rename chains (a→b, later b→c) resolve.
+    */
+  def evolveRenames(base: StructType,
+                    renames: Seq[ColumnRename]): StructType = {
+    def widen(img: StructType): StructType =
+      renames.foldLeft(img) { (s, r) =>
+        s.fields.find(_.name == r.from) match {
+          case Some(f) if !s.fieldNames.contains(r.to) =>
+            s.add(StructField(r.to, f.dataType))
+          case _ => s
+        }
+      }
+    StructType(base.fields.map {
+      case StructField(n @ ("before" | "after"), img: StructType, nl, m) =>
+        StructField(n, widen(img), nl, m)
+      case f => f
+    })
   }
 
   /** Widen both row images with the adds (append-only; an add whose
@@ -151,6 +196,32 @@ object SchemaEvolution {
       finally w.close()
     }
 
+  private def renameJournalFile(schemaDir: String) =
+    new java.io.File(schemaDir, "renames.tsv")
+
+  /** Load the journaled alias map (empty on first start), in applied
+    * order — order matters for rename chains.
+    */
+  def loadRenameJournal(schemaDir: String): Seq[ColumnRename] = {
+    val f = renameJournalFile(schemaDir)
+    if (!f.exists()) Nil
+    else scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty)
+      .map { l =>
+        val Array(t, from, to) = l.split("\t")
+        ColumnRename(t, from, to)
+      }.toSeq
+  }
+
+  private def appendRenameJournal(schemaDir: String,
+                                  renames: Seq[ColumnRename]): Unit =
+    if (renames.nonEmpty) {
+      val f = renameJournalFile(schemaDir)
+      f.getParentFile.mkdirs()
+      val w = new java.io.FileWriter(f, true)
+      try renames.foreach(r => w.write(s"${r.table}\t${r.from}\t${r.to}\n"))
+      finally w.close()
+    }
+
   /** Start the evolving pipeline over a RAW JSON-lines change
     * directory (the schemaless wire form). Per micro-batch:
     *  1. envelopes carrying a `ddl` field are schema-change events —
@@ -173,7 +244,10 @@ object SchemaEvolution {
     // the DDL probe schema: just enough to split control from data
     val probe = StructType(Seq(
       StructField("op", StringType), StructField("ddl", StringType)))
+    val baseAfterFields = ChangeEvent.envelopeSchema("after")
+      .dataType.asInstanceOf[StructType].fieldNames.toSet
     var adds = loadJournal(schemaDir)
+    var renames = loadRenameJournal(schemaDir)
     spark.readStream.text(changesDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -189,17 +263,42 @@ object SchemaEvolution {
             .filterNot(a => adds.exists(_.column == a.column))
           appendJournal(schemaDir, newAdds)
           adds = adds ++ newAdds
-          val schema = evolveEnvelope(ChangeEvent.envelopeSchema, adds)
+          // rename applicability, in arrival order against the image
+          // as evolved SO FAR: source must resolve and not be a base
+          // projection column; target must be fresh. A re-delivered
+          // rename is recognized (idempotent), not re-applied.
+          var afterCols = baseAfterFields ++ adds.map(_.column) ++
+            renames.map(_.to)
+          val newRenames = ddls.flatMap(parseRenames).flatMap { r =>
+            if (renames.contains(r)) None // at-least-once re-delivery
+            else if (!baseAfterFields.contains(r.from) &&
+              afterCols.contains(r.from) && !afterCols.contains(r.to)) {
+              afterCols += r.to
+              Some(r)
+            } else None
+          }
+          appendRenameJournal(schemaDir, newRenames)
+          renames = renames ++ newRenames
+          val schema = evolveRenames(
+            evolveEnvelope(ChangeEvent.envelopeSchema, adds), renames)
           val data = probed.filter(col("p.ddl").isNull)
             .select(from_json(col("value"), schema).as("e")).select("e.*")
           applyEvolved(data).write.mode("append").parquet(bookingsDir)
           deadLetterDir.foreach { dl =>
-            // non-additive DDL + heartbeats/unknown ops, raw wire form
-            val nonAdditive = probed.filter(col("p.ddl").isNotNull &&
-              !col("p.ddl").rlike("(?is)\\bADD\\b"))
+            // unapplied DDL (drops, type changes, table renames,
+            // base-column or unresolvable renames) + heartbeats/unknown
+            // ops, raw wire form. A DDL is applied iff it yielded an
+            // add or a journaled rename (re-deliveries count).
+            val appliedDdl = (ddls.filter(d => parseAdds(d).nonEmpty) ++
+              ddls.filter(d => parseRenames(d).exists(renames.contains)))
+              .toSet
+            val nonApplied =
+              if (appliedDdl.isEmpty) probed.filter(col("p.ddl").isNotNull)
+              else probed.filter(col("p.ddl").isNotNull &&
+                !col("p.ddl").isInCollection(appliedDdl))
             MvTransform.droppedEnvelopes(data)
               .select(to_json(struct(col("*"))).as("value"))
-              .unionByName(nonAdditive.select("value"))
+              .unionByName(nonApplied.select("value"))
               .write.mode("append").text(dl)
           }
         } finally batch.unpersist()
@@ -212,6 +311,23 @@ object SchemaEvolution {
     */
   def readEvolvedLog(spark: SparkSession, bookingsDir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(bookingsDir)
+
+  /** FINAL read with the journaled alias map applied: for each rename
+    * a→b (journal order, so chains resolve), history rows that carry
+    * only `a` BACKFILL under `b` via `coalesce(b, a)` and the old name
+    * drops from the surface — the log itself is never rewritten. Reads
+    * identically to a log whose history had always used the new name.
+    */
+  def readEvolvedLog(spark: SparkSession, bookingsDir: String,
+                     schemaDir: String): DataFrame =
+    loadRenameJournal(schemaDir).foldLeft(
+      readEvolvedLog(spark, bookingsDir)) { (d, r) =>
+      val cols = d.columns.toSet
+      if (cols(r.from) && cols(r.to))
+        d.withColumn(r.to, coalesce(col(r.to), col(r.from))).drop(r.from)
+      else if (cols(r.from)) d.withColumnRenamed(r.from, r.to)
+      else d
+    }
 
   /** Drain all currently-available input synchronously (test helper). */
   def runOnce(

@@ -44,6 +44,36 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(parseAdds("CREATE INDEX idx ON t(a)") === Nil)
   }
 
+  test("parseRenames: column renames extracted; table renames and drops yield none") {
+    import SchemaEvolution.{parseRenames, ColumnRename}
+    assert(parseRenames("ALTER TABLE public.bookings RENAME COLUMN note TO vip_note")
+      === Seq(ColumnRename("public.bookings", "note", "vip_note")))
+    assert(parseRenames("alter table t rename a to b")
+      === Seq(ColumnRename("t", "a", "b")))
+    assert(parseRenames("ALTER TABLE t RENAME \"OldName\" TO \"NewName\"")
+      === Seq(ColumnRename("t", "oldname", "newname")))
+    // table rename: no column between RENAME and TO
+    assert(parseRenames("ALTER TABLE bookings RENAME TO bookings_v2") === Nil)
+    assert(parseRenames("ALTER TABLE t DROP COLUMN note") === Nil)
+    assert(parseRenames("ALTER TABLE t ADD COLUMN note text") === Nil)
+  }
+
+  test("evolveRenames widens with the target at the source's type; chains resolve") {
+    import graft.schema.ChangeEvent
+    val withAdd = SchemaEvolution.evolveEnvelope(ChangeEvent.envelopeSchema,
+      Seq(SchemaEvolution.ColumnAdd("t", "note", StringType)))
+    val evolved = SchemaEvolution.evolveRenames(withAdd, Seq(
+      SchemaEvolution.ColumnRename("t", "note", "vip_note"),
+      SchemaEvolution.ColumnRename("t", "vip_note", "final_note")))
+    Seq("before", "after").foreach { img =>
+      val st = evolved(img).dataType.asInstanceOf[StructType]
+      // old names stay (history + same-batch pre-DDL rows still parse)
+      assert(st.fieldNames.contains("note"))
+      assert(st("vip_note").dataType === StringType)
+      assert(st("final_note").dataType === StringType) // chain resolved
+    }
+  }
+
   test("evolveEnvelope widens both images, idempotently") {
     import graft.schema.ChangeEvent
     val adds = Seq(
@@ -125,5 +155,49 @@ class SchemaEvolutionSpec extends SparkSpec {
       .map(r => r.getString(0) -> Option(r.getString(1))).toMap
     assert(fv3("b2") === Some("gold"))
     assert(fv3("b1") === Some("vip"))
+
+    // ---- wave 4: COLUMN RENAME mid-stream (note -> vip_note) ----
+    def imgRenamed(id: Int, bid: String, status: String, note: String) =
+      s"""{"id":$id,"booking_id":"$bid","status":"$status","is_deleted":0,""" +
+        s""""is_canceled":false,"created_at":1704067200000000,""" +
+        s""""modified_at":1704067200000000,"vip_note":"$note"}"""
+    writeLines("wave4.txt", Seq(
+      """{"ddl":"ALTER TABLE public.bookings RENAME COLUMN note TO vip_note","ts_ms":1704070003000}""",
+      // base-column rename and a TABLE rename must both dead-letter
+      """{"ddl":"ALTER TABLE public.bookings RENAME COLUMN status TO state","ts_ms":1704070003001}""",
+      """{"ddl":"ALTER TABLE public.bookings RENAME TO bookings_v2","ts_ms":1704070003002}""",
+      s"""{"before":null,"after":${imgRenamed(3, "b3", "Open", "silver")},""" +
+        s""""source":{"sequence":"[\\"0\\",\\"20003\\"]","lsn":20003},"op":"u","ts_ms":1704070004000}"""))
+    SchemaEvolution.runOnce(spark, changes, bookings, s"$root/ckpt",
+      schemaDir, Some(deadLetter))
+
+    val aliased = SchemaEvolution.readEvolvedLog(spark, bookings, schemaDir)
+    // the alias map unifies history under the NEW name and retires the old
+    assert(aliased.columns.contains("vip_note"))
+    assert(!aliased.columns.contains("note"))
+    val fv4 = VersionedUpsert.finalView(aliased)
+      .select("booking_id", "vip_note").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(fv4("b3") === Some("silver")) // post-rename row, new name
+    assert(fv4("b1") === Some("vip")) // pre-rename history BACKFILLED
+    assert(fv4("b2") === Some("gold"))
+    // unapplied renames dead-lettered in raw wire form; applied one not
+    val dl4 = spark.read.text(deadLetter)
+    assert(dl4.filter(col("value").contains("status TO state")).count() === 1L)
+    assert(dl4.filter(col("value").contains("RENAME TO bookings_v2")).count() === 1L)
+    assert(dl4.filter(col("value").contains("note TO vip_note")).count() === 0L)
+
+    // ---- wave 5: restart keeps the alias without re-seeing the DDL ----
+    writeLines("wave5.txt", Seq(
+      s"""{"before":null,"after":${imgRenamed(4, "b4", "Created", "bronze")},""" +
+        s""""source":{"sequence":"[\\"0\\",\\"20004\\"]","lsn":20004},"op":"u","ts_ms":1704070005000}"""))
+    SchemaEvolution.runOnce(spark, changes, bookings, s"$root/ckpt",
+      schemaDir, Some(deadLetter))
+    val fv5 = VersionedUpsert.finalView(
+        SchemaEvolution.readEvolvedLog(spark, bookings, schemaDir))
+      .select("booking_id", "vip_note").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(fv5("b4") === Some("bronze"))
+    assert(fv5("b1") === Some("vip"))
   }
 }
