@@ -162,6 +162,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
     "dedup_prefix_join" -> (Dedup.prefixJaccardJoin _),
     "dedup_blocking_eval" -> (Dedup.blockingEval _),
+    "dedup_blocking_sweep" -> (Dedup.blockingEvalSweep _),
     "dedup_cc_incremental" -> (Dedup.ccIncremental _),
     "q_contamination" -> (Dedup.contamination _),
     // — similarity search over embeddings
@@ -2518,6 +2519,54 @@ object SparkEntry {
          |      (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1.0)), 6)
          |  END AS reduction_ratio
          |FROM m CROSS JOIN nd""".stripMargin,
+    // band-geometry sweep: the same wide sigs banded per geometry, the
+    // same memoized truth; thresholds are the Scala-computed literals
+    "dedup_blocking_sweep" -> {
+      def bandCte(b: Int, r: Int): String =
+        (0 until b).map { i =>
+          val slices = (i * r until (i + 1) * r)
+            .map(j => s"CAST(h$j AS VARCHAR)").mkString(" || '_' || ")
+          s"SELECT doc_id, $i AS band, md5($slices) AS key FROM sigs"
+        }.mkString("\n  UNION ALL\n  ")
+      val geoms = operators.Dedup.blockingSweepGeometries
+      val perGeom = geoms.map { case (b, r) =>
+        s"""bands_$b AS (
+           |  ${bandCte(b, r)}),
+           |lsh_$b AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands_$b a JOIN bands_$b b
+           |    ON a.band = b.band AND a.key = b.key
+           |      AND a.doc_id < b.doc_id),
+           |m_$b AS (SELECT
+           |    CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           |    CAST((SELECT count(*) FROM lsh_$b) AS BIGINT) AS n_candidates,
+           |    CAST((SELECT count(*) FROM truth t
+           |          JOIN lsh_$b USING (a_id, b_id)) AS BIGINT) AS n_caught)"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = geoms.map { case (b, r) =>
+        s"""SELECT CAST($b AS BIGINT) AS n_bands,
+           |  CAST($r AS BIGINT) AS rows_per_band,
+           |  CAST(${operators.Dedup.bandThreshold(b, r)} AS DOUBLE)
+           |    AS t_threshold,
+           |  n_docs, n_truth, n_candidates, n_caught,
+           |  CASE WHEN n_truth > 0 THEN
+           |    round(CAST(n_caught AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+           |  END AS pairs_completeness,
+           |  CASE WHEN n_docs > 1 THEN
+           |    round(1.0 - 2.0 * CAST(n_candidates AS DOUBLE) /
+           |      (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1.0)), 6)
+           |  END AS reduction_ratio
+           |FROM m_$b CROSS JOIN nd""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$wideSigsCte,
+         |$prefixJoinCtes,
+         |truth AS (SELECT a_id, b_id FROM ver WHERE $prefixTauPred),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |$perGeom
+         |$rows
+         |ORDER BY n_bands""".stripMargin
+    },
     "dedup_containment" ->
       s"""WITH s AS (
         |  SELECT doc_id, lang, text FROM documents

@@ -1115,4 +1115,84 @@ object Dedup {
           round(lit(1.0) - lit(2.0) * col("n_candidates").cast("double") /
             (nD * (nD - lit(1.0))), 6)).as("reduction_ratio"))
   }
+
+  /** The band geometries [[blockingEvalSweep]] grades — every (b, r)
+    * splitting of the k=64 wide signature the production blocker could
+    * run at: 8×8 (strict, collision threshold (1/8)^(1/8) ≈ 0.77),
+    * the shipped 16×4 (≈ 0.50), and 32×2 (lenient, ≈ 0.18).
+    */
+  val blockingSweepGeometries: Seq[(Int, Int)] =
+    Seq((8, 8), (16, 4), (32, 2))
+
+  /** Candidate pairs from an already-built wide-signature frame under
+    * an arbitrary (bands × rowsPerBand) split — the parameterized core
+    * of [[lshWideCandidatePairs]]'s banding, shared by the sweep so
+    * every geometry bands the SAME signatures.
+    */
+  private def lshPairsForGeometry(sigs: DataFrame, numBands: Int,
+                                  rowsPerBand: Int): DataFrame = {
+    val bandKey = (b: Int) =>
+      md5(concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => col(s"h$j").cast("string")): _*).cast("binary")).as(s"b$b")
+    val bands = bandTable(
+      sigs.select(col("doc_id") +: (0 until numBands).map(bandKey): _*),
+      numBands)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Band-geometry SWEEP of the blocking-quality report — the
+    * recall/cost lever the LSH index actually tunes, driver-visible
+    * the way `ann_ivf_recall_np1` makes nprobe visible: one
+    * [[blockingEval]] row per geometry in [[blockingSweepGeometries]],
+    * all banding the SAME k=64 signature scan (checkpointed once) and
+    * graded against the SAME memoized exact truth set. Trading bands
+    * for rows moves the collision threshold (1/b)^(1/r) — more bands
+    * of fewer rows catches lower-Jaccard pairs (completeness up,
+    * reduction ratio down); the sweep shows both directions around the
+    * shipped 16×4.
+    *
+    * The threshold column is computed once here and embedded as the
+    * same double literal in the oracle (the constants discipline).
+    * Shape: signature scan once; per geometry one band equi-join + one
+    * pair-set semi-join + three 1-row counts — never corpus-sized.
+    */
+  def blockingEvalSweep(spark: SparkSession, dir: String): DataFrame = {
+    val truth = prefixJaccardJoin(spark, dir).select("a_id", "b_id")
+      .localCheckpoint()
+    val sigs = wideSignaturesUnsorted(spark, dir).localCheckpoint()
+    val nDocs = Tables(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val nD = col("n_docs").cast("double")
+    blockingSweepGeometries.map { case (b, r) =>
+      val cand = lshPairsForGeometry(sigs, b, r).localCheckpoint()
+      val caught = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+        .crossJoin(broadcast(nDocs))
+        .select(lit(b.toLong).as("n_bands"),
+          lit(r.toLong).as("rows_per_band"),
+          lit(bandThreshold(b, r)).as("t_threshold"),
+          col("n_docs"), col("n_truth"), col("n_candidates"),
+          col("n_caught"),
+          when(col("n_truth") > 0,
+            round(col("n_caught").cast("double") /
+              col("n_truth").cast("double"), 6)).as("pairs_completeness"),
+          when(col("n_docs") > 1,
+            round(lit(1.0) - lit(2.0) * col("n_candidates").cast("double") /
+              (nD * (nD - lit(1.0))), 6)).as("reduction_ratio"))
+    }.reduce(_ unionByName _).orderBy("n_bands")
+  }
+
+  /** (1/b)^(1/r) rounded at 4 — the sweep's threshold literal, one
+    * value per geometry, identical on both engines by construction.
+    */
+  def bandThreshold(b: Int, r: Int): Double =
+    BigDecimal(math.pow(1.0 / b, 1.0 / r))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -40,4 +40,36 @@ class BlockingEvalSpec extends SparkSpec {
     val pc = row.getAs[Double]("pairs_completeness")
     assert(pc >= 0.0 && pc <= 1.0)
   }
+
+  test("geometry sweep: 16x4 row equals the single eval; lever is monotone") {
+    val rows = Dedup.blockingEvalSweep(spark, dir).collect()
+      .map(r => r.getAs[Long]("n_bands") -> r).toMap
+    assert(rows.keySet ===
+      Dedup.blockingSweepGeometries.map(_._1.toLong).toSet)
+    // the shipped geometry's sweep row is the certified blockingEval
+    // row bit for bit (same sigs, same banding, same truth)
+    val single = Dedup.blockingEval(spark, dir).head()
+    val g16 = rows(16L)
+    Seq("n_docs", "n_truth", "n_candidates", "n_caught").foreach(c =>
+      assert(g16.getAs[Long](c) === single.getAs[Long](c), c))
+    Seq("pairs_completeness", "reduction_ratio").foreach(c =>
+      assert(g16.getAs[Double](c) === single.getAs[Double](c), c))
+    // thresholds are the documented constants
+    assert(g16.getAs[Double]("t_threshold") === 0.5)
+    assert(rows(8L).getAs[Double]("t_threshold") === 0.7711)
+    assert(rows(32L).getAs[Double]("t_threshold") === 0.1768)
+    // the lever: more bands of fewer rows never catches FEWER truth
+    // pairs and never generates fewer candidates (threshold drops)
+    assert(rows(16L).getAs[Long]("n_caught") >=
+      rows(8L).getAs[Long]("n_caught"))
+    assert(rows(32L).getAs[Long]("n_caught") >=
+      rows(16L).getAs[Long]("n_caught"))
+    assert(rows(16L).getAs[Long]("n_candidates") >=
+      rows(8L).getAs[Long]("n_candidates"))
+    assert(rows(32L).getAs[Long]("n_candidates") >=
+      rows(16L).getAs[Long]("n_candidates"))
+    // and it costs: reduction ratio falls as the threshold loosens
+    assert(rows(32L).getAs[Double]("reduction_ratio") <=
+      rows(16L).getAs[Double]("reduction_ratio"))
+  }
 }
