@@ -121,6 +121,24 @@ object StoreDemo {
     println(s"[demo] hdr-cells: store-served base+delta == full recompute: " +
       s"$hdrParity")
 
+    // HLL daily registers: persisted base MAX-merged with the delta
+    ModelStore.saveHllDailyRegs(spark, s"$store/hll", dir, "base",
+      Sketches.hllDailyRegsOf(spark, dir, Sketches.hllBaseSide))
+    val hllParity =
+      rows(Sketches.hllDailyServed(spark, dir, s"$store/hll")) ==
+      rows(Sketches.hllDailyUsers(spark, dir))
+    println(s"[demo] hll-regs: store-served base+delta == full recompute: " +
+      s"$hllParity")
+
+    // CMS cells: persisted base summed keyed with the delta batch
+    ModelStore.saveCmsCells(spark, s"$store/cms", dir, "base",
+      Sketches.cmsCellsOf(spark, dir, Sketches.cmsBaseSide))
+    val cmsParity =
+      rows(Sketches.cmsTokenCountsServed(spark, dir, s"$store/cms")) ==
+      rows(Sketches.cmsTokenCounts(spark, dir))
+    println(s"[demo] cms-cells: store-served base+delta == full recompute: " +
+      s"$cmsParity")
+
     // staleness: the stamp refuses an artifact for a different dataset
     val refused =
       try { ModelStore.loadIvf(spark, s"$store/ivf", "/root/testdata/sf0.01"); false }
