@@ -253,6 +253,7 @@ object SparkEntry {
     "q_histogram_quantiles" -> (operators.Sketches.histogramQuantiles _),
     "q_hdr_quantiles" -> (operators.Sketches.hdrQuantiles _),
     "q_hdr_incremental" -> (operators.Sketches.hdrQuantilesIncremental _),
+    "q_hdr_by_segment" -> (operators.Sketches.hdrQuantilesBySegment _),
     "q_dataset_manifest" -> (operators.Manifest.datasetManifest _),
     "q_forecast_baseline" -> (Behavior.forecastBaseline _),
     "q_weekly_profile" -> (Behavior.weeklyProfile _),
@@ -4870,6 +4871,60 @@ object SparkEntry {
     // same full-recompute oracle: the merged base+delta read-off must
     // hash-equal the whole-corpus sketch (linearity, driver-certified)
     "q_hdr_incremental" -> hdrOracleSql,
+    // the grouped read-off: same cell rule and exact-rank arithmetic,
+    // keyed by customer segment throughout
+    "q_hdr_by_segment" -> {
+      val targets = operators.Sketches.hqTargets
+        .map { case (n, d) => s"(CAST($n AS BIGINT), CAST($d AS BIGINT))" }
+        .mkString(", ")
+      val w = 1L << operators.Sketches.hdrSubBits
+      val sb = operators.Sketches.hdrSubBits
+      s"""WITH vals AS (
+         |  SELECT c.c_mktsegment AS segment,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+         |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1),
+         |c0 AS (
+         |  SELECT segment, v, CAST(length(bin(v)) - 1 AS BIGINT) AS e
+         |  FROM vals),
+         |cells AS (
+         |  SELECT segment, e,
+         |    (v // CAST(power(2, greatest(e - $sb, 0)) AS BIGINT)) -
+         |      CAST(power(2, e - greatest(e - $sb, 0)) AS BIGINT) AS sub,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM c0 GROUP BY 1, 2, 3),
+         |k AS (SELECT segment, e, sub, n, e * $w + sub AS key FROM cells),
+         |tot AS (SELECT segment, CAST(sum(n) AS BIGINT) AS n_total
+         |        FROM k GROUP BY 1),
+         |cum AS (SELECT a.segment, a.key, CAST(sum(b.n) AS BIGINT) AS cum_le
+         |        FROM k a JOIN k b
+         |          ON b.segment = a.segment AND b.key <= a.key
+         |        GROUP BY 1, 2),
+         |tg(q_num, q_den) AS (VALUES $targets),
+         |sel AS (
+         |  SELECT segment, q_num, q_den, t_rank, n_total, min(key) AS key
+         |  FROM (SELECT k.segment, k.key, cum.cum_le, tg.q_num, tg.q_den,
+         |          tot.n_total,
+         |          (tg.q_num * tot.n_total + tg.q_den - 1) // tg.q_den
+         |            AS t_rank
+         |        FROM k JOIN cum ON cum.segment = k.segment
+         |                       AND cum.key = k.key
+         |             JOIN tot ON tot.segment = k.segment
+         |             CROSS JOIN tg) x
+         |  WHERE cum_le >= t_rank
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT sel.segment, sel.q_num, sel.q_den, sel.n_total, sel.t_rank,
+         |  k.e AS bucket_e, k.sub AS bucket_sub,
+         |  (CAST(power(2, k.e - greatest(k.e - $sb, 0)) AS BIGINT) + k.sub) *
+         |    CAST(power(2, greatest(k.e - $sb, 0)) AS BIGINT) AS lo_cents,
+         |  (CAST(power(2, k.e - greatest(k.e - $sb, 0)) AS BIGINT) + k.sub
+         |     + 1) *
+         |    CAST(power(2, greatest(k.e - $sb, 0)) AS BIGINT) - 1 AS hi_cents,
+         |  k.n AS bucket_n, cum.cum_le
+         |FROM sel JOIN k ON k.segment = sel.segment AND k.key = sel.key
+         |         JOIN cum ON cum.segment = sel.segment AND cum.key = sel.key
+         |ORDER BY sel.segment, q_den, q_num""".stripMargin
+    },
     "q_weekly_profile" ->
       """WITH c AS (
         |  SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,

@@ -321,6 +321,67 @@ object Sketches {
       .orderBy("q_den", "q_num")
   }
 
+  /** GROUPED HDR quantiles — per-customer-segment totalprice brackets,
+    * the per-service latency-dashboard shape ("p99 per endpoint"): the
+    * same log-linear cells keyed additionally by segment, so state is
+    * O(segments · cells) regardless of order volume, and every
+    * segment's read-off is the exact ⌈q·N_seg⌉ rank arithmetic of
+    * [[hdrQuantiles]]. The dimension join is a broadcast (customer
+    * segment is model-sized relative to orders at any scale).
+    *
+    * Shape (100 TB): one broadcast-joined map pass into a
+    * (segments × cells)-bounded map-side-combined aggregate; per-group
+    * cumulative counts via a segment-equi triangular join over the
+    * broadcast cell table — never a window over order rows; targets a
+    * literal cross join. Merges like the flat sketch: per-shard
+    * (segment, key) cells sum.
+    */
+  def hdrQuantilesBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val s = hdrSubBits
+    val seg = broadcast(Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("segment")))
+    val vals = Tables(spark, dir, "orders")
+      .join(seg, "o_custkey")
+      .select(col("segment"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      .filter(col("v") >= 1L)
+    val cells = hdrBuckets(vals, "v")
+      .groupBy("segment", "e", "sub").agg(count(lit(1)).as("n"))
+      .withColumn("key", col("e") * (1L << s) + col("sub"))
+      .localCheckpoint() // segments × cells: totals + cum + read-off
+    val total = cells.groupBy("segment").agg(sum(col("n")).as("n_total"))
+    val cum = cells.as("h")
+      .join(broadcast(cells.select(col("segment").as("s2"),
+          col("key").as("k2"), col("n").as("n2"))),
+        col("s2") === col("h.segment") && col("k2") <= col("h.key"))
+      .groupBy(col("h.segment").as("segment"), col("h.key").as("key"))
+      .agg(sum(col("n2")).as("cum_le"))
+    val targets = hqTargets.toDF("q_num", "q_den")
+    cells.join(cum, Seq("segment", "key"))
+      .join(broadcast(total), "segment")
+      .crossJoin(broadcast(targets))
+      .withColumn("t_rank",
+        expr("(q_num * n_total + q_den - 1) div q_den"))
+      .filter(col("cum_le") >= col("t_rank"))
+      .groupBy(col("segment"), col("q_num"), col("q_den"), col("t_rank"),
+        col("n_total"))
+      .agg(min(col("key")).as("key"))
+      .join(cells, Seq("segment", "key"))
+      .join(cum, Seq("segment", "key"))
+      .withColumn("g", greatest(col("e") - s, lit(0L)))
+      .select(col("segment"), col("q_num"), col("q_den"), col("n_total"),
+        col("t_rank"), col("e").as("bucket_e"), col("sub").as("bucket_sub"),
+        ((pow(lit(2.0), col("e") - col("g")).cast("long") + col("sub")) *
+          pow(lit(2.0), col("g")).cast("long")).as("lo_cents"),
+        ((pow(lit(2.0), col("e") - col("g")).cast("long") + col("sub") + 1L) *
+          pow(lit(2.0), col("g")).cast("long") - 1L).as("hi_cents"),
+        col("n").as("bucket_n"), col("cum_le"))
+      .orderBy("segment", "q_den", "q_num")
+  }
+
   /** Incremental HDR serving — the pattern the sketch's linearity
     * exists for: BASE cells (the persisted nightly sketch a
     * [[graft.ModelStore]]-style store holds) plus DELTA cells (the

@@ -220,6 +220,36 @@ class SketchesSpec extends SparkSpec {
     assert(merged === histOf(orders))
   }
 
+  test("grouped hdr quantiles: every segment's bracket contains its exact rank") {
+    import org.apache.spark.sql.functions._
+    val rows = Sketches.hdrQuantilesBySegment(spark, dir).collect()
+    val bySeg = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey")
+      .select(col("c_mktsegment"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._2 >= 1L)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.length === bySeg.size * Sketches.hqTargets.length)
+    rows.foreach { r =>
+      val seg = r.getAs[String]("segment")
+      val cents = bySeg(seg)
+      val (qn, qd) = (r.getAs[Long]("q_num"), r.getAs[Long]("q_den"))
+      val tRank = r.getAs[Long]("t_rank")
+      assert(r.getAs[Long]("n_total") === cents.length.toLong)
+      assert(tRank === (qn * cents.length + qd - 1) / qd)
+      val exact = cents(tRank.toInt - 1)
+      val (lo, hi) = (r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents"))
+      assert(exact >= lo && exact <= hi,
+        s"$seg q=$qn/$qd exact=$exact [$lo,$hi]")
+      assert(hi - lo + 1 <=
+        math.max(1L, lo / (1L << (Sketches.hdrSubBits - 1))),
+        s"$seg bracket [$lo,$hi] too wide")
+    }
+  }
+
   test("hdr quantiles: tight relative bracket; merge == recompute exactly") {
     import org.apache.spark.sql.functions._
     val rows = Sketches.hdrQuantiles(spark, dir).collect()
