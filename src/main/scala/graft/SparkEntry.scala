@@ -163,6 +163,7 @@ object SparkEntry {
     "dedup_prefix_join" -> (Dedup.prefixJaccardJoin _),
     "dedup_blocking_eval" -> (Dedup.blockingEval _),
     "dedup_blocking_sweep" -> (Dedup.blockingEvalSweep _),
+    "dedup_minhash_est" -> (Dedup.minhashEstimatorAudit _),
     "dedup_cc_incremental" -> (Dedup.ccIncremental _),
     "q_contamination" -> (Dedup.contamination _),
     // — similarity search over embeddings
@@ -2567,6 +2568,52 @@ object SparkEntry {
          |$perGeom
          |$rows
          |ORDER BY n_bands""".stripMargin
+    },
+    // estimator honesty: agreement/k vs exact distinct-shingle
+    // Jaccard per candidate pair; one division each side, round 6,
+    // error = |difference of the rounded values| round 6
+    "dedup_minhash_est" -> {
+      val k = operators.Dedup.wideNumHashes
+      val agreeSum = (0 until k)
+        .map(j => s"CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""$wideSigsCte,
+         |bands AS (
+         |  $wideBandsCte),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key
+         |      AND a.doc_id < b.doc_id),
+         |agree AS (
+         |  SELECT c.a_id, c.b_id, CAST($agreeSum AS BIGINT) AS n_agree
+         |  FROM cand c JOIN sigs sa ON sa.doc_id = c.a_id
+         |              JOIN sigs sb ON sb.doc_id = c.b_id),
+         |docs AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT a_id AS doc_id FROM cand
+         |  UNION ALL SELECT b_id FROM cand) u),
+         |dg AS (SELECT DISTINCT g.doc_id, g.g FROM g JOIN docs USING (doc_id)),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+         |          FROM dg GROUP BY 1),
+         |inter AS (
+         |  SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS i
+         |  FROM cand c JOIN dg da ON da.doc_id = c.a_id
+         |              JOIN dg db ON db.doc_id = c.b_id AND db.g = da.g
+         |  GROUP BY 1, 2)
+         |SELECT ag.a_id, ag.b_id, ag.n_agree,
+         |  round(CAST(ag.n_agree AS DOUBLE) / $k.0, 6) AS est_jaccard,
+         |  round(CAST(coalesce(i.i, 0) AS DOUBLE) /
+         |    CAST(sa.c + sb.c - coalesce(i.i, 0) AS DOUBLE), 6)
+         |    AS exact_jaccard,
+         |  round(abs(round(CAST(ag.n_agree AS DOUBLE) / $k.0, 6) -
+         |    round(CAST(coalesce(i.i, 0) AS DOUBLE) /
+         |      CAST(sa.c + sb.c - coalesce(i.i, 0) AS DOUBLE), 6)), 6)
+         |    AS abs_err
+         |FROM agree ag
+         |LEFT JOIN inter i ON i.a_id = ag.a_id AND i.b_id = ag.b_id
+         |JOIN sizes sa ON sa.doc_id = ag.a_id
+         |JOIN sizes sb ON sb.doc_id = ag.b_id
+         |ORDER BY ag.a_id, ag.b_id""".stripMargin
     },
     "dedup_containment" ->
       s"""WITH s AS (

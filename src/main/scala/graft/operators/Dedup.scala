@@ -1195,4 +1195,65 @@ object Dedup {
   def bandThreshold(b: Int, r: Int): Double =
     BigDecimal(math.pow(1.0 / b, 1.0 / r))
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** MinHash ESTIMATOR honesty — the audit a deployment runs before
+    * trusting signature agreement as a similarity score: for every
+    * wide-LSH candidate pair, ĵ = (#agreeing signature coordinates)/k
+    * (the unbiased MinHash estimate, k = [[wideNumHashes]]) next to
+    * the EXACT Jaccard of the very sets the signature sketches — the
+    * DISTINCT 8-char shingle sets — and |ĵ − j| per pair. The rel_err
+    * column every sketch row carries (HLL, CMS, HDR), applied to the
+    * dedup family's own estimator.
+    *
+    * Float discipline: n_agree is a fixed-order integer sum of k
+    * coordinate equalities; ĵ and j are each ONE division of exact
+    * integers, rounded at 6; the error is the |difference| of those
+    * two rounded values, rounded at 6 — nesting stated identically in
+    * the oracle.
+    *
+    * Shape (100 TB): pairs come from the certified banding (never
+    * all-pairs); the signature join is pair-sized; the exact side
+    * tokenizes ONLY docs appearing in pairs (semi-join pushdown) and
+    * intersects shingles through the pair list — work is
+    * O(pairs · doc length), corpus-independent.
+    */
+  def minhashEstimatorAudit(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = wideSignaturesUnsorted(spark, dir).localCheckpoint()
+    val cand = lshPairsForGeometry(sigs, wideNumBands, wideRowsPerBand)
+      .localCheckpoint()
+    val agree = (0 until wideNumHashes)
+      .map(j => when(col(s"sa.h$j") === col(s"sb.h$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand
+      .join(sigs.as("sa"), col("sa.doc_id") === col("a_id"))
+      .join(sigs.as("sb"), col("sb.doc_id") === col("b_id"))
+      .select(col("a_id"), col("b_id"), agree.as("n_agree"))
+    val docsInPairs = cand.select(col("a_id").as("doc_id"))
+      .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
+    val grams = Tables(spark, dir, "documents")
+      .join(docsInPairs, Seq("doc_id"), "left_semi")
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))"))
+        .as("g"))
+      .distinct()
+      .localCheckpoint() // pair-doc shingle sets: sizes + intersection
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = cand
+      .join(grams.select(col("doc_id").as("a_id"), col("g")), "a_id")
+      .join(grams.select(col("doc_id").as("b_id"), col("g")),
+        Seq("b_id", "g"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    val estJ = round(col("n_agree").cast("double") /
+      lit(wideNumHashes.toDouble), 6)
+    val exactJ = round(coalesce(col("i"), lit(0L)).cast("double") /
+      (col("ca") + col("cb") - coalesce(col("i"), lit(0L))).cast("double"), 6)
+    est.join(inter, Seq("a_id", "b_id"), "left")
+      .join(sizes.select(col("doc_id").as("a_id"), col("c").as("ca")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("c").as("cb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_agree"),
+        estJ.as("est_jaccard"), exactJ.as("exact_jaccard"),
+        round(abs(estJ - exactJ), 6).as("abs_err"))
+      .orderBy("a_id", "b_id")
+  }
 }

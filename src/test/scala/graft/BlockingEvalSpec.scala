@@ -72,4 +72,48 @@ class BlockingEvalSpec extends SparkSpec {
     assert(rows(32L).getAs[Double]("reduction_ratio") <=
       rows(16L).getAs[Double]("reduction_ratio"))
   }
+
+  test("minhash estimator audit: planted pairs pin the estimate's honesty") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.functions._
+    val base = "the quarterly report shows revenue growing in every " +
+      "region with margins holding steady across the product lines " +
+      "while the operations team keeps shipping on schedule"
+    val docs = Seq(
+      0L -> base, // identical pair 0/1: jaccard 1, agreement 64/64
+      1L -> base,
+      2L -> (base + " plus one extra trailing clause about logistics"),
+      3L -> ("nothing in common with the others kernel fusion " +
+        "benchmarks on accelerator clusters with tiled matrix layouts"))
+    val dir = java.nio.file.Files.createTempDirectory("mhest").toString
+    docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val out = Dedup.minhashEstimatorAudit(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r).toMap
+    // the identical pair MUST surface: identical texts collide in
+    // every band; its estimate and truth are both exactly 1
+    val ident = out((0L, 1L))
+    assert(ident.getAs[Long]("n_agree") === Dedup.wideNumHashes.toLong)
+    assert(ident.getAs[Double]("est_jaccard") === 1.0)
+    assert(ident.getAs[Double]("exact_jaccard") === 1.0)
+    assert(ident.getAs[Double]("abs_err") === 0.0)
+    // every surfaced pair: est = n_agree/k exactly, err consistent,
+    // and the k=64 estimator concentrates (|err| within 4 sigma)
+    out.values.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val ex = r.getAs[Double]("exact_jaccard")
+      assert(est === r.getAs[Long]("n_agree").toDouble / Dedup.wideNumHashes)
+      assert(r.getAs[Double]("abs_err") ===
+        BigDecimal(math.abs(est - ex)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val sigma = math.sqrt(ex * (1 - ex) / Dedup.wideNumHashes)
+      assert(math.abs(est - ex) <= 4 * sigma + 1e-9,
+        s"pair ${r.getAs[Long]("a_id")}/${r.getAs[Long]("b_id")}: " +
+          s"est=$est exact=$ex")
+    }
+    // the unrelated doc never pairs
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
 }
