@@ -96,7 +96,11 @@ class DegenerateCorpusSpec extends SparkSpec {
     "hard_negatives" -> graft.operators.Quantize.hardNegatives(spark, dir).count(),
     "mutual_knn" -> Similarity.mutualKnnPairs(spark, dir).count(),
     "knn_accuracy" -> Similarity.knnLabelAccuracy(spark, dir).count(),
-    "source_kl" -> Sampling.sourceKlDrift(spark, dir).count())
+    "source_kl" -> Sampling.sourceKlDrift(spark, dir).count(),
+    "blocking_sweep" -> Dedup.blockingEvalSweep(spark, dir).count(),
+    "minhash_est" -> Dedup.minhashEstimatorAudit(spark, dir).count(),
+    "cms_incremental" -> Sketches.cmsTokenCountsIncremental(spark, dir).count(),
+    "ndcg" -> Retrieval.ndcgQuality(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -104,7 +108,9 @@ class DegenerateCorpusSpec extends SparkSpec {
       // recall/audit rows are global aggregates: one row even when empty
       val expect =
         if (Set("srp_recall", "triangles", "split_kl", "mrl_overlap",
-          "blocking_eval")(name)) 1L
+          "blocking_eval", "ndcg")(name)) 1L
+        else if (name == "blocking_sweep")
+          Dedup.blockingSweepGeometries.length.toLong
         else 0L
       assert(n === expect, s"$name must be ${expect} on an empty corpus")
     }
@@ -182,6 +188,14 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(counts("knn_accuracy") === 0L, "no neighbors, no votes")
     assert(counts("source_kl") === 1L,
       "the lone source IS the corpus — one row, KL exactly 0")
+    assert(counts("blocking_sweep") ===
+      Dedup.blockingSweepGeometries.length.toLong,
+      "one report row per geometry, zero pairs everywhere")
+    assert(counts("minhash_est") === 0L, "no pair universe with one document")
+    assert(counts("cms_incremental") === counts("cms"),
+      "incremental CMS reads back the same per-token rows as the full sketch")
+    assert(counts("ndcg") === 1L,
+      "report row exists; no query term matches so idcg=0 -> ndcg NULL")
   }
 
   test("constant corpus: zero total variance yields NULL shares, not ANSI 0/0") {
