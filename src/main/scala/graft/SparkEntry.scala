@@ -132,6 +132,7 @@ object SparkEntry {
     "q_top_paths" -> ((s: SparkSession, d: String) => Temporal.topPaths(s, d)),
     "q_concurrent_sessions" -> (operators.Intervals.concurrentSessions _),
     "q_funnel_conversion" -> (Behavior.funnelConversion _),
+    "q_cuped_ab" -> (Behavior.cupedAb _),
     "q_funnel_latency" -> (Behavior.funnelLatency _),
     "q_retention_cohorts" -> (Behavior.retentionCohorts _),
     "q_ltv_triangle" -> (Behavior.ltvTriangle _),
@@ -2028,6 +2029,72 @@ object SparkEntry {
         |FROM per GROUP BY 1 ORDER BY day""".stripMargin,
     // exact integer micros throughout; conv_pct is one rounded division
     // of two exact counts
+    // CUPED A/B: decimal power sums narrowed to (18,4) before any
+    // product (seriesCorrelation rule), md5 content-hash coin,
+    // integer-midpoint pivot; every emitted float is the same
+    // fixed-order double chain over identical operands, round 4
+    "q_cuped_ab" ->
+      s"""WITH d AS (
+         |  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day,
+         |    CAST(o_totalprice AS DECIMAL(18,4)) AS p
+         |  FROM orders),
+         |pv AS (SELECT (min(day) + max(day) + 1) // 2 AS pdy FROM d),
+         |cust AS (
+         |  SELECT o_custkey,
+         |    CAST(sum(CASE WHEN day < pdy THEN p
+         |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS x,
+         |    CAST(sum(CASE WHEN day >= pdy THEN p
+         |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS y
+         |  FROM d CROSS JOIN pv GROUP BY 1),
+         |g AS (
+         |  SELECT x, y,
+         |    CASE WHEN ((strpos('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)), 2, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)), 3, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)), 4, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)), 5, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)), 6, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)), 7, 1)) - 1) * 1) % 100 < 50
+         |      THEN 'A' ELSE 'B' END AS grp
+         |  FROM cust),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4)))
+         |      AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4)))
+         |      AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4)))
+         |      AS DOUBLE) AS syy,
+         |    CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(sum(CASE WHEN grp = 'A' THEN x
+         |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sx_a,
+         |    CAST(sum(CASE WHEN grp = 'A' THEN y
+         |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sy_a,
+         |    CAST(sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    CAST(sum(CASE WHEN grp = 'B' THEN x
+         |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sx_b,
+         |    CAST(sum(CASE WHEN grp = 'B' THEN y
+         |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sy_b
+         |  FROM g)
+         |SELECT n AS n_customers, n_a, n_b,
+         |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+         |    round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+         |          (CAST(n AS DOUBLE) * sxx - sx * sx), 4) END AS theta,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    round(sy_a / CAST(n_a AS DOUBLE) - sy_b / CAST(n_b AS DOUBLE),
+         |      4) END AS diff_raw,
+         |  CASE WHEN n_a > 0 AND n_b > 0
+         |       AND CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+         |    round((sy_a / CAST(n_a AS DOUBLE) - sy_b / CAST(n_b AS DOUBLE))
+         |      - ((CAST(n AS DOUBLE) * sxy - sx * sy) /
+         |         (CAST(n AS DOUBLE) * sxx - sx * sx)) *
+         |        (sx_a / CAST(n_a AS DOUBLE) - sx_b / CAST(n_b AS DOUBLE)),
+         |      4) END AS diff_cuped,
+         |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+         |       AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+         |    round((CAST(n AS DOUBLE) * sxy - sx * sy) *
+         |          (CAST(n AS DOUBLE) * sxy - sx * sy) /
+         |          ((CAST(n AS DOUBLE) * sxx - sx * sx) *
+         |           (CAST(n AS DOUBLE) * syy - sy * sy)), 4)
+         |  END AS var_reduction
+         |FROM s""".stripMargin,
     "q_funnel_conversion" ->
       s"""WITH e AS (
          |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),

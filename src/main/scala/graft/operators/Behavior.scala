@@ -470,4 +470,92 @@ object Behavior {
       .select(col("event_type"), col("hour_idx"), col("n"), col("z"),
         (col("z").isNotNull && abs(col("z")) > 3d).as("is_anomaly"))
   }
+
+  /** CUPED-adjusted A/B readout (Deng et al. 2013, WSDM — "Improving
+    * the sensitivity of online controlled experiments by utilizing
+    * pre-experiment data") — the variance-reduction technique every
+    * large experimentation platform runs: per-customer POST-period
+    * spend Y adjusted by the pooled regression on PRE-period spend X,
+    * Ŷ = Y − θ(X − X̄) with θ = cov(X,Y)/var(X), shrinking metric
+    * variance by ρ² without biasing the treatment difference.
+    *
+    * Assignment is the deterministic content-hash coin
+    * ([[Sampling.pctBucket]] of the customer key — md5-based, so the
+    * oracle replays it); the pre/post pivot is the integer midpoint of
+    * the observed order-date span ((min+max+1) div 2 epoch days —
+    * exact, replayable). On a hash-split corpus the true effect is 0,
+    * so diff_cuped measures exactly the noise CUPED removes.
+    *
+    * Float discipline: X and Y are scale-4 DECIMAL sums narrowed back
+    * to (18,4) before any product (the [[Analytics.seriesCorrelation]]
+    * rule — Spark would otherwise round a >38-digit product silently
+    * while DuckDB stays exact); all five pooled power sums and the
+    * per-group sums are exact decimals cast to double ONCE, and every
+    * emitted number is a short fixed-order double expression over
+    * those identical operands, rounded at 4 (the product-sum ULP
+    * rule). Degenerate guards: var(X) = 0 → NULL θ/adjusted columns;
+    * an empty arm → NULL diffs; never an ANSI 0/0.
+    *
+    * Scale shape (100 TB): one scan reduces orders to the
+    * per-customer (x, y) frame (map-side-combined, keyed by customer
+    * like every behavioral aggregate here); the date bounds are a
+    * 1-row broadcast; everything after is ONE map-side-combined
+    * aggregate to a single row — no shuffle wider than the customer
+    * reduction, no window, nothing collected.
+    */
+  def cupedAb(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    val days = Tables(spark, dir, "orders")
+      .select(col("o_custkey"),
+        expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div ${dayUs}L")
+          .as("day"),
+        col("o_totalprice").cast(dec).as("p"))
+    val pivot = days.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(expr("(mn + mx + 1) div 2").as("pivot"))
+    val zero = lit(0).cast(dec)
+    val cust = days.crossJoin(broadcast(pivot))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("day") < col("pivot"), col("p")).otherwise(zero))
+          .cast(dec).as("x"),
+        sum(when(col("day") >= col("pivot"), col("p")).otherwise(zero))
+          .cast(dec).as("y"))
+      .withColumn("grp",
+        when(Sampling.pctBucket(col("o_custkey").cast("string")) < 50,
+          "A").otherwise("B"))
+    val s = cust.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"),
+      sum(when(col("grp") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("grp") === "A", col("x")).otherwise(zero))
+        .cast("double").as("sx_a"),
+      sum(when(col("grp") === "A", col("y")).otherwise(zero))
+        .cast("double").as("sy_a"),
+      sum(when(col("grp") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("grp") === "B", col("x")).otherwise(zero))
+        .cast("double").as("sx_b"),
+      sum(when(col("grp") === "B", col("y")).otherwise(zero))
+        .cast("double").as("sy_b"))
+    val nD = col("n").cast("double")
+    val covN = nD * col("sxy") - col("sx") * col("sy") // n²·cov(X,Y)
+    val varxN = nD * col("sxx") - col("sx") * col("sx") // n²·var(X)
+    val varyN = nD * col("syy") - col("sy") * col("sy") // n²·var(Y)
+    val theta = covN / varxN
+    val bothArms = col("n_a") > 0L && col("n_b") > 0L
+    val dRaw = col("sy_a") / col("n_a").cast("double") -
+      col("sy_b") / col("n_b").cast("double")
+    val dX = col("sx_a") / col("n_a").cast("double") -
+      col("sx_b") / col("n_b").cast("double")
+    s.select(col("n").as("n_customers"), col("n_a"), col("n_b"),
+      when(varxN > 0d, round(theta, 4)).as("theta"),
+      when(bothArms, round(dRaw, 4)).as("diff_raw"),
+      when(bothArms && varxN > 0d, round(dRaw - theta * dX, 4))
+        .as("diff_cuped"),
+      when(varxN > 0d && varyN > 0d,
+        round(covN * covN / (varxN * varyN), 4)).as("var_reduction"))
+  }
 }

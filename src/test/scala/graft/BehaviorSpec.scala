@@ -98,6 +98,47 @@ class BehaviorSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Double]("retained_pct") === 1.0))
   }
 
+  test("CUPED: planted pre/post correlation is removed; guards hold") {
+    import spark.implicits._
+    // per-customer spend with STRONG pre->post correlation: customer u
+    // spends base_u in the pre half and base_u + small-noise in the
+    // post half (one order per half). theta ~= 1, var_reduction high,
+    // and since assignment is a fair content-hash coin over a
+    // zero-effect metric, |diff_cuped| must shrink vs |diff_raw|.
+    val dir = java.nio.file.Files.createTempDirectory("cuped").toString
+    val rows = (1L to 400L).flatMap { u =>
+      val base = 100.0 + (u % 97) * 10.0 // deterministic spread
+      val noise = ((u * 31) % 7).toDouble // small, uncorrelated w/ hash
+      Seq((u, java.sql.Date.valueOf("2024-01-05"), base),
+        (u, java.sql.Date.valueOf("2024-03-05"), base + noise))
+    }
+    rows.toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/orders.parquet")
+    val r = Behavior.cupedAb(spark, dir).head()
+    assert(r.getAs[Long]("n_customers") === 400L)
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === 400L)
+    val theta = r.getAs[Double]("theta")
+    assert(math.abs(theta - 1.0) < 0.05, s"theta=$theta should be ~1")
+    assert(r.getAs[Double]("var_reduction") > 0.9,
+      "planted correlation must make CUPED remove >90% of variance")
+    assert(math.abs(r.getAs[Double]("diff_cuped")) <
+      math.abs(r.getAs[Double]("diff_raw")),
+      "adjustment must shrink the null-effect noise")
+
+    // degenerate: constant pre-period spend -> var(X) = 0 -> NULL
+    // theta/adjusted columns, raw diff still present
+    val dir2 = java.nio.file.Files.createTempDirectory("cuped0").toString
+    (1L to 50L).flatMap { u =>
+      Seq((u, java.sql.Date.valueOf("2024-01-05"), 100.0),
+        (u, java.sql.Date.valueOf("2024-03-05"), (u % 9).toDouble))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir2/orders.parquet")
+    val r2 = Behavior.cupedAb(spark, dir2).head()
+    assert(r2.isNullAt(r2.fieldIndex("theta")))
+    assert(r2.isNullAt(r2.fieldIndex("diff_cuped")))
+    assert(!r2.isNullAt(r2.fieldIndex("diff_raw")))
+  }
+
   test("empty events: funnel yields three zero-user stages; retention is empty") {
     val dir = writeEvents(Seq.empty)
     val funnel = Behavior.funnelConversion(spark, dir).collect()

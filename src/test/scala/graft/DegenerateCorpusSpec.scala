@@ -269,6 +269,9 @@ class DegenerateCorpusSpec extends SparkSpec {
     Seq.empty[(Long, Long, Double)]
       .toDF("l_orderkey", "l_partkey", "l_quantity")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+    Seq.empty[(Long, String)]
+      .toDF("c_custkey", "c_mktsegment")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/customer.parquet")
     assert(graft.operators.Analytics.rfmSegments(spark, dir).count() === 0L)
     assert(graft.operators.Associations.marketBasket(spark, dir).count() === 0L,
       "no baskets, no pairs — and the support division never sees a row")
@@ -292,6 +295,16 @@ class DegenerateCorpusSpec extends SparkSpec {
     // empty warehouse: no cells, no targets can be met -> empty read-off
     assert(Sketches.hdrQuantiles(spark, dir).count() === 0L)
     assert(Sketches.hdrQuantilesIncremental(spark, dir).count() === 0L)
+    assert(Sketches.hdrQuantilesBySegment(spark, dir).count() === 0L)
+    assert(Sketches.hllDailyIncremental(spark, dir).count() === 0L)
+    // CUPED on an empty warehouse: the report row exists, every
+    // statistic NULL behind its guard (the n*sxx - sx^2 > 0 and
+    // both-arms predicates see NULLs, never an ANSI 0/0)
+    val cuped = Behavior.cupedAb(spark, dir).collect()
+    assert(cuped.length === 1)
+    assert(cuped.head.getAs[Long]("n_customers") === 0L)
+    assert(cuped.head.isNullAt(cuped.head.fieldIndex("theta")))
+    assert(cuped.head.isNullAt(cuped.head.fieldIndex("diff_cuped")))
     assert(Behavior.forecastBaseline(spark, dir).count() === 0L)
     assert(Behavior.eventTransitions(spark, dir).count() === 0L)
     assert(Behavior.hourlyAnomalies(spark, dir).count() === 0L)
