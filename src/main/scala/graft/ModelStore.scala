@@ -42,36 +42,54 @@ object ModelStore {
     * [[DataVersion.key]] of the training input at save time; `params`
     * is the family's free-form hyperparameter string (k, merge
     * budget, …) so a load can refuse a model trained at different
-    * settings.
+    * settings; `rows` is the payload row count at save time, re-counted
+    * and verified at [[load]] so a torn payload can never serve even if
+    * a commit marker somehow survives next to it.
     */
-  final case class Meta(family: String, dataVersion: String, params: String)
+  final case class Meta(family: String, dataVersion: String, params: String,
+                        rows: Long = -1L)
 
   def save(spark: SparkSession, path: String, meta: Meta,
            payload: DataFrame): Unit = {
     import spark.implicits._
-    // write order is the crash contract: payload FIRST, meta LAST —
-    // the 1-row meta is the commit marker, so a save that dies midway
-    // leaves a store [[load]] refuses (no meta → read error; stale
-    // meta → stamp mismatch), never a silently half-written artifact
-    // served as fresh. On OVERWRITE the old meta must go FIRST: a
-    // retrain-in-place whose dataset fingerprint hasn't moved would
-    // otherwise leave a still-valid old marker next to a partially
-    // rewritten payload if the save dies mid-payload, and load would
-    // silently serve the truncated artifact — deleting the marker up
-    // front restores the fresh-save invariant on every save.
-    val metaDir = new java.io.File(path, "meta.parquet")
-    if (metaDir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(metaDir)
-    }
-    payload.write.mode("overwrite").parquet(s"$path/payload.parquet")
-    Seq((meta.family, meta.dataVersion, meta.params))
-      .toDF("family", "data_version", "params")
+    import org.apache.hadoop.fs.Path
+    // Staged write + rename commit. The whole new artifact (payload +
+    // meta) lands under `_staging/` first, so a save that dies anywhere
+    // during the writes leaves the PRIOR artifact untouched and
+    // loadable — a failed retrain must never destroy the good model.
+    // The commit phase is then three metadata-only filesystem moves:
+    //   1. delete the live meta (the commit marker — from this instant
+    //      the store reads as "no committed artifact", a clean refusal,
+    //      never a torn old/new mix),
+    //   2. swap the payload directory in by rename,
+    //   3. rename the new meta into place (re-arming the marker).
+    // All moves go through the Hadoop FileSystem the parquet writes
+    // use, so the contract holds on every store the writes reach
+    // (file://, hdfs://, s3a://) — java.io.File would silently no-op
+    // off the local filesystem. Writer concurrency is out of scope:
+    // the store contract is single-writer, many-reader (a reader that
+    // lands inside the ~ms commit window gets the clean "no committed
+    // artifact" refusal from [[load]] and retries).
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(root, "_staging")
+    fs.delete(staging, true) // debris from a save that died mid-stage
+    val nRows = payload.count()
+    payload.write.mode("overwrite")
+      .parquet(s"$path/_staging/payload.parquet")
+    Seq((meta.family, meta.dataVersion, meta.params, nRows))
+      .toDF("family", "data_version", "params", "n_rows")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta.parquet")
+      .write.mode("overwrite").parquet(s"$path/_staging/meta.parquet")
+    fs.delete(new Path(root, "meta.parquet"), true)
+    fs.delete(new Path(root, "payload.parquet"), true)
+    require(fs.rename(new Path(staging, "payload.parquet"),
+      new Path(root, "payload.parquet")),
+      s"commit failed: could not move staged payload into $path")
+    require(fs.rename(new Path(staging, "meta.parquet"),
+      new Path(root, "meta.parquet")),
+      s"commit failed: could not move staged meta into $path")
+    fs.delete(staging, true)
   }
 
   /** Load an artifact's payload after validating the stamp: the
@@ -84,9 +102,18 @@ object ModelStore {
   def load(spark: SparkSession, path: String, family: String,
            expectedVersion: String, expectedParams: Option[String] = None,
            requireFresh: Boolean = true): (Meta, DataFrame) = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta.parquet")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // absent marker = never saved, a save that died before commit, or a
+    // writer inside the commit window — one clean refusal for all three
+    require(fs.exists(metaPath),
+      s"no committed artifact at $path (never saved, a save died before " +
+        "its commit marker, or a writer is mid-commit) — retrain, or " +
+        "retry if a writer is known to be live")
     val m = spark.read.parquet(s"$path/meta.parquet").head()
     val meta = Meta(m.getAs[String]("family"),
-      m.getAs[String]("data_version"), m.getAs[String]("params"))
+      m.getAs[String]("data_version"), m.getAs[String]("params"),
+      m.getAs[Long]("n_rows"))
     require(meta.family == family,
       s"artifact at $path is family '${meta.family}', expected '$family'")
     expectedParams.foreach(p => require(meta.params == p,
@@ -97,7 +124,12 @@ object ModelStore {
         s"STALE artifact at $path: stamped '${meta.dataVersion}', the " +
           s"dataset now fingerprints '$expectedVersion' — retrain or pass " +
           "requireFresh = false to serve a pinned model deliberately")
-    (meta, spark.read.parquet(s"$path/payload.parquet"))
+    val payload = spark.read.parquet(s"$path/payload.parquet")
+    val got = payload.count()
+    require(got == meta.rows,
+      s"TORN artifact at $path: meta records ${meta.rows} payload rows, " +
+        s"the payload directory holds $got — refuse and retrain")
+    (meta, payload)
   }
 
   // ---- IVF centroids --------------------------------------------------

@@ -120,7 +120,10 @@ object Sketches {
     * the persisted base cells (stamp-validated), sketch ONLY the delta
     * slice's tokens, merge by keyed sum, read off. Bit-equal to the
     * whole-corpus [[cmsTokenCounts]] by linearity (spec-pinned); the
-    * base slice is never re-tokenized.
+    * base slice is never re-SKETCHED — note the read-off itself still
+    * scans the full corpus (the probe vocabulary and the exact-count
+    * honesty column are whole-corpus by definition); the incremental
+    * saving is confined to the cell-building side.
     */
   def cmsTokenCountsServed(spark: SparkSession, dir: String,
                            storePath: String): DataFrame = {
@@ -610,7 +613,10 @@ object Sketches {
     * shape: reload the persisted base registers (stamp-validated),
     * sketch ONLY the delta slice, MAX-merge, read off. Bit-equal to
     * the whole-corpus [[hllDailyUsers]] by the union property
-    * (spec-pinned); the base slice is never re-hashed.
+    * (spec-pinned); the base slice is never re-SKETCHED — note the
+    * read-off's exact-count honesty column still computes whole-corpus
+    * exact distincts by definition; the incremental saving is confined
+    * to the register-building side.
     */
   def hllDailyServed(spark: SparkSession, dir: String,
                      storePath: String): DataFrame = {

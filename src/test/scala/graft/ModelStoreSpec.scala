@@ -229,22 +229,22 @@ class ModelStoreSpec extends SparkSpec {
   }
 
   test("overwrite crash contract: old meta never vouches for a new payload") {
-    // save() must delete the old commit marker BEFORE rewriting the
-    // payload: a retrain-in-place whose dataset fingerprint hasn't
-    // moved would otherwise leave a valid old meta next to a torn new
-    // payload after a mid-payload crash, and load would silently serve
-    // it. Simulate the crash window: after a completed save, delete
-    // the meta (what save() now does first) and corrupt the payload —
-    // load must refuse on the missing marker.
+    // save() stages the whole new artifact, then commits by deleting
+    // the old marker and renaming the staged files in: a retrain whose
+    // dataset fingerprint hasn't moved can therefore never leave a
+    // valid old meta next to a torn new payload. Simulate the
+    // inside-the-commit crash window: after a completed save, delete
+    // the meta (the commit's first move) — load must refuse on the
+    // missing marker regardless of what the payload dir holds.
     val path = tmp("overwrite")
     ModelStore.savePerceptron(spark, path, dir, Array(1L, 2L, 3L, 4L, 5L, 6L))
     // second save onto the same path succeeds end-to-end (marker is
-    // re-created after the new payload)
+    // re-created after the new payload swaps in)
     ModelStore.savePerceptron(spark, path, dir, Array(9L, 8L, 7L, 6L, 5L, 4L))
     assert(ModelStore.loadPerceptron(spark, path, dir).toSeq ===
       Seq(9L, 8L, 7L, 6L, 5L, 4L))
-    // now the torn overwrite: marker deleted (save's first step), then
-    // the process dies mid-payload — whatever the payload dir holds,
+    // now the torn overwrite: marker deleted (commit's first move),
+    // then the process dies mid-swap — whatever the payload dir holds,
     // load refuses because there is no commit marker
     def rmdir(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmdir))
@@ -254,6 +254,77 @@ class ModelStoreSpec extends SparkSpec {
     intercept[Exception] {
       ModelStore.loadPerceptron(spark, path, dir)
     }
+  }
+
+  test("durability: a re-save whose payload write throws keeps the prior " +
+    "artifact loadable") {
+    // the staged-write half of the commit protocol: every byte of the
+    // new artifact lands in _staging/ before the commit touches the
+    // live files, so a retrain that dies mid-write (OOM, quota, bad
+    // input — here: a payload whose evaluation throws) leaves the
+    // previously committed artifact fully intact
+    import spark.implicits._
+    val path = tmp("durable")
+    ModelStore.savePerceptron(spark, path, dir, Array(1L, 2L, 3L, 4L, 5L, 6L))
+    val boom = udf((_: Long) => {
+      throw new RuntimeException("simulated mid-write failure"); 0L
+    })
+    val poisoned = Seq(1L).toDF("ord")
+      .select(col("ord"), boom(col("ord")).as("w"))
+    intercept[Exception] {
+      ModelStore.save(spark, path,
+        ModelStore.Meta("perceptron",
+          DataVersion.key(dir, "documents", "perceptron"), ""), poisoned)
+    }
+    // the failed save destroyed nothing: the v1 artifact still serves
+    assert(ModelStore.loadPerceptron(spark, path, dir).toSeq ===
+      Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("concurrent reader mid-commit gets the clean refusal, and a " +
+    "dangling staging dir never breaks the next save") {
+    // single-writer many-reader contract: a reader that lands inside
+    // the commit window (marker deleted, staged files not yet renamed
+    // in) must see the clean 'no committed artifact' refusal — a
+    // require(), not a raw parquet path-not-found — and a staging dir
+    // left by a writer that died mid-stage is swept by the next save
+    val path = tmp("midcommit")
+    ModelStore.savePerceptron(spark, path, dir, Array(1L, 2L, 3L, 4L, 5L, 6L))
+    // reproduce the mid-commit state: marker gone, staging populated
+    def rmdir(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmdir))
+      f.delete()
+    }
+    val staging = new java.io.File(path, "_staging")
+    staging.mkdirs()
+    new java.io.File(staging, "payload.parquet").mkdirs()
+    rmdir(new java.io.File(path, "meta.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      ModelStore.loadPerceptron(spark, path, dir)
+    }
+    assert(e.getMessage.contains("no committed artifact"),
+      s"mid-commit reader must get the clean refusal, got: ${e.getMessage}")
+    // recovery: a fresh save sweeps the debris and commits normally
+    ModelStore.savePerceptron(spark, path, dir, Array(7L, 7L, 7L, 7L, 7L, 7L))
+    assert(ModelStore.loadPerceptron(spark, path, dir).toSeq ===
+      Seq(7L, 7L, 7L, 7L, 7L, 7L))
+    assert(!staging.exists(), "commit must clean up the staging dir")
+  }
+
+  test("torn-payload guard: meta row count disagreeing with the payload " +
+    "refuses") {
+    import spark.implicits._
+    val path = tmp("torn")
+    ModelStore.savePerceptron(spark, path, dir, Array(1L, 2L, 3L, 4L, 5L, 6L))
+    // corrupt: rewrite the payload with fewer rows while keeping the
+    // committed meta (simulates a storage-level truncation the commit
+    // protocol itself cannot see)
+    Seq((0, 1L), (1, 2L)).toDF("ord", "w")
+      .write.mode("overwrite").parquet(s"$path/payload.parquet")
+    val e = intercept[IllegalArgumentException] {
+      ModelStore.loadPerceptron(spark, path, dir)
+    }
+    assert(e.getMessage.contains("TORN artifact"))
   }
 
   test("crash contract: a store without its meta commit marker refuses") {
