@@ -49,6 +49,15 @@ object SchemaEvolution {
   /** One column rename — an alias-map entry, never a history rewrite. */
   case class ColumnRename(table: String, from: String, to: String)
 
+  /** One type widening — a journaled cast-map entry, never a history
+    * rewrite: post-widen rows parse and append at the wider type, and
+    * the FINAL read casts pre-widen history UP by reading the whole log
+    * under the widened schema (Spark's parquet reader upcasts
+    * int16/int32→int64 and float→double natively under an explicit
+    * read schema — probed on 4.1).
+    */
+  case class ColumnWiden(table: String, column: String, to: DataType)
+
   /** PostgreSQL type name → the Spark type Debezium's JSON wire carries
     * for it. Timestamps are epoch-µs Int64 on the wire
     * (`/root/reference/schemas/clickhouse_schemas.sql:22-23`) — they
@@ -89,6 +98,74 @@ object SchemaEvolution {
         case _ => None
       }
     case _ => Nil
+  }
+
+  private val widenRe =
+    """(?is)ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?"?([A-Za-z_][A-Za-z0-9_]*)"?\s+(?:SET\s+DATA\s+)?TYPE\s+([A-Za-z][A-Za-z0-9 ]*(?:\(\d+(?:,\s*\d+)?\))?).*""".r
+
+  /** Extract a column type change from one DDL statement (`ALTER TABLE t
+    * ALTER [COLUMN] c [SET DATA] TYPE x` — the next most common Debezium
+    * DDL class after ADD/RENAME). Whether the change is a safe WIDENING
+    * (vs a narrowing/change that must dead-letter) is decided against
+    * the evolved schema at arrival time, not here.
+    */
+  def parseWidens(ddl: String): Seq[ColumnWiden] = ddl match {
+    case widenRe(table, col, typ) =>
+      Seq(ColumnWiden(table.toLowerCase, col.toLowerCase,
+        pgWireType(typ.trim)))
+    case _ => Nil
+  }
+
+  /** The safe widening lattice on WIRE types: integral up
+    * (short→int→long), fractional up (float→double), small-integral →
+    * double (lossless to 2⁵³ by construction), and SAME TYPE (covers
+    * `varchar(50)→varchar(200)` and `numeric(p,s)` precision widens —
+    * Debezium's precise-decimal wire form is a string, so the wire type
+    * does not move; the DDL is journaled for idempotence and applies as
+    * a schema no-op). long→double is NOT a widen (lossy past 2⁵³), nor
+    * is anything downward.
+    */
+  def isWiden(from: DataType, to: DataType): Boolean = {
+    def irank(t: DataType): Int = t match {
+      case ShortType => 1; case IntegerType => 2; case LongType => 3
+      case _ => -1
+    }
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (a, b) if irank(a) > 0 && irank(b) > 0 => irank(b) >= irank(a)
+      case (FloatType, DoubleType) => true
+      case (ShortType | IntegerType | FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** Apply journaled widens to both images. A widen whose column was
+    * later renamed resolves THROUGH the rename map (the DDL named the
+    * column as it was called at arrival time; the schema carries the
+    * current name).
+    */
+  def evolveWidens(base: StructType, widens: Seq[ColumnWiden],
+                   renames: Seq[ColumnRename] = Nil): StructType = {
+    def resolve(c: String): String =
+      renames.foldLeft(c)((n, r) => if (r.from == n) r.to else n)
+    def widenImg(img: StructType): StructType =
+      widens.foldLeft(img) { (s, wd) =>
+        // widen the arrival-time name AND its rename resolution: both
+        // can coexist in the image (a rename keeps the source field so
+        // pre-rename rows still parse), and rows land under whichever
+        // name was current when they were written
+        val targets = Set(wd.column, resolve(wd.column))
+        StructType(s.fields.map {
+          case StructField(n, _, nl, m) if targets(n) =>
+            StructField(n, wd.to, nl, m)
+          case f => f
+        })
+      }
+    StructType(base.fields.map {
+      case StructField(n @ ("before" | "after"), img: StructType, nl, m) =>
+        StructField(n, widenImg(img), nl, m)
+      case f => f
+    })
   }
 
   private val renameRe =
@@ -222,6 +299,34 @@ object SchemaEvolution {
       finally w.close()
     }
 
+  private def widenJournalFile(schemaDir: String) =
+    new java.io.File(schemaDir, "widens.tsv")
+
+  /** Load the journaled cast map (empty on first start), in applied
+    * order — later widens of the same column supersede earlier ones
+    * by fold order.
+    */
+  def loadWidenJournal(schemaDir: String): Seq[ColumnWiden] = {
+    val f = widenJournalFile(schemaDir)
+    if (!f.exists()) Nil
+    else scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty)
+      .map { l =>
+        val Array(t, c, dt) = l.split("\t")
+        ColumnWiden(t, c, DataType.fromDDL(dt))
+      }.toSeq
+  }
+
+  private def appendWidenJournal(schemaDir: String,
+                                 widens: Seq[ColumnWiden]): Unit =
+    if (widens.nonEmpty) {
+      val f = widenJournalFile(schemaDir)
+      f.getParentFile.mkdirs()
+      val w = new java.io.FileWriter(f, true)
+      try widens.foreach(wd =>
+        w.write(s"${wd.table}\t${wd.column}\t${wd.to.sql}\n"))
+      finally w.close()
+    }
+
   /** Start the evolving pipeline over a RAW JSON-lines change
     * directory (the schemaless wire form). Per micro-batch:
     *  1. envelopes carrying a `ddl` field are schema-change events —
@@ -248,6 +353,7 @@ object SchemaEvolution {
       .dataType.asInstanceOf[StructType].fieldNames.toSet
     var adds = loadJournal(schemaDir)
     var renames = loadRenameJournal(schemaDir)
+    var widens = loadWidenJournal(schemaDir)
     spark.readStream.text(changesDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -279,26 +385,72 @@ object SchemaEvolution {
           }
           appendRenameJournal(schemaDir, newRenames)
           renames = renames ++ newRenames
-          val schema = evolveRenames(
-            evolveEnvelope(ChangeEvent.envelopeSchema, adds), renames)
+          // widen applicability, against the image as evolved so far:
+          // the column must be an EVOLVED one (adds/renames own their
+          // types; the compiled MV projection owns the base columns —
+          // base-column type changes dead-letter), and the current
+          // wire type → target must sit on the safe widening lattice.
+          // A re-delivered widen is recognized, not re-journaled.
+          val newWidens = ddls.flatMap(parseWidens).flatMap { wd =>
+            if (widens.contains(wd)) None // at-least-once re-delivery
+            else {
+              val curImg = evolveWidens(evolveRenames(
+                evolveEnvelope(ChangeEvent.envelopeSchema, adds), renames),
+                widens, renames)("after").dataType.asInstanceOf[StructType]
+              curImg.fields.find(_.name == wd.column) match {
+                case Some(f) if !baseAfterFields.contains(wd.column) &&
+                  isWiden(f.dataType, wd.to) => Some(wd)
+                case _ => None // narrowing/base/unknown → dead-letter
+              }
+            }
+          }
+          appendWidenJournal(schemaDir, newWidens)
+          widens = widens ++ newWidens
+          val schema = evolveWidens(evolveRenames(
+            evolveEnvelope(ChangeEvent.envelopeSchema, adds), renames),
+            widens, renames)
           val data = probed.filter(col("p.ddl").isNull)
-            .select(from_json(col("value"), schema).as("e")).select("e.*")
-          applyEvolved(data).write.mode("append").parquet(bookingsDir)
+            .select(from_json(col("value"), schema).as("e"),
+              col("value"))
+          applyEvolved(data.select("e.*"))
+            .write.mode("append").parquet(bookingsDir)
           deadLetterDir.foreach { dl =>
-            // unapplied DDL (drops, type changes, table renames,
-            // base-column or unresolvable renames) + heartbeats/unknown
-            // ops, raw wire form. A DDL is applied iff it yielded an
-            // add or a journaled rename (re-deliveries count).
+            // unapplied DDL (drops, table renames, base-column or
+            // unresolvable renames, narrowing type changes) +
+            // heartbeats/unknown ops, raw wire form. A DDL is applied
+            // iff it yielded an add or a journaled rename/widen
+            // (re-deliveries count).
             val appliedDdl = (ddls.filter(d => parseAdds(d).nonEmpty) ++
-              ddls.filter(d => parseRenames(d).exists(renames.contains)))
+              ddls.filter(d => parseRenames(d).exists(renames.contains)) ++
+              ddls.filter(d => parseWidens(d).exists(widens.contains)))
               .toSet
             val nonApplied =
               if (appliedDdl.isEmpty) probed.filter(col("p.ddl").isNotNull)
               else probed.filter(col("p.ddl").isNotNull &&
                 !col("p.ddl").isInCollection(appliedDdl))
-            MvTransform.droppedEnvelopes(data)
+            // LOSSY data rows: an after-image carrying wire fields the
+            // evolved schema does not know (e.g. rows arriving under a
+            // REJECTED rename's new name) would otherwise lose those
+            // values silently — the row still lands in the log (its
+            // known fields parse fine; diverting it would lose MORE),
+            // but a raw copy goes to the dead letter so the loss is
+            // observable per row, not just inferable from a rejected
+            // DDL. The extra map-parse runs only when a dead letter is
+            // configured.
+            val knownAfter = schema("after").dataType
+              .asInstanceOf[StructType].fieldNames
+            val lossy = data
+              .withColumn("__m", from_json(get_json_object(col("value"),
+                "$.after"), MapType(StringType, StringType)))
+              .filter(col("__m").isNotNull &&
+                size(map_keys(col("__m"))) >
+                  size(array_intersect(map_keys(col("__m")),
+                    typedLit(knownAfter.toSeq))))
+              .select(col("value"))
+            MvTransform.droppedEnvelopes(data.select("e.*"))
               .select(to_json(struct(col("*"))).as("value"))
               .unionByName(nonApplied.select("value"))
+              .unionByName(lossy)
               .write.mode("append").text(dl)
           }
         } finally batch.unpersist()
@@ -312,16 +464,41 @@ object SchemaEvolution {
   def readEvolvedLog(spark: SparkSession, bookingsDir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(bookingsDir)
 
+  /** The upsert log's expected schema under the journaled evolution —
+    * DERIVED, not declared: the evolved envelope is pushed through the
+    * same [[applyEvolved]] projection the writer runs, so the read
+    * schema can never drift from the write path. Used for FINAL reads
+    * because a widened log holds files at BOTH the narrow and the wide
+    * physical type — parquet `mergeSchema` refuses that mix, while an
+    * explicit read schema upcasts old files natively (and null-fills
+    * columns added after a file was written).
+    */
+  def evolvedLogSchema(spark: SparkSession, schemaDir: String): StructType = {
+    val adds = loadJournal(schemaDir)
+    val renames = loadRenameJournal(schemaDir)
+    val widens = loadWidenJournal(schemaDir)
+    val envelope = evolveWidens(evolveRenames(
+      evolveEnvelope(ChangeEvent.envelopeSchema, adds), renames),
+      widens, renames)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), envelope)
+    applyEvolved(empty).schema
+  }
+
   /** FINAL read with the journaled alias map applied: for each rename
     * a→b (journal order, so chains resolve), history rows that carry
     * only `a` BACKFILL under `b` via `coalesce(b, a)` and the old name
     * drops from the surface — the log itself is never rewritten. Reads
-    * identically to a log whose history had always used the new name.
+    * under [[evolvedLogSchema]], so pre-widen history rows surface
+    * CAST UP to the journaled type (the cast-map half of T7): the read
+    * is identical to a log whose history had always used the new name
+    * and the wide type.
     */
   def readEvolvedLog(spark: SparkSession, bookingsDir: String,
                      schemaDir: String): DataFrame =
     loadRenameJournal(schemaDir).foldLeft(
-      readEvolvedLog(spark, bookingsDir)) { (d, r) =>
+      spark.read.schema(evolvedLogSchema(spark, schemaDir))
+        .parquet(bookingsDir)) { (d, r) =>
       val cols = d.columns.toSet
       if (cols(r.from) && cols(r.to))
         d.withColumn(r.to, coalesce(col(r.to), col(r.from))).drop(r.from)

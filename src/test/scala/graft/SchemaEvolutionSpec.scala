@@ -58,6 +58,56 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(parseRenames("ALTER TABLE t ADD COLUMN note text") === Nil)
   }
 
+  test("parseWidens: type changes extracted; other ALTER forms yield none") {
+    import SchemaEvolution.{parseWidens, ColumnWiden}
+    assert(parseWidens(
+      "ALTER TABLE public.bookings ALTER COLUMN priority TYPE bigint") ===
+      Seq(ColumnWiden("public.bookings", "priority", LongType)))
+    assert(parseWidens(
+      "alter table t alter c set data type double precision") ===
+      Seq(ColumnWiden("t", "c", DoubleType)))
+    assert(parseWidens(
+      "ALTER TABLE t ALTER COLUMN \"Amount\" TYPE numeric(20, 4)") ===
+      Seq(ColumnWiden("t", "amount", StringType))) // precise-decimal wire
+    assert(parseWidens("ALTER TABLE t ADD COLUMN note text") === Nil)
+    assert(parseWidens("ALTER TABLE t RENAME COLUMN a TO b") === Nil)
+    assert(parseWidens("ALTER TABLE t DROP COLUMN note") === Nil)
+  }
+
+  test("isWiden: the safe lattice, and nothing else") {
+    import SchemaEvolution.isWiden
+    assert(isWiden(ShortType, IntegerType))
+    assert(isWiden(ShortType, LongType))
+    assert(isWiden(IntegerType, LongType))
+    assert(isWiden(FloatType, DoubleType))
+    assert(isWiden(IntegerType, DoubleType))
+    assert(isWiden(StringType, StringType)) // varchar/decimal widen: no-op
+    assert(isWiden(LongType, LongType))
+    assert(!isWiden(LongType, IntegerType)) // narrowing
+    assert(!isWiden(DoubleType, FloatType))
+    assert(!isWiden(LongType, DoubleType)) // lossy past 2^53
+    assert(!isWiden(StringType, LongType)) // type change
+    assert(!isWiden(LongType, StringType))
+    assert(!isWiden(BooleanType, IntegerType))
+  }
+
+  test("evolveWidens widens both images and resolves through renames") {
+    import graft.schema.ChangeEvent
+    val withAdd = SchemaEvolution.evolveEnvelope(ChangeEvent.envelopeSchema,
+      Seq(SchemaEvolution.ColumnAdd("t", "priority", IntegerType)))
+    val renames = Seq(SchemaEvolution.ColumnRename("t", "priority", "prio"))
+    val renamed = SchemaEvolution.evolveRenames(withAdd, renames)
+    // the widen arrived under the OLD name; both names must widen
+    val widened = SchemaEvolution.evolveWidens(renamed,
+      Seq(SchemaEvolution.ColumnWiden("t", "priority", LongType)), renames)
+    Seq("before", "after").foreach { img =>
+      val st = widened(img).dataType.asInstanceOf[StructType]
+      assert(st("priority").dataType === LongType)
+      assert(st("prio").dataType === LongType)
+    }
+    assert(widened("source") === ChangeEvent.envelopeSchema("source"))
+  }
+
   test("evolveRenames widens with the target at the source's type; chains resolve") {
     import graft.schema.ChangeEvent
     val withAdd = SchemaEvolution.evolveEnvelope(ChangeEvent.envelopeSchema,
@@ -199,5 +249,85 @@ class SchemaEvolutionSpec extends SparkSpec {
       .map(r => r.getString(0) -> Option(r.getString(1))).toMap
     assert(fv5("b4") === Some("bronze"))
     assert(fv5("b1") === Some("vip"))
+
+    // ---- wave 6: ADD an integer column, then rows at the narrow type ----
+    def imgPrio(id: Int, bid: String, prio: String) =
+      s"""{"id":$id,"booking_id":"$bid","status":"Open","is_deleted":0,""" +
+        s""""is_canceled":false,"created_at":1704067200000000,""" +
+        s""""modified_at":1704067200000000,"vip_note":"x","priority":$prio}"""
+    writeLines("wave6.txt", Seq(
+      """{"ddl":"ALTER TABLE public.bookings ADD COLUMN priority integer","ts_ms":1704070006000}""",
+      s"""{"before":null,"after":${imgPrio(5, "b5", "7")},""" +
+        s""""source":{"sequence":"[\\"0\\",\\"20005\\"]","lsn":20005},"op":"u","ts_ms":1704070006500}"""))
+    SchemaEvolution.runOnce(spark, changes, bookings, s"$root/ckpt",
+      schemaDir, Some(deadLetter))
+    assert(SchemaEvolution.readEvolvedLog(spark, bookings, schemaDir)
+      .schema("priority").dataType === IntegerType)
+
+    // ---- wave 7: TYPE WIDEN mid-stream (integer -> bigint); a
+    // narrowing change and a base-column change must dead-letter ----
+    writeLines("wave7.txt", Seq(
+      """{"ddl":"ALTER TABLE public.bookings ALTER COLUMN priority TYPE bigint","ts_ms":1704070007000}""",
+      """{"ddl":"ALTER TABLE public.bookings ALTER COLUMN vip_note TYPE integer","ts_ms":1704070007001}""",
+      """{"ddl":"ALTER TABLE public.bookings ALTER COLUMN booking_id TYPE text","ts_ms":1704070007002}""",
+      // a value only the widened type can hold (past int32)
+      s"""{"before":null,"after":${imgPrio(6, "b6", "9000000000")},""" +
+        s""""source":{"sequence":"[\\"0\\",\\"20006\\"]","lsn":20006},"op":"u","ts_ms":1704070007500}"""))
+    SchemaEvolution.runOnce(spark, changes, bookings, s"$root/ckpt",
+      schemaDir, Some(deadLetter))
+
+    // FINAL unifies history under the WIDE type: the log now holds
+    // int32 files (wave 6) AND int64 files (wave 7) for `priority` —
+    // the journaled cast map reads both, upcasting old rows
+    val widened = SchemaEvolution.readEvolvedLog(spark, bookings, schemaDir)
+    assert(widened.schema("priority").dataType === LongType)
+    val fv7 = VersionedUpsert.finalView(widened)
+      .select("booking_id", "priority").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(fv7("b5") === Some(7L)) // pre-widen history cast up
+    assert(fv7("b6") === Some(9000000000L)) // needs the wide type
+    assert(fv7("b1") === None) // pre-ADD history null-backfilled
+    // narrowing + base-column type changes dead-lettered; the widen not
+    val dl7 = spark.read.text(deadLetter)
+    assert(dl7.filter(col("value").contains("vip_note TYPE integer"))
+      .count() === 1L)
+    assert(dl7.filter(col("value").contains("booking_id TYPE text"))
+      .count() === 1L)
+    assert(dl7.filter(col("value").contains("priority TYPE bigint"))
+      .count() === 0L)
+
+    // ---- wave 8: restart keeps the cast map without re-seeing DDL ----
+    writeLines("wave8.txt", Seq(
+      s"""{"before":null,"after":${imgPrio(7, "b6", "9000000001")},""" +
+        s""""source":{"sequence":"[\\"0\\",\\"20007\\"]","lsn":20007},"op":"u","ts_ms":1704070008000}"""))
+    SchemaEvolution.runOnce(spark, changes, bookings, s"$root/ckpt",
+      schemaDir, Some(deadLetter))
+    val fv8 = VersionedUpsert.finalView(
+        SchemaEvolution.readEvolvedLog(spark, bookings, schemaDir))
+      .select("booking_id", "priority").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(fv8("b6") === Some(9000000001L))
+    assert(fv8("b5") === Some(7L))
+
+    // ---- wave 9: data arriving under a REJECTED rename's wire name is
+    // observable — the row lands in the log (known fields parse; the
+    // unknown field nulls out) AND its raw form goes to the dead letter
+    // so the per-row loss has a trace ----
+    writeLines("wave9.txt", Seq(
+      s"""{"before":null,"after":{"id":8,"booking_id":"b9x","state":"Weird",""" +
+        s""""is_deleted":0,"is_canceled":false,"created_at":1704067200000000,""" +
+        s""""modified_at":1704067200000000},""" +
+        s""""source":{"sequence":"[\\"0\\",\\"20008\\"]","lsn":20008},"op":"u","ts_ms":1704070009000}"""))
+    SchemaEvolution.runOnce(spark, changes, bookings, s"$root/ckpt",
+      schemaDir, Some(deadLetter))
+    val fv9 = VersionedUpsert.finalView(
+        SchemaEvolution.readEvolvedLog(spark, bookings, schemaDir))
+      .select("booking_id", "status").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(fv9.contains("b9x"), "lossy row still lands in the log")
+    assert(fv9("b9x") === None, "the unknown wire field cannot populate")
+    val dl9 = spark.read.text(deadLetter)
+    assert(dl9.filter(col("value").contains("\"state\":\"Weird\""))
+      .count() === 1L, "the loss must leave a per-row dead-letter trace")
   }
 }
