@@ -275,6 +275,8 @@ object SparkEntry {
     "q_source_cap" ->
       ((s: SparkSession, d: String) => Sampling.sourceCap(s, d)),
     "q_pack_sequences" -> (Sampling.packSequences _),
+    "q_pack_sequences_bpe" -> (Sampling.packSequencesBpe _),
+    "q_token_budget_bpe" -> (Sampling.tokenBudgetBpe _),
     "text_pareto_frontier" -> (Sampling.paretoFrontier _),
     "text_chunk_windows" -> (Sampling.chunkWindows _),
     "q_shuffle_order" -> (Sampling.shuffleOrder _),
@@ -4628,6 +4630,68 @@ object SparkEntry {
          |SELECT lang, CAST(floor(pre / ${operators.Sampling.packContextLen}) AS BIGINT) AS bin,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM r GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+    // tokenizer-TRUE packing twin: the budget unit is the trained
+    // BPE's token count (the recursion's final segmentation replayed,
+    // exactly the text_bpe_encode chain), not whitespace words
+    "q_pack_sequences_bpe" ->
+      s"""$bpeRecursionCte,
+         |final AS (
+         |  SELECT w0 AS w,
+         |    CAST(len(string_split(word, ' ')) AS BIGINT) AS ns
+         |  FROM it WHERE iter = (SELECT max(iter) FROM it)
+         |),
+         |corpus AS (
+         |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS w
+         |  FROM documents
+         |),
+         |d AS (
+         |  SELECT lang, doc_id, CAST(sum(ns) AS BIGINT) AS n_tok
+         |  FROM corpus JOIN final USING (w) GROUP BY lang, doc_id
+         |),
+         |r AS (
+         |  SELECT lang, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |                     ROWS UNBOUNDED PRECEDING) - n_tok AS pre
+         |  FROM d)
+         |SELECT lang,
+         |  CAST(floor(pre / ${operators.Sampling.bpePackContextLen}) AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM r GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+    // tokenizer-TRUE budget twin: quality ORDER unchanged (the
+    // whitespace-feature score), the budget fills by BPE token counts
+    "q_token_budget_bpe" ->
+      s"""$bpeRecursionCte,
+         |final AS (
+         |  SELECT w0 AS w,
+         |    CAST(len(string_split(word, ' ')) AS BIGINT) AS ns
+         |  FROM it WHERE iter = (SELECT max(iter) FROM it)
+         |),
+         |corpus AS (
+         |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS w
+         |  FROM documents
+         |),
+         |d AS (
+         |  SELECT lang, doc_id, CAST(sum(ns) AS BIGINT) AS n_tok
+         |  FROM corpus JOIN final USING (w) GROUP BY lang, doc_id
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(trim(text), ' ')) AS DOUBLE) *
+         |    (CASE WHEN CAST(len(list_filter(string_split(trim(text), ' '),
+         |            t -> list_contains(['the','a','of','and','in','to','is'], t))) AS DOUBLE)
+         |          / len(string_split(trim(text), ' ')) >= 0.05
+         |     THEN 1.0 ELSE 0.5 END) AS quality
+         |  FROM documents),
+         |r AS (
+         |  SELECT d.lang, d.doc_id, d.n_tok, q.quality,
+         |    sum(d.n_tok) OVER (PARTITION BY d.lang
+         |                       ORDER BY q.quality DESC, d.doc_id
+         |                       ROWS UNBOUNDED PRECEDING) - d.n_tok AS pre
+         |  FROM d JOIN q USING (doc_id))
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  round(min(quality), 4) AS min_quality
+         |FROM r WHERE pre < ${operators.Sampling.bpeMixBudgetTokens}
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_heavy_hitters" ->
       """SELECT lang, CAST(rk AS BIGINT) AS rk, token, n FROM (
         |  SELECT lang, token, count(*) AS n,

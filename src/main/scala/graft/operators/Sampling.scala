@@ -86,6 +86,87 @@ object Sampling {
       .orderBy("lang", "bin")
   }
 
+  /** Tokenizer-TRUE per-document token counts: the trained BPE's
+    * word-type segmentation artifact (memoized — train once per
+    * dataset, [[BpeTrainer.segmentation]]) broadcast-joined onto the
+    * exploded word stream, summed per document. This is what
+    * [[packSequencesBpe]] / [[tokenBudgetBpe]] budget on: whitespace
+    * counts differ from what a trainer's tokenizer actually sees
+    * (each word segments into ≥1 subwords + the `</w>` marker
+    * convention), so a whitespace-budgeted pack silently over- or
+    * under-fills real context windows. Same scale shape as
+    * [[BpeTrainer.encode]]: one narrow posexplode pass, the model side
+    * a broadcast (shuffle equi-join past broadcast range), one
+    * map-side-combined per-doc aggregate — never corpus × vocab.
+    */
+  private def bpeDocTokens(spark: SparkSession, dir: String): DataFrame = {
+    val ns = BpeTrainer.segmentation(spark, dir)
+      .select(col("w"), size(col("sub")).cast("long").as("ns"))
+    Tables(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        explode(split(trim(col("text")), " ")).as("w"))
+      .join(broadcast(ns), "w")
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(sum(col("ns")).as("n_tok"))
+  }
+
+  /** Context length for [[packSequencesBpe]] — wider than the
+    * whitespace row's budget because BPE counts run ~3× higher on this
+    * corpus (subwords + end-of-word markers); the VALUE is a free
+    * parameter, the accounting unit is the point.
+    */
+  val bpePackContextLen = 1024
+
+  /** [[packSequences]] with tokenizer-true accounting: identical plan
+    * (one per-lang running-sum window + one aggregate, both shuffling
+    * on `lang` only — the token-count join adds one narrow broadcast
+    * stage upstream), but bins fill by the token counts the trained
+    * tokenizer will actually emit.
+    */
+  def packSequencesBpe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bpeDocTokens(spark, dir)
+      .withColumn("before", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", floor(col("before") / bpePackContextLen))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  /** Token budget per language for [[tokenBudgetBpe]] (scaled like
+    * [[bpePackContextLen]] for the same reason).
+    */
+  val bpeMixBudgetTokens = 6000
+
+  /** [[tokenBudgetMix]] with tokenizer-true accounting: the quality
+    * ORDER is unchanged (the whitespace-feature quality score — what
+    * ranks a document is a separate decision from how its cost is
+    * counted), but the budget fills by trained-BPE token counts, so
+    * "N tokens of each language" means N tokens the trainer will see.
+    * One doc_id-keyed join attaches quality to the counted frame; the
+    * window and aggregate shuffle on `lang` exactly like the
+    * whitespace row.
+    */
+  def tokenBudgetBpe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = TextAnalysis.representativeQuality(col("text"))
+    val scored = Tables(spark, dir, "documents")
+      .select(col("doc_id"), quality.as("quality"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bpeDocTokens(spark, dir)
+      .join(scored, "doc_id")
+      .withColumn("before", sum(col("n_tok")).over(w) - col("n_tok"))
+      .filter(col("before") < bpeMixBudgetTokens)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        round(min(col("quality")), 4).as("min_quality"))
+      .orderBy("lang")
+  }
+
   /** Token budget per language for [[tokenBudgetMix]]. */
   val mixBudgetTokens = 2000
 

@@ -100,7 +100,9 @@ class DegenerateCorpusSpec extends SparkSpec {
     "blocking_sweep" -> Dedup.blockingEvalSweep(spark, dir).count(),
     "minhash_est" -> Dedup.minhashEstimatorAudit(spark, dir).count(),
     "cms_incremental" -> Sketches.cmsTokenCountsIncremental(spark, dir).count(),
-    "ndcg" -> Retrieval.ndcgQuality(spark, dir).count())
+    "ndcg" -> Retrieval.ndcgQuality(spark, dir).count(),
+    "pack_bpe" -> Sampling.packSequencesBpe(spark, dir).count(),
+    "budget_bpe" -> Sampling.tokenBudgetBpe(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)

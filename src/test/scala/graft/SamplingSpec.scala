@@ -76,6 +76,46 @@ class SamplingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("BPE-true packing/budget twins: tokenizer counts, conservation, " +
+    "greedy contract") {
+    import graft.operators.BpeTrainer
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.count()
+    val wsTotal = docs
+      .select(sum(size(split(trim(col("text")), " ")).cast("long")))
+      .collect().head.getLong(0)
+    val encTotal = BpeTrainer.encode(spark, dir)
+      .select(sum(col("n_tokens"))).collect().head.getLong(0)
+    // the twin budgets on the counts the trained tokenizer emits —
+    // >= whitespace words always (every word is >= 1 subword); equality
+    // happens only at full-merge saturation (sf0.001's tiny vocabulary
+    // merges every word type back to one token), > on real corpora
+    assert(encTotal >= wsTotal,
+      s"BPE counts ($encTotal) must be >= whitespace counts ($wsTotal)")
+    val packed = Sampling.packSequencesBpe(spark, dir).collect()
+    assert(packed.map(_.getLong(2)).sum === nDocs)
+    assert(packed.map(_.getLong(3)).sum === encTotal,
+      "packing must conserve exactly the tokenizer's token mass")
+    packed.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      assert(rows.map(_.getLong(1)).min === 0L, s"first bin of $lang")
+    }
+    // budget twin: each language either filled its BPE budget (the
+    // greedy overshoot-by-at-most-one-doc contract) or ran out of docs
+    val langTotals = BpeTrainer.encode(spark, dir)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(
+        sum(col("n_tokens")).as("tot"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    Sampling.tokenBudgetBpe(spark, dir).collect().foreach { r =>
+      val (lang, nd, nt) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (tot, n) = langTotals(lang)
+      assert(nt >= math.min(Sampling.bpeMixBudgetTokens.toLong, tot),
+        s"$lang under-filled: $nt of budget ${Sampling.bpeMixBudgetTokens}")
+      assert(nd <= n)
+    }
+  }
+
   test("temperature mix: tau<1 compresses shares toward uniform, budget conserved") {
     val rows = Sampling.temperatureMix(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
