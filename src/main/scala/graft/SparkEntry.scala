@@ -181,6 +181,8 @@ object SparkEntry {
     "ann_pq_recall_k256" -> ((s, d) =>
       operators.Pq.pqRecallAtK(s, d, operators.Pq.productionCodebookSize)),
     "ann_ivfpq_recall" -> (operators.IvfPq.ivfPqRecall _),
+    "opq_rotation" -> (operators.Opq.rotationRows _),
+    "ann_opq_recall" -> ((s, d) => operators.Opq.opqRecall(s, d)),
     "emb_near_dup_pairs" -> (Similarity.nearDupPairs _),
     "emb_norm_outliers" -> (Similarity.normOutliers _),
     "emb_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
@@ -393,6 +395,189 @@ object SparkEntry {
        |nrow AS (SELECT count(DISTINCT vec_id) AS n FROM c),
        |v0 AS (SELECT dim, 0.125 AS v FROM mu),
        |$iters""".stripMargin
+  }
+
+  /** OPQ rotation training replayed end-to-end (mirrors
+    * [[graft.operators.Opq.trainedRotation]] step for step): centered
+    * cells → per-dim means (round 6) → the d×d population covariance,
+    * each cell rounded ONCE from the raw noisy sum into exact integer
+    * MICROS (`ocov0`, value×10⁶ as BIGINT) → [[operators.Opq.rotationDims]]
+    * generated deflation rounds in SCALED-INTEGER arithmetic — two
+    * power-iteration matvecs from the constant 1/8 seed, Gram–Schmidt
+    * against the accumulated basis (`obas$k`), normalization, Rayleigh
+    * eigenvalue, rank-1 deflation — where every step back to the micro
+    * grid is the SAME half-away-from-zero integer division both
+    * engines state (`(|x| + q/2) div q`), so no float-path rounding
+    * can ever disagree on a tie (chained float round(_, 6) over
+    * grid-aligned values makes true ties reachable — the round-15
+    * lesson). Doubles appear only at bit-reproducible spots: sqrt of
+    * an exact integer and a division of exact ints before a single
+    * round(_, 0). Then snake eigenvalue allocation (rank r = p·M + q →
+    * subspace q on even passes, M−1−q on odd; out_dim = subspace·subDim
+    * + p — exact BIGINT ranking) → `orot` (out_dim, in_dim, w, lam as
+    * micros/10⁶ doubles) and the rotated corpus `rembeddings`
+    * (y = R(x−μ), per-coordinate round 6 of a generic sum, list
+    * ordered by out_dim).
+    */
+  private val opqTrainCtes: String = {
+    val dd = operators.Opq.rotationDims
+    val m0 = operators.Pq.numSubspaces
+    val subDim = dd / m0
+    val seedMicros = (operators.Opq.rotationSeed * 1e6).toLong
+    // half-away-from-zero integer division back to the micro grid —
+    // the one tie rule, stated identically to Opq.divRound
+    def dr(x: String, q: Long): String =
+      s"(CASE WHEN ($x) >= 0 THEN (($x) + ${q / 2}) // $q" +
+        s" ELSE -(((-($x)) + ${q / 2}) // $q) END)"
+    // normalization: ‖u‖² is an exact integer; sqrt and the division
+    // are single IEEE ops on identical operands in both engines
+    def normCte(name: String, src: String, c: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT dim, CASE WHEN nq.nrm > 0
+         |    THEN CAST(round(CAST($c AS DOUBLE) / nq.nrm * 1000000, 0) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS v
+         |  FROM $src CROSS JOIN
+         |    (SELECT sqrt(CAST(sum($c * $c) AS DOUBLE)) AS nrm FROM $src) nq)""".stripMargin
+    // one Gram–Schmidt pass of `src`(dim, v) against the accumulated
+    // basis obas$k — quantized coefficients at unit micro scale; run
+    // twice (tags "b" then "c"), the second pass removing what the
+    // first pass's grid rounding left behind
+    def gsCtes(k: Int, tag: String, src: String): String =
+      s"""occ$tag$k AS MATERIALIZED (
+         |  SELECT b.bk, CAST(${dr("sum(u.v * b.v)", 1000000L)} AS BIGINT) AS cf
+         |  FROM $src u JOIN obas$k b ON b.dim = u.dim GROUP BY b.bk),
+         |og$tag$k AS MATERIALIZED (
+         |  SELECT u.dim,
+         |    u.v - CAST(${dr("coalesce(s.adj, 0)", 1000000L)} AS BIGINT) AS g
+         |  FROM $src u LEFT JOIN (
+         |    SELECT b.dim, sum(c.cf * b.v) AS adj
+         |    FROM obas$k b JOIN occ$tag$k c USING (bk) GROUP BY b.dim) s USING (dim))""".stripMargin
+    val rounds = (0 until dd).map { k =>
+      val deflate =
+        if (k < dd - 1)
+          s""",
+             |ocov${k + 1} AS MATERIALIZED (
+             |  SELECT c.i, c.j,
+             |    c.c - CAST(${dr("l.lam * a.v * b.v", 1000000000000L)} AS BIGINT) AS c
+             |  FROM ocov$k c
+             |  JOIN ov$k a ON a.dim = c.i
+             |  JOIN ov$k b ON b.dim = c.j
+             |  CROSS JOIN olam$k l)""".stripMargin
+        else ""
+      s"""oua$k AS MATERIALIZED (
+         |  SELECT i AS dim, CAST(${dr(s"sum(c * $seedMicros)", 1000000L)} AS BIGINT) AS u
+         |  FROM ocov$k GROUP BY i),
+         |${normCte(s"ova$k", s"oua$k", "u")},
+         |oub$k AS MATERIALIZED (
+         |  SELECT c.i AS dim, CAST(${dr("sum(c.c * v.v)", 1000000L)} AS BIGINT) AS u
+         |  FROM ocov$k c JOIN ova$k v ON v.dim = c.j GROUP BY c.i),
+         |${normCte(s"ovb$k", s"oub$k", "u")},
+         |${gsCtes(k, "b", s"ovb$k")},
+         |${normCte(s"ovc$k", s"ogb$k", "g")},
+         |${gsCtes(k, "c", s"ovc$k")},
+         |${normCte(s"ov$k", s"ogc$k", "g")},
+         |olam$k AS MATERIALIZED (
+         |  SELECT CAST(${dr("sum(v.v * w.w)", 1000000L)} AS BIGINT) AS lam
+         |  FROM ov$k v JOIN (
+         |    SELECT c.i AS dim, CAST(${dr("sum(c.c * v2.v)", 1000000L)} AS BIGINT) AS w
+         |    FROM ocov$k c JOIN ov$k v2 ON v2.dim = c.j GROUP BY c.i) w USING (dim)),
+         |obas${k + 1} AS MATERIALIZED (
+         |  SELECT * FROM obas$k
+         |  UNION ALL SELECT CAST($k AS BIGINT) AS bk, dim, v FROM ov$k)$deflate""".stripMargin
+    }.mkString(",\n")
+    val lamUnion = (0 until dd)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS k, lam FROM olam$k")
+      .mkString("\n  UNION ALL ")
+    s"""oe AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN generate_series(1, $dd) t(i)
+       |  WHERE i <= len(embedding)),
+       |omu AS MATERIALIZED (SELECT dim, round(sum(x) / count(*), 6) AS mu FROM oe GROUP BY dim),
+       |oc AS MATERIALIZED (SELECT e.vec_id, e.dim, e.x - mu.mu AS x FROM oe e JOIN omu mu USING (dim)),
+       |ocnt AS MATERIALIZED (SELECT count(DISTINCT vec_id) AS n FROM oc),
+       |ocov0 AS MATERIALIZED (
+       |  SELECT a.dim AS i, b.dim AS j,
+       |    CAST(round(sum(a.x * b.x) / (SELECT n FROM ocnt) * 1000000, 0) AS BIGINT) AS c
+       |  FROM oc a JOIN oc b USING (vec_id) GROUP BY a.dim, b.dim),
+       |obas0 AS MATERIALIZED (
+       |  SELECT CAST(NULL AS BIGINT) AS bk, CAST(NULL AS BIGINT) AS dim,
+       |    CAST(NULL AS BIGINT) AS v WHERE 1 = 0),
+       |$rounds,
+       |olams AS MATERIALIZED (
+       |  $lamUnion),
+       |odia AS MATERIALIZED (
+       |  SELECT coalesce(sum(CASE WHEN i = j THEN c * c END), 0) AS dsq,
+       |         coalesce(sum(CASE WHEN i <> j THEN c * c END), 0) AS osq
+       |  FROM ocov0),
+       |ochoose AS MATERIALIZED (SELECT (osq < dsq) AS diagdom FROM odia),
+       |opdiag AS MATERIALIZED (SELECT i AS dim, c AS var FROM ocov0 WHERE i = j),
+       |omat AS MATERIALIZED (
+       |  SELECT coalesce(32 * (max(sv) - min(sv)) > sum(sv), FALSE) AS material
+       |  FROM (SELECT sum(var) AS sv FROM (
+       |          SELECT var, (row_number() OVER (ORDER BY dim) - 1) // $subDim AS m
+       |          FROM opdiag) GROUP BY m)),
+       |oprank AS MATERIALIZED (
+       |  SELECT dim, var, row_number() OVER (ORDER BY var DESC, dim) - 1 AS bk
+       |  FROM opdiag),
+       |oidrank AS MATERIALIZED (
+       |  SELECT dim, var, row_number() OVER (ORDER BY dim) - 1 AS bk
+       |  FROM opdiag),
+       |opbas AS MATERIALIZED (
+       |  SELECT b.bk, d.dim,
+       |    CASE WHEN r.dim = d.dim THEN CAST(1000000 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS v,
+       |    coalesce(r.var, 0) AS lam
+       |  FROM (SELECT unnest(range($dd)) AS bk) b
+       |  CROSS JOIN opdiag d
+       |  LEFT JOIN oprank r ON r.bk = b.bk),
+       |oibas AS MATERIALIZED (
+       |  SELECT b.bk, d.dim,
+       |    CASE WHEN r.dim = d.dim THEN CAST(1000000 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS v,
+       |    coalesce(r.var, 0) AS lam
+       |  FROM (SELECT unnest(range($dd)) AS bk) b
+       |  CROSS JOIN opdiag d
+       |  LEFT JOIN oidrank r ON r.bk = b.bk),
+       |obasf AS MATERIALIZED (
+       |  SELECT bk, dim, v FROM opbas
+       |  WHERE (SELECT diagdom FROM ochoose) AND (SELECT material FROM omat)
+       |  UNION ALL
+       |  SELECT bk, dim, v FROM obas$dd WHERE NOT (SELECT diagdom FROM ochoose)),
+       |olamsf AS MATERIALIZED (
+       |  SELECT DISTINCT bk AS k, lam FROM opbas
+       |  WHERE (SELECT diagdom FROM ochoose) AND (SELECT material FROM omat)
+       |  UNION ALL
+       |  SELECT k, lam FROM olams WHERE NOT (SELECT diagdom FROM ochoose)),
+       |orank AS MATERIALIZED (
+       |  SELECT k, lam, row_number() OVER (ORDER BY lam DESC, k) - 1 AS r FROM olamsf),
+       |oalloc AS MATERIALIZED (
+       |  SELECT k, lam,
+       |    CAST((CASE WHEN ((r // $m0) % 2) = 0 THEN r % $m0
+       |               ELSE ${m0 - 1} - (r % $m0) END) * $subDim + (r // $m0)
+       |      AS BIGINT) AS o
+       |  FROM orank),
+       |orot AS MATERIALIZED (
+       |  SELECT al.o AS out_dim, b.dim AS in_dim,
+       |    CAST(b.v AS DOUBLE) / 1000000 AS w,
+       |    CAST(al.lam AS DOUBLE) / 1000000 AS lam
+       |  FROM oalloc al JOIN obasf b ON b.bk = al.k
+       |  UNION ALL
+       |  SELECT CAST(bk AS BIGINT) AS out_dim, dim AS in_dim,
+       |    CAST(v AS DOUBLE) / 1000000 AS w,
+       |    CAST(lam AS DOUBLE) / 1000000 AS lam
+       |  FROM oibas
+       |  WHERE (SELECT diagdom FROM ochoose) AND NOT (SELECT material FROM omat)),
+       |remb0 AS MATERIALIZED (
+       |  SELECT c.vec_id, r.out_dim,
+       |    CASE WHEN (SELECT diagdom FROM ochoose)
+       |         THEN sum(r.w * c.x)
+       |         ELSE round(sum(r.w * c.x), 6) END AS y
+       |  FROM oe c JOIN orot r ON r.in_dim = c.dim
+       |  GROUP BY c.vec_id, r.out_dim),
+       |rembeddings AS MATERIALIZED (
+       |  SELECT vec_id, list(y ORDER BY out_dim) AS embedding
+       |  FROM remb0 GROUP BY vec_id)""".stripMargin
   }
 
   /** Wide (production-width) MinHash oracle chain ending in
@@ -929,7 +1114,7 @@ object SparkEntry {
     * seeds = the subvectors of the K smallest vec_ids (c_id = vec_id) —
     * mirrors `Pq.subspaceRows` / `Pq.trainCodebook`.
     */
-  private def pqPrefixCtes(k: Int): String = {
+  private def pqPrefixCtes(k: Int, src: String = "embeddings"): String = {
     val m = operators.Pq.numSubspaces
     // `ss` = each subvector's self-dot, computed ONCE here instead of
     // once per (subvector, codebook entry) pair in the assignment CTEs
@@ -945,10 +1130,10 @@ object SparkEntry {
        |        list_slice(embedding, ms.m * (len(embedding) // $m) + 1,
        |                   (ms.m + 1) * (len(embedding) // $m)),
        |        x -> CAST(x AS DOUBLE)) AS sub
-       |    FROM embeddings, (SELECT unnest(range($m)) AS m) ms)),
+       |    FROM $src, (SELECT unnest(range($m)) AS m) ms)),
        |pcb0 AS (
        |  SELECT m, vec_id AS c_id, sub AS c_emb, ss AS cc FROM psub
-       |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k))""".stripMargin
+       |  WHERE vec_id IN (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $k))""".stripMargin
   }
 
   /** One PQ Lloyd assignment against codebook `pcb$i`: nearest entry by
@@ -990,9 +1175,13 @@ object SparkEntry {
        |  FROM (SELECT m, c_id, list(mean ORDER BY pos) AS c_emb
        |        FROM pmean$i GROUP BY m, c_id))""".stripMargin
 
-  /** Full PQ training replay: seeds, two Lloyd rounds, final encode. */
-  private def pqTrainCtes(k: Int = operators.Pq.codebookSize): String =
-    s"""${pqPrefixCtes(k)},
+  /** Full PQ training replay: seeds, two Lloyd rounds, final encode.
+    * `src` points the chain at any (vec_id, embedding) relation — the
+    * OPQ oracle aims it at the rotated corpus CTE.
+    */
+  private def pqTrainCtes(k: Int = operators.Pq.codebookSize,
+      src: String = "embeddings"): String =
+    s"""${pqPrefixCtes(k, src)},
        |${pqAssignCte(0)},
        |${pqMeansCte(0)},
        |${pqAssignCte(1)},
@@ -1020,9 +1209,16 @@ object SparkEntry {
        |FROM pasg2 a JOIN pdense d ON d.m = a.m AND d.c_id = a.code
        |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin
 
+  /** Two-stage PQ recall replay. `src` aims the TRAINED/ADC side at
+    * any (vec_id, embedding) relation (the OPQ oracle: the rotated
+    * corpus, prepended via `preCtes`); the query/truth/re-rank sides
+    * always read the ORIGINAL embeddings — recall is judged in the
+    * original space whatever space the index quantizes.
+    */
   private def pqRecallSql(k: Int = operators.Pq.codebookSize,
-      label: String = "pq"): String =
-    s"""WITH ${pqTrainCtes(k)},
+      label: String = "pq", src: String = "embeddings",
+      preCtes: String = ""): String =
+    s"""WITH $preCtes${pqTrainCtes(k, src)},
        |plut AS (
        |  SELECT s.vec_id AS q_id, s.m, c.c_id,
        |    ${pqD2Sql("s.sub", "c.c_emb")} AS term
@@ -2816,6 +3012,18 @@ object SparkEntry {
       pqRecallSql(operators.Pq.productionCodebookSize,
         s"pq_k${operators.Pq.productionCodebookSize}"),
     "ann_ivfpq_recall" -> ivfPqRecallSql,
+    // OPQ: rotation training replayed (covariance → 64 GS-deflation
+    // rounds → snake eigenvalue allocation), then the UNCHANGED PQ
+    // K=256 chain aimed at the rotated corpus; truth/re-rank stay in
+    // the original space (pqRecallSql src/preCtes parameters).
+    "opq_rotation" ->
+      s"""WITH $opqTrainCtes
+         |SELECT out_dim, in_dim, w, lam FROM orot
+         |ORDER BY out_dim, in_dim""".stripMargin,
+    "ann_opq_recall" ->
+      pqRecallSql(operators.Pq.productionCodebookSize,
+        s"opq_k${operators.Pq.productionCodebookSize}",
+        src = "rembeddings", preCtes = s"$opqTrainCtes,\n"),
     "ann_ivf_recall_np1" -> ivfRecallSql(1, "ivf_np1"),
     // SemDeDup replayed: the same k-means training CTEs end in asg2
     // (the final cell assignment); within-cell pairs above tau mark

@@ -169,7 +169,13 @@ object Pq {
           }.toArray)
     }
     val bc = spark.sparkContext.broadcast(byM)
-    emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    // accept float OR double embedding arrays (the OPQ path encodes
+    // the rotated double corpus): the explicit widening cast is a
+    // no-op on doubles and bit-exact on floats — identical arithmetic
+    // to the previous per-element .toDouble
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      .as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val cb = bc.value
         it.flatMap { case (vid, e) =>
@@ -180,7 +186,7 @@ object Pq {
             // inner-join semantics of the SQL path on degenerate corpora
             if (ents.isEmpty) Iterator.empty
             else {
-              val sub = Array.tabulate(d)(i => e(m * d + i).toDouble)
+              val sub = Array.tabulate(d)(i => e(m * d + i))
               var aa = 0.0; var i = 0
               while (i < d) { aa += sub(i) * sub(i); i += 1 }
               // champion under the SQL rule: first (ascending c_id)
@@ -289,9 +295,20 @@ object Pq {
       model)
 
   private def trainCodebook(spark: SparkSession, dir: String,
+      k: Int): Seq[(Int, Long, Seq[Double])] =
+    trainCodebookOn(Tables(spark, dir, "embeddings"), k)
+
+  /** The certified (ordered-fold, oracle-replayed) trainer over ANY
+    * (vec_id, embedding) frame — float or double arrays. Extracted so
+    * the OPQ path can train the same oracle-shaped codebook on the
+    * ROTATED corpus ([[Opq]]): same seed rule, same rounded-assignment
+    * Lloyd rounds, bit-replayable by the same CTE chain pointed at the
+    * rotated relation.
+    */
+  private[operators] def trainCodebookOn(emb: DataFrame,
       k: Int): Seq[(Int, Long, Seq[Double])] = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    val emb = Tables(spark, dir, "embeddings")
     val sub = subspaceRows(emb).localCheckpoint(true)
     // seeds: the subvectors of the K smallest vec_ids, c_id = vec_id
     // (TakeOrdered over distinct ids — robust on sparse id spaces)
@@ -353,7 +370,7 @@ object Pq {
   /** Dense-remap + pack a (vec_id, m, code) table into one hex word
     * per vector (no presentation sort).
     */
-  private def packFrom(codes: DataFrame, cb: DataFrame): DataFrame = {
+  private[operators] def packFrom(codes: DataFrame, cb: DataFrame): DataFrame = {
     val dense = denseCodebookIds(cb)
     codes.join(broadcast(dense),
         codes("m") === dense("m") && codes("code") === dense("c_id"))
@@ -477,29 +494,41 @@ object Pq {
     */
   private[operators] def adcPackedShortlist(spark: SparkSession, dir: String,
       sample: DataFrame => DataFrame,
-      k: Int = productionCodebookSize): DataFrame = {
+      k: Int = productionCodebookSize): DataFrame =
+    adcPackedShortlistOn(spark, Tables(spark, dir, "embeddings"),
+      trainedCodebook(spark, dir, k), indexedPacked(spark, dir, k), sample)
+
+  /** The packed-LUT scan over an EXPLICIT (corpus, codebook, packed
+    * index) triple — the OPQ recall row aims it at the rotated corpus
+    * and its codebook; the plain-PQ entry above binds the stored
+    * artifacts. Accepts float or double embedding arrays (the same
+    * widening cast as [[encodeScalar]]).
+    */
+  private[operators] def adcPackedShortlistOn(spark: SparkSession,
+      corpus: DataFrame, codebook: Seq[(Int, Long, Seq[Double])],
+      packed: DataFrame, sample: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     val m0 = numSubspaces
     val shortN = pqShortlist
     // dense-ordered centroids per subspace: cents(m)(dense)(dim)
     // (a subspace can be absent entirely on a degenerate/empty corpus)
-    val byM = trainedCodebook(spark, dir, k).groupBy(_._1)
+    val byM = codebook.groupBy(_._1)
     val cents: Array[Array[Array[Double]]] = Array.tabulate(m0)(m =>
       byM.getOrElse(m, Seq.empty).sortBy(_._2).map(_._3.toArray).toArray)
-    val emb = Tables(spark, dir, "embeddings")
     // per-query LUTs: luts(m)(dense) = rounded dist2(query sub, centroid)
     val queries: Array[(Long, Array[Array[Double]])] =
-      sample(emb).select(col("vec_id"), col("embedding"))
-        .as[(Long, Seq[Float])].collect()
+      sample(corpus).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+        .as[(Long, Seq[Double])].collect()
         .map { case (qid, e) =>
           val d = e.length / m0
           (qid, Array.tabulate(m0) { m =>
-            val sub = Array.tabulate(d)(i => e(m * d + i).toDouble)
+            val sub = Array.tabulate(d)(i => e(m * d + i))
             cents(m).map(c => dist2Scalar(sub, c))
           })
         }
     val bq = spark.sparkContext.broadcast(queries)
-    val partTop = indexedPacked(spark, dir, k)
+    val partTop = packed
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val qs = bq.value
@@ -641,7 +670,7 @@ object Pq {
     *                the index as served, and the encode/pack build
     *                cost stays bench-visible via the codes rows
     */
-  private[operators] def twoStageRecall(spark: SparkSession, dir: String,
+  private[graft] def twoStageRecall(spark: SparkSession, dir: String,
       sample: DataFrame => DataFrame,
       candidatePairs: Option[DataFrame], method: String,
       k: Int = codebookSize): DataFrame = {

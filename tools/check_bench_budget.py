@@ -23,6 +23,20 @@ the report passed via --reverify. A wholesale "refresh the floors"
 move can otherwise absorb a real regression — the guard forces every
 big raise to carry its own fresh-JVM adjudication evidence. New
 queries (no predecessor) are exempt; lowering a floor always allowed.
+
+Sentinel normalization (round-14 verdict item): the floors are wall
+times from the host/day they were recorded, and the gate was chronically
+fighting 1.3-1.4x host bands — each appeasing floor raise permanently
+loosened it. `--sentinel [name]` (default q_topk_orders, a fixed
+plan-stable row) measures the HOST, not the code: the capture's
+sentinel time over its committed floor gives the host factor h,
+clamped to [1, 2] (a fast host must not tighten the gate; a >2x
+sentinel excursion is itself suspicious and is NOT absorbed). Every
+per-query comparison — the 1.5x check and the 1.3x raise-guard — then
+works on capture/h. Policy: with the flag on, a raw-floor raise should
+be rare — justified only when a query's NORMALIZED time still exceeds
+the cap with fresh isolated evidence, not because the host had a bad
+evening.
 """
 import json
 import os
@@ -30,6 +44,8 @@ import sys
 
 THRESHOLD = 1.5
 RAISE_CAP = 1.3
+DEFAULT_SENTINEL = "q_topk_orders"
+HOST_FACTOR_CAP = 2.0
 BUDGET = os.path.join(os.path.dirname(__file__), "..",
                       "src", "main", "resources", "bench_budget.tsv")
 
@@ -72,6 +88,19 @@ def reverified_queries(path):
     return names
 
 
+def host_factor(queries, budget, sentinel):
+    """Capture-time / committed-floor ratio of the sentinel row,
+    clamped to [1, HOST_FACTOR_CAP]."""
+    if sentinel not in queries:
+        raise SystemExit(f"sentinel {sentinel!r} not in the capture")
+    if sentinel not in budget:
+        raise SystemExit(f"sentinel {sentinel!r} has no committed floor")
+    if queries[sentinel] < 0:
+        raise SystemExit(f"sentinel {sentinel!r} FAILED in the capture")
+    h = queries[sentinel] / budget[sentinel]
+    return max(1.0, min(h, HOST_FACTOR_CAP))
+
+
 def main(argv):
     bench, update = argv[1], "--update" in argv[2:]
     reverify = None
@@ -82,6 +111,12 @@ def main(argv):
         if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
             raise SystemExit("--reverify requires a report path argument")
         reverify = argv[i + 1]
+    sentinel = None
+    if "--sentinel" in argv[2:]:
+        i = argv.index("--sentinel", 2)
+        sentinel = (argv[i + 1]
+                    if i + 1 < len(argv) and not argv[i + 1].startswith("--")
+                    else DEFAULT_SENTINEL)
     queries, sf = load_queries(bench)
     # Bench records -1 for a query whose materialization threw; that is
     # a hard failure in either mode, never a time to compare or record.
@@ -95,12 +130,18 @@ def main(argv):
                              "budgets are defined at sf0.1")
         old = load_budget(BUDGET)
         adjudicated = reverified_queries(reverify) if reverify else set()
+        h = host_factor(queries, old, sentinel) if sentinel else 1.0
+        if sentinel:
+            print(f"sentinel {sentinel}: host factor {h:.3f}")
         unjustified = []
         for name in sorted(queries):
-            if name in old and queries[name] > RAISE_CAP * old[name] \
+            if name in old and queries[name] / h > RAISE_CAP * old[name] \
                     and name not in adjudicated:
                 unjustified.append(
-                    f"{name}: {queries[name]:.2f}s > {RAISE_CAP}x committed "
+                    f"{name}: {queries[name]:.2f}s"
+                    + (f" (/{h:.2f} host = {queries[name] / h:.2f}s)"
+                       if sentinel else "")
+                    + f" > {RAISE_CAP}x committed "
                     f"floor {old[name]:.2f}s with no isolated-reverify line"
                     + (f" in {reverify}" if reverify else
                        " (--reverify not given)"))
@@ -134,6 +175,9 @@ def main(argv):
     budget = load_budget(BUDGET)
     failures = [f"{n}: FAILED during bench" for n in crashed]
     if sf.endswith("sf0.1"):
+        h = host_factor(queries, budget, sentinel) if sentinel else 1.0
+        if sentinel:
+            print(f"sentinel {sentinel}: host factor {h:.3f}")
         for name in sorted(set(queries) | set(budget)):
             if name in crashed:
                 continue
@@ -141,9 +185,12 @@ def main(argv):
                 failures.append(f"{name}: NEW query, no recorded budget")
             elif name not in queries:
                 failures.append(f"{name}: in budget but not benched")
-            elif queries[name] > THRESHOLD * budget[name]:
-                failures.append(f"{name}: {queries[name]:.2f}s > "
-                                f"{THRESHOLD}x budget {budget[name]:.2f}s")
+            elif queries[name] / h > THRESHOLD * budget[name]:
+                failures.append(
+                    f"{name}: {queries[name]:.2f}s"
+                    + (f" (/{h:.2f} host = {queries[name] / h:.2f}s)"
+                       if sentinel else "")
+                    + f" > {THRESHOLD}x budget {budget[name]:.2f}s")
     else:
         print(f"sf={sf!r} is not the recorded budget scale (sf0.1); "
               "checking only for failed queries")
