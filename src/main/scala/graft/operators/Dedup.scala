@@ -318,7 +318,19 @@ object Dedup {
     */
   val smallGraphEdges = 2000000L
 
-  def clusters(pairs: DataFrame, maxIters: Int = 10,
+  /** Iteration ceiling for the propagation loop when the caller does
+    * not pin one: a SAFETY bound scaled to the graph, not a constant —
+    * min-propagation with path halving converges in O(log diameter),
+    * but a constant cap is a landmine at scale (the round-15 ×10
+    * rehearsal measured 14 rounds on a 4k-member dense component,
+    * tripping the previous hard 10). 10 + 2·⌈log₂(nodes)⌉ bounds a
+    * runaway loop at ~70 rounds even at 10⁹ nodes while never
+    * rejecting a graph that is still making progress.
+    */
+  private def autoMaxIters(nodes: Long): Int =
+    10 + 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(nodes, 1L)))
+
+  def clusters(pairs: DataFrame, maxIters: Int = -1,
                smallGraphLimit: Long = smallGraphEdges): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -328,9 +340,10 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
+    val cap = if (maxIters > 0) maxIters else autoMaxIters(labels.count())
     var converged = false
     var it = 0
-    while (!converged && it < maxIters) {
+    while (!converged && it < cap) {
       // each node adopts min(own label, neighbors' labels); the old
       // label rides along so convergence is a filter on the
       // checkpointed step, not another join against the previous state
@@ -363,7 +376,7 @@ object Dedup {
       labels = jumped.select("id", "cluster")
       it += 1
     }
-    require(converged, s"label propagation did not converge in $maxIters iters")
+    require(converged, s"label propagation did not converge in $cap iters")
     labels
   }
 

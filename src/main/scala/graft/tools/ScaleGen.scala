@@ -17,12 +17,19 @@ import org.apache.spark.sql.functions._
   *    entity id by k·10⁹ (a stride divisible by 2/5/10/25/100, so all
   *    the engine's deterministic mod-class samplers keep their
   *    sampling fraction at scale);
-  *  - `documents.text` replica k>0 suffixes every word with a
-  *    replica tag — per-replica token spaces are disjoint, so the
-  *    within-replica near-duplicate structure replicates EXACTLY
-  *    (trigram/shingle sets are isomorphic images) and cross-replica
-  *    similarity is zero: truth pairs scale linearly ×FACTOR, the way
-  *    an organically larger crawl's would;
+  *  - `documents.text` replica k>0 passes through a per-replica
+  *    letter SUBSTITUTION CIPHER (alphabet rotated by k, spaces
+  *    fixed) — a bijection on characters preserves every word length,
+  *    every shingle-set size, and every pairwise overlap EXACTLY, so
+  *    the within-replica near-duplicate structure is an isomorphic
+  *    image of the base corpus (hash randomness re-rolled, structure
+  *    identical) while cross-replica similarity is zero: truth pairs
+  *    scale linearly ×FACTOR, the way an organically larger crawl's
+  *    would. (A word-suffix transform was measured to INFLATE
+  *    within-replica similarity ~1000× — longer words shift the
+  *    char-shingle population toward shared intra-word shingles —
+  *    which is why a length-preserving bijection is the only safe
+  *    text transform here.);
   *  - `customer.c_name` replica k>0 appends a 4-char tag whose
   *    pairwise edit distance across replicas is ≥ 3 (> the fuzzy-join
   *    lev ≤ 2 threshold), so name-dup groups also replicate without
@@ -99,16 +106,16 @@ object ScaleGen {
     }
 
     replicate("documents") { (df, k) =>
+      val alphabet = "abcdefghijklmnopqrstuvwxyz"
+      val rotated = alphabet.drop(k % 26) + alphabet.take(k % 26)
       val txt =
         if (k == 0) col("text")
-        // per-word replica tag: token spaces are disjoint per replica,
-        // within-replica shingle/trigram structure is isomorphic
-        else concat_ws(" ", transform(split(col("text"), " "),
-          w => concat(w, lit("x" + k))))
+        // per-replica substitution cipher: length-preserving bijection
+        // ⇒ shingle structure isomorphic within a replica, disjoint
+        // across replicas
+        else translate(col("text"), alphabet, rotated)
       df.select(shifted("doc_id", k).as("doc_id"), txt.as("text"),
-          col("lang"), col("source"),
-          (if (k == 0) col("n_chars")
-           else length(txt).cast("long")).as("n_chars"))
+          col("lang"), col("source"), col("n_chars"))
     }
 
     replicate("embeddings") { (df, k) =>

@@ -56,6 +56,19 @@ class ClusterSpec extends SparkSpec {
     assert(got.forall(_._2 === 0L), s"chain must collapse to node 0")
   }
 
+  test("iteration cap scales with the graph: a 4096-node chain (13 jump rounds) converges") {
+    import spark.implicits._
+    // needs ~log2(4096)+1 = 13 rounds — past the OLD hard cap of 10
+    // (the round-15 ×10 rehearsal tripped exactly this on a dense 4k
+    // component); the auto cap 10+2·⌈log2(nodes)⌉ admits it with
+    // headroom while still bounding a runaway loop
+    val edges = (0L until 4095L).map(i => (i, i + 1))
+    val got = Dedup.clusters(edges.toDF("a_id", "b_id"), smallGraphLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 4096)
+    assert(got.forall(_._2 === 0L), "chain must collapse to node 0")
+  }
+
   test("qualitySurvivors: highest-quality member wins, ties to smallest id, singletons survive") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
