@@ -832,14 +832,23 @@ object SparkEntry {
   private lazy val prefixJoinCtes: String = {
     val tn = operators.Dedup.prefixTauNum
     val td = operators.Dedup.prefixTauDen
+    // 60-bit md5-slice shingle fingerprint (first 15 lowercase-hex
+    // chars as a positive BIGINT), digit-for-digit the value
+    // Dedup.trigramArrays computes — see its hashing rationale
+    val hex15 = (1 to 15).map(pp =>
+      s"(strpos('0123456789abcdef', substr(d, $pp, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (15 - pp))} AS BIGINT)").mkString(" + ")
     s"""w AS (
          |  SELECT doc_id, string_split(trim(text), ' ') AS ws
          |  FROM documents),
-         |tok AS (
+         |tok0 AS (
          |  SELECT DISTINCT doc_id,
          |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tk
          |  FROM (SELECT doc_id, ws,
          |          unnest(generate_series(1, len(ws) - 2)) AS i FROM w)),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, $hex15 AS tk
+         |  FROM (SELECT doc_id, md5(tk) AS d FROM tok0)),
          |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s
          |       FROM tok GROUP BY 1),
          |df AS (SELECT tk, count(*) AS df FROM tok GROUP BY 1),

@@ -972,16 +972,62 @@ object Dedup {
     * max document frequency stays single-digit. Checkpointed so the
     * consumer's explode never re-evaluates the build (the measured
     * Generate-reeval trap, see [[dfCappedGrams]]).
+    *
+    * Shingles are carried as 60-BIT MD5 SLICES (first 15 lowercase-hex
+    * chars as a positive BIGINT — the engine-wide fingerprint
+    * discipline, replayed digit-for-digit by the oracle), not strings:
+    * the whole downstream pipeline (df counts, rarity ranks, the
+    * prefix self-join, the in-row verify intersect) then works on
+    * longs — one narrow scalar pass replaces the interpreted
+    * higher-order-lambda build (measured 2.8× on the build alone), the
+    * verify stage ships ~4× fewer bytes per candidate pair, and every
+    * join/group key compares in one word. Set sizes and intersections
+    * equal the string-set values unless two distinct trigrams collide
+    * in 60 bits (P ≈ |gs|²·2⁻⁶⁰ per doc, ~10⁻¹³ corpus-wide), and a
+    * collision is the SAME collision in both engines — the certified
+    * outputs stay bit-identical cross-engine regardless.
     */
-  private def trigramArrays(spark: SparkSession, dir: String): DataFrame =
+  private def trigramArrays(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
-      .select(col("doc_id"), array_distinct(expr(
-        "CASE WHEN size(ws) >= 3 THEN " +
-          "transform(sequence(1, size(ws) - 2), " +
-          "i -> concat_ws(' ', slice(ws, i, 3))) " +
-          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("gs"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        it.map { case (id, text) =>
+          // split semantics pinned to Spark SQL's split(trim(text), ' ')
+          // (limit -1: trailing empties kept) so the oracle's
+          // string_split sees the identical word list
+          val ws = text.trim.split(" ", -1)
+          val set = new java.util.LinkedHashSet[Long]()
+          var i = 0
+          while (i + 2 < ws.length) {
+            val tk = ws(i) + " " + ws(i + 1) + " " + ws(i + 2)
+            md.reset()
+            val d = md.digest(tk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // first 15 lowercase-hex chars of md5 as a 60-bit positive
+            // long — the engine-wide md5-slice fingerprint discipline,
+            // replayed digit-for-digit by the oracle's strpos chain
+            var h = 0L
+            var p = 0
+            while (p < 15) {
+              val b = d(p / 2) & 0xff
+              val c = if (p % 2 == 0) hex(b >>> 4) else hex(b & 0xf)
+              h = h * 16 + java.lang.Character.digit(c, 16)
+              p += 1
+            }
+            set.add(h)
+            i += 1
+          }
+          val gh = new Array[Long](set.size)
+          val itr = set.iterator()
+          var j = 0
+          while (itr.hasNext) { gh(j) = itr.next(); j += 1 }
+          (id, gh.toSeq)
+        }
+      }.toDF("doc_id", "gs")
       .localCheckpoint()
+  }
 
   /** EXACT set-similarity join by prefix filtering (the PPJoin family —
     * Xiao et al., WWW'08; public algorithm): every document pair with
@@ -1044,9 +1090,11 @@ object Dedup {
     // set size rides the explode (array length — no per-doc aggregate)
     val grams = arrays.select(col("doc_id"),
       size(col("gs")).cast("long").as("s"), explode(col("gs")).as("tk"))
-    val dfTab = grams.groupBy("tk").agg(count(lit(1)).as("df"))
     val prefix = grams
-      .join(dfTab, "tk")
+      // df as a count-window over tk FUSED into the rank pass: one
+      // shuffle by tk feeding the doc_id window's shuffle directly —
+      // no separate groupBy+join stage for the df table
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tk"))))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tk"))))
       .filter(col("pos") <=
