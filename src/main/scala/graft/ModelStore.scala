@@ -275,6 +275,58 @@ object ModelStore {
       .orderBy("ord").select("w").as[Long].collect()
   }
 
+  // ---- OPQ rotation ---------------------------------------------------
+
+  /** The OPQ rotation artifact ([[operators.Opq.Rotation]]) as one
+    * exact-integer row table: (round k × observed slot) carrying the
+    * basis weight and eigenvalue in MICROS plus the per-slot mean and
+    * the regime flag — micros are Longs, so the round-trip is
+    * bit-exact by construction (no float serialization concerns at
+    * all, the dividend of the integer training discipline).
+    */
+  def saveOpq(spark: SparkSession, path: String, dir: String,
+              rot: operators.Opq.Rotation): Unit = {
+    import spark.implicits._
+    val rows = for {
+      k <- 0 until operators.Opq.rotationDims
+      s <- rot.dims.indices
+    } yield (k.toLong * rot.dims.length + s, k, rot.outDimOfRound(k),
+      rot.dims(s), rot.mu(s), rot.basis(k)(s), rot.lams(k), rot.exact)
+    save(spark, path,
+      Meta("opq", DataVersion.key(dir, "embeddings", "opqrot"), ""),
+      rows.toDF("ord", "k", "out_dim", "in_dim", "mu", "w", "lam", "exact"))
+  }
+
+  def loadOpq(spark: SparkSession, path: String,
+              dir: String): operators.Opq.Rotation = {
+    import spark.implicits._
+    val rows = load(spark, path, "opq",
+      DataVersion.key(dir, "embeddings", "opqrot"))._2
+      .orderBy("ord")
+      .select("k", "out_dim", "in_dim", "mu", "w", "lam", "exact")
+      .as[(Int, Int, Int, Double, Long, Long, Boolean)].collect()
+    val dims = rows.filter(_._1 == 0).map(_._3).sorted
+    val slot = dims.zipWithIndex.toMap
+    val dd = operators.Opq.rotationDims
+    val mu = new Array[Double](dims.length)
+    val basis = Array.ofDim[Long](dd, dims.length)
+    val lams = new Array[Long](dd)
+    val outDim = new Array[Int](dd)
+    rows.foreach { case (k, o, i, m, w, l, _) =>
+      val s = slot(i)
+      mu(s) = m; basis(k)(s) = w; lams(k) = l; outDim(k) = o
+    }
+    operators.Opq.Rotation(dims, mu, basis, lams, outDim,
+      rows.headOption.forall(_._7))
+  }
+
+  /** Install a reloaded rotation into the serving slot so every OPQ
+    * consumer (`opq_rotation`, `ann_opq_recall`) serves from the
+    * store-loaded artifact.
+    */
+  def installOpq(dir: String, model: operators.Opq.Rotation): Unit =
+    operators.Opq.installRotation(dir, model)
+
   // ---- Anomaly baseline ---------------------------------------------------
 
   /** The frozen per-event-type hourly baseline (b_cnt, b_sum, b_ss —

@@ -52,6 +52,18 @@ object StoreDemo {
     ModelStore.installPq(dir, k, pqL)
     println(s"[demo] pq: K=$k ${pqL.length} codewords round-trip=${pqL == pq}")
 
+    // OPQ rotation (exact-integer micros — round-trip exact by
+    // construction; the regime flag rides along)
+    val opq = graft.operators.Opq.trainedRotation(spark, dir)
+    val opqBase = rows(SparkEntry.queries("opq_rotation")(spark, dir))
+    ModelStore.saveOpq(spark, s"$store/opq", dir, opq)
+    val opqL = ModelStore.loadOpq(spark, s"$store/opq", dir)
+    ModelStore.installOpq(dir, opqL)
+    println(s"[demo] opq: ${opqL.dims.length}-dim rotation " +
+      s"regime=${if (opqL.exact) "closed-form" else "iterative"} " +
+      s"round-trip=${opqL.lams.sameElements(opq.lams)} serve-parity=" +
+      s"${rows(SparkEntry.queries("opq_rotation")(spark, dir)) == opqBase}")
+
     // BPE
     val merges = BpeTrainer.defaultMerges
     val gate = BpeTrainer.driverTypeLimit

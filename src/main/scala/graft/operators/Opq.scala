@@ -158,6 +158,13 @@ object Opq {
       graft.DataVersion.key(dir, "embeddings", "opqrot"),
       _ => trainRotation(spark, dir))
 
+  /** Install a [[graft.ModelStore]]-reloaded rotation into the serving
+    * slot (same DataVersion key the trainer memoizes under).
+    */
+  private[graft] def installRotation(dir: String, model: Rotation): Unit =
+    rotationCache.put(graft.DataVersion.key(dir, "embeddings", "opqrot"),
+      model)
+
   private def trainRotation(spark: SparkSession, dir: String): Rotation = {
     import spark.implicits._
     val emb = Tables(spark, dir, "embeddings")

@@ -64,6 +64,27 @@ class ModelStoreSpec extends SparkSpec {
     }
   }
 
+  test("OPQ rotation: save -> reload -> bit-equal rotation rows") {
+    val trained = graft.operators.Opq.trainedRotation(spark, dir)
+    val baseline = collected(SparkEntry.queries("opq_rotation")(spark, dir))
+    val path = tmp("opq")
+    ModelStore.saveOpq(spark, path, dir, trained)
+    val loaded = ModelStore.loadOpq(spark, path, dir)
+    // micros are Longs — the round-trip is exact by construction
+    assert(loaded.dims === trained.dims)
+    assert(loaded.mu === trained.mu)
+    assert(loaded.lams === trained.lams)
+    assert(loaded.outDimOfRound === trained.outDimOfRound)
+    assert(loaded.exact === trained.exact)
+    assert((0 until graft.operators.Opq.rotationDims)
+      .forall(k => loaded.basis(k).sameElements(trained.basis(k))))
+    ModelStore.installOpq(dir, loaded)
+    assert(graft.operators.Opq.trainedRotation(spark, dir) eq
+      loaded.asInstanceOf[AnyRef])
+    assert(collected(SparkEntry.queries("opq_rotation")(spark, dir))
+      === baseline)
+  }
+
   test("BPE merges + segmentation: save -> reload -> bit-equal encode") {
     import spark.implicits._
     val merges = BpeTrainer.defaultMerges
