@@ -212,6 +212,7 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.qualityScores _),
     "text_zipf_coverage" -> (TextAnalysis.zipfCoverage _),
     "text_gopher_rules" -> (TextAnalysis.gopherRules _),
+    "text_blocklist_filter" -> (TextAnalysis.blocklistFilter _),
     "text_langid_confusion" -> (TextAnalysis.langIdConfusion _),
     "text_fingerprints" -> (TextAnalysis.fingerprints _),
     "text_subword_stats" -> (TextAnalysis.subwordStats _),
@@ -277,6 +278,7 @@ object SparkEntry {
     "q_source_cap" ->
       ((s: SparkSession, d: String) => Sampling.sourceCap(s, d)),
     "q_pack_sequences" -> (Sampling.packSequences _),
+    "q_padding_waste" -> (Sampling.paddingWaste _),
     "q_pack_sequences_bpe" -> (Sampling.packSequencesBpe _),
     "q_token_budget_bpe" -> (Sampling.tokenBudgetBpe _),
     "text_pareto_frontier" -> (Sampling.paretoFrontier _),
@@ -1703,6 +1705,9 @@ object SparkEntry {
          |    max(CASE WHEN token = 'customer' THEN c END) AS c1,
          |    max(CASE WHEN token = 'vector' THEN c END) AS c2
          |  FROM c GROUP BY 1)""".stripMargin
+
+  private val blocklistLits: String =
+    operators.TextAnalysis.blocklistTerms.map(t => s"'$t'").mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
     "cdc_final" ->
@@ -3705,6 +3710,32 @@ object SparkEntry {
     // every Gopher threshold restated in integer arithmetic on both
     // sides (mean word length in [3,10] ⇔ 3·words ≤ chars ≤ 10·words),
     // so the row carries no floats at all
+    // blocklist gate: fixed literal terms, broadcast-join semantics,
+    // integer 5% density cut (20*hits <= tokens)
+    "text_blocklist_filter" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |btoks AS (
+         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+         |  FROM documents),
+         |bl AS (SELECT unnest([$blocklistLits]) AS tok),
+         |bhits AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |    list_sort(list(DISTINCT tok)) AS terms
+         |  FROM btoks JOIN bl USING (tok) GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tok,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  CAST(coalesce(len(h.terms), 0) AS BIGINT) AS n_terms,
+         |  coalesce(array_to_string(h.terms, ','), '') AS hit_terms,
+         |  CASE WHEN b.n_tok > 0
+         |    THEN round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_tok, 6)
+         |  END AS density,
+         |  coalesce(h.n_hits, 0) * ${operators.TextAnalysis.blocklistMaxDensityDen}
+         |    <= b.n_tok * ${operators.TextAnalysis.blocklistMaxDensityNum} AS keep
+         |FROM base b LEFT JOIN bhits h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "text_gopher_rules" ->
       """WITH f AS (
         |  SELECT doc_id,
@@ -4834,6 +4865,47 @@ object SparkEntry {
         |SELECT p.doc_id, p.t AS n_tokens, p.q AS stop_ppm
         |FROM p JOIN f ON p.q = f.q AND p.t = f.tm
         |ORDER BY doc_id""".stripMargin,
+    // padding waste: arrival vs length-sorted batching, exact integer
+    // token grids, one rounded division at the edge
+    "q_padding_waste" ->
+      s"""WITH pd AS (
+         |  SELECT lang, doc_id,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS len
+         |  FROM documents),
+         |pa AS (
+         |  SELECT lang, len,
+         |    (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1)
+         |      // ${operators.Sampling.paddingBatchSize} AS batch
+         |  FROM pd),
+         |ps AS (
+         |  SELECT lang, len,
+         |    (row_number() OVER (PARTITION BY lang ORDER BY len, doc_id) - 1)
+         |      // ${operators.Sampling.paddingBatchSize} AS batch
+         |  FROM pd),
+         |pab AS (SELECT lang, batch, count(*) AS members, sum(len) AS toks,
+         |          max(len) AS max_len FROM pa GROUP BY 1, 2),
+         |psb AS (SELECT lang, batch, count(*) AS members, sum(len) AS toks,
+         |          max(len) AS max_len FROM ps GROUP BY 1, 2),
+         |pag AS (
+         |  SELECT 'arrival' AS method, lang,
+         |    CAST(sum(members) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_batches,
+         |    CAST(sum(toks) AS BIGINT) AS tokens,
+         |    CAST(sum(members * max_len) AS BIGINT) AS padded_tokens
+         |  FROM pab GROUP BY 2),
+         |psg AS (
+         |  SELECT 'length_sorted' AS method, lang,
+         |    CAST(sum(members) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_batches,
+         |    CAST(sum(toks) AS BIGINT) AS tokens,
+         |    CAST(sum(members * max_len) AS BIGINT) AS padded_tokens
+         |  FROM psb GROUP BY 2)
+         |SELECT method, lang, n_docs, n_batches, tokens, padded_tokens,
+         |  CASE WHEN padded_tokens > 0
+         |    THEN round(CAST(padded_tokens - tokens AS DOUBLE) / padded_tokens, 6)
+         |  END AS waste_share
+         |FROM (SELECT * FROM pag UNION ALL SELECT * FROM psg)
+         |ORDER BY method, lang""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH d AS (
          |  SELECT lang, doc_id,

@@ -506,6 +506,55 @@ object Opq {
       })
   }
 
+  /** Apply a FROZEN trained rotation to a STREAM of vectors — the
+    * serve half of the rotation family (the
+    * `Quantize.streamingHardNegatives` pattern): a stateless narrow
+    * projection (zero shuffles, no sort — append-mode streamable)
+    * whose per-row arithmetic is bit-equal to the batch [[rotated]]
+    * pass (same broadcast artifact, same fold order, same exact-path
+    * round rule). An ingest pipeline rotates arriving vectors with
+    * this before encoding them against the stored OPQ codebook.
+    * `vecs` needs (vec_id, embedding); vectors with no observed dims
+    * drop (the batch relation's semantics).
+    */
+  def streamingRotate(vecs: DataFrame, rot: Rotation): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(rot)
+    vecs.select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val r = bc.value
+        val d = r.dims.length
+        it.flatMap { case (vid, e) =>
+          val cx = new Array[Double](d)
+          var s = 0
+          var any = false
+          while (s < d) {
+            val i = r.dims(s)
+            if (i < e.length) { cx(s) = e(i).toDouble; any = true }
+            else cx(s) = Double.NaN
+            s += 1
+          }
+          if (!any) Iterator.empty
+          else {
+            val y = new Array[Double](rotationDims)
+            var k = 0
+            while (k < rotationDims) {
+              var acc = 0.0; var p = 0
+              while (p < d) {
+                if (!cx(p).isNaN) acc += r.basis(k)(p).toDouble / 1e6 * cx(p)
+                p += 1
+              }
+              y(r.outDimOfRound(k)) = if (r.exact) acc else round6(acc)
+              k += 1
+            }
+            Iterator.single((vid, y.toSeq))
+          }
+        }
+      }.toDF("vec_id", "embedding")
+  }
+
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Long, Seq[Double])]]()
 

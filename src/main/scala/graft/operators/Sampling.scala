@@ -555,4 +555,56 @@ object Sampling {
         col("q").as("stop_ppm"))
       .orderBy("doc_id")
   }
+
+  /** Documents per training micro-batch for [[paddingWaste]]. */
+  val paddingBatchSize = 8
+
+  /** Padding-waste audit (`q_padding_waste`) — the batching-efficiency
+    * number a trainer reads before choosing a batching policy: when
+    * fixed-size batches pad every member to the batch's longest
+    * sequence, what fraction of the padded token grid is waste? Both
+    * policies side by side, per language:
+    *
+    *  - `arrival`: batches of [[paddingBatchSize]] docs in doc_id
+    *    order (the naive loader);
+    *  - `length_sorted`: the same docs batched after sorting by
+    *    length (the standard bucketing optimization — near-equal
+    *    lengths per batch, minimal padding).
+    *
+    * Lengths are whitespace token counts (the q_pack_sequences
+    * convention; the BPE-true twin discipline would compose here the
+    * same way). All counting is exact integers — batch cost =
+    * members·max(len), one shuffle per policy (per-lang rank window →
+    * per-batch aggregate → per-lang aggregate); the waste share is
+    * the single rounded division at the edge. Batch ranks are
+    * per-LANGUAGE windows (bounded key space), never a global sort.
+    */
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("len"))
+    def policy(name: String, order: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(col("lang")).orderBy(order: _*)
+      docs
+        .withColumn("batch",
+          ((row_number().over(w) - 1) / paddingBatchSize).cast("long"))
+        .groupBy(col("lang"), col("batch"))
+        .agg(count(lit(1)).as("members"), sum(col("len")).as("toks"),
+          max(col("len")).as("max_len"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("members")).as("n_docs"),
+          sum(col("toks")).as("tokens"),
+          sum(col("members") * col("max_len")).as("padded_tokens"))
+        .select(lit(name).as("method"), col("lang"), col("n_docs"),
+          col("n_batches"), col("tokens"), col("padded_tokens"),
+          when(col("padded_tokens") > 0,
+            round((col("padded_tokens") - col("tokens")).cast("double") /
+              col("padded_tokens").cast("double"), 6)).as("waste_share"))
+    }
+    policy("arrival", Seq(col("doc_id")))
+      .unionByName(policy("length_sorted", Seq(col("len"), col("doc_id"))))
+      .orderBy("method", "lang")
+  }
 }

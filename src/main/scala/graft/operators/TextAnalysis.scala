@@ -876,4 +876,63 @@ object TextAnalysis {
             col("n_tokens").cast("double"), 6)).as("ttr"))
       .orderBy("decile")
   }
+
+  /** Blocklist terms for [[blocklistFilter]] — a FIXED literal list
+    * (the SRP/affine-constant discipline: constants live in code and
+    * ride the oracle as SQL literals, so no cross-engine list source
+    * exists to disagree). Three corpus-vocabulary terms stand in for
+    * the 10k-term production safety list; the PLAN is the production
+    * plan either way (broadcast join, never a per-term scan).
+    */
+  val blocklistTerms: Seq[String] = Seq("merge", "slow", "vector")
+
+  /** A document is dropped when blocklisted-token DENSITY exceeds 5%
+    * — stated as the integer predicate 20·hits > tokens, so threshold
+    * membership never rides float noise (the prefix-join τ
+    * discipline). Density-based, not any-hit: real safety lists carry
+    * common words, and a single incidental hit must not nuke a
+    * document (the Gopher-rules philosophy).
+    */
+  val blocklistMaxDensityNum = 1
+  val blocklistMaxDensityDen = 20
+
+  /** Blocklist gating (`text_blocklist_filter`) — the safety-filter
+    * stage every training-data pipeline runs between quality scoring
+    * and packing: per document, total and distinct blocklisted-token
+    * hits, the matched terms (sorted, comma-joined — the audit
+    * column a reviewer greps), the hit density, and the keep/drop
+    * decision at the integer 5% density gate.
+    *
+    * Scale shape (100 TB): the blocklist is an O(list) broadcast
+    * joined against one exploded-token pass (Aho–Corasick semantics
+    * via hash equi-join — at token granularity the automaton IS a
+    * hash lookup), collapsed by one map-side-combined per-doc
+    * aggregate; docs with zero hits re-enter via a left join against
+    * the narrow (doc_id, n_tok) base. No regex scan per term, no
+    * corpus×list fan-out beyond matched tokens.
+    */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+    val bl = blocklistTerms.toDF("tok")
+    val hits = toks.join(broadcast(bl), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        sort_array(collect_set(col("tok"))).as("terms"))
+    base.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(size(col("terms")), lit(0)).cast("long").as("n_terms"),
+        coalesce(concat_ws(",", col("terms")), lit("")).as("hit_terms"),
+        when(col("n_tok") > 0,
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_tok").cast("double"), 6)).as("density"),
+        (coalesce(col("n_hits"), lit(0L)) * lit(blocklistMaxDensityDen.toLong) <=
+          col("n_tok") * lit(blocklistMaxDensityNum.toLong)).as("keep"))
+      .orderBy("doc_id")
+  }
 }
