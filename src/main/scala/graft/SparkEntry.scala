@@ -115,6 +115,7 @@ object SparkEntry {
     "q_ewma_revenue" -> (operators.Intervals.ewmaRevenue _),
     "q_interval_overlap" -> (operators.Intervals.anomalyOverlap _),
     "q_fuzzy_names" -> (operators.Fuzzy.nameJoin _),
+    "q_fuzzy_names2" -> (operators.Fuzzy.nameJoin2 _),
     "q_market_basket" -> (operators.Associations.marketBasket _),
     "q_basket_triples" -> (operators.Associations.basketTriples _),
     "q_daily_reconciliation" -> (Analytics.dailyReconciliation _),
@@ -279,6 +280,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Sampling.sourceCap(s, d)),
     "q_pack_sequences" -> (Sampling.packSequences _),
     "q_padding_waste" -> (Sampling.paddingWaste _),
+    "q_padding_waste_bpe" -> (Sampling.paddingWasteBpe _),
     "q_pack_sequences_bpe" -> (Sampling.packSequencesBpe _),
     "q_token_budget_bpe" -> (Sampling.tokenBudgetBpe _),
     "text_pareto_frontier" -> (Sampling.paretoFrontier _),
@@ -3718,7 +3720,7 @@ object SparkEntry {
          |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
          |  FROM documents),
          |btoks AS (
-         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+         |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
          |  FROM documents),
          |bl AS (SELECT unnest([$blocklistLits]) AS tok),
          |bhits AS (
@@ -4562,6 +4564,42 @@ object SparkEntry {
         |FROM cand
         |WHERE levenshtein(n1, n2) <= 1
         |ORDER BY 1, 2""".stripMargin,
+    // τ=2 twin: the ≤2-deletion neighborhood (identity + delete-one +
+    // delete-two at original positions i<j), same theorem replayed
+    // declaratively; shared signature only bounds lev ≤ 4, so the
+    // levenshtein verify is load-bearing on both engines
+    "q_fuzzy_names2" ->
+      """WITH nm AS (
+        |  SELECT c_custkey AS id, c_name AS name FROM customer
+        |  WHERE length(c_name) >= 2),
+        |f AS (
+        |  SELECT id, name, name AS form FROM nm
+        |  UNION
+        |  SELECT DISTINCT id, name,
+        |    substr(name, 1, CAST(i AS INT) - 1) ||
+        |      substr(name, CAST(i AS INT) + 1) AS form
+        |  FROM (SELECT id, name, unnest(range(1, length(name) + 1)) AS i
+        |        FROM nm) u
+        |  UNION
+        |  SELECT DISTINCT id, name,
+        |    substr(name, 1, CAST(i AS INT) - 1) ||
+        |      substr(name, CAST(i AS INT) + 1, CAST(j - i - 1 AS INT)) ||
+        |      substr(name, CAST(j AS INT) + 1) AS form
+        |  FROM (SELECT id, name, i,
+        |          unnest(range(i + 1, length(name) + 1)) AS j
+        |        FROM (SELECT id, name, unnest(range(1, length(name))) AS i
+        |              FROM nm) a) b),
+        |cand AS (
+        |  SELECT DISTINCT least(a.id, b.id) AS id1,
+        |    greatest(a.id, b.id) AS id2,
+        |    CASE WHEN a.id < b.id THEN a.name ELSE b.name END AS n1,
+        |    CASE WHEN a.id < b.id THEN b.name ELSE a.name END AS n2
+        |  FROM f a JOIN f b ON a.form = b.form AND a.id <> b.id)
+        |SELECT id1 AS a_custkey, id2 AS b_custkey,
+        |  CAST(levenshtein(n1, n2) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(n1, n2) <= 2
+        |ORDER BY 1, 2""".stripMargin,
     "q_rfm_segments" ->
       """WITH per AS (
         |  SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us,
@@ -4872,6 +4910,57 @@ object SparkEntry {
          |  SELECT lang, doc_id,
          |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS len
          |  FROM documents),
+         |pa AS (
+         |  SELECT lang, len,
+         |    (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1)
+         |      // ${operators.Sampling.paddingBatchSize} AS batch
+         |  FROM pd),
+         |ps AS (
+         |  SELECT lang, len,
+         |    (row_number() OVER (PARTITION BY lang ORDER BY len, doc_id) - 1)
+         |      // ${operators.Sampling.paddingBatchSize} AS batch
+         |  FROM pd),
+         |pab AS (SELECT lang, batch, count(*) AS members, sum(len) AS toks,
+         |          max(len) AS max_len FROM pa GROUP BY 1, 2),
+         |psb AS (SELECT lang, batch, count(*) AS members, sum(len) AS toks,
+         |          max(len) AS max_len FROM ps GROUP BY 1, 2),
+         |pag AS (
+         |  SELECT 'arrival' AS method, lang,
+         |    CAST(sum(members) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_batches,
+         |    CAST(sum(toks) AS BIGINT) AS tokens,
+         |    CAST(sum(members * max_len) AS BIGINT) AS padded_tokens
+         |  FROM pab GROUP BY 2),
+         |psg AS (
+         |  SELECT 'length_sorted' AS method, lang,
+         |    CAST(sum(members) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_batches,
+         |    CAST(sum(toks) AS BIGINT) AS tokens,
+         |    CAST(sum(members * max_len) AS BIGINT) AS padded_tokens
+         |  FROM psb GROUP BY 2)
+         |SELECT method, lang, n_docs, n_batches, tokens, padded_tokens,
+         |  CASE WHEN padded_tokens > 0
+         |    THEN round(CAST(padded_tokens - tokens AS DOUBLE) / padded_tokens, 6)
+         |  END AS waste_share
+         |FROM (SELECT * FROM pag UNION ALL SELECT * FROM psg)
+         |ORDER BY method, lang""".stripMargin,
+    // tokenizer-TRUE padding twin: member cost = trained-BPE token
+    // count (the recursion's final segmentation), same batch policies
+    "q_padding_waste_bpe" ->
+      s"""$bpeRecursionCte,
+         |final AS (
+         |  SELECT w0 AS w,
+         |    CAST(len(string_split(word, ' ')) AS BIGINT) AS ns
+         |  FROM it WHERE iter = (SELECT max(iter) FROM it)
+         |),
+         |corpus AS (
+         |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS w
+         |  FROM documents
+         |),
+         |pd AS (
+         |  SELECT lang, doc_id, CAST(sum(ns) AS BIGINT) AS len
+         |  FROM corpus JOIN final USING (w) GROUP BY lang, doc_id
+         |),
          |pa AS (
          |  SELECT lang, len,
          |    (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1)

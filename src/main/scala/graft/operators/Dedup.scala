@@ -997,8 +997,16 @@ object Dedup {
         it.map { case (id, text) =>
           // split semantics pinned to Spark SQL's split(trim(text), ' ')
           // (limit -1: trailing empties kept) so the oracle's
-          // string_split sees the identical word list
-          val ws = text.trim.split(" ", -1)
+          // string_split sees the identical word list. NOT
+          // String.trim: Java trim strips every char <= U+0020 (tabs,
+          // newlines) while SQL trim() strips ' ' only — a doc with a
+          // leading tab must tokenize identically on both engines, so
+          // trim exactly the ' ' characters by hand.
+          var lo = 0
+          var hi = text.length
+          while (lo < hi && text.charAt(lo) == ' ') lo += 1
+          while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+          val ws = text.substring(lo, hi).split(" ", -1)
           val set = new java.util.LinkedHashSet[Long]()
           var i = 0
           while (i + 2 < ws.length) {
@@ -1090,11 +1098,17 @@ object Dedup {
     // set size rides the explode (array length — no per-doc aggregate)
     val grams = arrays.select(col("doc_id"),
       size(col("gs")).cast("long").as("s"), explode(col("gs")).as("tk"))
+    // df via an AGGREGATE, not a count-window over tk: the window
+    // form fuses a shuffle away at test scale but must buffer each
+    // tk group whole inside one task — a stop-word trigram's group at
+    // 100 TB is a straggler/spill hotspot. The aggregate partials
+    // map-side (the shuffle ships one (tk,count) per partition per
+    // shingle, never the rows), and the join back on tk reuses the
+    // same hash partitioning; AQE skew-split covers the join's own
+    // hot keys.
+    val dfTab = grams.groupBy("tk").agg(count(lit(1)).as("df"))
     val prefix = grams
-      // df as a count-window over tk FUSED into the rank pass: one
-      // shuffle by tk feeding the doc_id window's shuffle directly —
-      // no separate groupBy+join stage for the df table
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tk"))))
+      .join(dfTab, "tk")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tk"))))
       .filter(col("pos") <=

@@ -81,4 +81,145 @@ object Fuzzy {
         col("dist"))
       .orderBy("a_custkey", "b_custkey")
   }
+
+  /** Edit-distance threshold for [[nameJoin2]] — real entity
+    * resolution (two typos, a transposition plus a typo) needs τ = 2.
+    */
+  val tau2 = 2
+
+  /** All customer-name pairs within edit distance [[tau2]], canonical
+    * (a_custkey < b_custkey), with the exact distance — the τ = 2
+    * member of the deletion-neighborhood family.
+    *
+    * Blocking: every string emits its identity form, its delete-one
+    * variants, and its delete-TWO variants (positions i < j in the
+    * ORIGINAL string — each unordered deletion pair once), ≤ 1 + m +
+    * m(m−1)/2 signatures. If lev(u, v) ≤ 2, an optimal edit script
+    * with i insertions, d deletions, s substitutions (i+d+s ≤ 2)
+    * yields a common string after deleting the d+s touched chars from
+    * u and the i+s touched chars from v — both ≤ 2 deletions — so the
+    * ≤2-deletion neighborhoods intersect and the signature equi-join
+    * misses nothing. A shared signature only bounds lev ≤ 4, so the
+    * `levenshtein` verify on DISTINCT candidates is load-bearing
+    * (close pairs share MANY signatures — a Hamming-1 pair shares ~m
+    * of them — hence distinct before the verify, not after).
+    *
+    * DELETION-GAP positional filter (the FastSS analogue of PPJoin's
+    * positional filter; measured 31.7M → ~5M candidate pairs at
+    * sf0.1, 128 s → seconds): each variant carries the GAP indices of
+    * its deletions — for deletions at original positions i < j, the
+    * deleted chars sit after s-char i−1 and j−2 of the surviving
+    * string s (a single deletion at i: after s-char i−1). For the
+    * variant pair produced by an OPTIMAL ≤2-edit script, every
+    * substitution deletes one char on EACH side at the SAME s-gap
+    * (between the same matched neighbors), while u-deletions /
+    * v-insertions touch one side only — so with deletion counts
+    * (na, nb) and gap multisets A, B, that witness satisfies
+    * na + nb − |A ∩ B| = ins + del + sub = lev ≤ 2. Enforcing it in
+    * the join drops nothing (the witness always survives) and kills
+    * the shift-matched pairs (front-deletions vs back-deletions:
+    * disjoint gaps, na+nb = 4) that dominate candidate volume on
+    * sequential-id corpora. Case split: na+nb ≤ 2 is always within
+    * budget; (1,2) needs the single gap present in the pair; (2,2)
+    * needs gap-multiset EQUALITY (sorted pairs compare directly —
+    * adjacent deletions j = i+1 legitimately duplicate the gap).
+    *
+    * Scale shape (100 TB): fan-out is O(m²) per row — constant for
+    * bounded name length — the join is a shuffled equi-join whose
+    * extra predicate is integer-only (no string ops inside the
+    * enumeration), and verify touches surviving candidates only;
+    * output is candidate-proportional, never all-pairs. Completeness
+    * is spec-certified against brute force at τ = 2 (FuzzyEvalSpec),
+    * including variable-length insert/delete and transposition pairs.
+    */
+  def nameJoin2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nm = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .filter(length(col("name")) >= 2)
+    // Variant fingerprints from a narrow native kernel: the nested
+    // higher-order-function build runs on the interpreted lambda path
+    // (measured 14 s at sf0.1 — and the plan computes it once per
+    // join side), while this loop hashes each variant INLINE over the
+    // original chars, skipping the deleted indices — no string is
+    // ever allocated. The fingerprint (FNV-1a 64) never crosses
+    // engines: a collision merely creates a spurious CANDIDATE the
+    // levenshtein verify removes, so the oracle's plain string-form
+    // join replays identical output without replaying the hash.
+    val forms = nm.as[(Long, String)].mapPartitions { it =>
+      it.flatMap { case (id, name) =>
+        val m = name.length
+        def fnv(skip1: Int, skip2: Int): Long = {
+          var h = 0xcbf29ce484222325L
+          var i = 0
+          while (i < m) {
+            if (i != skip1 && i != skip2) {
+              val c = name.charAt(i)
+              h = (h ^ (c & 0xff)) * 0x100000001b3L
+              h = (h ^ (c >>> 8)) * 0x100000001b3L
+            }
+            i += 1
+          }
+          h
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Long, Long, Int, Int, Int)](1 + m + m * (m - 1) / 2)
+        out += ((id, fnv(-1, -1), -1, -1, 0))
+        var i = 0
+        while (i < m) {
+          out += ((id, fnv(i, -1), i, -1, 1)) // 0-based del ⇒ gap = i
+          var j = i + 1
+          while (j < m) {
+            out += ((id, fnv(i, j), i, j - 1, 2)) // gaps (i, j−1) 0-based
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+    }.toDF("id", "h", "g1", "g2", "nd")
+      .localCheckpoint() // both join sides read the kernel output once
+    // The gap filter as JOIN STRUCTURE, not a post-enumeration
+    // predicate: 2-deletion variants dominate the form table (~89%)
+    // and their pairwise rule is gap-multiset EQUALITY — so for the
+    // (2,2) case the gaps belong in the join KEY, collapsing the
+    // biggest h-groups into per-position slices (measured 65M → ~8M
+    // enumerated pairs at sf0.1). Every witness with a ≤1-deletion
+    // side flows through the second join, whose small side is only
+    // the 1+m identity/1-del variants per name; orientation-free
+    // canonicalization keeps the (2,1) witnesses the a-side id order
+    // would otherwise drop.
+    val f2 = forms.filter(col("nd") === 2)
+    val j22 = f2.select(col("h"), col("g1"), col("g2"),
+        col("id").as("id1"))
+      .join(f2.select(col("h"), col("g1"), col("g2"),
+        col("id").as("id2")), Seq("h", "g1", "g2"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+    val jle1 = forms.filter(col("nd") <= 1)
+      .select(col("h"), col("id").as("ida"), col("g1").as("ag1"),
+        col("nd").as("na"))
+      .join(forms.select(col("h"), col("id").as("idb"),
+        col("g1").as("bg1"), col("g2").as("bg2"), col("nd").as("nb")),
+        Seq("h"))
+      .filter(col("ida") =!= col("idb") &&
+        ((col("na") + col("nb") <= 2) ||
+          (col("na") === 1 && col("nb") === 2 &&
+            (col("ag1") === col("bg1") || col("ag1") === col("bg2")))))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"))
+    // ids-only through the joins and the distinct (the wide name
+    // strings re-attach from the O(customers) broadcast afterward)
+    val cand = j22.unionByName(jle1).distinct()
+    cand
+      .join(broadcast(nm.select(col("id").as("id1"), col("name").as("n1"))),
+        Seq("id1"))
+      .join(broadcast(nm.select(col("id").as("id2"), col("name").as("n2"))),
+        Seq("id2"))
+      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+      .filter(col("dist") <= tau2)
+      .select(col("id1").as("a_custkey"), col("id2").as("b_custkey"),
+        col("dist"))
+      .orderBy("a_custkey", "b_custkey")
+  }
 }

@@ -321,14 +321,21 @@ object Opq {
       return Rotation(dims, mu, basis, lams, outDimOfRound, exact = true)
     }
     // matvec in micros: Σ Cᵢⱼ·vⱼ is micro² (exact Long), one
-    // half-away integer division back to micros
+    // half-away integer division back to micros. All training-loop
+    // products/sums go through multiplyExact/addExact: the JVM wraps
+    // Long overflow silently while DuckDB raises on BIGINT overflow —
+    // a corrupt-basis-on-one-engine/error-on-the-other split. Failing
+    // loudly here matches the oracle's behavior on pathological
+    // covariance magnitudes (the training is O(d²·rounds), so the
+    // checked ops cost nothing).
     def matvec(v: Array[Long]): Array[Long] = {
       val u = new Array[Long](d)
       var i = 0
       while (i < d) {
         var s = 0L; var j = 0
         while (j < d) {
-          if (present(i * d + j)) s += c(i * d + j) * v(j)
+          if (present(i * d + j))
+            s = Math.addExact(s, Math.multiplyExact(c(i * d + j), v(j)))
           j += 1
         }
         u(i) = divRound(s, micro); i += 1
@@ -340,7 +347,9 @@ object Opq {
     // the one rounding back to micros sees identical bits
     def normalize(u: Array[Long]): Array[Long] = {
       var ss = 0L; var i = 0
-      while (i < d) { ss += u(i) * u(i); i += 1 }
+      while (i < d) {
+        ss = Math.addExact(ss, Math.multiplyExact(u(i), u(i))); i += 1
+      }
       val nrm = math.sqrt(ss.toDouble)
       Array.tabulate(d)(i =>
         if (nrm > 0) roundToLong(u(i).toDouble / nrm * 1e6) else 0L)
@@ -354,7 +363,8 @@ object Opq {
         while (i < d) {
           var s = 0L; var j = 0
           while (j < d) {
-            if (present(i * d + j)) s += c(i * d + j) * seedMicros
+            if (present(i * d + j))
+              s = Math.addExact(s, Math.multiplyExact(c(i * d + j), seedMicros))
             j += 1
           }
           u(i) = divRound(s, micro); i += 1
@@ -375,10 +385,16 @@ object Opq {
         var bk = 0
         while (bk < rounds) {
           var cf = 0L; var i = 0
-          while (i < d) { cf += x(i) * basis(bk)(i); i += 1 }
+          while (i < d) {
+            cf = Math.addExact(cf, Math.multiplyExact(x(i), basis(bk)(i)))
+            i += 1
+          }
           val cfr = divRound(cf, micro)
           var p = 0
-          while (p < d) { adj(p) += cfr * basis(bk)(p); p += 1 }
+          while (p < d) {
+            adj(p) = Math.addExact(adj(p), Math.multiplyExact(cfr, basis(bk)(p)))
+            p += 1
+          }
           bk += 1
         }
         Array.tabulate(d)(i => x(i) - divRound(adj(i), micro))
@@ -389,17 +405,23 @@ object Opq {
       val w = matvec(v)
       var lam = 0L
       var i = 0
-      while (i < d) { lam += v(i) * w(i); i += 1 }
+      while (i < d) {
+        lam = Math.addExact(lam, Math.multiplyExact(v(i), w(i))); i += 1
+      }
       lams(k) = divRound(lam, micro)
-      // rank-1 deflation: λ·vᵢ·vⱼ is micro³ (≤ ~10¹⁸, still exact
-      // Long), one div-round by 10¹² back to the matrix grid
+      // rank-1 deflation: λ·vᵢ·vⱼ is micro³ (exact Long only while
+      // |λ| micros stays under ~9·10⁶ — multiplyExact turns the
+      // silent wrap into the same loud failure DuckDB raises), one
+      // div-round by 10¹² back to the matrix grid
       if (k < rotationDims - 1) {
         var a = 0
         while (a < d) {
           var b = 0
           while (b < d) {
             if (present(a * d + b))
-              c(a * d + b) -= divRound(lams(k) * v(a) * v(b), micro * micro)
+              c(a * d + b) = Math.subtractExact(c(a * d + b), divRound(
+                Math.multiplyExact(Math.multiplyExact(lams(k), v(a)), v(b)),
+                micro * micro))
             b += 1
           }
           a += 1

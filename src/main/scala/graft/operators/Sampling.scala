@@ -579,11 +579,31 @@ object Sampling {
     * the single rounded division at the edge. Batch ranks are
     * per-LANGUAGE windows (bounded key space), never a global sort.
     */
-  def paddingWaste(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables(spark, dir, "documents")
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame =
+    paddingWasteOver(Tables(spark, dir, "documents")
       .select(col("lang"), col("doc_id"),
-        size(split(trim(col("text")), " ")).cast("long").as("len"))
+        size(split(trim(col("text")), " ")).cast("long").as("len")))
+
+  /** [[paddingWaste]] with tokenizer-TRUE accounting
+    * (`q_padding_waste_bpe`): identical batch policies and grids, but
+    * member cost is the trained BPE's token count (the memoized
+    * segmentation broadcast join — the E22g2 composition), so the
+    * waste numbers describe the grids a real trainer pads. Whitespace
+    * and BPE lengths rank documents DIFFERENTLY (a long word is one
+    * whitespace token but many subwords), so even the length-sorted
+    * policy's batch membership shifts — the twin is a distinct
+    * measurement, not a rescale.
+    */
+  def paddingWasteBpe(spark: SparkSession, dir: String): DataFrame =
+    paddingWasteOver(bpeDocTokens(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_tok").as("len")))
+
+  /** Both padding policies over a (lang, doc_id, len) frame — one
+    * shuffle per policy (per-LANG rank window → per-batch aggregate →
+    * per-lang aggregate; bounded key space, never a global sort).
+    */
+  private def paddingWasteOver(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def policy(name: String, order: Seq[Column]): DataFrame = {
       val w = Window.partitionBy(col("lang")).orderBy(order: _*)
       docs

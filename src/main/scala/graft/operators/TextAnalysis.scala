@@ -903,6 +903,12 @@ object TextAnalysis {
     * column a reviewer greps), the hit density, and the keep/drop
     * decision at the integer 5% density gate.
     *
+    * Fold rule: tokens are CASE-FOLDED (`lower`) before the list
+    * join — a production safety list is case-insensitive ("Merge"
+    * must hit "merge") — and the terms themselves are lowercase by
+    * [[blocklistTerms]] convention; `hit_terms` records the folded
+    * form, the canonical list spelling.
+    *
     * Scale shape (100 TB): the blocklist is an O(list) broadcast
     * joined against one exploded-token pass (Aho–Corasick semantics
     * via hash equi-join — at token granularity the automaton IS a
@@ -916,8 +922,11 @@ object TextAnalysis {
     val base = Tables(spark, dir, "documents")
       .select(col("doc_id"),
         size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
+    // fold BEFORE the split (lower commutes with the space split, and
+    // runs once per doc, not once per token)
     val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), " ")).as("tok"))
     val bl = blocklistTerms.toDF("tok")
     val hits = toks.join(broadcast(bl), "tok")
       .groupBy("doc_id")

@@ -56,6 +56,10 @@ object ScaleGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/root/repo/scale10"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // 25 letter tags (k = 1..25) + the untagged base replica; also
+    // 26 cipher rotations and 64 embedding rotations stay distinct
+    require(factor >= 1 && factor <= 26,
+      s"factor must be in [1, 26] (letter-tag alphabet bound), got $factor")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -80,11 +84,16 @@ object ScaleGen {
 
     replicate("customer") { (df, k) =>
       df.select(shifted("c_custkey", k).as("c_custkey"),
-        // 4-char replica tag, pairwise lev ≥ 3 across replicas and ≥ 4
-        // to the untagged base — beyond the fuzzy join's lev ≤ 2, so
-        // name-dup groups replicate without cross-replica pairs
+        // 4-char replica tag: one per-replica LETTER repeated ×3 — any
+        // two distinct replicas differ in all 3 tag positions (lev
+        // exactly 3; digit tags like "121212"/"212121" are cyclic
+        // shifts at lev 2 for factor ≥ 22) and ≥ 4 vs the untagged
+        // base, both beyond the fuzzy join's lev ≤ 2, so name-dup
+        // groups replicate without cross-replica pairs. 25 letters
+        // bound the factor — enforced loudly at entry.
         (if (k == 0) col("c_name")
-         else concat(col("c_name"), lit(" " + k.toString * 3))).as("c_name"),
+         else concat(col("c_name"),
+           lit(" " + ('a' + k - 1).toChar.toString * 3))).as("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     }
 

@@ -163,4 +163,89 @@ class CrashResumeSpec extends SparkSpec {
       assert(spark.read.parquet(out).count() === 5L)
     }
   }
+
+  test("schema-evolution widen kill-and-resume: the replayed widen batch " +
+    "is idempotent and the cast map reapplies from the journal") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.SchemaEvolution
+    def imgPrio(id: Int, bid: String, prio: String) =
+      s"""{"id":$id,"booking_id":"$bid","status":"Open","is_deleted":0,""" +
+        s""""is_canceled":false,"created_at":1704067200000000,""" +
+        s""""modified_at":1704067200000000,"priority":$prio}"""
+    def data(img: String, lsn: Long, ts: Long) =
+      s"""{"before":null,"after":$img,""" +
+        s""""source":{"sequence":"[\\"0\\",\\"$lsn\\"]","lsn":$lsn},""" +
+        s""""op":"u","ts_ms":$ts}"""
+    val waves: Seq[Seq[String]] = Seq(
+      // wave 1: ADD the integer column + a narrow row
+      Seq("""{"ddl":"ALTER TABLE public.bookings ADD COLUMN priority integer","ts_ms":1704070000000}""",
+        data(imgPrio(1, "b1", "7"), 10001L, 1704070000500L)),
+      // wave 2 — the WIDEN wave the crash will replay: the DDL plus a
+      // value only the wide type can hold
+      Seq("""{"ddl":"ALTER TABLE public.bookings ALTER COLUMN priority TYPE bigint","ts_ms":1704070001000}""",
+        data(imgPrio(2, "b2", "9000000000"), 10002L, 1704070001500L)),
+      // wave 3: lands while the killed pipeline is down
+      Seq(data(imgPrio(3, "b1", "9000000007"), 10003L, 1704070002000L)))
+
+    def run(crashMidWiden: Boolean): String = {
+      val root = tmp(if (crashMidWiden) "widen-crash" else "widen-golden")
+      val changes = s"$root/changes"
+      Files.createDirectories(Paths.get(changes))
+      def put(n: Int): Unit =
+        Files.write(Paths.get(changes, s"wave$n.txt"),
+          waves(n - 1).mkString("\n").getBytes("UTF-8"))
+      def drain(): Unit = SchemaEvolution.runOnce(spark, changes,
+        s"$root/bookings", s"$root/ckpt", s"$root/schema", Some(s"$root/dl"))
+      put(1); drain()
+      put(2); drain()
+      if (crashMidWiden) {
+        // the non-atomic crash window T7 cannot close: the widen
+        // journal and the parquet append landed, the checkpoint
+        // commit did NOT — deleting the latest commit marker makes
+        // the restart REPLAY the widen micro-batch (at-least-once),
+        // exactly what a kill between the two writes produces
+        val commits = new java.io.File(s"$root/ckpt/commits").listFiles()
+          .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+        assert(commits.nonEmpty && commits.last.delete())
+        // the local ChecksumFileSystem's sidecar must go too, or the
+        // replay's atomic re-write reads as a concurrent writer
+        new java.io.File(s"$root/ckpt/commits/.${commits.last.getName}.crc")
+          .delete()
+      }
+      put(3); drain() // fresh runner: journals reload, batch replays
+      root
+    }
+
+    val golden = run(crashMidWiden = false)
+    val crashed = run(crashMidWiden = true)
+
+    // the re-delivered widen DDL was RECOGNIZED, not re-journaled (a
+    // doubled journal line would re-cast idempotently today but turn
+    // any future ordered fold wrong) — and it must not dead-letter
+    assert(SchemaEvolution.loadWidenJournal(s"$crashed/schema") ===
+      SchemaEvolution.loadWidenJournal(s"$golden/schema"))
+    assert(SchemaEvolution.loadWidenJournal(s"$crashed/schema").length === 1)
+    assert(spark.read.text(s"$crashed/dl")
+      .filter(col("value").contains("priority TYPE bigint")).count() === 0L)
+
+    def evolved(root: String) =
+      SchemaEvolution.readEvolvedLog(spark, s"$root/bookings", s"$root/schema")
+    // byte-compare to the uninterrupted run: same evolved schema (the
+    // journal replay applied the cast map), and the replayed append
+    // only duplicated byte-identical rows — distinct log rows equal
+    assert(evolved(crashed).schema === evolved(golden).schema)
+    def logRows(root: String) = evolved(root).distinct().collect()
+      .map(_.toSeq).toSet
+    assert(logRows(crashed) === logRows(golden))
+    // FINAL collapses the at-least-once replay: per-key argmax equal,
+    // with pre-widen history cast up and the wide value intact
+    def finalRows(root: String) =
+      VersionedUpsert.finalView(evolved(root))
+        .select("booking_id", "priority").collect()
+        .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    val fvC = finalRows(crashed)
+    assert(fvC === finalRows(golden))
+    assert(fvC("b1") === Some(9000000007L)) // wave-3 beats wave-1 by LSN
+    assert(fvC("b2") === Some(9000000000L)) // needs the widened type
+  }
 }

@@ -47,6 +47,42 @@ class FuzzyEvalSpec extends SparkSpec {
     assert(got === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L), (2L, 6L)))
   }
 
+  test("τ=2 fuzzy blocking is complete vs the all-pairs brute force at sf0.001") {
+    val got = operators.Fuzzy.nameJoin2(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val nm = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .filter(length(col("name")) >= 2)
+    val brute = nm.as("a")
+      .join(nm.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("d"))
+      .filter(col("d") <= operators.Fuzzy.tau2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    // τ=2 must strictly widen τ=1 on sequential TPC-H names
+    val tau1 = operators.Fuzzy.nameJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tau1.subsetOf(got) && got.size > tau1.size)
+  }
+
+  test("τ=2 blocking finds transpositions, double-typos, and 2-length gaps") {
+    import spark.implicits._
+    // ed(ab, ba)=2 (transposition — the τ=1 trap, now IN);
+    // ed(abcd, axyd)=2 double sub; ed(abcd, abcdef)=2 double ins;
+    // ed(abcd, ab)=2 double del; ed(dcba, ba)=2 del+del;
+    // ed(abcd, dcba)=4 stays out; ed(abcd, ba)=3 stays out
+    val rows = Seq(1L -> "abcd", 2L -> "axyd", 3L -> "abcdef",
+      4L -> "dcba", 5L -> "ab", 6L -> "ba")
+    val df = rows.toDF("c_custkey", "c_name")
+    val tmp = java.nio.file.Files.createTempDirectory("fuzzy2").toString
+    df.write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val got = operators.Fuzzy.nameJoin2(spark, tmp)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === Map((1L, 2L) -> 2L, (1L, 3L) -> 2L, (1L, 5L) -> 2L,
+      (4L, 6L) -> 2L, (5L, 6L) -> 2L))
+  }
+
   test("AUC equals the definitional pairwise mean, and orders as expected") {
     val row = operators.Evaluation.auc(spark, dir).head()
     val scored = operators.Perceptron.classifier(spark, dir)

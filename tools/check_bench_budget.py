@@ -6,8 +6,8 @@ hide per-row drift as the query surface grows; this tool holds every
 query to 1.5x its recorded time instead.
 
 Usage:
-  # check a bench capture (a file holding the Bench stdout JSON lines):
-  python3 tools/check_bench_budget.py /tmp/bench.json
+  # check one or more bench captures (files holding Bench stdout JSON):
+  python3 tools/check_bench_budget.py /tmp/bench_a.json [/tmp/bench_b.json ...]
   # re-record the budget after an intentional plan/surface change:
   python3 tools/check_bench_budget.py /tmp/bench.json --update \
       [--reverify reports/bench_reverify_rN.txt]
@@ -24,22 +24,38 @@ move can otherwise absorb a real regression — the guard forces every
 big raise to carry its own fresh-JVM adjudication evidence. New
 queries (no predecessor) are exempt; lowering a floor always allowed.
 
-Sentinel normalization (round-14 verdict item): the floors are wall
-times from the host/day they were recorded, and the gate was chronically
-fighting 1.3-1.4x host bands — each appeasing floor raise permanently
-loosened it. `--sentinel [name]` (default q_topk_orders, a fixed
-plan-stable row) measures the HOST, not the code: the capture's
-sentinel time over its committed floor gives the host factor h,
-clamped to [1, 2] (a fast host must not tighten the gate; a >2x
-sentinel excursion is itself suspicious and is NOT absorbed). Every
-per-query comparison — the 1.5x check and the 1.3x raise-guard — then
-works on capture/h. Policy: with the flag on, a raw-floor raise should
-be rare — justified only when a query's NORMALIZED time still exceeds
-the cap with fresh isolated evidence, not because the host had a bad
-evening.
+Host-variance separation (round-15/16 verdict items). Three layers,
+composable, because a 32-thread local bench has TWO distinct noise
+modes that no single sentinel can absorb (measured on the committed
+r15 capture pair: a uniform ~1.1-1.4x band PLUS uncorrelated per-row
+spikes up to 2.8x on fp-heavy rows while the light sentinel read
+1.41x):
+
+ - MULTIPLE captures: pass several capture files and each query is
+   gated on its MINIMUM across them. Timing noise is one-sided (a
+   busy host only inflates), so min-of-k estimates the clean time and
+   uncorrelated per-row spikes vanish — while a REAL code regression
+   persists in every capture and still trips the gate. This is the
+   primary host/code separator; round close should always gate on a
+   fresh-JVM pair.
+ - `--median`: the host factor h is the MEDIAN of all per-row
+   capture/floor ratios (a 200-row "fleet sentinel" — robust, no
+   single calibration row to get unlucky), clamped to [1, 2]. Every
+   comparison then works on time/h. Absorbs the uniform band; cannot
+   absorb per-row spikes (that is what multiple captures are for).
+ - `--sentinel [name]` (legacy, round-14): same normalization with h
+   read off ONE fixed row (default q_topk_orders). Kept for
+   back-compat; --median supersedes it. Mutually exclusive.
+
+Ratchet guard (round-16 ADVICE): when normalization is active, update
+mode commits the NORMALIZED time (t/h) as the new floor, matching the
+value the raise guard adjudicated — committing raw host-inflated times
+would permanently loosen every future gate by h. Raw capture values
+stay on disk in the committed reports/ captures.
 """
 import json
 import os
+import statistics
 import sys
 
 THRESHOLD = 1.5
@@ -66,6 +82,24 @@ def load_queries(path):
     raise SystemExit(f"no bench JSON line with 'queries' in {path}")
 
 
+def merge_captures(paths):
+    """Per-query MIN across captures (one-sided noise), the union of
+    crashed queries (a materialization throw is deterministic — a crash
+    anywhere is a crash), and each capture's sf tag."""
+    merged, crashed, sfs = {}, set(), []
+    for p in paths:
+        queries, sf = load_queries(p)
+        sfs.append(sf)
+        for n, t in queries.items():
+            if t < 0:
+                crashed.add(n)
+            elif n not in merged or t < merged[n]:
+                merged[n] = t
+    for n in crashed:
+        merged.pop(n, None)
+    return merged, sorted(crashed), sfs
+
+
 def load_budget(path):
     budget = {}
     if os.path.exists(path):
@@ -88,51 +122,69 @@ def reverified_queries(path):
     return names
 
 
-def host_factor(queries, budget, sentinel):
-    """Capture-time / committed-floor ratio of the sentinel row,
-    clamped to [1, HOST_FACTOR_CAP]."""
-    if sentinel not in queries:
-        raise SystemExit(f"sentinel {sentinel!r} not in the capture")
-    if sentinel not in budget:
-        raise SystemExit(f"sentinel {sentinel!r} has no committed floor")
-    if queries[sentinel] < 0:
-        raise SystemExit(f"sentinel {sentinel!r} FAILED in the capture")
-    h = queries[sentinel] / budget[sentinel]
+def host_factor(queries, budget, sentinel, median):
+    """Capture/floor host factor, clamped to [1, HOST_FACTOR_CAP]:
+    the median of all per-row ratios (--median) or one fixed row's
+    ratio (--sentinel)."""
+    if median:
+        ratios = [queries[n] / budget[n] for n in queries
+                  if n in budget and budget[n] > 0]
+        if not ratios:
+            raise SystemExit("--median: no overlapping rows between the "
+                             "capture and the committed budget")
+        h = statistics.median(ratios)
+    else:
+        if sentinel not in queries:
+            raise SystemExit(f"sentinel {sentinel!r} not in the capture")
+        if sentinel not in budget:
+            raise SystemExit(f"sentinel {sentinel!r} has no committed floor")
+        h = queries[sentinel] / budget[sentinel]
     return max(1.0, min(h, HOST_FACTOR_CAP))
 
 
 def main(argv):
-    bench, update = argv[1], "--update" in argv[2:]
+    # argv[1] is always a capture path; further leading non-flag args
+    # are additional captures (gated on the per-query min)
+    captures = [argv[1]]
+    i = 2
+    while i < len(argv) and not argv[i].startswith("--"):
+        captures.append(argv[i])
+        i += 1
+    flags = argv[i:]
+    update = "--update" in flags
+    median = "--median" in flags
     reverify = None
-    if "--reverify" in argv[2:]:
-        # search flags only past the bench path (a capture literally
-        # named '--reverify' must not misparse), and require a value
-        i = argv.index("--reverify", 2)
-        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+    if "--reverify" in flags:
+        j = flags.index("--reverify")
+        if j + 1 >= len(flags) or flags[j + 1].startswith("--"):
             raise SystemExit("--reverify requires a report path argument")
-        reverify = argv[i + 1]
+        reverify = flags[j + 1]
     sentinel = None
-    if "--sentinel" in argv[2:]:
-        i = argv.index("--sentinel", 2)
-        sentinel = (argv[i + 1]
-                    if i + 1 < len(argv) and not argv[i + 1].startswith("--")
+    if "--sentinel" in flags:
+        if median:
+            raise SystemExit("--sentinel and --median are mutually "
+                             "exclusive (median supersedes)")
+        j = flags.index("--sentinel")
+        sentinel = (flags[j + 1]
+                    if j + 1 < len(flags) and not flags[j + 1].startswith("--")
                     else DEFAULT_SENTINEL)
-    queries, sf = load_queries(bench)
-    # Bench records -1 for a query whose materialization threw; that is
-    # a hard failure in either mode, never a time to compare or record.
-    crashed = sorted(n for n, t in queries.items() if t < 0)
+    normalizing = median or sentinel is not None
+
+    queries, crashed, sfs = merge_captures(captures)
     if update:
         if crashed:
             raise SystemExit("refusing to record budgets: failed queries "
                              + ", ".join(crashed))
-        if not sf.endswith("sf0.1"):
-            raise SystemExit(f"refusing to record budgets from sf={sf!r}: "
+        bad_sf = [s for s in sfs if not s.endswith("sf0.1")]
+        if bad_sf:
+            raise SystemExit(f"refusing to record budgets from sf={bad_sf[0]!r}: "
                              "budgets are defined at sf0.1")
         old = load_budget(BUDGET)
         adjudicated = reverified_queries(reverify) if reverify else set()
-        h = host_factor(queries, old, sentinel) if sentinel else 1.0
-        if sentinel:
-            print(f"sentinel {sentinel}: host factor {h:.3f}")
+        h = host_factor(queries, old, sentinel, median) if normalizing else 1.0
+        if normalizing:
+            print(f"host factor {h:.3f} "
+                  f"({'median of ' + str(len(queries)) + ' rows' if median else 'sentinel ' + sentinel})")
         unjustified = []
         for name in sorted(queries):
             if name in old and queries[name] / h > RAISE_CAP * old[name] \
@@ -140,7 +192,7 @@ def main(argv):
                 unjustified.append(
                     f"{name}: {queries[name]:.2f}s"
                     + (f" (/{h:.2f} host = {queries[name] / h:.2f}s)"
-                       if sentinel else "")
+                       if normalizing else "")
                     + f" > {RAISE_CAP}x committed "
                     f"floor {old[name]:.2f}s with no isolated-reverify line"
                     + (f" in {reverify}" if reverify else
@@ -167,17 +219,25 @@ def main(argv):
                 f"refusing to drop {len(dropped)} committed floor(s) not "
                 "present in the capture; bench the full surface (or remove "
                 "the retired query from the budget by hand, stating why)")
+        # commit the NORMALIZED time: the value the raise guard
+        # adjudicated is the value that becomes the floor (committing
+        # raw host-inflated times would ratchet every future gate
+        # looser by h — the round-16 ADVICE hole)
         with open(BUDGET, "w") as f:
             for name in sorted(queries):
-                f.write(f"{name}\t{queries[name]:.3f}\n")
-        print(f"recorded {len(queries)} budgets to {BUDGET}")
+                f.write(f"{name}\t{queries[name] / h:.3f}\n")
+        print(f"recorded {len(queries)} budgets to {BUDGET}"
+              + (f" (normalized /{h:.3f})" if normalizing and h > 1 else ""))
         return 0
     budget = load_budget(BUDGET)
     failures = [f"{n}: FAILED during bench" for n in crashed]
-    if sf.endswith("sf0.1"):
-        h = host_factor(queries, budget, sentinel) if sentinel else 1.0
-        if sentinel:
-            print(f"sentinel {sentinel}: host factor {h:.3f}")
+    if sfs and sfs[0].endswith("sf0.1"):
+        h = host_factor(queries, budget, sentinel, median) if normalizing else 1.0
+        if normalizing:
+            print(f"host factor {h:.3f} "
+                  f"({'median of ' + str(len(queries)) + ' rows' if median else 'sentinel ' + sentinel})")
+        if len(captures) > 1:
+            print(f"gating on per-query min over {len(captures)} captures")
         for name in sorted(set(queries) | set(budget)):
             if name in crashed:
                 continue
@@ -189,10 +249,10 @@ def main(argv):
                 failures.append(
                     f"{name}: {queries[name]:.2f}s"
                     + (f" (/{h:.2f} host = {queries[name] / h:.2f}s)"
-                       if sentinel else "")
+                       if normalizing else "")
                     + f" > {THRESHOLD}x budget {budget[name]:.2f}s")
     else:
-        print(f"sf={sf!r} is not the recorded budget scale (sf0.1); "
+        print(f"sf={sfs[0]!r} is not the recorded budget scale (sf0.1); "
               "checking only for failed queries")
     for f in failures:
         print(f"FAIL {f}")

@@ -185,5 +185,127 @@ class SentinelTest(unittest.TestCase):
         self.assertEqual(rc, 0)
 
 
+class MultiCaptureTest(unittest.TestCase):
+    """Per-query min over several captures separates host spikes
+    (uncorrelated, vanish in the min) from code regressions (persist
+    in every capture) — the round-16 variance-separation gate."""
+
+    def setUp(self):
+        self.tmp = tempfile.mkdtemp()
+        self.budget = os.path.join(self.tmp, "bench_budget.tsv")
+        self._old_budget = cbb.BUDGET
+        cbb.BUDGET = self.budget
+        write(self.budget, "q_a\t1.000\nq_b\t2.000\nq_c\t1.000\n")
+        self.n = 0
+
+    def tearDown(self):
+        cbb.BUDGET = self._old_budget
+
+    def bench(self, queries):
+        self.n += 1
+        line = json.dumps({"metric": "bench", "value": sum(queries.values()),
+                           "unit": "sec", "queries": queries,
+                           "sf": "/root/testdata/sf0.1"})
+        return write(os.path.join(self.tmp, f"bench{self.n}.json"),
+                     line + "\n")
+
+    def test_degraded_second_capture_zero_false_flags(self):
+        # capture A clean, capture B with uncorrelated 2.8x spikes (the
+        # committed r15 A/B shape): the min gates, nothing flags
+        a = self.bench({"q_a": 1.0, "q_b": 2.0, "q_c": 1.0})
+        b = self.bench({"q_a": 2.8, "q_b": 5.6, "q_c": 1.1})
+        self.assertEqual(cbb.main(["prog", a, b]), 0)
+
+    def test_real_regression_persists_through_min(self):
+        # q_b regressed ~2.1x in BOTH captures: min 4.2 > 1.5x floor 2.0
+        a = self.bench({"q_a": 1.0, "q_b": 4.2, "q_c": 1.0})
+        b = self.bench({"q_a": 1.4, "q_b": 4.4, "q_c": 1.2})
+        self.assertEqual(cbb.main(["prog", a, b]), 1)
+
+    def test_crash_in_any_capture_fails(self):
+        a = self.bench({"q_a": 1.0, "q_b": 2.0, "q_c": 1.0})
+        b = self.bench({"q_a": 1.0, "q_b": -1.0, "q_c": 1.0})
+        self.assertEqual(cbb.main(["prog", a, b]), 1)
+
+    def test_committed_r15_pair_zero_false_flags(self):
+        # the real committed capture pair that motivated the gate: A
+        # (clean, floors recorded from it) + B (degraded, six rows
+        # >2x) must pass with zero flags when gated together
+        a = os.path.join(os.path.dirname(__file__), "..",
+                         "reports", "bench_capture_r15_a.json")
+        b = os.path.join(os.path.dirname(__file__), "..",
+                         "reports", "bench_capture_r15_b.json")
+        if not (os.path.exists(a) and os.path.exists(b)):
+            self.skipTest("committed capture pair not present")
+        qa, _ = cbb.load_queries(a)
+        qb, _ = cbb.load_queries(b)
+        cbb.BUDGET = write(
+            os.path.join(self.tmp, "real_budget.tsv"),
+            "".join(f"{n}\t{t:.3f}\n" for n, t in sorted(qa.items())))
+        self.assertEqual(cbb.main(["prog", a, b]), 0)
+
+
+class MedianHostTest(unittest.TestCase):
+    """--median: the host factor is the median of all per-row ratios —
+    a fleet sentinel no single row's bad luck can skew."""
+
+    def setUp(self):
+        self.tmp = tempfile.mkdtemp()
+        self.budget = os.path.join(self.tmp, "bench_budget.tsv")
+        self._old_budget = cbb.BUDGET
+        cbb.BUDGET = self.budget
+        write(self.budget, "q_a\t1.000\nq_b\t1.000\nq_c\t1.000\n"
+                           "q_d\t1.000\nq_e\t2.000\n")
+
+    def tearDown(self):
+        cbb.BUDGET = self._old_budget
+
+    def bench(self, queries):
+        line = json.dumps({"metric": "bench", "value": sum(queries.values()),
+                           "unit": "sec", "queries": queries,
+                           "sf": "/root/testdata/sf0.1"})
+        return write(os.path.join(self.tmp, "bench.json"), line + "\n")
+
+    def test_uniform_band_absorbed(self):
+        # whole capture 1.4x slow; q_e at 2.8 within 1.5x after /1.4
+        rc = cbb.main(["prog", self.bench(
+            {"q_a": 1.4, "q_b": 1.4, "q_c": 1.4, "q_d": 1.4, "q_e": 3.2}),
+            "--median"])
+        self.assertEqual(rc, 0)
+
+    def test_single_spike_not_absorbed(self):
+        # calm median (1.0) — a lone 2x row is NOT a host band
+        rc = cbb.main(["prog", self.bench(
+            {"q_a": 1.0, "q_b": 1.0, "q_c": 1.0, "q_d": 1.0, "q_e": 4.0}),
+            "--median"])
+        self.assertEqual(rc, 1)
+
+    def test_median_capped_at_two(self):
+        # a 3x fleet-wide excursion clamps to 2: q_e needing full 3x
+        # absorption still fails
+        rc = cbb.main(["prog", self.bench(
+            {"q_a": 3.0, "q_b": 3.0, "q_c": 3.0, "q_d": 3.0, "q_e": 9.5}),
+            "--median"])
+        self.assertEqual(rc, 1)
+
+    def test_sentinel_and_median_mutually_exclusive(self):
+        with self.assertRaises(SystemExit):
+            cbb.main(["prog", self.bench({"q_a": 1.0}), "--median",
+                      "--sentinel", "q_a"])
+
+    def test_update_commits_normalized_floors(self):
+        # the round-16 ADVICE ratchet: a 1.4x host band during --update
+        # must NOT be written into the floors — committed values are
+        # time/h, leaving the gate as tight as the clean-host truth
+        rc = cbb.main(["prog", self.bench(
+            {"q_a": 1.4, "q_b": 1.4, "q_c": 1.4, "q_d": 1.4, "q_e": 2.8}),
+            "--update", "--median"])
+        self.assertEqual(rc, 0)
+        got = {n: float(t) for n, t in
+               (l.split("\t") for l in open(self.budget))}
+        self.assertAlmostEqual(got["q_a"], 1.0, places=3)
+        self.assertAlmostEqual(got["q_e"], 2.0, places=3)
+
+
 if __name__ == "__main__":
     unittest.main()
