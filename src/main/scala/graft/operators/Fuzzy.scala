@@ -178,7 +178,12 @@ object Fuzzy {
         out
       }
     }.toDF("id", "h", "g1", "g2", "nd")
-      .localCheckpoint() // both join sides read the kernel output once
+    // NOT checkpointed: the forms table is O(corpus × m²) — at the ×10
+    // rehearsal 26M rows of block-manager residency starved an 8g heap
+    // (broadcast build failed), and at 100 TB it is not materializable
+    // at all. The native kernel re-runs per join side instead (0.2 s at
+    // sf0.1) — recompute is the scale-safe trade when the producer is
+    // cheap and the product is corpus-sized.
     // The gap filter as JOIN STRUCTURE, not a post-enumeration
     // predicate: 2-deletion variants dominate the form table (~89%)
     // and their pairwise rule is gap-multiset EQUALITY — so for the

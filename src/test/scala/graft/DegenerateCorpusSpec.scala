@@ -103,7 +103,10 @@ class DegenerateCorpusSpec extends SparkSpec {
     "cms_incremental" -> Sketches.cmsTokenCountsIncremental(spark, dir).count(),
     "ndcg" -> Retrieval.ndcgQuality(spark, dir).count(),
     "pack_bpe" -> Sampling.packSequencesBpe(spark, dir).count(),
-    "budget_bpe" -> Sampling.tokenBudgetBpe(spark, dir).count())
+    "budget_bpe" -> Sampling.tokenBudgetBpe(spark, dir).count(),
+    "padding_waste" -> Sampling.paddingWaste(spark, dir).count(),
+    "padding_waste_bpe" -> Sampling.paddingWasteBpe(spark, dir).count(),
+    "blocklist" -> TextAnalysis.blocklistFilter(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -199,6 +202,11 @@ class DegenerateCorpusSpec extends SparkSpec {
       "incremental CMS reads back the same per-token rows as the full sketch")
     assert(counts("ndcg") === 1L,
       "report row exists; no query term matches so idcg=0 -> ndcg NULL")
+    assert(counts("padding_waste") === 2L,
+      "one row per policy for the lone (lang, batch)")
+    assert(counts("padding_waste_bpe") === 2L, "same under BPE accounting")
+    assert(counts("blocklist") === 1L,
+      "the lone doc gets a keep/drop verdict (zero hits, kept)")
   }
 
   test("constant corpus: zero total variance yields NULL shares, not ANSI 0/0") {
