@@ -116,6 +116,7 @@ object SparkEntry {
     "q_interval_overlap" -> (operators.Intervals.anomalyOverlap _),
     "q_fuzzy_names" -> (operators.Fuzzy.nameJoin _),
     "q_fuzzy_names2" -> (operators.Fuzzy.nameJoin2 _),
+    "q_fuzzy_names_incr" -> (operators.Fuzzy.nameJoinIncremental _),
     "q_market_basket" -> (operators.Associations.marketBasket _),
     "q_basket_triples" -> (operators.Associations.basketTriples _),
     "q_daily_reconciliation" -> (Analytics.dailyReconciliation _),
@@ -4596,6 +4597,39 @@ object SparkEntry {
         |    CASE WHEN a.id < b.id THEN b.name ELSE a.name END AS n2
         |  FROM f a JOIN f b ON a.form = b.form AND a.id <> b.id)
         |SELECT id1 AS a_custkey, id2 AS b_custkey,
+        |  CAST(levenshtein(n1, n2) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(n1, n2) <= 2
+        |ORDER BY 1, 2""".stripMargin,
+    // incremental τ=2: ONLY new-batch (id % 10 = 0) × base pairs —
+    // the same neighborhood theorem restricted across the delta split
+    "q_fuzzy_names_incr" ->
+      """WITH nm AS (
+        |  SELECT c_custkey AS id, c_name AS name FROM customer
+        |  WHERE length(c_name) >= 2),
+        |f AS (
+        |  SELECT id, name, name AS form FROM nm
+        |  UNION
+        |  SELECT DISTINCT id, name,
+        |    substr(name, 1, CAST(i AS INT) - 1) ||
+        |      substr(name, CAST(i AS INT) + 1) AS form
+        |  FROM (SELECT id, name, unnest(range(1, length(name) + 1)) AS i
+        |        FROM nm) u
+        |  UNION
+        |  SELECT DISTINCT id, name,
+        |    substr(name, 1, CAST(i AS INT) - 1) ||
+        |      substr(name, CAST(i AS INT) + 1, CAST(j - i - 1 AS INT)) ||
+        |      substr(name, CAST(j AS INT) + 1) AS form
+        |  FROM (SELECT id, name, i,
+        |          unnest(range(i + 1, length(name) + 1)) AS j
+        |        FROM (SELECT id, name, unnest(range(1, length(name))) AS i
+        |              FROM nm) a) b),
+        |cand AS (
+        |  SELECT DISTINCT d.id AS new_id, e.id AS existing_id,
+        |    d.name AS n1, e.name AS n2
+        |  FROM f d JOIN f e ON d.form = e.form
+        |  WHERE d.id % 10 = 0 AND e.id % 10 <> 0)
+        |SELECT new_id AS new_custkey, existing_id AS existing_custkey,
         |  CAST(levenshtein(n1, n2) AS BIGINT) AS dist
         |FROM cand
         |WHERE levenshtein(n1, n2) <= 2

@@ -87,6 +87,105 @@ object Fuzzy {
     */
   val tau2 = 2
 
+  /** Incremental τ = 2 join (`q_fuzzy_names_incr`) — the nightly
+    * entity-resolution delta: ONLY pairs with the new batch
+    * (c_custkey % 10 = 0, the engine's standing delta convention) on
+    * one side and the existing base on the other, each new name
+    * verified against the base without re-running the base×base join.
+    * Same deletion-neighborhood + gap-filter machinery as
+    * [[nameJoin2]], with the case split mapped onto the two sides:
+    * delta(nd=2) × base(nd=2) joins WITH the gaps in the key;
+    * delta(nd≤1) × base(all) and delta(nd=2) × base(nd≤1) carry the
+    * membership clauses. Cost is O(delta · m²) fan-out against a
+    * flow-through scan of the base forms — never base × base, and
+    * nothing corpus-sized materializes. Certified two ways: equals
+    * the delta-restricted brute force, and equals [[nameJoin2]]'s
+    * output filtered to exactly-one-delta-endpoint pairs
+    * (FuzzyEvalSpec).
+    */
+  def nameJoinIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val forms = variantForms(spark, dir)
+    val d = forms.filter(col("id") % 10 === 0)
+    val b = forms.filter(col("id") % 10 =!= 0)
+    def side(f: DataFrame, idc: String, p: String) = f.select(
+      col("h"), col("id").as(idc), col("g1").as(s"${p}_g1"),
+      col("g2").as(s"${p}_g2"), col("nd").as(s"${p}_nd"))
+    val j22 = d.filter(col("nd") === 2)
+      .select(col("h"), col("g1"), col("g2"), col("id").as("new_id"))
+      .join(b.filter(col("nd") === 2)
+        .select(col("h"), col("g1"), col("g2"), col("id").as("existing_id")),
+        Seq("h", "g1", "g2"))
+      .select("new_id", "existing_id")
+    val jA = side(d.filter(col("nd") <= 1), "new_id", "a")
+      .join(side(b, "existing_id", "b"), Seq("h"))
+      .filter((col("a_nd") + col("b_nd") <= 2) ||
+        (col("a_nd") === 1 && col("b_nd") === 2 &&
+          (col("a_g1") === col("b_g1") || col("a_g1") === col("b_g2"))))
+      .select("new_id", "existing_id")
+    val jB = side(d.filter(col("nd") === 2), "new_id", "a")
+      .join(side(b.filter(col("nd") <= 1), "existing_id", "b"), Seq("h"))
+      .filter(col("b_nd") === 0 ||
+        (col("b_g1") === col("a_g1") || col("b_g1") === col("a_g2")))
+      .select("new_id", "existing_id")
+    val nm = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .filter(length(col("name")) >= 2)
+    j22.unionByName(jA).unionByName(jB).distinct()
+      .join(broadcast(nm.select(col("id").as("new_id"),
+        col("name").as("n1"))), Seq("new_id"))
+      .join(broadcast(nm.select(col("id").as("existing_id"),
+        col("name").as("n2"))), Seq("existing_id"))
+      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+      .filter(col("dist") <= tau2)
+      .select(col("new_id").as("new_custkey"),
+        col("existing_id").as("existing_custkey"), col("dist"))
+      .orderBy("new_custkey", "existing_custkey")
+  }
+
+  /** The (id, variant-fingerprint, gaps, deletion-count) table both
+    * τ = 2 entry points enumerate — see [[nameJoin2]] for the kernel
+    * rationale (inline FNV-1a, no string allocation, no
+    * materialization).
+    */
+  private def variantForms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nm = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .filter(length(col("name")) >= 2)
+    nm.as[(Long, String)].mapPartitions { it =>
+      it.flatMap { case (id, name) =>
+        val m = name.length
+        def fnv(skip1: Int, skip2: Int): Long = {
+          var h = 0xcbf29ce484222325L
+          var i = 0
+          while (i < m) {
+            if (i != skip1 && i != skip2) {
+              val c = name.charAt(i)
+              h = (h ^ (c & 0xff)) * 0x100000001b3L
+              h = (h ^ (c >>> 8)) * 0x100000001b3L
+            }
+            i += 1
+          }
+          h
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Long, Long, Int, Int, Int)](1 + m + m * (m - 1) / 2)
+        out += ((id, fnv(-1, -1), -1, -1, 0))
+        var i = 0
+        while (i < m) {
+          out += ((id, fnv(i, -1), i, -1, 1)) // 0-based del ⇒ gap = i
+          var j = i + 1
+          while (j < m) {
+            out += ((id, fnv(i, j), i, j - 1, 2)) // gaps (i, j−1) 0-based
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+    }.toDF("id", "h", "g1", "g2", "nd")
+  }
+
   /** All customer-name pairs within edit distance [[tau2]], canonical
     * (a_custkey < b_custkey), with the exact distance — the τ = 2
     * member of the deletion-neighborhood family.
@@ -133,57 +232,10 @@ object Fuzzy {
     * including variable-length insert/delete and transposition pairs.
     */
   def nameJoin2(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val nm = Tables(spark, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
       .filter(length(col("name")) >= 2)
-    // Variant fingerprints from a narrow native kernel: the nested
-    // higher-order-function build runs on the interpreted lambda path
-    // (measured 14 s at sf0.1 — and the plan computes it once per
-    // join side), while this loop hashes each variant INLINE over the
-    // original chars, skipping the deleted indices — no string is
-    // ever allocated. The fingerprint (FNV-1a 64) never crosses
-    // engines: a collision merely creates a spurious CANDIDATE the
-    // levenshtein verify removes, so the oracle's plain string-form
-    // join replays identical output without replaying the hash.
-    val forms = nm.as[(Long, String)].mapPartitions { it =>
-      it.flatMap { case (id, name) =>
-        val m = name.length
-        def fnv(skip1: Int, skip2: Int): Long = {
-          var h = 0xcbf29ce484222325L
-          var i = 0
-          while (i < m) {
-            if (i != skip1 && i != skip2) {
-              val c = name.charAt(i)
-              h = (h ^ (c & 0xff)) * 0x100000001b3L
-              h = (h ^ (c >>> 8)) * 0x100000001b3L
-            }
-            i += 1
-          }
-          h
-        }
-        val out = new scala.collection.mutable.ArrayBuffer[
-          (Long, Long, Int, Int, Int)](1 + m + m * (m - 1) / 2)
-        out += ((id, fnv(-1, -1), -1, -1, 0))
-        var i = 0
-        while (i < m) {
-          out += ((id, fnv(i, -1), i, -1, 1)) // 0-based del ⇒ gap = i
-          var j = i + 1
-          while (j < m) {
-            out += ((id, fnv(i, j), i, j - 1, 2)) // gaps (i, j−1) 0-based
-            j += 1
-          }
-          i += 1
-        }
-        out
-      }
-    }.toDF("id", "h", "g1", "g2", "nd")
-    // NOT checkpointed: the forms table is O(corpus × m²) — at the ×10
-    // rehearsal 26M rows of block-manager residency starved an 8g heap
-    // (broadcast build failed), and at 100 TB it is not materializable
-    // at all. The native kernel re-runs per join side instead (0.2 s at
-    // sf0.1) — recompute is the scale-safe trade when the producer is
-    // cheap and the product is corpus-sized.
+    val forms = variantForms(spark, dir)
     // The gap filter as JOIN STRUCTURE, not a post-enumeration
     // predicate: 2-deletion variants dominate the form table (~89%)
     // and their pairwise rule is gap-multiset EQUALITY — so for the

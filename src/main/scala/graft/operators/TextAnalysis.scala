@@ -917,6 +917,55 @@ object TextAnalysis {
     * the narrow (doc_id, n_tok) base. No regex scan per term, no
     * corpus×list fan-out beyond matched tokens.
     */
+  /** Streaming serve half of the blocklist gate — the safety filter an
+    * INGEST pipeline runs on arriving documents before they land: a
+    * stateless narrow projection (zero shuffles, no sort — append-mode
+    * streamable) whose per-row verdict is bit-equal to
+    * [[blocklistFilter]]'s columns for the same document (same fold:
+    * lower → space-split → term membership → integer density gate).
+    * The batch form's explode + broadcast-join shape is the 10k-term
+    * plan (hash lookup per token); at stream granularity the per-row
+    * array fold over the O(list) term set is the stateless equivalent
+    * — the list rides the closure, refreshed per restart exactly like
+    * a broadcast. `docs` needs (doc_id, text).
+    */
+  def streamingBlocklistGate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(blocklistTerms.toSet)
+    val num = blocklistMaxDensityNum.toLong
+    val den = blocklistMaxDensityDen.toLong
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val terms = bc.value
+        it.map { case (id, text) =>
+          // the batch fold exactly: SQL trim (spaces only) → lower →
+          // split ' ' with trailing empties kept
+          var lo = 0; var hi = text.length
+          while (lo < hi && text.charAt(lo) == ' ') lo += 1
+          while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+          val ws = text.substring(lo, hi).toLowerCase.split(" ", -1)
+          var hits = 0L
+          val seen = new java.util.TreeSet[String]()
+          var i = 0
+          while (i < ws.length) {
+            if (terms.contains(ws(i))) { hits += 1; seen.add(ws(i)) }
+            i += 1
+          }
+          val nTok = ws.length.toLong
+          val density: java.lang.Double =
+            if (nTok > 0)
+              BigDecimal(hits.toDouble / nTok)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            else null
+          (id, nTok, hits, seen.size.toLong,
+            String.join(",", seen), density, hits * den <= nTok * num)
+        }
+      }
+      .toDF("doc_id", "n_tok", "n_hits", "n_terms", "hit_terms",
+        "density", "keep")
+  }
+
   def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables(spark, dir, "documents")

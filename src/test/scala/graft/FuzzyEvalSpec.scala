@@ -83,6 +83,36 @@ class FuzzyEvalSpec extends SparkSpec {
       (4L, 6L) -> 2L, (5L, 6L) -> 2L))
   }
 
+  test("incremental τ=2 join equals both the delta brute force and the " +
+    "delta-restricted full join") {
+    val got = operators.Fuzzy.nameJoinIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val nm = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .filter(length(col("name")) >= 2)
+    // certification 1: the delta-restricted brute force
+    val brute = nm.as("a").filter(col("a.id") % 10 === 0)
+      .join(nm.as("b").filter(col("b.id") % 10 =!= 0), lit(true))
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("d"))
+      .filter(col("d") <= operators.Fuzzy.tau2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "sequential names must yield delta pairs")
+    // certification 2: the full τ=2 join filtered to exactly-one-delta-
+    // endpoint pairs, reoriented (new, existing)
+    val full = operators.Fuzzy.nameJoin2(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .flatMap { case (a, b, d) =>
+        (a % 10 == 0, b % 10 == 0) match {
+          case (true, false) => Some((a, b, d))
+          case (false, true) => Some((b, a, d))
+          case _ => None
+        }
+      }.toSet
+    assert(got === full)
+  }
+
   test("AUC equals the definitional pairwise mean, and orders as expected") {
     val row = operators.Evaluation.auc(spark, dir).head()
     val scored = operators.Perceptron.classifier(spark, dir)
