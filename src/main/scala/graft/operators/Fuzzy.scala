@@ -93,44 +93,48 @@ object Fuzzy {
     * one side and the existing base on the other, each new name
     * verified against the base without re-running the base×base join.
     * Same deletion-neighborhood + gap-filter machinery as
-    * [[nameJoin2]], with the case split mapped onto the two sides:
-    * delta(nd=2) × base(nd=2) joins WITH the gaps in the key;
-    * delta(nd≤1) × base(all) and delta(nd=2) × base(nd≤1) carry the
-    * membership clauses. Cost is O(delta · m²) fan-out against a
-    * flow-through scan of the base forms — never base × base, and
-    * nothing corpus-sized materializes. Certified two ways: equals
+    * [[nameJoin2]], as ONE h-join carrying the whole gap filter as a
+    * predicate — enumeration per h-group is |delta| × |base|, already
+    * delta-proportional, so the full join's gap-keyed (2,2) split
+    * would only buy extra base-kernel scans here. Cost is
+    * O(delta · m²) fan-out against ONE flow-through scan of the base
+    * forms — never base × base, and nothing corpus-sized
+    * materializes. Certified two ways: equals
     * the delta-restricted brute force, and equals [[nameJoin2]]'s
     * output filtered to exactly-one-delta-endpoint pairs
     * (FuzzyEvalSpec).
     */
   def nameJoinIncremental(spark: SparkSession, dir: String): DataFrame = {
     val forms = variantForms(spark, dir)
+    // ONE join on h with the whole gap filter as a predicate — unlike
+    // the full join, the incremental does NOT split the (2,2) case
+    // into a gap-keyed join: the enumeration inside each h-group is
+    // |delta-side| × |base-side|, and the delta side is the small
+    // batch, so total enumeration is already delta-proportional. The
+    // single shape scans and shuffles the base forms ONCE (the
+    // three-join split paid the base kernel + shuffle three times —
+    // measured 5.9 s → the dominant cost at sf0.1).
     val d = forms.filter(col("id") % 10 === 0)
+      .select(col("h"), col("id").as("new_id"), col("g1").as("a_g1"),
+        col("g2").as("a_g2"), col("nd").as("a_nd"))
     val b = forms.filter(col("id") % 10 =!= 0)
-    def side(f: DataFrame, idc: String, p: String) = f.select(
-      col("h"), col("id").as(idc), col("g1").as(s"${p}_g1"),
-      col("g2").as(s"${p}_g2"), col("nd").as(s"${p}_nd"))
-    val j22 = d.filter(col("nd") === 2)
-      .select(col("h"), col("g1"), col("g2"), col("id").as("new_id"))
-      .join(b.filter(col("nd") === 2)
-        .select(col("h"), col("g1"), col("g2"), col("id").as("existing_id")),
-        Seq("h", "g1", "g2"))
-      .select("new_id", "existing_id")
-    val jA = side(d.filter(col("nd") <= 1), "new_id", "a")
-      .join(side(b, "existing_id", "b"), Seq("h"))
-      .filter((col("a_nd") + col("b_nd") <= 2) ||
-        (col("a_nd") === 1 && col("b_nd") === 2 &&
-          (col("a_g1") === col("b_g1") || col("a_g1") === col("b_g2"))))
-      .select("new_id", "existing_id")
-    val jB = side(d.filter(col("nd") === 2), "new_id", "a")
-      .join(side(b.filter(col("nd") <= 1), "existing_id", "b"), Seq("h"))
-      .filter(col("b_nd") === 0 ||
-        (col("b_g1") === col("a_g1") || col("b_g1") === col("a_g2")))
-      .select("new_id", "existing_id")
+      .select(col("h"), col("id").as("existing_id"), col("g1").as("b_g1"),
+        col("g2").as("b_g2"), col("nd").as("b_nd"))
+    val gapOk = (col("a_nd") + col("b_nd") <= 2) ||
+      (col("a_nd") === 1 && col("b_nd") === 2 &&
+        (col("a_g1") === col("b_g1") || col("a_g1") === col("b_g2"))) ||
+      (col("a_nd") === 2 && col("b_nd") === 1 &&
+        (col("b_g1") === col("a_g1") || col("b_g1") === col("a_g2"))) ||
+      (col("a_nd") === 2 && col("b_nd") === 2 &&
+        col("a_g1") === col("b_g1") && col("a_g2") === col("b_g2"))
     val nm = Tables(spark, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
       .filter(length(col("name")) >= 2)
-    j22.unionByName(jA).unionByName(jB).distinct()
+    // the delta side is the small nightly batch by definition —
+    // BROADCAST it, so the base forms stream through a hash probe
+    // and never shuffle or sort (the base is the 100 TB side)
+    broadcast(d).join(b, Seq("h")).filter(gapOk)
+      .select("new_id", "existing_id").distinct()
       .join(broadcast(nm.select(col("id").as("new_id"),
         col("name").as("n1"))), Seq("new_id"))
       .join(broadcast(nm.select(col("id").as("existing_id"),
