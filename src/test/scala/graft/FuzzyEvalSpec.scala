@@ -113,6 +113,22 @@ class FuzzyEvalSpec extends SparkSpec {
     assert(got === full)
   }
 
+  test("size-guarded broadcasts: the forced-shuffled fallback is " +
+    "row-identical for both τ=2 entry points") {
+    // rows must not depend on which plan shape the size guard picks:
+    // threshold 0 forces every guarded broadcast into its
+    // shuffled-hash fallback (the shape a 100 TB corpus would take)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = rows(operators.Fuzzy.nameJoin2(spark, dir))
+    assert(rows(operators.Fuzzy.nameJoin2(spark, dir, 0L)) === full)
+    assert(full.nonEmpty)
+    val incr = rows(operators.Fuzzy.nameJoinIncremental(spark, dir))
+    assert(rows(operators.Fuzzy.nameJoinIncremental(spark, dir, 0L, 0L))
+      === incr)
+    assert(incr.nonEmpty)
+  }
+
   test("AUC equals the definitional pairwise mean, and orders as expected") {
     val row = operators.Evaluation.auc(spark, dir).head()
     val scored = operators.Perceptron.classifier(spark, dir)

@@ -164,6 +164,32 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) === 1, s"one key shuffle only (${shuffles(p)}):\n$p")
   }
 
+  test("fuzzy joins: broadcast under the measured budget, shuffled hash " +
+    "join past it — never sort-merge") {
+    // default budgets at sf0.001: both the delta forms and the name
+    // re-attach measure far under 4M rows → every guarded join is a
+    // broadcast hash join, nothing shuffled-hash
+    val under = plan(operators.Fuzzy.nameJoinIncremental(spark, dir))
+    assert(under.contains("BroadcastHashJoin"), s"broadcast shape:\n$under")
+    assert(!under.contains("ShuffledHashJoin"), s"no fallback yet:\n$under")
+    // forced threshold 0: the guard must switch every one of those
+    // joins to its shuffled-HASH fallback (hinted — the bare default
+    // would auto-broadcast at this scale and sort-merge at 100 TB,
+    // paying a pointless sort on the probe side)
+    val over = plan(operators.Fuzzy.nameJoinIncremental(spark, dir, 0L, 0L))
+    assert(over.contains("ShuffledHashJoin"), s"fallback shape:\n$over")
+    assert(!over.contains("BroadcastHashJoin"), s"no unguarded broadcast:\n$over")
+    // nameJoin2's candidate joins (j22/jle1) carry no hint at all —
+    // Catalyst auto-broadcasts them HERE from measured tiny stats and
+    // would shuffle them at scale, which is exactly right and carries
+    // no plan-time OOM hazard (the hazard is an explicit broadcast()
+    // that overrides stats). So assert only the two GUARDED re-attach
+    // joins switched: both ShuffledHashJoin nodes on the id keys.
+    val over2 = plan(operators.Fuzzy.nameJoin2(spark, dir, 0L))
+    assert(over2.split("ShuffledHashJoin \\[id").length - 1 === 2,
+      s"both name re-attaches must take the shuffled fallback:\n$over2")
+  }
+
   test("pq encode: one narrow corpus pass — no join, no hash shuffle") {
     // the production encode streams the corpus once against the
     // broadcast codebook artifact inside mapPartitions: the only
