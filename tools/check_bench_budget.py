@@ -52,6 +52,32 @@ mode commits the NORMALIZED time (t/h) as the new floor, matching the
 value the raise guard adjudicated — committing raw host-inflated times
 would permanently loosen every future gate by h. Raw capture values
 stay on disk in the committed reports/ captures.
+
+Gate-then-update ordering (round-16 verdict: floor-basis circularity).
+The binding regression evidence is the check against the PREVIOUS
+round's committed floors — a round that re-records floors from its own
+captures and then reports "all within budget" is partially grading
+itself. The required close flow is:
+
+  1. CHECK the round's captures against the committed (prior) floors
+     and paste that output into the close report;
+  2. only then --update, which re-prints the same vs-prior regression
+     table (PRIOR-FLOOR REGRESSION lines) so the evidence survives in
+     the update transcript even if step 1 is skipped, and appends
+     every written floor to reports/bench_budget_history.tsv (pass
+     --history-tag rN) so multi-round floor drift stays visible.
+
+Scale-tag discipline (round-16 ADVICE, medium): ALL captures must
+carry the SAME sf tag in BOTH modes — a second capture recorded at a
+smaller scale would min-merge its tiny times against the sf0.1 floors
+and silently pass every query.
+
+Crash handling (round-16 ADVICE, low): a query that crashed in EVERY
+capture always fails. A crash in SOME captures reports WHICH capture
+crashed; it clears only when a successful sibling capture exists AND
+the query carries an isolated-reverify line (--reverify) — a
+transient host-level failure then doesn't hard-fail the round, while
+an unadjudicated flake still does.
 """
 import json
 import os
@@ -64,6 +90,8 @@ DEFAULT_SENTINEL = "q_topk_orders"
 HOST_FACTOR_CAP = 2.0
 BUDGET = os.path.join(os.path.dirname(__file__), "..",
                       "src", "main", "resources", "bench_budget.tsv")
+HISTORY = os.path.join(os.path.dirname(__file__), "..",
+                       "reports", "bench_budget_history.tsv")
 
 
 def load_queries(path):
@@ -83,21 +111,28 @@ def load_queries(path):
 
 
 def merge_captures(paths):
-    """Per-query MIN across captures (one-sided noise), the union of
-    crashed queries (a materialization throw is deterministic — a crash
-    anywhere is a crash), and each capture's sf tag."""
-    merged, crashed, sfs = {}, set(), []
+    """Per-query MIN across SUCCESSFUL captures (one-sided noise), a
+    map of crashed query -> the capture files it crashed in (so a
+    transient host-level failure is attributable and, with an isolated
+    reverify, clearable), and each capture's sf tag. All captures must
+    carry the same sf tag — min-merging a smaller scale's times against
+    sf0.1 floors would silently pass everything."""
+    merged, crashed, sfs = {}, {}, []
     for p in paths:
         queries, sf = load_queries(p)
         sfs.append(sf)
         for n, t in queries.items():
             if t < 0:
-                crashed.add(n)
+                crashed.setdefault(n, []).append(os.path.basename(p))
             elif n not in merged or t < merged[n]:
                 merged[n] = t
-    for n in crashed:
-        merged.pop(n, None)
-    return merged, sorted(crashed), sfs
+    if len(set(sfs)) > 1:
+        raise SystemExit(
+            "refusing to merge captures recorded at different scales: "
+            + ", ".join(sorted(set(sfs)))
+            + " — a smaller-scale capture min-merged against sf0.1 "
+            "floors would pass every query vacuously")
+    return merged, crashed, sfs
 
 
 def load_budget(path):
@@ -170,11 +205,19 @@ def main(argv):
                     else DEFAULT_SENTINEL)
     normalizing = median or sentinel is not None
 
+    history_tag = None
+    if "--history-tag" in flags:
+        j = flags.index("--history-tag")
+        if j + 1 >= len(flags) or flags[j + 1].startswith("--"):
+            raise SystemExit("--history-tag requires a tag argument (rN)")
+        history_tag = flags[j + 1]
+
     queries, crashed, sfs = merge_captures(captures)
     if update:
         if crashed:
             raise SystemExit("refusing to record budgets: failed queries "
-                             + ", ".join(crashed))
+                             + ", ".join(f"{n} (in {', '.join(ps)})"
+                                         for n, ps in sorted(crashed.items())))
         bad_sf = [s for s in sfs if not s.endswith("sf0.1")]
         if bad_sf:
             raise SystemExit(f"refusing to record budgets from sf={bad_sf[0]!r}: "
@@ -219,6 +262,21 @@ def main(argv):
                 f"refusing to drop {len(dropped)} committed floor(s) not "
                 "present in the capture; bench the full surface (or remove "
                 "the retired query from the budget by hand, stating why)")
+        # Non-circular evidence BEFORE re-recording: every row that
+        # regressed vs the PRIOR committed floors prints here, so the
+        # update transcript itself carries the gate-vs-previous-round
+        # table even when same-round floors would absorb it (round-16
+        # verdict: floor-basis circularity).
+        prior_regressions = [
+            f"PRIOR-FLOOR REGRESSION {name}: {queries[name] / h:.2f}s "
+            f"> {THRESHOLD}x prior floor {old[name]:.2f}s"
+            + (" [adjudicated]" if name in adjudicated else "")
+            for name in sorted(queries)
+            if name in old and queries[name] / h > THRESHOLD * old[name]]
+        for line in prior_regressions:
+            print(line)
+        print(f"vs prior floors: {len(prior_regressions)} row(s) past "
+              f"{THRESHOLD}x before re-recording")
         # commit the NORMALIZED time: the value the raise guard
         # adjudicated is the value that becomes the floor (committing
         # raw host-inflated times would ratchet every future gate
@@ -226,11 +284,33 @@ def main(argv):
         with open(BUDGET, "w") as f:
             for name in sorted(queries):
                 f.write(f"{name}\t{queries[name] / h:.3f}\n")
+        if history_tag:
+            with open(HISTORY, "a") as f:
+                for name in sorted(queries):
+                    f.write(f"{history_tag}\t{name}\t{queries[name] / h:.3f}\n")
+            print(f"appended {len(queries)} floors to {HISTORY} "
+                  f"as {history_tag}")
         print(f"recorded {len(queries)} budgets to {BUDGET}"
               + (f" (normalized /{h:.3f})" if normalizing and h > 1 else ""))
         return 0
     budget = load_budget(BUDGET)
-    failures = [f"{n}: FAILED during bench" for n in crashed]
+    # a crash in EVERY capture always fails; a crash in SOME captures
+    # (merged still holds the successful sibling's time) clears only
+    # with an isolated-reverify adjudication line for that query
+    check_adjudicated = reverified_queries(reverify) if reverify else set()
+    failures = []
+    for n, ps in sorted(crashed.items()):
+        where = ", ".join(ps)
+        if n not in queries:
+            failures.append(f"{n}: FAILED in every capture ({where})")
+        elif n in check_adjudicated:
+            print(f"NOTE {n}: crashed in {where}, cleared by the "
+                  f"successful sibling capture + isolated reverify line")
+        else:
+            failures.append(
+                f"{n}: FAILED in {where} (sibling capture succeeded — "
+                "re-run isolated and pass the adjudication via --reverify "
+                "to clear a transient host failure)")
     if sfs and sfs[0].endswith("sf0.1"):
         h = host_factor(queries, budget, sentinel, median) if normalizing else 1.0
         if normalizing:
@@ -239,7 +319,10 @@ def main(argv):
         if len(captures) > 1:
             print(f"gating on per-query min over {len(captures)} captures")
         for name in sorted(set(queries) | set(budget)):
-            if name in crashed:
+            # crashed rows were already reported above; a cleared one
+            # (sibling success + reverify) still gates on its min time
+            if name in crashed and (name not in queries
+                                    or name not in check_adjudicated):
                 continue
             if name not in budget:
                 failures.append(f"{name}: NEW query, no recorded budget")

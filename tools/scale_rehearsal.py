@@ -40,6 +40,13 @@ def time_queries(sf_dir, names, cpus, reps):
     cmd = ["sbt", "-batch", "runMain graft.TimeQuery " + " ".join(names)]
     out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                          cwd=os.path.join(os.path.dirname(__file__), ".."))
+    # a nonzero sbt exit (compile error, OOM at the rehearsal scale)
+    # must surface as the build/runtime failure it is, not as a
+    # mystifying "no timing line" (round-16 ADVICE)
+    if out.returncode != 0:
+        sys.stderr.write(out.stdout[-3000:] + "\n" + out.stderr[-3000:])
+        raise SystemExit(f"sbt exited {out.returncode} timing {names} at "
+                         f"{sf_dir} — see the log tail above")
     times = {}
     for line in out.stdout.splitlines():
         m = re.search(r"\[time\] (\S+)\s+min=([0-9.]+)", line)
@@ -48,7 +55,9 @@ def time_queries(sf_dir, names, cpus, reps):
     missing = set(names) - set(times)
     if missing:
         sys.stderr.write(out.stdout[-3000:] + "\n" + out.stderr[-3000:])
-        raise SystemExit(f"no timing line for {sorted(missing)} at {sf_dir}")
+        raise SystemExit(f"no timing line for {sorted(missing)} at {sf_dir} "
+                         "(sbt exit 0 — the query ran but printed no "
+                         "[time] line)")
     return times
 
 

@@ -227,6 +227,43 @@ class MultiCaptureTest(unittest.TestCase):
         b = self.bench({"q_a": 1.0, "q_b": -1.0, "q_c": 1.0})
         self.assertEqual(cbb.main(["prog", a, b]), 1)
 
+    def test_crash_with_sibling_and_reverify_clears(self):
+        # q_b crashed in capture B only (transient host failure), the
+        # sibling succeeded at-floor, and an isolated reverify line
+        # adjudicates it: the round gate clears (round-16 ADVICE)
+        a = self.bench({"q_a": 1.0, "q_b": 2.0, "q_c": 1.0})
+        b = self.bench({"q_a": 1.0, "q_b": -1.0, "q_c": 1.0})
+        rev = write(os.path.join(self.tmp, "reverify.txt"),
+                    "q_b 2.0 isolated fresh-JVM at floor\n")
+        self.assertEqual(cbb.main(["prog", a, b, "--reverify", rev]), 0)
+
+    def test_crash_cleared_sibling_still_gated_on_time(self):
+        # the adjudication clears the CRASH, not the budget: a sibling
+        # time past 1.5x floor still fails
+        a = self.bench({"q_a": 1.0, "q_b": 4.2, "q_c": 1.0})
+        b = self.bench({"q_a": 1.0, "q_b": -1.0, "q_c": 1.0})
+        rev = write(os.path.join(self.tmp, "reverify.txt"), "q_b cleared\n")
+        self.assertEqual(cbb.main(["prog", a, b, "--reverify", rev]), 1)
+
+    def test_crash_in_every_capture_never_clears(self):
+        a = self.bench({"q_a": 1.0, "q_b": -1.0, "q_c": 1.0})
+        b = self.bench({"q_a": 1.0, "q_b": -1.0, "q_c": 1.0})
+        rev = write(os.path.join(self.tmp, "reverify.txt"), "q_b cleared\n")
+        self.assertEqual(cbb.main(["prog", a, b, "--reverify", rev]), 1)
+
+    def test_mixed_scale_captures_rejected_in_check_mode(self):
+        # the round-16 ADVICE hole: a second capture at a smaller scale
+        # would min-merge tiny times and pass everything — refuse it
+        a = self.bench({"q_a": 1.0, "q_b": 2.0, "q_c": 1.0})
+        line = json.dumps({"metric": "bench", "value": 0.3,
+                           "queries": {"q_a": 0.1, "q_b": 0.1, "q_c": 0.1},
+                           "sf": "/root/testdata/sf0.001"})
+        b = write(os.path.join(self.tmp, "small.json"), line + "\n")
+        with self.assertRaises(SystemExit):
+            cbb.main(["prog", a, b])
+        with self.assertRaises(SystemExit):
+            cbb.main(["prog", a, b, "--update"])
+
     def test_committed_r15_pair_zero_false_flags(self):
         # the real committed capture pair that motivated the gate: A
         # (clean, floors recorded from it) + B (degraded, six rows
@@ -305,6 +342,73 @@ class MedianHostTest(unittest.TestCase):
                (l.split("\t") for l in open(self.budget))}
         self.assertAlmostEqual(got["q_a"], 1.0, places=3)
         self.assertAlmostEqual(got["q_e"], 2.0, places=3)
+
+
+class GateOrderingTest(unittest.TestCase):
+    """Round-16 verdict: the binding evidence is the check against the
+    PRIOR round's floors — update mode must surface vs-prior
+    regressions even though its own re-record would absorb them, and
+    every written floor lands in the history file."""
+
+    def setUp(self):
+        self.tmp = tempfile.mkdtemp()
+        self.budget = os.path.join(self.tmp, "bench_budget.tsv")
+        self.history = os.path.join(self.tmp, "history.tsv")
+        self._old_budget, self._old_history = cbb.BUDGET, cbb.HISTORY
+        cbb.BUDGET, cbb.HISTORY = self.budget, self.history
+        write(self.budget, "q_a\t1.000\nq_b\t2.000\n")
+
+    def tearDown(self):
+        cbb.BUDGET, cbb.HISTORY = self._old_budget, self._old_history
+
+    def bench(self, queries):
+        line = json.dumps({"metric": "bench", "value": sum(queries.values()),
+                           "unit": "sec", "queries": queries,
+                           "sf": "/root/testdata/sf0.1"})
+        return write(os.path.join(self.tmp, "bench.json"), line + "\n")
+
+    def run_update(self, queries, *extra):
+        import io
+        import contextlib
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cbb.main(["prog", self.bench(queries), "--update", *extra])
+        return rc, buf.getvalue()
+
+    def test_real_regression_flags_against_prior_floors_in_update(self):
+        # q_a regressed 2x — adjudicated so the raise guard lets the
+        # re-record through, but the PRIOR-FLOOR REGRESSION line must
+        # still print: same-round floors cannot absorb the evidence
+        rev = write(os.path.join(self.tmp, "rev.txt"),
+                    "q_a 2.0 adjudicated intentional plan change\n")
+        rc, out = self.run_update({"q_a": 2.0, "q_b": 2.0},
+                                  "--reverify", rev)
+        self.assertEqual(rc, 0)
+        self.assertIn("PRIOR-FLOOR REGRESSION q_a", out)
+        self.assertIn("[adjudicated]", out)
+
+    def test_clean_update_reports_zero_prior_regressions(self):
+        rc, out = self.run_update({"q_a": 1.1, "q_b": 2.1})
+        self.assertEqual(rc, 0)
+        self.assertIn("vs prior floors: 0 row(s)", out)
+
+    def test_history_appends_tagged_floors(self):
+        rc, _ = self.run_update({"q_a": 1.0, "q_b": 2.0},
+                                "--history-tag", "r17")
+        self.assertEqual(rc, 0)
+        rows = [l.strip().split("\t") for l in open(self.history)]
+        self.assertEqual(rows, [["r17", "q_a", "1.000"],
+                                ["r17", "q_b", "2.000"]])
+        # a second round appends, never truncates
+        rc, _ = self.run_update({"q_a": 1.2, "q_b": 2.0},
+                                "--history-tag", "r18")
+        self.assertEqual(rc, 0)
+        self.assertEqual(len(list(open(self.history))), 4)
+
+    def test_history_tag_requires_value(self):
+        with self.assertRaises(SystemExit):
+            cbb.main(["prog", self.bench({"q_a": 1.0, "q_b": 2.0}),
+                      "--update", "--history-tag"])
 
 
 if __name__ == "__main__":
