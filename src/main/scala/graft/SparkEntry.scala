@@ -200,6 +200,8 @@ object SparkEntry {
     "emb_mutual_knn" -> (Similarity.mutualKnnPairs _),
     "emb_knn_accuracy" -> (Similarity.knnLabelAccuracy _),
     "text_novelty" -> (TextAnalysis.noveltyScores _),
+    "text_line_dedup" -> ((s, d) => TextAnalysis.lineDedup(s, d)),
+    "text_normalize" -> (TextAnalysis.normalizeText _),
     "text_bigram_entropy" -> (TextAnalysis.bigramEntropy _),
     "emb_mrl_overlap" -> (operators.Quantize.mrlOverlap _),
     "emb_srp_signatures" -> (RandomProjection.signatures _),
@@ -3275,6 +3277,56 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN f.first_doc = gt.doc_id THEN 1 ELSE 0 END)
         |          AS DOUBLE) / count(*), 6) AS novelty
         |FROM gt JOIN f USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // C4 line dedup: 5-word-window lineation (corpus has no newlines —
+    // a newline corpus would split on '\n' through the same pipeline),
+    // corpus-wide exact-line count, first occurrence = min scaled key
+    // doc_id*100000+line_no, ordered reassembly of kept lines
+    "text_line_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS ws
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+        |    array_to_string(ws[CAST(i*5+1 AS INT):CAST(i*5+5 AS INT)], ' ')
+        |      AS line
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(range(0, (len(ws)+4)//5)) AS i FROM w) t),
+        |g AS (
+        |  SELECT line, count(*) AS c,
+        |    min(doc_id*100000+line_no) AS fk
+        |  FROM l GROUP BY 1),
+        |f AS (
+        |  SELECT l.doc_id, l.line_no, l.line,
+        |    (g.c = 1 OR l.doc_id*100000+l.line_no = g.fk) AS keep
+        |  FROM l JOIN g USING (line))
+        |SELECT doc_id,
+        |  coalesce(string_agg(line, ' ' ORDER BY line_no)
+        |    FILTER (WHERE keep), '') AS clean_text,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+        |    AS kept_lines,
+        |  CAST(coalesce(sum(CASE WHEN NOT keep THEN 1 END), 0) AS BIGINT)
+        |    AS removed_lines,
+        |  CAST(coalesce(sum(CASE WHEN NOT keep THEN length(line) END), 0)
+        |    AS BIGINT) AS removed_chars
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Unicode normalization pre-pass: strip Cc minus tab/newline/CR
+    // (explicit RE2 ranges — the engine compares the same hex ranges),
+    // NFC after the strip (both engines implement the stabilized
+    // Unicode NFC), mojibake = U+FFFD count in the original
+    "text_normalize" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g') AS st
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(st) AS norm_text,
+        |  CAST(length(text) - length(st) AS BIGINT) AS n_ctrl_stripped,
+        |  CAST(length(text) - length(replace(text, chr(65533), ''))
+        |    AS BIGINT) AS n_mojibake,
+        |  CAST(CASE WHEN nfc_normalize(st) = text THEN 0 ELSE 1 END
+        |    AS BIGINT) AS changed
+        |FROM s ORDER BY doc_id""".stripMargin,
     "emb_centroid_drift" ->
       s"""WITH dims AS (
          |  SELECT (vec_id % 2 = 0) AS old_half, CAST(i - 1 AS BIGINT) AS dim,

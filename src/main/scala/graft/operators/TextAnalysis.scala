@@ -597,6 +597,135 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Line width (words) for [[lineDedup]]'s lineation. C4 (Raffel et
+    * al. 2020, §2.2) deduplicates on newline-delimited lines; the
+    * synthetic corpus has no newlines and no sentence punctuation
+    * (documented corpus physics), so the registered lineation is
+    * fixed-width word windows — a deterministic rule both engines
+    * replay exactly. A newline corpus would pass `split(text, '\n')`
+    * through the identical count/first-occurrence/reassembly pipeline.
+    */
+  val lineWords = 5
+
+  /** C4-style corpus-level line dedup (Raffel et al. 2020): drop every
+    * LINE whose exact text occurs more than once in the corpus, keep
+    * only the first occurrence — smallest (doc_id, line_no) — and
+    * reassemble each document from its kept lines in order, reporting
+    * removed-line/char counts. The most widely deployed text-dedup
+    * transform after exact-document; catches boilerplate (headers,
+    * cookie banners) that document-level MinHash leaves untouched.
+    *
+    * First-occurrence keys are scaled integers doc_id·10⁵ + line_no
+    * (exact, min-aggregable; line_no < 10⁵ holds for any document
+    * under ~500k words at this width — a corpus violating it would
+    * key on the pair instead). Reassembly sorts the per-doc collected
+    * (line_no, keep, line) structs — line_no is unique per doc, so the
+    * order is total — and joins kept lines with single spaces; a fully
+    * duplicated document reassembles to the empty string, never NULL.
+    *
+    * Scale shape (100 TB): one narrow explode (the split array binds
+    * in its own projection so CollapseProject cannot re-evaluate the
+    * split per emitted line), one map-side-combined count/min
+    * aggregate keyed on line text (a boilerplate hot line arrives at
+    * its reducer pre-combined, ~numMappers rows), one shuffled
+    * equi-join of the line table against the distinct-line firsts
+    * (corpus-proportional, never broadcast), and one per-doc
+    * collect_list whose state is bounded by document length — nothing
+    * corpus-sized on any single node, no window, no driver collect.
+    */
+  def lineDedup(spark: SparkSession, dir: String,
+      width: Int = lineWords): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+    val lines = toks.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(ws) + ${width - 1}) div $width - 1), " +
+          s"i -> array_join(slice(ws, i * $width + 1, $width), ' '))"))
+        .as(Seq("p", "line")))
+      .select(col("doc_id"), col("p").cast("long").as("line_no"), col("line"))
+    val firsts = lines.groupBy("line").agg(
+      count(lit(1)).as("c"),
+      min(col("doc_id") * lit(100000L) + col("line_no")).as("fk"))
+    val flagged = lines.join(firsts, Seq("line"))
+      .select(col("doc_id"), col("line_no"), col("line"),
+        (col("c") === 1 ||
+          col("doc_id") * lit(100000L) + col("line_no") === col("fk"))
+          .as("keep"))
+    flagged.groupBy("doc_id").agg(
+        array_join(transform(
+          filter(array_sort(collect_list(
+            struct(col("line_no"), col("keep"), col("line")))),
+            x => x.getField("keep")),
+          x => x.getField("line")), " ").as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_lines"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("removed_lines"),
+        sum(when(!col("keep"), length(col("line")).cast("long"))
+          .otherwise(0L)).as("removed_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Unicode normalization pre-pass (the CCNet/Gopher/C4 ingest step
+    * this engine tokenized without): NFC-normalize each document,
+    * strip non-whitespace control characters, and count
+    * replacement-character (U+FFFD) mojibake — the signals an ingest
+    * gate reads before any tokenizer or shingle sees the text.
+    *
+    * Rules, identical in both engines:
+    *  - stripped controls are the Cc category MINUS tab/newline/CR:
+    *    U+0000–U+0008, U+000B, U+000C, U+000E–U+001F, U+007F–U+009F
+    *    (explicit ranges, not Character.getType, so the oracle's RE2
+    *    class `[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]` is the same set
+    *    by construction);
+    *  - NFC applies AFTER the strip (a control between a base char
+    *    and its combining mark must not block composition);
+    *  - n_mojibake counts U+FFFD in the ORIGINAL text (U+FFFD is not
+    *    a control, so pre/post-strip counts are equal — stated, not
+    *    assumed); `changed` compares the normalized result against
+    *    the original.
+    *
+    * Engine parity: JDK 17's java.text.Normalizer and DuckDB's
+    * utf8proc both implement the Unicode NFC spec, which is
+    * STABILIZED for assigned code points (normalization results are
+    * frozen by the Unicode stability policy since 4.1), so version
+    * skew (Unicode 13 vs 15) cannot split the engines on real text;
+    * counts compare UTF-16 units vs codepoints but differ only on
+    * astral characters, and every counted character class here (Cc,
+    * U+FFFD) is BMP. The registered corpus is ASCII (normalization is
+    * identity there); the spec pins the interesting cases — planted
+    * composed/decomposed é pairs, control stripping, idempotence.
+    *
+    * Scale shape: one narrow mapPartitions pass, no shuffle before
+    * the presentation sort, output proportional to input.
+    */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, t) =>
+          var mojibake = 0L
+          var stripped = 0L
+          val sb = new java.lang.StringBuilder(t.length)
+          var i = 0
+          while (i < t.length) {
+            val ch = t.charAt(i)
+            if (ch == 0xFFFD.toChar) mojibake += 1
+            if (ch <= 0x08 || ch == 0x0B || ch == 0x0C ||
+                (ch >= 0x0E && ch <= 0x1F) ||
+                (ch >= 0x7F && ch <= 0x9F)) stripped += 1
+            else sb.append(ch)
+            i += 1
+          }
+          val norm = java.text.Normalizer
+            .normalize(sb, java.text.Normalizer.Form.NFC)
+          (id, norm, stripped, mojibake, if (norm == t) 0L else 1L)
+        }
+      }
+      .toDF("doc_id", "norm_text", "n_ctrl_stripped", "n_mojibake",
+        "changed")
+      .orderBy("doc_id")
+  }
+
   /** PMI co-occurrence window (token pairs within this many positions). */
   val pmiWindow = 4
 

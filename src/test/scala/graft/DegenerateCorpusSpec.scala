@@ -106,7 +106,9 @@ class DegenerateCorpusSpec extends SparkSpec {
     "budget_bpe" -> Sampling.tokenBudgetBpe(spark, dir).count(),
     "padding_waste" -> Sampling.paddingWaste(spark, dir).count(),
     "padding_waste_bpe" -> Sampling.paddingWasteBpe(spark, dir).count(),
-    "blocklist" -> TextAnalysis.blocklistFilter(spark, dir).count())
+    "blocklist" -> TextAnalysis.blocklistFilter(spark, dir).count(),
+    "line_dedup" -> TextAnalysis.lineDedup(spark, dir).count(),
+    "normalize" -> TextAnalysis.normalizeText(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)

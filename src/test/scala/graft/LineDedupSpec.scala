@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Pins the two round-17 ingest operators on planted fixtures the
+  * ASCII test corpus cannot exercise:
+  *
+  *  - [[TextAnalysis.lineDedup]] (C4 rule, Raffel et al. 2020): the
+  *    FIRST occurrence of a duplicated line is kept (smallest
+  *    (doc_id, line_no)), duplicates are suppressed across documents
+  *    and within one, a fully duplicated document reassembles to the
+  *    empty string, and kept lines rejoin in original order;
+  *  - [[TextAnalysis.normalizeText]]: composed and decomposed NFC
+  *    pairs converge, non-whitespace controls strip (tab/newline/CR
+  *    survive), U+FFFD mojibake is counted and preserved, and the
+  *    pass is idempotent (re-normalizing its own output is the
+  *    identity with zero strips).
+  */
+class LineDedupSpec extends SparkSpec {
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("linededup").toString
+    rows.toDF("doc_id", "text")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("C4 line dedup: first occurrence kept, cross-doc and intra-doc " +
+    "suppression, whole-doc duplicate empties") {
+    val dir = writeDocs(Seq(
+      1L -> "a b c d e f g h i j", // two 5-word lines, both first
+      2L -> "a b c d e x y z w v", // line 0 dups doc 1 → suppressed
+      3L -> "a b c d e f g h i j", // whole-doc duplicate → empty
+      4L -> "k l m", // short partial line, unique
+      5L -> "p q r s t p q r s t")) // intra-doc dup: line 1 suppressed
+    val got = TextAnalysis.lineDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) === (("a b c d e f g h i j", 2L, 2L, 0L, 0L)))
+    assert(got(2L) === (("x y z w v", 2L, 1L, 1L, 9L)))
+    assert(got(3L) === (("", 2L, 0L, 2L, 18L)))
+    assert(got(4L) === (("k l m", 1L, 1L, 0L, 0L)))
+    assert(got(5L) === (("p q r s t", 2L, 1L, 1L, 9L)))
+  }
+
+  test("C4 line dedup: kept lines reassemble in line order, not " +
+    "collection order") {
+    // doc 6's middle line is suppressed by doc 5's first occurrence;
+    // the survivors must rejoin as (line0, line2) in that order
+    val dir = writeDocs(Seq(
+      5L -> "z z z z z",
+      6L -> "m n o p q z z z z z r s t u v"))
+    val got = TextAnalysis.lineDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(6L) === "m n o p q r s t u v")
+  }
+
+  test("normalize: composed and decomposed NFC pairs converge; changed " +
+    "flags only the rewritten doc") {
+    val dir = writeDocs(Seq(
+      1L -> "café", // already NFC
+      2L -> "café")) // decomposed: e + combining acute
+    val got = TextAnalysis.normalizeText(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === (("café", 0L, 0L, 0L)))
+    assert(got(2L) === (("café", 0L, 0L, 1L)))
+  }
+
+  test("normalize: controls strip except tab/newline/CR; mojibake " +
+    "counted and preserved") {
+    val dir = writeDocs(Seq(
+      1L -> "a\u0001bc\u000B\nd\u000C\te\u007F\rf",
+      2L -> "x�y�"))
+    val got = TextAnalysis.normalizeText(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === (("abc\nd\te\rf", 4L, 0L, 1L)))
+    assert(got(2L) === (("x�y�", 0L, 2L, 0L)))
+  }
+
+  test("normalize is idempotent: its own output re-normalizes to " +
+    "itself with zero strips") {
+    val dir = writeDocs(Seq(
+      1L -> "café société",
+      2L -> "ab plain ascii"))
+    val first = TextAnalysis.normalizeText(spark, dir)
+      .select(col("doc_id"), col("norm_text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dir2 = writeDocs(first.toSeq.map { case (id, t) => id -> t })
+    val second = TextAnalysis.normalizeText(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(4)))
+    second.foreach { case (id, t, stripped, changed) =>
+      assert(t === first.find(_._1 == id).get._2)
+      assert(stripped === 0L && changed === 0L,
+        s"doc $id must be a fixed point")
+    }
+  }
+}
