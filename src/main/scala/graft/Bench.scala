@@ -44,7 +44,31 @@ object Bench {
       case _ => all
     }
 
-    def materialize(name: String): Double = {
+    // Per-query resource budgets (round-16 verdict item 5: time-only
+    // floors leave the ×10-OOM class invisible at sf0.1): a listener
+    // accumulates shuffle-WRITE bytes (the canonical shuffled-volume
+    // number; read ≈ write in local mode) and the max per-task
+    // peakExecutionMemory between resets. Task-end events post
+    // asynchronously, so each read drains the bus first (bridge —
+    // the only way to observe completion of the event stream).
+    object metrics extends org.apache.spark.scheduler.SparkListener {
+      val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+      val peakMem = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          peakMem.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
+        }
+      }
+      def reset(): Unit = { shuffleWrite.set(0L); peakMem.set(0L) }
+    }
+    spark.sparkContext.addSparkListener(metrics)
+
+    // (time sec, shuffle-write bytes, peak task memory bytes); a
+    // failed materialization reports time −1 with zeroed resources
+    def materialize(name: String): (Double, Long, Long) = {
       // Level the heap before the timer starts: memoized-model
       // localCheckpoint blocks accumulate across the 180-row run, and
       // without this the GC debt they create lands on whichever row
@@ -52,14 +76,18 @@ object Bench {
       // at-floor isolated" pattern. The pause itself is between
       // measurements, so it never inflates a reported time.
       System.gc()
+      metrics.reset()
       val t0 = System.nanoTime()
       try benched(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        return (-1.0, 0L, 0L)
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graft.bridge
+        .drainListenerBus(spark.sparkContext, 10000L)
+      (t, metrics.shuffleWrite.get(), metrics.peakMem.get())
     }
 
     // setup: lay out the day-partitioned events fixture so the benched
@@ -76,13 +104,21 @@ object Bench {
 
     val names = benched.keys.toSeq.sorted
     val pass1 = names.map(n => n -> materialize(n)).toMap
-    val results = names.map { n =>
-      val t2 = materialize(n)
-      val t1 = pass1(n)
-      // min of the two passes; a failed pass (-1) falls back to the other
-      n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
+    // per query: min-time pass wins, and its resource numbers travel
+    // with it (bytes are deterministic per plan shape; the min-time
+    // pass is the warmed shape for memoized-model rows)
+    val full = names.map { n =>
+      val p2 = materialize(n)
+      val p1 = pass1(n)
+      n -> (if (p1._1 < 0) p2 else if (p2._1 < 0) p1
+            else if (p1._1 <= p2._1) p1 else p2)
     }
+    val results = full.map { case (n, (t, _, _)) => n -> t }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sb = full.map { case (k, (_, b, _)) => "\"" + k + "\":" + b }
+      .mkString("{", ",", "}")
+    val pm = full.map { case (k, (_, _, m)) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // per-query budget guard: the aggregate 2×-of-baseline bar can hide
@@ -115,7 +151,7 @@ object Bench {
     // capture. Both are complete JSON objects.
     // the summary's metric name is distinct so a consumer grepping for
     // the "total" contract line can never match two objects
-    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"shuffle_bytes":$sb,"peak_mem":$pm,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     println(s"""{"metric":"total_summary","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"regressions":${regressions.mkString("[", ",", "]")}}""")
     spark.stop()
   }

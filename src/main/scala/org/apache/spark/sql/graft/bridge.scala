@@ -16,6 +16,16 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Drain the listener bus so a SparkListener's per-query counters
+    * (Bench's shuffle-bytes / peak-memory budgets) are complete before
+    * they are read — task-end events post asynchronously and the last
+    * batch can otherwise land after the timer stops. `listenerBus` is
+    * `private[spark]`; this is the only internal touched.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext,
+                       timeoutMs: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** Register a function builder on a LIVE session's function registry
     * (the post-construction analog of `SparkSessionExtensions
     * .injectFunction`, which only applies at session build). Same

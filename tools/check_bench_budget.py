@@ -92,9 +92,22 @@ BUDGET = os.path.join(os.path.dirname(__file__), "..",
                       "src", "main", "resources", "bench_budget.tsv")
 HISTORY = os.path.join(os.path.dirname(__file__), "..",
                        "reports", "bench_budget_history.tsv")
+# Resource budgets (round-16 verdict item 5): shuffle-write bytes and
+# peak task memory per query, recorded by the same --update and gated
+# on a GENEROUS multiple + absolute slack — bytes are deterministic
+# per plan shape (a 3x jump is a plan change, not noise), while the
+# slack keeps KB-scale rows from flagging on AQE partition jitter.
+BYTES_BUDGET = os.path.join(os.path.dirname(__file__), "..",
+                            "src", "main", "resources",
+                            "bench_bytes_budget.tsv")
+BYTES_MULT = 3.0
+BYTES_SLACK = 64 * 1024 * 1024
+MEM_SLACK = 256 * 1024 * 1024
 
 
-def load_queries(path):
+def load_capture(path):
+    """Full capture: times, shuffle-write bytes, peak task memory (the
+    latter two {} on pre-round-17 captures), sf tag."""
     for line in open(path):
         line = line.strip()
         if line.startswith("[info] "):
@@ -106,8 +119,14 @@ def load_queries(path):
         except ValueError:
             continue  # brace-prefixed log noise (stack traces, log4j)
         if "queries" in obj:
-            return obj["queries"], obj.get("sf", "")
+            return (obj["queries"], obj.get("shuffle_bytes", {}),
+                    obj.get("peak_mem", {}), obj.get("sf", ""))
     raise SystemExit(f"no bench JSON line with 'queries' in {path}")
+
+
+def load_queries(path):
+    queries, _, _, sf = load_capture(path)
+    return queries, sf
 
 
 def merge_captures(paths):
@@ -118,21 +137,27 @@ def merge_captures(paths):
     carry the same sf tag — min-merging a smaller scale's times against
     sf0.1 floors would silently pass everything."""
     merged, crashed, sfs = {}, {}, []
+    mbytes, mmem = {}, {}
     for p in paths:
-        queries, sf = load_queries(p)
+        queries, sbytes, smem, sf = load_capture(p)
         sfs.append(sf)
         for n, t in queries.items():
             if t < 0:
                 crashed.setdefault(n, []).append(os.path.basename(p))
-            elif n not in merged or t < merged[n]:
-                merged[n] = t
+            else:
+                if n not in merged or t < merged[n]:
+                    merged[n] = t
+                if n in sbytes and (n not in mbytes or sbytes[n] < mbytes[n]):
+                    mbytes[n] = sbytes[n]
+                if n in smem and (n not in mmem or smem[n] < mmem[n]):
+                    mmem[n] = smem[n]
     if len(set(sfs)) > 1:
         raise SystemExit(
             "refusing to merge captures recorded at different scales: "
             + ", ".join(sorted(set(sfs)))
             + " — a smaller-scale capture min-merged against sf0.1 "
             "floors would pass every query vacuously")
-    return merged, crashed, sfs
+    return merged, crashed, sfs, mbytes, mmem
 
 
 def load_budget(path):
@@ -141,6 +166,15 @@ def load_budget(path):
         for line in open(path):
             name, t = line.strip().split("\t")
             budget[name] = float(t)
+    return budget
+
+
+def load_bytes_budget(path):
+    budget = {}
+    if os.path.exists(path):
+        for line in open(path):
+            name, b, m = line.strip().split("\t")
+            budget[name] = (float(b), float(m))
     return budget
 
 
@@ -212,7 +246,7 @@ def main(argv):
             raise SystemExit("--history-tag requires a tag argument (rN)")
         history_tag = flags[j + 1]
 
-    queries, crashed, sfs = merge_captures(captures)
+    queries, crashed, sfs, mbytes, mmem = merge_captures(captures)
     if update:
         if crashed:
             raise SystemExit("refusing to record budgets: failed queries "
@@ -284,6 +318,13 @@ def main(argv):
         with open(BUDGET, "w") as f:
             for name in sorted(queries):
                 f.write(f"{name}\t{queries[name] / h:.3f}\n")
+        if mbytes:
+            with open(BYTES_BUDGET, "w") as f:
+                for name in sorted(queries):
+                    f.write(f"{name}\t{mbytes.get(name, 0)}\t"
+                            f"{mmem.get(name, 0)}\n")
+            print(f"recorded {len(queries)} resource budgets to "
+                  f"{BYTES_BUDGET}")
         if history_tag:
             with open(HISTORY, "a") as f:
                 for name in sorted(queries):
@@ -334,6 +375,19 @@ def main(argv):
                     + (f" (/{h:.2f} host = {queries[name] / h:.2f}s)"
                        if normalizing else "")
                     + f" > {THRESHOLD}x budget {budget[name]:.2f}s")
+        # resource gate: NO host normalization (bytes are plan-shape
+        # facts, not host noise); generous multiple + absolute slack
+        bbudget = load_bytes_budget(BYTES_BUDGET)
+        for name in sorted(set(mbytes) & set(bbudget)):
+            fb, fm = bbudget[name]
+            if mbytes[name] > BYTES_MULT * fb + BYTES_SLACK:
+                failures.append(
+                    f"{name}: shuffle {mbytes[name] / 1e6:.1f} MB > "
+                    f"{BYTES_MULT}x budget {fb / 1e6:.1f} MB + slack")
+            if name in mmem and mmem[name] > BYTES_MULT * fm + MEM_SLACK:
+                failures.append(
+                    f"{name}: peak task mem {mmem[name] / 1e6:.1f} MB > "
+                    f"{BYTES_MULT}x budget {fm / 1e6:.1f} MB + slack")
     else:
         print(f"sf={sfs[0]!r} is not the recorded budget scale (sf0.1); "
               "checking only for failed queries")

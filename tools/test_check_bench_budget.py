@@ -344,6 +344,91 @@ class MedianHostTest(unittest.TestCase):
         self.assertAlmostEqual(got["q_e"], 2.0, places=3)
 
 
+class BytesGateTest(unittest.TestCase):
+    """Round-16 verdict item 5: shuffle-bytes / peak-memory budgets make
+    the x10-OOM class visible at sf0.1 — gated on a generous multiple
+    plus absolute slack, no host normalization."""
+
+    def setUp(self):
+        self.tmp = tempfile.mkdtemp()
+        self._old = (cbb.BUDGET, cbb.BYTES_BUDGET)
+        cbb.BUDGET = write(os.path.join(self.tmp, "bench_budget.tsv"),
+                           "q_a\t1.000\nq_b\t1.000\n")
+        cbb.BYTES_BUDGET = os.path.join(self.tmp, "bytes.tsv")
+        write(cbb.BYTES_BUDGET, "q_a\t1000000000\t2000000000\n"
+                                "q_b\t1000\t1000000\n")
+
+    def tearDown(self):
+        cbb.BUDGET, cbb.BYTES_BUDGET = self._old
+
+    def bench(self, queries, sbytes=None, smem=None):
+        obj = {"metric": "bench", "queries": queries,
+               "sf": "/root/testdata/sf0.1"}
+        if sbytes is not None:
+            obj["shuffle_bytes"] = sbytes
+        if smem is not None:
+            obj["peak_mem"] = smem
+        return write(os.path.join(self.tmp, "bench.json"),
+                     json.dumps(obj) + "\n")
+
+    def test_within_budget_passes(self):
+        rc = cbb.main(["prog", self.bench(
+            {"q_a": 1.0, "q_b": 1.0},
+            {"q_a": 2500000000, "q_b": 500},
+            {"q_a": 2000000000, "q_b": 1000000})])
+        self.assertEqual(rc, 0)
+
+    def test_shuffle_bytes_regression_flags(self):
+        # 4 GB > 3x 1 GB + 64 MiB slack: a plan-shape change, not noise
+        rc = cbb.main(["prog", self.bench(
+            {"q_a": 1.0, "q_b": 1.0},
+            {"q_a": 4000000000, "q_b": 500},
+            {"q_a": 1, "q_b": 1})])
+        self.assertEqual(rc, 1)
+
+    def test_peak_mem_regression_flags(self):
+        rc = cbb.main(["prog", self.bench(
+            {"q_a": 1.0, "q_b": 1.0},
+            {"q_a": 1, "q_b": 1},
+            {"q_a": 7000000000, "q_b": 1})])
+        self.assertEqual(rc, 1)
+
+    def test_slack_absorbs_small_row_jitter(self):
+        # q_b's floor is 1 KB; a 10 MB excursion is inside the 64 MiB
+        # slack (AQE partition jitter on tiny rows must not flag)
+        rc = cbb.main(["prog", self.bench(
+            {"q_a": 1.0, "q_b": 1.0},
+            {"q_a": 1, "q_b": 10000000},
+            {"q_a": 1, "q_b": 1})])
+        self.assertEqual(rc, 0)
+
+    def test_pre_round17_capture_without_bytes_passes(self):
+        rc = cbb.main(["prog", self.bench({"q_a": 1.0, "q_b": 1.0})])
+        self.assertEqual(rc, 0)
+
+    def test_update_records_resource_budgets(self):
+        rc = cbb.main(["prog", self.bench(
+            {"q_a": 1.0, "q_b": 1.0},
+            {"q_a": 123, "q_b": 456},
+            {"q_a": 789, "q_b": 12}), "--update"])
+        self.assertEqual(rc, 0)
+        rows = dict((l.split("\t")[0], l.strip().split("\t")[1:])
+                    for l in open(cbb.BYTES_BUDGET))
+        self.assertEqual(rows["q_a"], ["123", "789"])
+        self.assertEqual(rows["q_b"], ["456", "12"])
+
+    def test_min_merge_across_captures(self):
+        a = self.bench({"q_a": 1.0, "q_b": 1.0},
+                       {"q_a": 4000000000, "q_b": 500},
+                       {"q_a": 1, "q_b": 1})
+        b = write(os.path.join(self.tmp, "b.json"), json.dumps(
+            {"metric": "bench", "queries": {"q_a": 1.0, "q_b": 1.0},
+             "shuffle_bytes": {"q_a": 900000000, "q_b": 500},
+             "peak_mem": {"q_a": 1, "q_b": 1},
+             "sf": "/root/testdata/sf0.1"}) + "\n")
+        self.assertEqual(cbb.main(["prog", a, b]), 0)
+
+
 class GateOrderingTest(unittest.TestCase):
     """Round-16 verdict: the binding evidence is the check against the
     PRIOR round's floors — update mode must surface vs-prior
