@@ -116,7 +116,9 @@ object SparkEntry {
     "q_interval_overlap" -> (operators.Intervals.anomalyOverlap _),
     "q_fuzzy_names" -> (operators.Fuzzy.nameJoin _),
     "q_fuzzy_names2" -> (operators.Fuzzy.nameJoin2 _),
-    "q_fuzzy_names_incr" -> (operators.Fuzzy.nameJoinIncremental _),
+    "q_fuzzy_names_incr" ->
+      ((s, d) => operators.Fuzzy.nameJoinIncremental(s, d)),
+    "fuzzy_blocking_eval" -> (operators.Fuzzy.blockingEval _),
     "q_market_basket" -> (operators.Associations.marketBasket _),
     "q_basket_triples" -> (operators.Associations.basketTriples _),
     "q_daily_reconciliation" -> (Analytics.dailyReconciliation _),
@@ -4686,6 +4688,65 @@ object SparkEntry {
         |FROM cand
         |WHERE levenshtein(n1, n2) <= 2
         |ORDER BY 1, 2""".stripMargin,
+    // blocking-quality report: replay the per-position variant
+    // enumeration WITH deletion gaps (1-based i ⇒ gap i−1; pair (i,j)
+    // ⇒ gaps (i−1, j−2)) and the exact gap-join structure the shipped
+    // blocker uses — (2,2) joins on gap equality, ≤1-deletion side
+    // joins with the gap predicate — then count candidates, verified
+    // matches, precision, and the all-pairs reduction ratio
+    "fuzzy_blocking_eval" ->
+      """WITH nm AS (
+        |  SELECT c_custkey AS id, c_name AS name FROM customer
+        |  WHERE length(c_name) >= 2),
+        |f AS (
+        |  SELECT id, name AS form, -1 AS g1, -1 AS g2, 0 AS nd FROM nm
+        |  UNION ALL
+        |  SELECT id,
+        |    substr(name, 1, CAST(i AS INT) - 1) ||
+        |      substr(name, CAST(i AS INT) + 1) AS form,
+        |    CAST(i - 1 AS INT) AS g1, -1 AS g2, 1 AS nd
+        |  FROM (SELECT id, name, unnest(range(1, length(name) + 1)) AS i
+        |        FROM nm) u
+        |  UNION ALL
+        |  SELECT id,
+        |    substr(name, 1, CAST(i AS INT) - 1) ||
+        |      substr(name, CAST(i AS INT) + 1, CAST(j - i - 1 AS INT)) ||
+        |      substr(name, CAST(j AS INT) + 1) AS form,
+        |    CAST(i - 1 AS INT) AS g1, CAST(j - 2 AS INT) AS g2, 2 AS nd
+        |  FROM (SELECT id, name, i,
+        |          unnest(range(i + 1, length(name) + 1)) AS j
+        |        FROM (SELECT id, name, unnest(range(1, length(name))) AS i
+        |              FROM nm) a) b),
+        |c22 AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM f a JOIN f b
+        |    ON a.form = b.form AND a.g1 = b.g1 AND a.g2 = b.g2
+        |  WHERE a.nd = 2 AND b.nd = 2 AND a.id < b.id),
+        |cle1 AS (
+        |  SELECT DISTINCT least(a.id, b.id) AS id1,
+        |    greatest(a.id, b.id) AS id2
+        |  FROM f a JOIN f b ON a.form = b.form
+        |  WHERE a.nd <= 1 AND a.id <> b.id
+        |    AND (a.nd + b.nd <= 2 OR (a.nd = 1 AND b.nd = 2
+        |      AND (a.g1 = b.g1 OR a.g1 = b.g2)))),
+        |cand AS (SELECT * FROM c22 UNION SELECT * FROM cle1),
+        |v AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+        |    CAST(coalesce(sum(CASE WHEN levenshtein(n1.name, n2.name) <= 2
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_matched_pairs
+        |  FROM cand
+        |  JOIN nm n1 ON n1.id = cand.id1
+        |  JOIN nm n2 ON n2.id = cand.id2),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_strings FROM nm)
+        |SELECT n_strings, n_candidate_pairs, n_matched_pairs,
+        |  CASE WHEN n_candidate_pairs > 0 THEN
+        |    round(CAST(n_matched_pairs AS DOUBLE) / n_candidate_pairs, 6)
+        |  END AS match_precision,
+        |  CASE WHEN n_strings > 1 THEN
+        |    round(1.0 - CAST(n_candidate_pairs AS DOUBLE) /
+        |      CAST(n_strings * (n_strings - 1) / 2 AS DOUBLE), 6)
+        |  END AS reduction_ratio
+        |FROM n CROSS JOIN v""".stripMargin,
     "q_rfm_segments" ->
       """WITH per AS (
         |  SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us,

@@ -314,15 +314,11 @@ object Fuzzy {
     * twin: the spec forces 0 to certify the shuffled name re-attach
     * row-identical.
     */
-  def nameJoin2(spark: SparkSession, dir: String,
-      maxNames: Long): DataFrame = {
-    val nm = Tables(spark, dir, "customer")
-      .select(col("c_custkey").as("id"), col("c_name").as("name"))
-      .filter(length(col("name")) >= 2)
-    // measured count for the name re-attach broadcast guard (one
-    // narrow scan; the O(customers) broadcast was the round-16
-    // verdict's undeclared size assumption)
-    val nNames = nm.count()
+  /** The τ = 2 blocker's candidate pair set (canonical id1 < id2, ids
+    * only) — the gap-filtered union [[nameJoin2]] verifies, exposed so
+    * [[blockingEval]] can grade the blocker it actually ships.
+    */
+  private def candidates2(spark: SparkSession, dir: String): DataFrame = {
     val forms = variantForms(spark, dir)
     // The gap filter as JOIN STRUCTURE, not a post-enumeration
     // predicate: 2-deletion variants dominate the form table (~89%)
@@ -353,11 +349,22 @@ object Fuzzy {
             (col("ag1") === col("bg1") || col("ag1") === col("bg2")))))
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"))
+    j22.unionByName(jle1).distinct()
+  }
+
+  def nameJoin2(spark: SparkSession, dir: String,
+      maxNames: Long): DataFrame = {
+    val nm = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .filter(length(col("name")) >= 2)
+    // measured count for the name re-attach broadcast guard (one
+    // narrow scan; the O(customers) broadcast was the round-16
+    // verdict's undeclared size assumption)
+    val nNames = nm.count()
     // ids-only through the joins and the distinct (the wide name
     // strings re-attach afterward — broadcast under the measured
     // budget, shuffled hash join on the id past it)
-    val cand = j22.unionByName(jle1).distinct()
-    cand
+    candidates2(spark, dir)
       .join(guarded(nm.select(col("id").as("id1"), col("name").as("n1")),
         nNames, maxNames), Seq("id1"))
       .join(guarded(nm.select(col("id").as("id2"), col("name").as("n2")),
@@ -367,5 +374,51 @@ object Fuzzy {
       .select(col("id1").as("a_custkey"), col("id2").as("b_custkey"),
         col("dist"))
       .orderBy("a_custkey", "b_custkey")
+  }
+
+  /** Blocking-quality report for the deletion-neighborhood blocker —
+    * the E137 discipline (grade the blocker against what it is FOR)
+    * applied to the newest family: one row with the corpus size, the
+    * gap-filtered candidate-pair count, the verified τ ≤ 2 match
+    * count, precision (matches per candidate), and the reduction
+    * ratio (share of the n(n−1)/2 all-pairs space the blocker never
+    * touches). Completeness is 1.0 by the deletion-neighborhood
+    * theorem — FuzzyEvalSpec asserts it empirically against the
+    * all-pairs brute force (the eval's matched count equals the
+    * certified full join's row count).
+    *
+    * Counts are defined over the 64-bit FNV variant fingerprints the
+    * shipped blocker joins on: a cross-string fingerprint collision
+    * would perturb the CANDIDATE count (never the verified set, which
+    * the levenshtein guard makes collision-immune); at sf0.1's ~2.5M
+    * forms the collision probability is < 2⁻²² — stated, not hidden.
+    * The oracle replays the same per-position variant enumeration and
+    * gap-join structure on the variant STRINGS. precision and
+    * reduction are single divisions of exact integers, round-6.
+    */
+  def blockingEval(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .filter(length(col("name")) >= 2)
+    val nNames = nm.count()
+    val stats = candidates2(spark, dir)
+      .join(guarded(nm.select(col("id").as("id1"), col("name").as("n1")),
+        nNames, maxBroadcastNames), Seq("id1"))
+      .join(guarded(nm.select(col("id").as("id2"), col("name").as("n2")),
+        nNames, maxBroadcastNames), Seq("id2"))
+      .agg(count(lit(1)).as("n_candidate_pairs"),
+        coalesce(sum(when(levenshtein(col("n1"), col("n2")) <= tau2, 1L)
+          .otherwise(0L)), lit(0L)).as("n_matched_pairs"))
+    val n = nm.agg(count(lit(1)).as("n_strings"))
+    n.crossJoin(stats)
+      .select(col("n_strings"), col("n_candidate_pairs"),
+        col("n_matched_pairs"),
+        when(col("n_candidate_pairs") > 0,
+          round(col("n_matched_pairs").cast("double") /
+            col("n_candidate_pairs"), 6)).as("match_precision"),
+        when(col("n_strings") > 1,
+          round(lit(1.0) - col("n_candidate_pairs").cast("double") /
+            (col("n_strings") * (col("n_strings") - 1) / 2)
+              .cast("double"), 6)).as("reduction_ratio"))
   }
 }

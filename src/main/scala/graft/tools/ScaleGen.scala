@@ -52,14 +52,43 @@ object ScaleGen {
     */
   val stride = 1000000000L
 
+  /** Replica name tag with pairwise lev ≥ 3 across ALL replicas (and
+    * ≥ 3 vs the untagged base — length gap), > the fuzzy join's
+    * lev ≤ 2, so name-dup groups replicate without cross-replica
+    * pairs: k ≤ 25 is the 4-char single-letter triple, k ≥ 26 the
+    * 7-char two-letter code with each letter tripled (two distinct
+    * codes keep LCS ≤ 3 at length 6 ⇒ lev ≥ 3; ScaleGenSpec
+    * brute-force-pins every pair through factor 128 with adversarial
+    * run-ending base names).
+    */
+  def replicaTag(k: Int): String =
+    if (k == 0) ""
+    else if (k <= 25) " " + ('a' + k - 1).toChar.toString * 3
+    else " " + ('a' + (k - 26) / 26).toChar.toString * 3 +
+      ('a' + (k - 26) % 26).toChar.toString * 3
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/root/repo/scale10"
     val factor = if (args.length > 2) args(2).toInt else 10
-    // 25 letter tags (k = 1..25) + the untagged base replica; also
-    // 26 cipher rotations and 64 embedding rotations stay distinct
-    require(factor >= 1 && factor <= 26,
-      s"factor must be in [1, 26] (letter-tag alphabet bound), got $factor")
+    // Factor bound 128 (round-17, for the ×100 rehearsal point) — the
+    // binding constraint is the embedding transform (64 rotations × 2
+    // sign decades); the other transforms reach further:
+    //  - name tags above 26 switch to 6-char two-letter codes
+    //    c1c1c1c2c2c2, each letter TRIPLED — any two distinct codes
+    //    keep LCS ≤ 3 at length 6, so lev ≥ 3 (> the fuzzy lev ≤ 2
+    //    threshold; ScaleGenSpec brute-force-pins all pairs through
+    //    factor 128), 26 + 676 codes available;
+    //  - text ciphers above 25 rotations switch to AFFINE maps
+    //    i → a·i + b mod 26 with gcd(a, 26) = 1 — 12 units × 26
+    //    shifts = 312 distinct bijections;
+    //  - embedding rotations compose the k mod 64 rotation with a
+    //    sign flip on odd k/64 decades (norm-preserving,
+    //    decorrelated) — 128 distinct transforms.
+    // k ≤ 25 reproduces the round-16 transforms exactly, so scale10
+    // regenerates byte-identical.
+    require(factor >= 1 && factor <= 128,
+      s"factor must be in [1, 128] (embedding-transform bound), got $factor")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -84,16 +113,8 @@ object ScaleGen {
 
     replicate("customer") { (df, k) =>
       df.select(shifted("c_custkey", k).as("c_custkey"),
-        // 4-char replica tag: one per-replica LETTER repeated ×3 — any
-        // two distinct replicas differ in all 3 tag positions (lev
-        // exactly 3; digit tags like "121212"/"212121" are cyclic
-        // shifts at lev 2 for factor ≥ 22) and ≥ 4 vs the untagged
-        // base, both beyond the fuzzy join's lev ≤ 2, so name-dup
-        // groups replicate without cross-replica pairs. 25 letters
-        // bound the factor — enforced loudly at entry.
         (if (k == 0) col("c_name")
-         else concat(col("c_name"),
-           lit(" " + ('a' + k - 1).toChar.toString * 3))).as("c_name"),
+         else concat(col("c_name"), lit(replicaTag(k)))).as("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     }
 
@@ -115,14 +136,21 @@ object ScaleGen {
     }
 
     replicate("documents") { (df, k) =>
+      // per-replica AFFINE substitution cipher i → a·i + b mod 26
+      // (gcd(a, 26) = 1 ⇒ bijection): length-preserving ⇒ shingle
+      // structure isomorphic within a replica; distinct maps for
+      // every k < 312 ⇒ near-zero cross-replica overlap (two affine
+      // maps agree on ≤ gcd(a1−a2, 26) letters, so multi-letter words
+      // almost never coincide). k ≤ 25 degenerates to a = 1 — the
+      // original rotation, so scale10 regenerates byte-identical.
       val alphabet = "abcdefghijklmnopqrstuvwxyz"
-      val rotated = alphabet.drop(k % 26) + alphabet.take(k % 26)
+      val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+      val a = units((k / 26) % units.length)
+      val b = k % 26
+      val mapped = (0 until 26).map(i => alphabet((a * i + b) % 26)).mkString
       val txt =
         if (k == 0) col("text")
-        // per-replica substitution cipher: length-preserving bijection
-        // ⇒ shingle structure isomorphic within a replica, disjoint
-        // across replicas
-        else translate(col("text"), alphabet, rotated)
+        else translate(col("text"), alphabet, mapped)
       df.select(shifted("doc_id", k).as("doc_id"), txt.as("text"),
           col("lang"), col("source"), col("n_chars"))
     }
@@ -130,10 +158,17 @@ object ScaleGen {
     replicate("embeddings") { (df, k) =>
       val d = 64
       val rot = k % d
-      val emb =
+      val rotated =
         if (rot == 0) col("embedding")
         else concat(slice(col("embedding"), rot + 1, d - rot),
           slice(col("embedding"), 1, rot))
+      // past 64 replicas the rotation alone repeats — compose a sign
+      // flip on odd k/64 decades (norm-preserving, decorrelated, and
+      // k ≤ 63 keeps the original transform so scale10 regenerates
+      // byte-identical)
+      val emb =
+        if ((k / d) % 2 == 0) rotated
+        else transform(rotated, x => -x)
       df.select(shifted("vec_id", k).as("vec_id"), emb.as("embedding"),
         col("label"))
     }
