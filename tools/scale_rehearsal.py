@@ -21,7 +21,10 @@ NEW row of the round plus the top floors, per the standing mandate.
 
 Environment: SPARK_GRAFT_BASE (default /root/testdata/sf0.1),
 SPARK_GRAFT_X10 (default /root/repo/scale10), SPARK_GRAFT_CPUS
-(default 32 — the bench shape), SPARK_GRAFT_REPS (default 2).
+(default 32 — the bench shape), SPARK_GRAFT_REPS (default 2),
+SPARK_GRAFT_DECADES (default 1 — set 2 when the big corpus is x100,
+e.g. SPARK_GRAFT_X10=/root/repo/scale100, so the reported slope stays
+per-decade and comparable across rehearsal scales).
 """
 import math
 import os
@@ -77,19 +80,21 @@ def main(argv):
     x10 = os.environ.get("SPARK_GRAFT_X10", "/root/repo/scale10")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     reps = os.environ.get("SPARK_GRAFT_REPS", "2")
+    decades = float(os.environ.get("SPARK_GRAFT_DECADES", "1"))
     print(f"[rehearsal] timing {len(names)} queries at {base} ...")
     t_base = time_queries(base, names, cpus, reps)
     print(f"[rehearsal] timing {len(names)} queries at {x10} ...")
     t_x10 = time_queries(x10, names, cpus, reps)
     flagged = []
     with open(report, "w") as f:
-        f.write("# x10 scaling-slope rehearsal (tools/scale_rehearsal.py)\n")
-        f.write(f"# base={base} x10={x10} cpus={cpus} reps={reps}\n")
-        f.write("# slope = log10(t_x10 / t_base); 1.0 linear, "
-                f"> {SLOPE_BAR} flags for adjudication\n#\n")
+        f.write("# scaling-slope rehearsal (tools/scale_rehearsal.py)\n")
+        f.write(f"# base={base} big={x10} cpus={cpus} reps={reps} "
+                f"decades={decades:g}\n")
+        f.write("# slope = log10(t_big / t_base) / decades (per-decade); "
+                f"1.0 linear, > {SLOPE_BAR} flags for adjudication\n#\n")
         f.write(f"# {'query':<26} {'base':>7} {'x10':>7}   slope\n")
         for n in sorted(names):
-            slope = math.log10(t_x10[n] / t_base[n])
+            slope = math.log10(t_x10[n] / t_base[n]) / decades
             f.write(f"{n:<28} {t_base[n]:7.2f} {t_x10[n]:7.2f} "
                     f"{slope:7.2f}\n")
             if slope > SLOPE_BAR:
