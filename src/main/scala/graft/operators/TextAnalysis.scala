@@ -697,9 +697,22 @@ object TextAnalysis {
     * Scale shape: one narrow mapPartitions pass, no shuffle before
     * the presentation sort, output proportional to input.
     */
-  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+  def normalizeText(spark: SparkSession, dir: String): DataFrame =
+    normalizeOf(Tables(spark, dir, "documents")).orderBy("doc_id")
+
+  /** Streaming serve half of the normalization gate — the same
+    * stateless narrow projection over arriving documents (zero
+    * shuffles, no sort: append-mode streamable like the E151
+    * blocklist gate); per-row bit-equal to the batch pass
+    * (LineDedupSpec pins it across two MemoryStream waves).
+    */
+  def streamingNormalize(docs: DataFrame): DataFrame = normalizeOf(docs)
+
+  /** The sortless normalization projection both entry points share. */
+  private def normalizeOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, t) =>
@@ -723,7 +736,6 @@ object TextAnalysis {
       }
       .toDF("doc_id", "norm_text", "n_ctrl_stripped", "n_mojibake",
         "changed")
-      .orderBy("doc_id")
   }
 
   /** PMI co-occurrence window (token pairs within this many positions). */

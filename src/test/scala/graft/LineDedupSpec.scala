@@ -82,6 +82,37 @@ class LineDedupSpec extends SparkSpec {
     assert(got(2L) === (("x�y�", 0L, 2L, 0L)))
   }
 
+  test("streamingNormalize matches the batch pass per row across waves") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = TextAnalysis.normalizeText(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = TextAnalysis.streamingNormalize(
+        in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("normgate").start()
+    try {
+      val (w1, w2) = docs.splitAt(docs.length / 2)
+      in.addData(w1.toSeq); q.processAllAvailable()
+      // wave 2 carries a planted decomposed-NFC + control + mojibake doc
+      in.addData(w2.toSeq :+ (999999999L, "cafe\u0301 x\u0001 \uFFFD"))
+      q.processAllAvailable()
+      val got = spark.table("normgate").collect()
+        .map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(got.keySet === batch.keySet + 999999999L)
+      batch.foreach { case (id, row) =>
+        assert(got(id) === row, s"doc $id diverges from the batch pass")
+      }
+      assert(got(999999999L) === Seq(999999999L, "caf\u00e9 x \uFFFD", 1L, 1L, 1L))
+    } finally q.stop()
+  }
+
   test("normalize is idempotent: its own output re-normalizes to " +
     "itself with zero strips") {
     val dir = writeDocs(Seq(
