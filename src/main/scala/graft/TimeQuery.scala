@@ -15,9 +15,16 @@ object TimeQuery {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // Shuffle width decouples from thread count for the big-corpus
+    // rehearsals: a real cluster scales spark.sql.shuffle.partitions
+    // with data volume (thousands at 100 TB), and at x100 locally the
+    // default width=threads makes each task's sort/hash state 100x the
+    // bench shape — more partitions shrink per-task state while
+    // local[cpus] still bounds concurrency.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -65,11 +65,17 @@ object Fuzzy {
           |      substring(name, i + 1, length(name))))))""".stripMargin))
         .as("form"))
     // the neighborhood intersection is symmetric, so both orderings of
-    // every pair appear — keep the canonical one directly
+    // every pair appear — keep the canonical one directly. The join is
+    // hinted shuffled-hash (round-17): the forms table is
+    // explode-derived, its Catalyst size estimate does not track the
+    // corpus, and at ×100 the planner auto-broadcast a 30M-row
+    // string-form side through the driver — the docstring's "plain
+    // shuffled equi-join" is now enforced, not assumed.
     val cand = forms
       .select(col("form"), col("id").as("id1"), col("name").as("n1"))
       .join(forms
-        .select(col("form"), col("id").as("id2"), col("name").as("n2")),
+        .select(col("form"), col("id").as("id2"), col("name").as("n2"))
+        .hint("shuffle_hash"),
         Seq("form"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2", "n1", "n2")
@@ -88,31 +94,41 @@ object Fuzzy {
   val tau2 = 2
 
   /** Broadcast-row budget for the delta variant-forms table in
-    * [[nameJoinIncremental]]. A form row is ~30 bytes of primitives
-    * (id, 64-bit fingerprint, two gap ints, deletion count), so 4M
-    * rows is a ~120 MB payload / well under 1 GB as a driver-built
-    * hash relation — safely inside a 4 GB-executor budget. The
-    * engine's standing delta convention (id % 10 = 0) makes the delta
-    * a fixed FRACTION of the corpus, not a bounded batch, so the
-    * broadcast assumption MUST be measured, not assumed: at sf0.1 the
-    * delta is ~255k forms (broadcast), at ×100 it is ~25M (falls back
-    * to a shuffled hash join). The fallback keeps the same plan
-    * minus the broadcast: an equi-join on `h` where both sides
+    * [[nameJoinIncremental]]. The BINDING constraint is not executor
+    * heap but the DRIVER-SIDE COLLECT a broadcast build performs:
+    * task results stream through `spark.driver.maxResultSize`
+    * (default 1 GiB) before the hash relation exists. Primitive-only
+    * form rows (id, 64-bit fingerprint, two gap ints, deletion count)
+    * serialize at ~100 B/row in that transient, so 3M rows ≈ 300 MB —
+    * comfortably under the default limit. The engine's standing delta
+    * convention (id % 10 = 0) makes the delta a fixed FRACTION of the
+    * corpus, not a bounded batch, so the broadcast assumption MUST be
+    * measured, not assumed: at sf0.1 the delta is ~255k forms
+    * (broadcast), at ×10 ~2.55M (still broadcast), at ×100 ~25M —
+    * falls back to a shuffled hash join. The fallback keeps the same
+    * plan minus the broadcast: an equi-join on `h` where both sides
     * shuffle once and the build side is hash-probed per partition —
     * never sorted (shuffle_hash hint; a sort-merge would pay an
-    * O(n log n) sort on the 100 TB base side for nothing).
+    * O(n log n) sort on the 100 TB base side for nothing). Measured
+    * at ×100: the fallback runs at ~1.0 slope/decade — linear work,
+    * the scale-safe shape.
     */
-  val maxBroadcastForms = 4000000L
+  val maxBroadcastForms = 3000000L
 
   /** Broadcast-row budget for the O(customers) name re-attach in
-    * [[nameJoin2]] / [[nameJoinIncremental]]. A name row is ~60 bytes
-    * (id + short string), so 4M rows ≈ 240 MB broadcast — fine at
-    * sf0.1 (15k) through ×100 (1.5M); a true 100 TB corpus (≫ 4M
-    * customers) falls back to a shuffled hash join on the id, which
-    * co-partitions the candidate pairs with the name table instead of
-    * shipping the corpus to every executor.
+    * [[nameJoin2]] / [[nameJoinIncremental]] / [[blockingEval]].
+    * String-bearing rows serialize at ~2.7 KB/row in the broadcast
+    * build's driver-side collect (MEASURED at ×100, round 17: 1.5M
+    * name rows aborted at 1520 MiB > the 1 GiB default
+    * `spark.driver.maxResultSize` — the first budget, sized against
+    * executor heap at 4M rows, missed the real limit), so the budget
+    * is 200k rows ≈ 540 MB transient worst-case: sf0.1 (15k) and ×10
+    * (150k) broadcast; ×100 (1.5M) and any real corpus fall back to
+    * a shuffled hash join on the id, which co-partitions the
+    * candidate pairs with the name table instead of shipping the
+    * corpus through the driver.
     */
-  val maxBroadcastNames = 4000000L
+  val maxBroadcastNames = 200000L
 
   /** Size-guarded broadcast: hint `df` for broadcast only when its
     * measured row count is under the budget — otherwise hint a
@@ -317,8 +333,30 @@ object Fuzzy {
   /** The τ = 2 blocker's candidate pair set (canonical id1 < id2, ids
     * only) — the gap-filtered union [[nameJoin2]] verifies, exposed so
     * [[blockingEval]] can grade the blocker it actually ships.
+    *
+    * The internal candidate joins are ALSO size-guarded (round-17,
+    * caught by the ×100 rehearsal): the forms table is a mapPartitions
+    * product whose Catalyst size estimate does NOT scale with the
+    * corpus, so left unhinted the planner AUTO-BROADCAST a 250M-row
+    * side at ×100 and aborted on the driver-side collect
+    * (`spark.driver.maxResultSize`). Exact form counts are one narrow
+    * aggregate (Σ m(m−1)/2 two-deletion forms, Σ 1+m identity/1-del
+    * forms); under [[maxBroadcastForms]] the build side broadcasts
+    * (the fast shape the bench scales carry), past it the join takes
+    * a shuffled hash join — statistics never decide, measurements do.
     */
-  private def candidates2(spark: SparkSession, dir: String): DataFrame = {
+  private def candidates2(spark: SparkSession, dir: String,
+      maxForms: Long = maxBroadcastForms): DataFrame = {
+    val nmAll = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .filter(length(col("name")) >= 2)
+    val counts = nmAll.agg(
+      coalesce(sum(expr(
+        "CAST(length(name) AS LONG) * (length(name) - 1) div 2")),
+        lit(0L)).as("f2"),
+      coalesce(sum(expr("1L + length(name)")), lit(0L)).as("fle1")).head()
+    val forms2Count = counts.getLong(0)
+    val formsLe1Count = counts.getLong(1)
     val forms = variantForms(spark, dir)
     // The gap filter as JOIN STRUCTURE, not a post-enumeration
     // predicate: 2-deletion variants dominate the form table (~89%)
@@ -333,13 +371,14 @@ object Fuzzy {
     val f2 = forms.filter(col("nd") === 2)
     val j22 = f2.select(col("h"), col("g1"), col("g2"),
         col("id").as("id1"))
-      .join(f2.select(col("h"), col("g1"), col("g2"),
-        col("id").as("id2")), Seq("h", "g1", "g2"))
+      .join(guarded(f2.select(col("h"), col("g1"), col("g2"),
+        col("id").as("id2")), forms2Count, maxForms),
+        Seq("h", "g1", "g2"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
-    val jle1 = forms.filter(col("nd") <= 1)
+    val jle1 = guarded(forms.filter(col("nd") <= 1)
       .select(col("h"), col("id").as("ida"), col("g1").as("ag1"),
-        col("nd").as("na"))
+        col("nd").as("na")), formsLe1Count, maxForms)
       .join(forms.select(col("h"), col("id").as("idb"),
         col("g1").as("bg1"), col("g2").as("bg2"), col("nd").as("nb")),
         Seq("h"))
@@ -353,7 +392,11 @@ object Fuzzy {
   }
 
   def nameJoin2(spark: SparkSession, dir: String,
-      maxNames: Long): DataFrame = {
+      maxNames: Long): DataFrame =
+    nameJoin2(spark, dir, maxNames, maxBroadcastForms)
+
+  def nameJoin2(spark: SparkSession, dir: String,
+      maxNames: Long, maxForms: Long): DataFrame = {
     val nm = Tables(spark, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
       .filter(length(col("name")) >= 2)
@@ -364,7 +407,7 @@ object Fuzzy {
     // ids-only through the joins and the distinct (the wide name
     // strings re-attach afterward — broadcast under the measured
     // budget, shuffled hash join on the id past it)
-    candidates2(spark, dir)
+    candidates2(spark, dir, maxForms)
       .join(guarded(nm.select(col("id").as("id1"), col("name").as("n1")),
         nNames, maxNames), Seq("id1"))
       .join(guarded(nm.select(col("id").as("id2"), col("name").as("n2")),

@@ -121,7 +121,7 @@ class FuzzyEvalSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val full = rows(operators.Fuzzy.nameJoin2(spark, dir))
-    assert(rows(operators.Fuzzy.nameJoin2(spark, dir, 0L)) === full)
+    assert(rows(operators.Fuzzy.nameJoin2(spark, dir, 0L, 0L)) === full)
     assert(full.nonEmpty)
     val incr = rows(operators.Fuzzy.nameJoinIncremental(spark, dir))
     assert(rows(operators.Fuzzy.nameJoinIncremental(spark, dir, 0L, 0L))

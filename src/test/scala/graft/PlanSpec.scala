@@ -179,15 +179,18 @@ class PlanSpec extends SparkSpec {
     val over = plan(operators.Fuzzy.nameJoinIncremental(spark, dir, 0L, 0L))
     assert(over.contains("ShuffledHashJoin"), s"fallback shape:\n$over")
     assert(!over.contains("BroadcastHashJoin"), s"no unguarded broadcast:\n$over")
-    // nameJoin2's candidate joins (j22/jle1) carry no hint at all —
-    // Catalyst auto-broadcasts them HERE from measured tiny stats and
-    // would shuffle them at scale, which is exactly right and carries
-    // no plan-time OOM hazard (the hazard is an explicit broadcast()
-    // that overrides stats). So assert only the two GUARDED re-attach
-    // joins switched: both ShuffledHashJoin nodes on the id keys.
-    val over2 = plan(operators.Fuzzy.nameJoin2(spark, dir, 0L))
+    // nameJoin2's candidate joins (j22/jle1) are guarded too — the
+    // forms table is a mapPartitions product whose Catalyst size
+    // estimate does NOT scale with the corpus, so "leave it to stats"
+    // auto-broadcast a 250M-row side at x100 (caught by the round-17
+    // rehearsal). Forcing every budget to 0 must leave NO broadcast
+    // join anywhere in the plan: two ShuffledHashJoins on the id
+    // re-attach keys plus the shuffled candidate joins.
+    val over2 = plan(operators.Fuzzy.nameJoin2(spark, dir, 0L, 0L))
     assert(over2.split("ShuffledHashJoin \\[id").length - 1 === 2,
       s"both name re-attaches must take the shuffled fallback:\n$over2")
+    assert(!over2.contains("BroadcastHashJoin"),
+      s"no join may broadcast in the fully-forced plan:\n$over2")
   }
 
   test("pq encode: one narrow corpus pass — no join, no hash shuffle") {
