@@ -85,8 +85,14 @@ object Bench {
         return (-1.0, 0L, 0L)
       }
       val t = (System.nanoTime() - t0) / 1e9
-      org.apache.spark.sql.graft.bridge
+      // the drain can time out (listenerBus.waitUntilEmpty throws) on a
+      // loaded host — degrade that query's RESOURCE numbers rather than
+      // aborting the whole run: time, the primary metric, is captured
+      try org.apache.spark.sql.graft.bridge
         .drainListenerBus(spark.sparkContext, 10000L)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name listener drain: ${e.getMessage}")
+      }
       (t, metrics.shuffleWrite.get(), metrics.peakMem.get())
     }
 

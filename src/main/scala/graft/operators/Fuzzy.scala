@@ -326,13 +326,37 @@ object Fuzzy {
   def nameJoin2(spark: SparkSession, dir: String): DataFrame =
     nameJoin2(spark, dir, maxBroadcastNames)
 
-  /** Threshold-parameterized form — see [[nameJoinIncremental]]'s
-    * twin: the spec forces 0 to certify the shuffled name re-attach
-    * row-identical.
+  /** Memo of the materialized τ = 2 candidate-pair table — the
+    * winnowPairs discipline ([[Dedup.prefixJaccardJoin]]'s twin,
+    * round-18 verdict item 3): `q_fuzzy_names2` and
+    * `fuzzy_blocking_eval` both consume the same ~4M-pair gap-filtered
+    * candidate set (~10 s of enumeration + joins at sf0.1) and must
+    * not pay it twice in one session. Keyed by
+    * [[graft.DataVersion.sessionKey]] PLUS the broadcast budget — the
+    * spec's forced-budget runs certify the fallback plan shape and
+    * must never be served the default-budget materialization (or vice
+    * versa), so (dir, data fingerprint, session, maxForms) is the full
+    * invalidation key.
     */
+  private val candidates2Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def candidates2(spark: SparkSession, dir: String,
+      maxForms: Long = maxBroadcastForms): DataFrame = {
+    candidates2Cache.entrySet().removeIf(
+      e => e.getValue.sparkSession.sparkContext.isStopped)
+    candidates2Cache.computeIfAbsent(
+      graft.DataVersion.sessionKey(spark, dir, "customer",
+        s"fuzzycand2#$maxForms"),
+      _ => candidates2Raw(spark, dir, maxForms).localCheckpoint())
+  }
+
   /** The τ = 2 blocker's candidate pair set (canonical id1 < id2, ids
     * only) — the gap-filtered union [[nameJoin2]] verifies, exposed so
     * [[blockingEval]] can grade the blocker it actually ships.
+    * Package-visible so PlanSpec can certify the guarded join shapes
+    * on the RAW plan (the memo's localCheckpoint collapses them to a
+    * scan in any downstream plan).
     *
     * The internal candidate joins are ALSO size-guarded (round-17,
     * caught by the ×100 rehearsal): the forms table is a mapPartitions
@@ -345,7 +369,7 @@ object Fuzzy {
     * (the fast shape the bench scales carry), past it the join takes
     * a shuffled hash join — statistics never decide, measurements do.
     */
-  private def candidates2(spark: SparkSession, dir: String,
+  private[graft] def candidates2Raw(spark: SparkSession, dir: String,
       maxForms: Long = maxBroadcastForms): DataFrame = {
     val nmAll = Tables(spark, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
@@ -391,6 +415,10 @@ object Fuzzy {
     j22.unionByName(jle1).distinct()
   }
 
+  /** Threshold-parameterized form — see [[nameJoinIncremental]]'s
+    * twin: the spec forces 0 to certify the shuffled name re-attach
+    * row-identical.
+    */
   def nameJoin2(spark: SparkSession, dir: String,
       maxNames: Long): DataFrame =
     nameJoin2(spark, dir, maxNames, maxBroadcastForms)

@@ -60,6 +60,18 @@ object ScaleGen {
     * codes keep LCS ≤ 3 at length 6 ⇒ lev ≥ 3; ScaleGenSpec
     * brute-force-pins every pair through factor 128 with adversarial
     * run-ending base names).
+    *
+    * PRECONDITION (round-18 advice): the cross-replica guarantee
+    * assumes EQUAL-LENGTH base names, which the TPC-H customer
+    * corpus satisfies (`Customer#%09d`, fixed 18 chars). With bases
+    * of different lengths the tag of the shorter name can align
+    * against the tail of the longer name itself —
+    * `"x" + replicaTag(26)` = `"x aaaaaa"` vs
+    * `"x aaa" + replicaTag(1)` = `"x aaa aaa"` is lev 1 — a spurious
+    * cross-replica fuzzy pair. ScaleGenSpec brute-forces the
+    * equal-length cross-NAME × cross-tag combinations through factor
+    * 128 and pins the unequal-length counterexample as the
+    * documented boundary of the invariant.
     */
   def replicaTag(k: Int): String =
     if (k == 0) ""

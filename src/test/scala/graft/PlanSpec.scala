@@ -166,9 +166,11 @@ class PlanSpec extends SparkSpec {
 
   test("fuzzy joins: broadcast under the measured budget, shuffled hash " +
     "join past it — never sort-merge") {
-    // default budgets at sf0.001: both the delta forms and the name
-    // re-attach measure far under 4M rows → every guarded join is a
-    // broadcast hash join, nothing shuffled-hash
+    // default budgets at sf0.001: the delta forms measure far under
+    // the 3M-row maxBroadcastForms budget and the name re-attach far
+    // under the 200k-row maxBroadcastNames budget (both calibrated
+    // against spark.driver.maxResultSize, not heap) → every guarded
+    // join is a broadcast hash join, nothing shuffled-hash
     val under = plan(operators.Fuzzy.nameJoinIncremental(spark, dir))
     assert(under.contains("BroadcastHashJoin"), s"broadcast shape:\n$under")
     assert(!under.contains("ShuffledHashJoin"), s"no fallback yet:\n$under")
@@ -185,12 +187,25 @@ class PlanSpec extends SparkSpec {
     // auto-broadcast a 250M-row side at x100 (caught by the round-17
     // rehearsal). Forcing every budget to 0 must leave NO broadcast
     // join anywhere in the plan: two ShuffledHashJoins on the id
-    // re-attach keys plus the shuffled candidate joins.
+    // re-attach keys, and (checked on the RAW candidate plan — the
+    // round-18 session memo collapses the materialized candidate set
+    // to a checkpoint scan in downstream plans) shuffled candidate
+    // joins with no broadcast.
     val over2 = plan(operators.Fuzzy.nameJoin2(spark, dir, 0L, 0L))
     assert(over2.split("ShuffledHashJoin \\[id").length - 1 === 2,
       s"both name re-attaches must take the shuffled fallback:\n$over2")
     assert(!over2.contains("BroadcastHashJoin"),
       s"no join may broadcast in the fully-forced plan:\n$over2")
+    val cand = plan(operators.Fuzzy.candidates2Raw(spark, dir, 0L))
+    assert(cand.contains("ShuffledHashJoin"),
+      s"forced candidate joins must take the shuffled fallback:\n$cand")
+    assert(!cand.contains("BroadcastHashJoin"),
+      s"no candidate join may broadcast when forced past budget:\n$cand")
+    // and under the default budgets at this scale the measured form
+    // counts fit — the fast broadcast shape
+    val candUnder = plan(operators.Fuzzy.candidates2Raw(spark, dir))
+    assert(candUnder.contains("BroadcastHashJoin"),
+      s"under-budget candidate joins broadcast:\n$candUnder")
   }
 
   test("pq encode: one narrow corpus pass — no join, no hash shuffle") {
