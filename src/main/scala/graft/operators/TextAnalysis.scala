@@ -627,14 +627,47 @@ object TextAnalysis {
     * in its own projection so CollapseProject cannot re-evaluate the
     * split per emitted line), one map-side-combined count/min
     * aggregate keyed on line text (a boilerplate hot line arrives at
-    * its reducer pre-combined, ~numMappers rows), one shuffled
-    * equi-join of the line table against the distinct-line firsts
-    * (corpus-proportional, never broadcast), and one per-doc
+    * its reducer pre-combined, ~numMappers rows), one LEFT join of
+    * the line table against only the DUPLICATED firsts (c > 1 — the
+    * keep verdict needs nothing from singleton lines, which at C4
+    * scale are the overwhelming majority), and one per-doc
     * collect_list whose state is bounded by document length — nothing
     * corpus-sized on any single node, no window, no driver collect.
+    *
+    * HOT-KEY shape (round-18 verdict item 6): a boilerplate line
+    * present in a large fraction of documents is a skewed join key.
+    * Restricting the build side to duplicated firsts makes it small
+    * enough to BROADCAST under a measured-count guard
+    * ([[maxBroadcastDupLines]], checkpointed so the count never
+    * re-runs the census aggregate) — the hot line then streams down
+    * the PROBE side of a broadcast hash join and never shuffles at
+    * all. Past the budget the join falls back to a shuffled HASH join
+    * (hinted — never sort-merge), where AQE's skew-split covers the
+    * hot partitions; LineDedupSpec pins both shapes and the planted
+    * hot-line corpus.
     */
   def lineDedup(spark: SparkSession, dir: String,
-      width: Int = lineWords): DataFrame = {
+      width: Int = lineWords): DataFrame =
+    lineDedup(spark, dir, width, maxBroadcastDupLines)
+
+  /** Broadcast-row budget for the duplicated-firsts build side of
+    * [[lineDedup]]'s keep join. Same calibration discipline as
+    * [[Fuzzy.maxBroadcastNames]]: the binding limit is the
+    * driver-side collect a broadcast build performs
+    * (`spark.driver.maxResultSize`, 1 GiB default) at the measured
+    * ~2.7 KB/row serialization cost of short-string rows — 200k rows
+    * ≈ 540 MB transient worst-case. The C4 physics make duplicated
+    * DISTINCT line texts a small fraction of the corpus (boilerplate
+    * is few texts repeated many times), but that is a size CLAIM, so
+    * it is measured per run, never assumed.
+    */
+  val maxBroadcastDupLines = 200000L
+
+  /** Budget-parameterized form — the spec forces 0 to certify the
+    * shuffled-hash fallback row-identical and its plan shape.
+    */
+  def lineDedup(spark: SparkSession, dir: String, width: Int,
+      maxDup: Long): DataFrame = {
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
     val lines = toks.select(col("doc_id"), posexplode(expr(
@@ -642,12 +675,21 @@ object TextAnalysis {
           s"i -> array_join(slice(ws, i * $width + 1, $width), ' '))"))
         .as(Seq("p", "line")))
       .select(col("doc_id"), col("p").cast("long").as("line_no"), col("line"))
-    val firsts = lines.groupBy("line").agg(
-      count(lit(1)).as("c"),
-      min(col("doc_id") * lit(100000L) + col("line_no")).as("fk"))
-    val flagged = lines.join(firsts, Seq("line"))
+    // only lines whose text occurs more than once matter to the keep
+    // verdict; checkpoint so the guard's count() serves from the
+    // materialized census instead of re-running the aggregate
+    val dups = lines.groupBy("line").agg(
+        count(lit(1)).as("c"),
+        min(col("doc_id") * lit(100000L) + col("line_no")).as("fk"))
+      .filter(col("c") > 1)
+      .localCheckpoint()
+    val nDups = dups.count()
+    val joined =
+      if (nDups <= maxDup) lines.join(broadcast(dups), Seq("line"), "left")
+      else lines.join(dups.hint("shuffle_hash"), Seq("line"), "left")
+    val flagged = joined
       .select(col("doc_id"), col("line_no"), col("line"),
-        (col("c") === 1 ||
+        (col("c").isNull ||
           col("doc_id") * lit(100000L) + col("line_no") === col("fk"))
           .as("keep"))
     flagged.groupBy("doc_id").agg(

@@ -58,6 +58,51 @@ class LineDedupSpec extends SparkSpec {
     assert(got(6L) === "m n o p q r s t u v")
   }
 
+  test("planted hot line: a boilerplate line in 20% of docs dedups to " +
+    "its first occurrence and rides the PROBE side of a broadcast join") {
+    // round-18 verdict item 6: a line present in a large fraction of
+    // documents is a skewed join key at C4 scale. The restructured
+    // keep join builds on the DUPLICATED firsts only — the hot line
+    // contributes ONE build row however many documents carry it, and
+    // the corpus-sized probe side never shuffles for the join.
+    val boiler = "subscribe to our newsletter today friend"
+    val docs = (1L to 2000L).map { id =>
+      val body = s"unique${id}a x$id y$id z$id w$id"
+      if (id % 5 == 0L) id -> s"$boiler $body" else id -> body
+    }
+    val dir = writeDocs(docs)
+    val out = TextAnalysis.lineDedup(spark, dir, 6)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"duplicated-firsts build side must broadcast under the budget:\n$p")
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+      s"the probe side must not shuffle for the keep join:\n$p")
+    val got = out.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(4)))).toMap
+    assert(got.size === 2000)
+    // doc 5 is the first (smallest doc_id) carrier: keeps the line
+    assert(got(5L)._1.startsWith(boiler) && got(5L)._2 === 0L)
+    // every later carrier loses exactly the boilerplate line
+    (10L to 2000L by 5L).foreach { id =>
+      assert(got(id)._1 === s"unique${id}a x$id y$id z$id w$id",
+        s"doc $id must drop the boilerplate line")
+      assert(got(id)._2 === 1L)
+    }
+    // non-carriers untouched
+    assert(got(1L) === (("unique1a x1 y1 z1 w1", 0L)))
+
+    // forced budget 0: the fallback is a shuffled HASH join (never
+    // sort-merge) and stays row-identical
+    val forced = TextAnalysis.lineDedup(spark, dir, 6, 0L)
+    val fp = forced.queryExecution.executedPlan.toString
+    assert(fp.contains("ShuffledHashJoin"), s"fallback shape:\n$fp")
+    assert(!fp.contains("BroadcastHashJoin") && !fp.contains("SortMergeJoin"),
+      s"no broadcast or sort-merge in the forced plan:\n$fp")
+    val gotForced = forced.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(4)))).toMap
+    assert(gotForced === got, "fallback shape must be row-identical")
+  }
+
   test("normalize: composed and decomposed NFC pairs converge; changed " +
     "flags only the rewritten doc") {
     val dir = writeDocs(Seq(
