@@ -402,6 +402,31 @@ object ModelStore {
       DataVersion.key(dir, "events", s"hll#$slice"),
       Some(s"m=${operators.Sketches.hllRegisters}"))._2
 
+  // ---- Line census --------------------------------------------------------
+
+  /** The corpus line census (line, c, fk — exact integers + the line
+    * text), the C4-dedup sibling of [[saveHdrCells]]: the census is
+    * MERGEABLE (c sums, fk min-merges across any corpus split —
+    * [[operators.TextAnalysis.lineCensus]]), so the nightly line-dedup
+    * increment reloads the base census and merges only the delta
+    * batch's census ([[operators.TextAnalysis.lineDedupIncremental]])
+    * — verdict-equal to a full recompute, which the driver's
+    * `text_line_dedup_incr` oracle certifies by hash. Same slice-stamp
+    * semantics as the sketch families.
+    */
+  def saveLineCensus(spark: SparkSession, path: String, dir: String,
+                     slice: String, census: DataFrame): Unit =
+    save(spark, path,
+      Meta("line_census", DataVersion.key(dir, "documents", s"lines#$slice"),
+        s"width=${operators.TextAnalysis.lineWords}"),
+      census.select("line", "c", "fk"))
+
+  def loadLineCensus(spark: SparkSession, path: String, dir: String,
+                     slice: String): DataFrame =
+    load(spark, path, "line_census",
+      DataVersion.key(dir, "documents", s"lines#$slice"),
+      Some(s"width=${operators.TextAnalysis.lineWords}"))._2
+
   // ---- CMS cells ----------------------------------------------------------
 
   /** The count-min sketch's cell table (row_j, bucket, cnt — exact

@@ -203,6 +203,7 @@ object SparkEntry {
     "emb_knn_accuracy" -> (Similarity.knnLabelAccuracy _),
     "text_novelty" -> (TextAnalysis.noveltyScores _),
     "text_line_dedup" -> ((s, d) => TextAnalysis.lineDedup(s, d)),
+    "text_line_dedup_incr" -> ((s, d) => TextAnalysis.lineDedupIncremental(s, d)),
     "text_normalize" -> (TextAnalysis.normalizeText _),
     "text_bigram_entropy" -> (TextAnalysis.bigramEntropy _),
     "emb_mrl_overlap" -> (operators.Quantize.mrlOverlap _),
@@ -3312,6 +3313,40 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN NOT keep THEN length(line) END), 0)
         |    AS BIGINT) AS removed_chars
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // incremental line dedup: the oracle IS the full recompute
+    // restricted to the delta batch (doc_id % 10 = 0) — hash equality
+    // against it is the driver-level merge == recompute certificate
+    // for the mergeable line census (c sums, fk min-merges)
+    "text_line_dedup_incr" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS ws
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+        |    array_to_string(ws[CAST(i*5+1 AS INT):CAST(i*5+5 AS INT)], ' ')
+        |      AS line
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(range(0, (len(ws)+4)//5)) AS i FROM w) t),
+        |g AS (
+        |  SELECT line, count(*) AS c,
+        |    min(doc_id*100000+line_no) AS fk
+        |  FROM l GROUP BY 1),
+        |f AS (
+        |  SELECT l.doc_id, l.line_no, l.line,
+        |    (g.c = 1 OR l.doc_id*100000+l.line_no = g.fk) AS keep
+        |  FROM l JOIN g USING (line))
+        |SELECT doc_id,
+        |  coalesce(string_agg(line, ' ' ORDER BY line_no)
+        |    FILTER (WHERE keep), '') AS clean_text,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+        |    AS kept_lines,
+        |  CAST(coalesce(sum(CASE WHEN NOT keep THEN 1 END), 0) AS BIGINT)
+        |    AS removed_lines,
+        |  CAST(coalesce(sum(CASE WHEN NOT keep THEN length(line) END), 0)
+        |    AS BIGINT) AS removed_chars
+        |FROM f WHERE doc_id % 10 = 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Unicode normalization pre-pass: strip Cc minus tab/newline/CR
     // (explicit RE2 ranges — the engine compares the same hex ranges),
     // NFC after the strip (both engines implement the stabilized

@@ -663,26 +663,43 @@ object TextAnalysis {
     */
   val maxBroadcastDupLines = 200000L
 
+  /** The (doc_id, line_no, line) table both line-dedup entry points
+    * explode — fixed-width word-window lineation (see [[lineWords]]).
+    */
+  private def lineTable(spark: SparkSession, dir: String,
+      width: Int): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+    toks.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(ws) + ${width - 1}) div $width - 1), " +
+          s"i -> array_join(slice(ws, i * $width + 1, $width), ' '))"))
+        .as(Seq("p", "line")))
+      .select(col("doc_id"), col("p").cast("long").as("line_no"), col("line"))
+  }
+
+  /** The corpus line census — (line, c, fk): occurrence count and the
+    * scaled-integer first-occurrence key min(doc_id·10⁵ + line_no).
+    * This is MERGEABLE STATE: for any corpus split, c sums and fk
+    * min-merges, so a stored base census plus a delta batch's census
+    * reconstructs the global census exactly — the property
+    * [[lineDedupIncremental]] and the ModelStore round-trip
+    * (LineDedupSpec) rest on.
+    */
+  def lineCensus(lines: DataFrame): DataFrame =
+    lines.groupBy("line").agg(
+      count(lit(1)).as("c"),
+      min(col("doc_id") * lit(100000L) + col("line_no")).as("fk"))
+
   /** Budget-parameterized form — the spec forces 0 to certify the
     * shuffled-hash fallback row-identical and its plan shape.
     */
   def lineDedup(spark: SparkSession, dir: String, width: Int,
       maxDup: Long): DataFrame = {
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
-    val lines = toks.select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, (size(ws) + ${width - 1}) div $width - 1), " +
-          s"i -> array_join(slice(ws, i * $width + 1, $width), ' '))"))
-        .as(Seq("p", "line")))
-      .select(col("doc_id"), col("p").cast("long").as("line_no"), col("line"))
+    val lines = lineTable(spark, dir, width)
     // only lines whose text occurs more than once matter to the keep
     // verdict; checkpoint so the guard's count() serves from the
     // materialized census instead of re-running the aggregate
-    val dups = lines.groupBy("line").agg(
-        count(lit(1)).as("c"),
-        min(col("doc_id") * lit(100000L) + col("line_no")).as("fk"))
-      .filter(col("c") > 1)
-      .localCheckpoint()
+    val dups = lineCensus(lines).filter(col("c") > 1).localCheckpoint()
     val nDups = dups.count()
     val joined =
       if (nDups <= maxDup) lines.join(broadcast(dups), Seq("line"), "left")
@@ -692,6 +709,91 @@ object TextAnalysis {
         (col("c").isNull ||
           col("doc_id") * lit(100000L) + col("line_no") === col("fk"))
           .as("keep"))
+    reassemble(flagged)
+  }
+
+  /** Incremental C4 line dedup (`text_line_dedup_incr`) — the nightly
+    * ingest form of [[lineDedup]], completing the E152 family the way
+    * the sketch families (E128/E138/E139) complete theirs: clean ONLY
+    * the new batch (doc_id % 10 = 0, the engine's standing delta
+    * convention) against the base corpus WITHOUT rescanning base
+    * text. The base contributes only its line CENSUS
+    * ([[lineCensus]] — in production a stored artifact the nightly
+    * job reloads through the ModelStore, stamp-validated; the
+    * LineDedupSpec round-trip certifies the stored path bit-equal),
+    * and the census is mergeable: global c = base c + delta c,
+    * global fk = min(base fk, delta fk) for every line the delta
+    * touches, so the merged verdict equals the full recompute's —
+    * which is exactly what the driver's oracle certifies (the oracle
+    * SQL IS the full recompute restricted to delta docs:
+    * merge == recompute, hash-checked).
+    *
+    * Scale shape: the delta's distinct lines semi-join-filter the
+    * base census (probe side streams the census scan; build side is
+    * the delta's distinct lines under the measured-count broadcast
+    * guard), so the merge is O(delta) wide against one flow-through
+    * pass of O(distinct base lines) state — base TEXT is never
+    * re-read, nothing corpus-sized broadcasts, and the keep join is
+    * the same duplicated-firsts broadcast shape as the batch pass.
+    */
+  def lineDedupIncremental(spark: SparkSession, dir: String,
+      width: Int = lineWords): DataFrame =
+    lineDedupIncremental(spark, dir, width, maxBroadcastDupLines, None)
+
+  /** Parameterized form: the spec forces `maxDup` = 0 for the
+    * fallback shape and passes `baseCensus` to certify the
+    * ModelStore-served path equal to the self-computed one.
+    */
+  def lineDedupIncremental(spark: SparkSession, dir: String, width: Int,
+      maxDup: Long, baseCensus: Option[DataFrame]): DataFrame = {
+    val all = lineTable(spark, dir, width)
+    val deltaLines = all.filter(col("doc_id") % 10 === 0)
+    val base = baseCensus.getOrElse(
+      lineCensus(all.filter(col("doc_id") % 10 =!= 0)))
+    // the delta census is delta-sized; checkpoint so the guard count
+    // and the merge both serve from one materialization
+    val dCensus = lineCensus(deltaLines).localCheckpoint()
+    val nDeltaLines = dCensus.count()
+    // restrict the base census to lines the delta actually touches:
+    // the census streams through a semi-join whose build side is the
+    // delta's distinct lines — guarded broadcast, shuffled-hash past
+    // the budget (never sort-merge; the census side is the big one)
+    val deltaKeys = dCensus.select("line")
+    val relevantBase =
+      if (nDeltaLines <= maxDup)
+        base.join(broadcast(deltaKeys), Seq("line"), "left_semi")
+      else base.join(deltaKeys.hint("shuffle_hash"), Seq("line"), "left_semi")
+    // mergeable-state reconstruction, then the batch pass's
+    // duplicated-firsts discipline: only merged lines with global
+    // c > 1 can suppress anything. The build side here is the
+    // semi-filtered base census — bounded by the MEASURED delta
+    // distinct-line count, so the same guard applies (an unhinted
+    // join would let Catalyst's stats decide, the round-17 lesson)
+    val relevantGuarded =
+      if (nDeltaLines <= maxDup) broadcast(relevantBase)
+      else relevantBase.hint("shuffle_hash")
+    val merged = dCensus.as("d")
+      .join(relevantGuarded.as("b"), Seq("line"), "left")
+      .select(col("line"),
+        (col("d.c") + coalesce(col("b.c"), lit(0L))).as("c"),
+        least(col("d.fk"), col("b.fk")).as("fk"))
+      .filter(col("c") > 1)
+    val joined =
+      if (nDeltaLines <= maxDup)
+        deltaLines.join(broadcast(merged), Seq("line"), "left")
+      else deltaLines.join(merged.hint("shuffle_hash"), Seq("line"), "left")
+    val flagged = joined
+      .select(col("doc_id"), col("line_no"), col("line"),
+        (col("c").isNull ||
+          col("doc_id") * lit(100000L) + col("line_no") === col("fk"))
+          .as("keep"))
+    reassemble(flagged)
+  }
+
+  /** Shared tail of both line-dedup entry points: per-doc ordered
+    * reassembly of kept lines plus removed-line/char accounting.
+    */
+  private def reassemble(flagged: DataFrame): DataFrame =
     flagged.groupBy("doc_id").agg(
         array_join(transform(
           filter(array_sort(collect_list(
@@ -704,7 +806,6 @@ object TextAnalysis {
         sum(when(!col("keep"), length(col("line")).cast("long"))
           .otherwise(0L)).as("removed_chars"))
       .orderBy("doc_id")
-  }
 
   /** Unicode normalization pre-pass (the CCNet/Gopher/C4 ingest step
     * this engine tokenized without): NFC-normalize each document,

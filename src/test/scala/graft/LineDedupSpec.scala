@@ -103,6 +103,64 @@ class LineDedupSpec extends SparkSpec {
     assert(gotForced === got, "fallback shape must be row-identical")
   }
 
+  test("incremental line dedup: merge == recompute on a planted " +
+    "base/delta fixture, ModelStore-served census bit-equal, forced " +
+    "fallback row-identical") {
+    // cross-boundary cases the merge must get right: a base doc owns
+    // the first occurrence of a delta line (delta suppressed), a delta
+    // doc owns the first occurrence of a later base line (delta keeps;
+    // base is not re-emitted), delta-delta duplication across docs,
+    // and a delta doc fully duplicated by base (reassembles empty)
+    val dir = writeDocs(Seq(
+      3L -> "h e a d e r x y z w", // base: first occurrence of "h e a d e r"
+      10L -> "h e a d e r p q r s", // delta: line 0 suppressed by doc 3
+      20L -> "n o v e l a b c d", // delta: owns "n o v e l" first
+      21L -> "n o v e l f g h i", // base AFTER the delta first: not emitted
+      30L -> "d d d d d k k k k k", // delta: both lines first here
+      40L -> "d d d d d k k k k k", // delta: whole-doc dup of 30 → empty
+      7L -> "plain base only words here")) // base noise
+    val full = TextAnalysis.lineDedup(spark, dir)
+      .filter(col("doc_id") % 10 === 0).collect().map(_.toSeq)
+    val incr = TextAnalysis.lineDedupIncremental(spark, dir)
+    assert(incr.collect().map(_.toSeq).toSeq === full.toSeq,
+      "incremental merge must equal the full recompute on delta docs")
+    // sanity on the planted semantics
+    val got = incr.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(10L) === "r p q r s") // line0 "h e a d e" suppressed by doc 3
+    assert(got(20L) === "n o v e l a b c d")
+    assert(got(30L) === "d d d d d k k k k k")
+    assert(got(40L) === "")
+
+    // ModelStore round-trip: save the BASE census, reload it
+    // stamp-validated, serve the increment from the stored artifact —
+    // bit-equal to the self-computed path
+    val store = java.nio.file.Files.createTempDirectory("linecensus").toString
+    val baseLines = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(ws) + 4) div 5 - 1), " +
+          "i -> array_join(slice(ws, i * 5 + 1, 5), ' '))"))
+        .as(Seq("p", "line")))
+      .select(col("doc_id"), col("p").cast("long").as("line_no"), col("line"))
+    ModelStore.saveLineCensus(spark, store, dir, "base",
+      TextAnalysis.lineCensus(baseLines))
+    val served = TextAnalysis.lineDedupIncremental(spark, dir,
+      TextAnalysis.lineWords, TextAnalysis.maxBroadcastDupLines,
+      Some(ModelStore.loadLineCensus(spark, store, dir, "base")))
+    assert(served.collect().map(_.toSeq).toSeq === full.toSeq,
+      "the ModelStore-served census must reproduce the recompute")
+
+    // forced budget 0: every guarded join takes the shuffled-hash
+    // fallback and the output is row-identical
+    val forced = TextAnalysis.lineDedupIncremental(spark, dir,
+      TextAnalysis.lineWords, 0L, None)
+    val fp = forced.queryExecution.executedPlan.toString
+    assert(fp.contains("ShuffledHashJoin") && !fp.contains("BroadcastHashJoin")
+      && !fp.contains("SortMergeJoin"), s"forced fallback shape:\n$fp")
+    assert(forced.collect().map(_.toSeq).toSeq === full.toSeq)
+  }
+
   test("normalize: composed and decomposed NFC pairs converge; changed " +
     "flags only the rewritten doc") {
     val dir = writeDocs(Seq(
