@@ -402,6 +402,30 @@ object ModelStore {
       DataVersion.key(dir, "events", s"hll#$slice"),
       Some(s"m=${operators.Sketches.hllRegisters}"))._2
 
+  // ---- Theta/KMV sketch ---------------------------------------------------
+
+  /** The KMV sketch frame (the ≤ k smallest 60-bit key hashes — exact
+    * integers), the set-algebra sibling of [[saveHllDailyRegs]]: KMV
+    * state is MERGEABLE by re-min (the k smallest of two stored
+    * sketches' union ARE the k smallest of the underlying set union),
+    * so nightly shards save their sketches and any later
+    * intersection/union query merges stored frames without touching
+    * raw keys ([[operators.Sketches.thetaKmvOf]]; ThetaSketchSpec
+    * certifies merge == recompute and the served estimates bit-equal).
+    */
+  def saveThetaSketch(spark: SparkSession, path: String, dir: String,
+                      slice: String, kmv: DataFrame): Unit =
+    save(spark, path,
+      Meta("theta_kmv", DataVersion.key(dir, "orders", s"theta#$slice"),
+        s"k=${operators.Sketches.thetaK}"),
+      kmv.select("h"))
+
+  def loadThetaSketch(spark: SparkSession, path: String, dir: String,
+                      slice: String): DataFrame =
+    load(spark, path, "theta_kmv",
+      DataVersion.key(dir, "orders", s"theta#$slice"),
+      Some(s"k=${operators.Sketches.thetaK}"))._2
+
   // ---- Line census --------------------------------------------------------
 
   /** The corpus line census (line, c, fk — exact integers + the line

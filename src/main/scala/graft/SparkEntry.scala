@@ -271,6 +271,7 @@ object SparkEntry {
     "q_weekly_profile" -> (Behavior.weeklyProfile _),
     "q_hll_distinct" -> (operators.Sketches.hllDistinct _),
     "q_hll_overlap" -> (operators.Sketches.hllCohortOverlap _),
+    "q_theta_overlap" -> (operators.Sketches.thetaOverlap _),
     "text_bpe_merges" ->
       ((s: SparkSession, d: String) => operators.BpeTrainer.train(s, d)),
     "text_bpe_fertility" ->
@@ -5809,6 +5810,65 @@ object SparkEntry {
          |    round(abs(round($estBoth, 4) - CAST(n_exact_both AS DOUBLE)) /
          |          CAST(n_exact_both AS DOUBLE), 4) END AS rel_err
          |FROM esa, esb, esu, ex""".stripMargin
+    },
+    // Theta/KMV set algebra replay (Sketches.thetaOverlap): the k=256
+    // smallest 60-bit md5 hashes per cohort ARE the sketch state —
+    // order statistics of exact integers, replayed verbatim; union =
+    // re-min of the merged frames; intersection = common hashes under
+    // θ = min(θ_A, θ_B); every estimate is one round-4 division of
+    // exact integers cast to double
+    "q_theta_overlap" -> {
+      val k = operators.Sketches.thetaK
+      val bigM = 1L << operators.Sketches.thetaHashBits
+      val hex15 = (0 until 15).map(o =>
+        s"(strpos('0123456789abcdef', substr(d, ${1 + o}, 1)) - 1) * " +
+          s"CAST(${BigInt(16).pow(14 - o)} AS BIGINT)").mkString(" + ")
+      def kmv(sfx: String, prio: String) =
+        s"""hh$sfx AS (
+           |  SELECT DISTINCT ($hex15) AS h
+           |  FROM (SELECT md5(CAST(o_custkey AS VARCHAR)) AS d
+           |        FROM orders WHERE o_orderpriority = '$prio')),
+           |kmv$sfx AS (SELECT h FROM hh$sfx ORDER BY h LIMIT $k),
+           |t$sfx AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n$sfx,
+           |    CASE WHEN count(*) < $k THEN CAST($bigM AS BIGINT)
+           |         ELSE max(h) END AS t$sfx
+           |  FROM kmv$sfx)""".stripMargin
+      def est(cnt: String, theta: String) =
+        s"round(CAST($cnt AS DOUBLE) * $bigM.0 / CAST($theta AS DOUBLE), 4)"
+      s"""WITH ${kmv("a", "1-URGENT")},
+         |${kmv("b", "5-LOW")},
+         |kmvu AS (
+         |  SELECT h FROM (SELECT h FROM kmva UNION SELECT h FROM kmvb)
+         |  ORDER BY h LIMIT $k),
+         |tu AS (
+         |  SELECT CASE WHEN count(*) < $k THEN CAST($bigM AS BIGINT)
+         |         ELSE max(h) END AS tu
+         |  FROM kmvu),
+         |cu AS (SELECT CAST(count(*) AS BIGINT) AS cu
+         |       FROM kmvu, tu WHERE h < tu),
+         |ci AS (SELECT CAST(count(*) AS BIGINT) AS ci
+         |       FROM kmva JOIN kmvb USING (h), ta, tb
+         |       WHERE h < least(ta, tb)),
+         |ca AS (SELECT CAST(count(*) AS BIGINT) AS ca
+         |       FROM kmva, ta WHERE h < ta),
+         |cb AS (SELECT CAST(count(*) AS BIGINT) AS cb
+         |       FROM kmvb, tb WHERE h < tb),
+         |ex AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_exact_both FROM (
+         |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         |    INTERSECT
+         |    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'))
+         |SELECT CAST($k AS BIGINT) AS k, least(ta, tb) AS theta,
+         |  ${est("ca", "ta")} AS est_a,
+         |  ${est("cb", "tb")} AS est_b,
+         |  ${est("cu", "tu")} AS est_union,
+         |  ${est("ci", "least(ta, tb)")} AS est_both, n_exact_both,
+         |  CASE WHEN n_exact_both > 0 THEN
+         |    round(abs(${est("ci", "least(ta, tb)")} -
+         |              CAST(n_exact_both AS DOUBLE)) /
+         |          CAST(n_exact_both AS DOUBLE), 4) END AS rel_err
+         |FROM ta, tb, tu, cu, ci, ca, cb, ex""".stripMargin
     },
     "q_hll_distinct" -> {
       val m = operators.Sketches.hllRegisters

@@ -741,6 +741,125 @@ object Sketches {
     * three map-side-combined O(m) aggregates; the exact side is one
     * INTERSECT (distinct-equi-join) emitted as a single count.
     */
+  /** KMV/Theta sketch size — k minimum hash values retained per set.
+    * RSE of the distinct estimate ≈ 1/√(k−2) ≈ 6.3%; the intersection
+    * inherits the sampling error at θ = min(θ_A, θ_B), which is the
+    * BOUNDED-error property inclusion–exclusion lacks (E101's HLL
+    * overlap subtracts three estimates, compounding absolute error on
+    * a possibly tiny intersection — its honesty column shows it).
+    */
+  val thetaK = 256
+
+  /** KMV hash bits: 60 (15 md5 hex chars) so the k-th order statistic
+    * is collision-free at corpus scale (32 bits would collide at ~1%
+    * on 10⁴ keys; 60 bits at ~10⁻¹⁰). Hash space M = 2⁶⁰.
+    */
+  val thetaHashBits = 60
+  private val thetaM = 1L << thetaHashBits
+
+  /** 60-bit key hash — md5 of the decimal string, the engine-shared
+    * primitive ([[hllHash]] discipline) so the SKETCH STATE (the k
+    * hash values themselves) replays bit-exactly in the oracle.
+    */
+  private[operators] def thetaHash(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** The KMV sketch frame: the min(k, n) smallest distinct 60-bit key
+    * hashes — MERGEABLE state: the k smallest of (kmv(A) ∪ kmv(B)) ARE
+    * the k smallest of A ∪ B (any member of the union's bottom-k is in
+    * its own set's bottom-k), so shard sketches union by re-minning —
+    * the property ThetaSketchSpec pins and the ModelStore serve path
+    * uses. Shape: one narrow hash projection, one distinct, one
+    * TakeOrderedAndProject(k) — per-partition partial top-k then an
+    * O(k·partitions) merge, never a global sort; O(k) state shipped
+    * per shard at any corpus size.
+    */
+  def thetaKmvOf(keys: DataFrame, keyCol: String): DataFrame =
+    keys.select(thetaHash(col(keyCol)).as("h"))
+      .distinct().orderBy("h").limit(thetaK)
+
+  /** One-row (n, theta) read-off of a KMV sketch frame: θ is the k-th
+    * smallest hash when the sketch is full, else the whole hash space
+    * M (exact mode — the sketch holds EVERY key hash). The uniform
+    * estimator |{h < θ}| / (θ/M) then degrades gracefully: full
+    * sketch → (k−1)·M/θ, exact mode → the plain count.
+    */
+  private def thetaOf(kmv: DataFrame): DataFrame =
+    kmv.agg(count(lit(1)).as("n"), max(col("h")).as("mx"))
+      .select(col("n"),
+        when(col("n") < thetaK, lit(thetaM)).otherwise(col("mx"))
+          .as("theta"))
+
+  /** θ-normalized round-4 estimate column over (cnt, theta). */
+  private def thetaEst(cnt: Column, theta: Column): Column =
+    round(cnt.cast("double") * lit(thetaM.toDouble) /
+      theta.cast("double"), 4)
+
+  /** THETA/KMV SET ALGEBRA (`q_theta_overlap`) — the same cohort
+    * intersection as [[hllCohortOverlap]], estimated with BOUNDED
+    * error: both sketches are cut to the common threshold
+    * θ = min(θ_A, θ_B), under which each retained hash is a uniform
+    * sample of its set at rate θ/M — so the common hashes below θ are
+    * a sample of A ∩ B at that same rate, and |A∩B| ≈ |sample|·M/θ
+    * with RSE ~ 1/√|sample| (the Theta-sketch intersection, Dasgupta
+    * et al. 2016). No subtraction of estimates anywhere: the error is
+    * the sample's own, not the union's absolute error landed on a
+    * small intersection. The union estimate rides along off the
+    * re-minned merged sketch (the KMV union), and the exact INTERSECT
+    * + rel_err honesty columns match the E101 discipline.
+    *
+    * Determinism: hashes, thetas, and sample counts are exact
+    * integers (the oracle replays the identical md5-derived order
+    * statistics); each estimate is ONE division of exact integers
+    * cast to double, round-4 — the certified-parity shape.
+    *
+    * Shape: two distinct+top-k sketch builds (map-side partial
+    * top-k), then every join is over ≤ k-row frames — bounded by the
+    * CONSTANT k, not by a stats estimate, so the broadcasts are
+    * structurally safe; the exact side is one INTERSECT count.
+    */
+  def thetaOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_custkey"))
+    val a = ord.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    val b = ord.filter(col("o_orderpriority") === "5-LOW")
+      .select("o_custkey")
+    val kmvA = thetaKmvOf(a, "o_custkey").localCheckpoint()
+    val kmvB = thetaKmvOf(b, "o_custkey").localCheckpoint()
+    val tA = thetaOf(kmvA).select(col("n").as("n_a"), col("theta").as("ta"))
+    val tB = thetaOf(kmvB).select(col("n").as("n_b"), col("theta").as("tb"))
+    // the KMV union: re-min the merged sketch frames
+    val kmvU = kmvA.unionByName(kmvB).distinct().orderBy("h").limit(thetaK)
+    val tU = thetaOf(kmvU).select(col("theta").as("tu"))
+    val nU = kmvU.crossJoin(tU)
+      .filter(col("h") < col("tu"))
+      .agg(count(lit(1)).as("cu"))
+    // intersection sample: common hashes under the COMMON threshold
+    val nI = kmvA.join(kmvB, Seq("h"))
+      .crossJoin(tA.select(col("ta"))).crossJoin(tB.select(col("tb")))
+      .filter(col("h") < least(col("ta"), col("tb")))
+      .agg(count(lit(1)).as("ci"))
+    val cntA = kmvA.crossJoin(tA.select(col("ta").as("t")))
+      .filter(col("h") < col("t")).agg(count(lit(1)).as("ca"))
+    val cntB = kmvB.crossJoin(tB.select(col("tb").as("t")))
+      .filter(col("h") < col("t")).agg(count(lit(1)).as("cb"))
+    val exact = a.intersect(b).agg(count(lit(1)).as("n_exact_both"))
+    val estBoth = thetaEst(col("ci"), least(col("ta"), col("tb")))
+    tA.crossJoin(tB).crossJoin(tU).crossJoin(nU).crossJoin(nI)
+      .crossJoin(cntA).crossJoin(cntB).crossJoin(exact)
+      .select(lit(thetaK.toLong).as("k"),
+        least(col("ta"), col("tb")).as("theta"),
+        thetaEst(col("ca"), col("ta")).as("est_a"),
+        thetaEst(col("cb"), col("tb")).as("est_b"),
+        thetaEst(col("cu"), col("tu")).as("est_union"),
+        estBoth.as("est_both"), col("n_exact_both"),
+        when(col("n_exact_both") > 0L,
+          round(abs(estBoth - col("n_exact_both").cast("double")) /
+            col("n_exact_both").cast("double"), 4)).as("rel_err"))
+  }
+
   def hllCohortOverlap(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables(spark, dir, "orders")
       .select(col("o_orderpriority"), col("o_custkey"))
