@@ -205,6 +205,7 @@ object SparkEntry {
     "text_line_dedup" -> ((s, d) => TextAnalysis.lineDedup(s, d)),
     "text_line_dedup_incr" -> ((s, d) => TextAnalysis.lineDedupIncremental(s, d)),
     "text_normalize" -> (TextAnalysis.normalizeText _),
+    "text_normalize_unicode" -> (TextAnalysis.normalizeTextUnicode _),
     "text_bigram_entropy" -> (TextAnalysis.bigramEntropy _),
     "emb_mrl_overlap" -> (operators.Quantize.mrlOverlap _),
     "emb_srp_signatures" -> (RandomProjection.signatures _),
@@ -355,6 +356,26 @@ object SparkEntry {
     * lexicographically — hex encoding is order-preserving, so no
     * hex→int conversion is needed on the oracle side.
     */
+  /** Render a Scala string as a DuckDB expression of ASCII literal
+    * runs and chr(codepoint) calls — planted Unicode probe text must
+    * reach the oracle as CODEPOINTS (a raw literal could be
+    * renormalized or re-encoded anywhere between source and parser,
+    * silently turning a decomposed probe into its composed twin).
+    */
+  private def chrSql(s: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val run = new StringBuilder
+    def flush(): Unit = if (run.nonEmpty) {
+      parts += "'" + run.toString.replace("'", "''") + "'"; run.clear()
+    }
+    s.codePoints().forEach { cp =>
+      if (cp >= 0x20 && cp < 0x7F) run.append(cp.toChar)
+      else { flush(); parts += s"chr($cp)" }
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString(" || ")
+  }
+
   private def dhashHalfExpr(rows: Range, base: Int): String =
     rows.flatMap { r =>
       (0 until 8).map { c =>
@@ -3365,6 +3386,38 @@ object SparkEntry {
         |  CAST(CASE WHEN nfc_normalize(st) = text THEN 0 ELSE 1 END
         |    AS BIGINT) AS changed
         |FROM s ORDER BY doc_id""".stripMargin,
+    // normalization over corpus + planted Unicode probes: the corpus
+    // is pure ASCII (text_normalize certifies the identity there), so
+    // this row is the DRIVER-level certificate of the non-trivial
+    // transform — decomposed→NFC, C0/C1 control strip, mojibake
+    // count, astral passthrough, strip-before-NFC ordering. The
+    // probe strings reach DuckDB as chr(codepoint) expressions
+    // GENERATED from TextAnalysis.unicodeProbes, so both engines
+    // consume the identical codepoint sequences by construction (a
+    // raw literal could be renormalized in transport).
+    "text_normalize_unicode" -> {
+      val probeRows = operators.TextAnalysis.unicodeProbes.map {
+        case (id, text) => s"(CAST($id AS BIGINT), ${chrSql(text)})"
+      }.mkString(",\n      ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    $probeRows) v(doc_id, text)),
+         |s AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(text,
+         |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g')
+         |      AS st
+         |  FROM docs)
+         |SELECT doc_id, nfc_normalize(st) AS norm_text,
+         |  CAST(length(text) - length(st) AS BIGINT) AS n_ctrl_stripped,
+         |  CAST(length(text) - length(replace(text, chr(65533), ''))
+         |    AS BIGINT) AS n_mojibake,
+         |  CAST(CASE WHEN nfc_normalize(st) = text THEN 0 ELSE 1 END
+         |    AS BIGINT) AS changed
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "emb_centroid_drift" ->
       s"""WITH dims AS (
          |  SELECT (vec_id % 2 = 0) AS old_half, CAST(i - 1 AS BIGINT) AS dim,

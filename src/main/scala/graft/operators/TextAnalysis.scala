@@ -843,6 +843,48 @@ object TextAnalysis {
   def normalizeText(spark: SparkSession, dir: String): DataFrame =
     normalizeOf(Tables(spark, dir, "documents")).orderBy("doc_id")
 
+  /** Deterministic Unicode probe documents for
+    * [[normalizeTextUnicode]] — the round-18 close of the "identity
+    * on ASCII" certification gap: the registered corpus is pure
+    * ASCII, so `text_normalize`'s tri-scale hash rows prove only
+    * NFC(x) = x there. These probes carry every interesting behavior
+    * — decomposed NFC pairs, stripped Cc controls (C0 and C1,
+    * whitespace survivors interleaved), preserved-and-counted
+    * U+FFFD mojibake, astral passthrough, and a control BETWEEN a
+    * base char and its combining mark (the strip-before-NFC ordering
+    * case) — and the oracle replays them from chr() codepoint
+    * literals GENERATED from this same sequence, so the driver's
+    * hash gate certifies the non-trivial transform cross-engine.
+    * Ids sit at 9·10¹¹, above any corpus or ×128-replica id.
+    */
+  val unicodeProbes: Seq[(Long, String)] = Seq(
+    // decomposed e+ACUTE three times: NFC composes, changed = 1
+    (900000000001L, "café société menu"),
+    // C0 + C1 controls strip (including U+0085 NEL); tab/newline/CR
+    // survive between them: n_ctrl_stripped = 6, changed = 1
+    (900000000002L, "ctlabcd\te\nf\rgh"),
+    // U+FFFD counted AND preserved: n_mojibake = 2, changed = 0
+    (900000000003L, "moji�x� end"),
+    // astral clef (U+1D11E) and precomposed é pass through: changed = 0
+    (900000000004L, "astral 𝄞 clef café"),
+    // control BETWEEN base char and combining mark: the strip must
+    // not block composition (strip first, then NFC)
+    (900000000005L, "mixed e́ tail�"))
+
+  /** `text_normalize_unicode` — [[normalizeText]] over the corpus
+    * plus the planted [[unicodeProbes]]: same kernel, same zero-
+    * shuffle shape; exists so the DRIVER-level oracle certifies a
+    * non-trivial normalization (nonzero strips/mojibake/changed) and
+    * not just the ASCII identity.
+    */
+  def normalizeTextUnicode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = spark.createDataset(unicodeProbes).toDF("doc_id", "text")
+    normalizeOf(Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).unionByName(planted))
+      .orderBy("doc_id")
+  }
+
   /** Streaming serve half of the normalization gate — the same
     * stateless narrow projection over arriving documents (zero
     * shuffles, no sort: append-mode streamable like the E151
