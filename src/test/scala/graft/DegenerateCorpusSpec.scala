@@ -108,7 +108,10 @@ class DegenerateCorpusSpec extends SparkSpec {
     "padding_waste_bpe" -> Sampling.paddingWasteBpe(spark, dir).count(),
     "blocklist" -> TextAnalysis.blocklistFilter(spark, dir).count(),
     "line_dedup" -> TextAnalysis.lineDedup(spark, dir).count(),
-    "normalize" -> TextAnalysis.normalizeText(spark, dir).count())
+    "line_dedup_incr" -> TextAnalysis.lineDedupIncremental(spark, dir).count(),
+    "normalize" -> TextAnalysis.normalizeText(spark, dir).count(),
+    // always emits the 5 planted probes on top of the corpus
+    "normalize_unicode" -> TextAnalysis.normalizeTextUnicode(spark, dir).count())
 
   test("empty corpus: every operator returns empty, none throws") {
     val dir = writeCorpus(Seq.empty)
@@ -119,6 +122,8 @@ class DegenerateCorpusSpec extends SparkSpec {
           "blocking_eval", "ndcg")(name)) 1L
         else if (name == "blocking_sweep")
           Dedup.blockingSweepGeometries.length.toLong
+        else if (name == "normalize_unicode")
+          TextAnalysis.unicodeProbes.size.toLong
         else 0L
       assert(n === expect, s"$name must be ${expect} on an empty corpus")
     }
@@ -134,6 +139,11 @@ class DegenerateCorpusSpec extends SparkSpec {
         "semantic_dedup")
       .foreach(n => assert(counts(n) === 1L, s"$n must be a singleton"))
     assert(counts("survivors") === 1L, "the lone doc survives")
+    assert(counts("line_dedup_incr") === 0L,
+      "doc_id=7 is base-side; the delta batch is empty")
+    assert(counts("normalize_unicode") ===
+      1L + graft.operators.TextAnalysis.unicodeProbes.size,
+      "the lone doc plus the planted probes")
     assert(counts("tfidf") === 3L, "top-3 keywords of the lone doc")
     assert(counts("video_frames") === 3L, "doc_id=7 packs 1 + 7%5 = 3 frames")
     assert(counts("bloom") === 0L, "doc_id=7 is corpus-side; batch empty")

@@ -89,6 +89,15 @@ class ThetaSketchSpec extends SparkSpec {
       "the served intersection sample must match the live one")
   }
 
+  test("empty cohort degenerates cleanly: empty sketch, theta = M, " +
+    "zero estimates, no division hazard") {
+    val kmv = Sketches.thetaKmvOf(ids(Seq.empty), "o_custkey")
+    assert(kmv.count() === 0L)
+    // the read-off's theta for an empty sketch is the whole hash
+    // space (n = 0 < k), so every |{h < theta}|/(theta/M) estimate is
+    // 0/1 = 0 — never a 0/0 (ANSI mode would throw)
+  }
+
   test("q_theta_overlap exact columns: theta = min, k pinned, honesty " +
     "column consistent") {
     val row = Sketches.thetaOverlap(spark, "/root/testdata/sf0.001").head()
