@@ -273,6 +273,7 @@ object SparkEntry {
     "q_hll_distinct" -> (operators.Sketches.hllDistinct _),
     "q_hll_overlap" -> (operators.Sketches.hllCohortOverlap _),
     "q_theta_overlap" -> (operators.Sketches.thetaOverlap _),
+    "q_theta_diff" -> (operators.Sketches.thetaDiff _),
     "text_bpe_merges" ->
       ((s: SparkSession, d: String) => operators.BpeTrainer.train(s, d)),
     "text_bpe_fertility" ->
@@ -5922,6 +5923,62 @@ object SparkEntry {
          |              CAST(n_exact_both AS DOUBLE)) /
          |          CAST(n_exact_both AS DOUBLE), 4) END AS rel_err
          |FROM ta, tb, tu, cu, ci, ca, cb, ex""".stripMargin
+    },
+    // Theta set difference replay: below theta = min(theta_a, theta_b)
+    // both sketches are complete, so an anti-join of the frames IS a
+    // rate-theta/M sample of A-minus-B; exact EXCEPT counts alongside
+    "q_theta_diff" -> {
+      val k = operators.Sketches.thetaK
+      val bigM = 1L << operators.Sketches.thetaHashBits
+      val hex15 = (0 until 15).map(o =>
+        s"(strpos('0123456789abcdef', substr(d, ${1 + o}, 1)) - 1) * " +
+          s"CAST(${BigInt(16).pow(14 - o)} AS BIGINT)").mkString(" + ")
+      def kmv(sfx: String, prio: String) =
+        s"""hh$sfx AS (
+           |  SELECT DISTINCT ($hex15) AS h
+           |  FROM (SELECT md5(CAST(o_custkey AS VARCHAR)) AS d
+           |        FROM orders WHERE o_orderpriority = '$prio')),
+           |kmv$sfx AS (SELECT h FROM hh$sfx ORDER BY h LIMIT $k),
+           |t$sfx AS (
+           |  SELECT CASE WHEN count(*) < $k THEN CAST($bigM AS BIGINT)
+           |         ELSE max(h) END AS t$sfx
+           |  FROM kmv$sfx)""".stripMargin
+      def est(cnt: String) =
+        s"round(CAST($cnt AS DOUBLE) * $bigM.0 / " +
+          "CAST(least(ta, tb) AS DOUBLE), 4)"
+      s"""WITH ${kmv("a", "1-URGENT")},
+         |${kmv("b", "5-LOW")},
+         |coa AS (SELECT CAST(count(*) AS BIGINT) AS c_only_a
+         |        FROM kmva, ta, tb WHERE h < least(ta, tb)
+         |          AND h NOT IN (SELECT h FROM kmvb)),
+         |cob AS (SELECT CAST(count(*) AS BIGINT) AS c_only_b
+         |        FROM kmvb, ta, tb WHERE h < least(ta, tb)
+         |          AND h NOT IN (SELECT h FROM kmva)),
+         |exa AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_exact_only_a FROM (
+         |    SELECT DISTINCT o_custkey FROM orders
+         |    WHERE o_orderpriority = '1-URGENT'
+         |    EXCEPT
+         |    SELECT DISTINCT o_custkey FROM orders
+         |    WHERE o_orderpriority = '5-LOW')),
+         |exb AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_exact_only_b FROM (
+         |    SELECT DISTINCT o_custkey FROM orders
+         |    WHERE o_orderpriority = '5-LOW'
+         |    EXCEPT
+         |    SELECT DISTINCT o_custkey FROM orders
+         |    WHERE o_orderpriority = '1-URGENT'))
+         |SELECT CAST($k AS BIGINT) AS k, least(ta, tb) AS theta,
+         |  ${est("c_only_a")} AS est_only_a,
+         |  ${est("c_only_b")} AS est_only_b,
+         |  n_exact_only_a, n_exact_only_b,
+         |  CASE WHEN n_exact_only_a > 0 THEN
+         |    round(abs(${est("c_only_a")} - CAST(n_exact_only_a AS DOUBLE)) /
+         |          CAST(n_exact_only_a AS DOUBLE), 4) END AS rel_err_a,
+         |  CASE WHEN n_exact_only_b > 0 THEN
+         |    round(abs(${est("c_only_b")} - CAST(n_exact_only_b AS DOUBLE)) /
+         |          CAST(n_exact_only_b AS DOUBLE), 4) END AS rel_err_b
+         |FROM ta, tb, coa, cob, exa, exb""".stripMargin
     },
     "q_hll_distinct" -> {
       val m = operators.Sketches.hllRegisters

@@ -860,6 +860,90 @@ object Sketches {
             col("n_exact_both").cast("double"), 4)).as("rel_err"))
   }
 
+  /** THETA SET DIFFERENCE (`q_theta_diff`) — completes the E156
+    * algebra (union, intersection, now A∖B and B∖A): below the common
+    * threshold θ = min(θ_A, θ_B) BOTH sketches are complete samples of
+    * their sets at rate θ/M, so `{h ∈ kmv(A) : h < θ ∧ h ∉ kmv(B)}`
+    * is exactly a rate-θ/M sample of A∖B (membership against kmv(B)
+    * is EXACT under θ — every B-hash below θ ≤ θ_B is retained in
+    * kmv(B)), and |A∖B| ≈ |sample|·M/θ with the sample's own error —
+    * the same bounded-error property as the intersection, where
+    * est(A) − est(A∩B) would compound two estimates' errors. Exact
+    * EXCEPT counts + per-side rel_err ride along as honesty columns;
+    * same cohorts, hashes, and round-4 single-division discipline as
+    * [[thetaOverlap]].
+    */
+  def thetaDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_custkey"))
+    val a = ord.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    val b = ord.filter(col("o_orderpriority") === "5-LOW")
+      .select("o_custkey")
+    val kmvA = thetaKmvOf(a, "o_custkey").localCheckpoint()
+    val kmvB = thetaKmvOf(b, "o_custkey").localCheckpoint()
+    val tA = thetaOf(kmvA).select(col("theta").as("ta"))
+    val tB = thetaOf(kmvB).select(col("theta").as("tb"))
+    val th = least(col("ta"), col("tb"))
+    def onlySample(x: DataFrame, y: DataFrame) =
+      x.join(y, Seq("h"), "left_anti")
+        .crossJoin(tA).crossJoin(tB).filter(col("h") < th)
+        .agg(count(lit(1)).as("c"))
+    val cA = onlySample(kmvA, kmvB).select(col("c").as("c_only_a"))
+    val cB = onlySample(kmvB, kmvA).select(col("c").as("c_only_b"))
+    val exA = a.distinct().exceptAll(b.distinct())
+      .agg(count(lit(1)).as("n_exact_only_a"))
+    val exB = b.distinct().exceptAll(a.distinct())
+      .agg(count(lit(1)).as("n_exact_only_b"))
+    def relErr(est: Column, exact: Column): Column =
+      when(exact > 0L,
+        round(abs(est - exact.cast("double")) / exact.cast("double"), 4))
+    val estA = thetaEst(col("c_only_a"), th)
+    val estB = thetaEst(col("c_only_b"), th)
+    tA.crossJoin(tB).crossJoin(cA).crossJoin(cB).crossJoin(exA).crossJoin(exB)
+      .select(lit(thetaK.toLong).as("k"), th.as("theta"),
+        estA.as("est_only_a"), estB.as("est_only_b"),
+        col("n_exact_only_a"), col("n_exact_only_b"),
+        relErr(estA, col("n_exact_only_a")).as("rel_err_a"),
+        relErr(estB, col("n_exact_only_b")).as("rel_err_b"))
+  }
+
+  /** Streaming KMV sketch — the Theta family's streaming half,
+    * completing the batch/incremental/streaming triple the HLL/CMS/HDR
+    * families already carry: the k smallest distinct key hashes as
+    * O(k) MANAGED STATE (`mapGroupsWithState` on a single group —
+    * KMV's bottom-k is not a groupable aggregate like HLL's
+    * per-register max, so the state is the capped sorted array
+    * itself), emitting the current (h, theta) sketch frame each
+    * batch in update mode. The update is the KMV union (re-min of
+    * state ∪ batch hashes), so after any prefix of the stream the
+    * emitted frame equals the BATCH sketch of the keys seen so far —
+    * the merge == recompute property ThetaSketchSpec pins across
+    * waves (the train-batch/serve-stream discipline applied to
+    * sketch state). State is bounded at k·8 bytes forever; a
+    * production shard would run one group per shard key and re-min
+    * shard frames at read time (the mergeability the batch spec
+    * certifies).
+    */
+  def streamingThetaSketch(keys: DataFrame, keyCol: String): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    keys.select(thetaHash(col(keyCol)).as("h")).as[Long]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (_, hs, state) =>
+          val prev = state.getOption.getOrElse(Array.empty[Long])
+          val merged = (prev.iterator ++ hs).toArray.distinct.sorted
+            .take(thetaK)
+          state.update(merged)
+          val theta = if (merged.length < thetaK) thetaM else merged.last
+          merged.iterator.map(h => (h, theta))
+      }
+      .toDF("h", "theta")
+  }
+
   def hllCohortOverlap(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables(spark, dir, "orders")
       .select(col("o_orderpriority"), col("o_custkey"))

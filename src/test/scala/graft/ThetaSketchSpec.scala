@@ -98,6 +98,47 @@ class ThetaSketchSpec extends SparkSpec {
     // 0/1 = 0 — never a 0/0 (ANSI mode would throw)
   }
 
+  test("streaming KMV sketch equals the batch sketch after every wave " +
+    "(merge == recompute as managed state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Long]
+    val q = Sketches.streamingThetaSketch(
+        in.toDF().toDF("o_custkey"), "o_custkey")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("thetastream").start()
+    try {
+      def frame(): Map[Long, Long] =
+        spark.table("thetastream").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def batch(upTo: Seq[Long]): Map[Long, Long] = {
+        val kmv = Sketches.thetaKmvOf(ids(upTo), "o_custkey")
+          .collect().map(_.getLong(0))
+        val th = if (kmv.length < Sketches.thetaK) M else kmv.max
+        kmv.map(_ -> th).toMap
+      }
+      // wave 1: under k — exact mode, theta = M
+      val w1 = (1L to 150L)
+      in.addData(w1: _*); q.processAllAvailable()
+      assert(frame() === batch(w1))
+      // wave 2: push past k, with overlap — state re-mins to the
+      // bottom k of EVERYTHING seen, theta = k-th smallest
+      val w2 = (100L to 2000L)
+      in.addData(w2: _*); q.processAllAvailable()
+      val expect = batch((w1 ++ w2).distinct)
+      // update-mode memory sink accumulates rows; the LATEST emission
+      // per hash is the live sketch — reconcile by keeping rows whose
+      // theta equals the final (minimum emitted) theta
+      val finalTheta = expect.values.head
+      val live = spark.table("thetastream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .filter(_._2 == finalTheta).toMap
+      assert(live === expect,
+        "post-wave-2 sketch must equal the batch bottom-k of all keys")
+    } finally q.stop()
+  }
+
   test("q_theta_overlap exact columns: theta = min, k pinned, honesty " +
     "column consistent") {
     val row = Sketches.thetaOverlap(spark, "/root/testdata/sf0.001").head()
