@@ -274,6 +274,7 @@ object SparkEntry {
     "q_hll_overlap" -> (operators.Sketches.hllCohortOverlap _),
     "q_theta_overlap" -> (operators.Sketches.thetaOverlap _),
     "q_theta_diff" -> (operators.Sketches.thetaDiff _),
+    "q_theta_frame" -> (operators.Sketches.thetaFrameQuery _),
     "text_bpe_merges" ->
       ((s: SparkSession, d: String) => operators.BpeTrainer.train(s, d)),
     "text_bpe_fertility" ->
@@ -5979,6 +5980,19 @@ object SparkEntry {
          |    round(abs(${est("c_only_b")} - CAST(n_exact_only_b AS DOUBLE)) /
          |          CAST(n_exact_only_b AS DOUBLE), 4) END AS rel_err_b
          |FROM ta, tb, coa, cob, exa, exb""".stripMargin
+    },
+    // the sketch STATE certified as data (the q_hll_registers
+    // discipline): the k smallest 60-bit hashes of the urgent cohort
+    "q_theta_frame" -> {
+      val k = operators.Sketches.thetaK
+      val hex15 = (0 until 15).map(o =>
+        s"(strpos('0123456789abcdef', substr(d, ${1 + o}, 1)) - 1) * " +
+          s"CAST(${BigInt(16).pow(14 - o)} AS BIGINT)").mkString(" + ")
+      s"""WITH hh AS (
+         |  SELECT DISTINCT ($hex15) AS h
+         |  FROM (SELECT md5(CAST(o_custkey AS VARCHAR)) AS d
+         |        FROM orders WHERE o_orderpriority = '1-URGENT'))
+         |SELECT h FROM hh ORDER BY h LIMIT $k""".stripMargin
     },
     "q_hll_distinct" -> {
       val m = operators.Sketches.hllRegisters

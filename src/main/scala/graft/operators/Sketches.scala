@@ -860,6 +860,19 @@ object Sketches {
             col("n_exact_both").cast("double"), 4)).as("rel_err"))
   }
 
+  /** Driver query certifying the KMV sketch STATE itself
+    * (`q_theta_frame`) — the Theta sibling of [[hllRegistersQuery]]'s
+    * discipline: the k smallest hashes of the urgent cohort ARE the
+    * frame a 1000-executor run ships between shards and re-mins, so
+    * they are emitted as data and hash-checked, not hidden inside an
+    * estimate. One row per retained hash, ordered.
+    */
+  def thetaFrameQuery(spark: SparkSession, dir: String): DataFrame =
+    thetaKmvOf(Tables(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey"), "o_custkey")
+      .orderBy("h")
+
   /** THETA SET DIFFERENCE (`q_theta_diff`) — completes the E156
     * algebra (union, intersection, now A∖B and B∖A): below the common
     * threshold θ = min(θ_A, θ_B) BOTH sketches are complete samples of
