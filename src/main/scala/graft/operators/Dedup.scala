@@ -72,7 +72,9 @@ object Dedup {
     * operators (LSH banding) consume; the sort is oracle-output only.
     */
   private[operators] def signaturesUnsorted(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    // spread: the md5-shingle kernel is the cost; a single-row-group
+    // file would serialize it on one core (Tables.spread scaladoc)
+    Tables.spread(spark, dir, "documents")
       .filter(length(col("text")) >= 8)
       .withColumn("sig",
         graft.functions.NgramMinHashMd5.signature(col("text"), 8, numHashes))
@@ -100,12 +102,18 @@ object Dedup {
       .map(j => col(s"h$j")): _*).cast("binary")).as(s"b$b")
 
   /** (doc_id, b0..b{n-1}) → long (doc_id, band, key) band table — the
-    * shared explode step of every LSH variant.
+    * shared explode step of every LSH variant. ONE posexplode pass:
+    * the historical union-of-per-band-selects existed to manufacture
+    * parallelism out of a 1-partition signature checkpoint, but once
+    * the signature scan itself is spread (Tables.spread) it multiplies
+    * tasks by nBands × partitions — the r18 sweep profile read ~1,800
+    * tiny tasks for the 8+16+32 geometries, pure scheduling overhead
+    * (guide §2.2: fewer, larger tasks).
     */
   private def bandTable(sigs: DataFrame, nBands: Int): DataFrame =
-    (0 until nBands).map(b =>
-        sigs.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("key")))
-      .reduce(_ unionByName _)
+    sigs.select(col("doc_id"),
+        posexplode(array((0 until nBands).map(b => col(s"b$b")): _*)))
+      .toDF("doc_id", "band", "key")
 
   /** Checkpointed band table over the k=16 seeded-slice signatures.
     * Materialized once: the band join references this subtree on both
@@ -164,7 +172,7 @@ object Dedup {
 
   private def affineSignaturesUnsorted(spark: SparkSession, dir: String,
                                        k: Int): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.spread(spark, dir, "documents") // spread: md5+affine kernel
       .filter(length(col("text")) >= 8)
       .withColumn("sig",
         graft.functions.NgramMinHashAffine.signature(col("text"), 8, k))
@@ -252,7 +260,7 @@ object Dedup {
     (0 until simhashBands).map(b => (fp >> (b * simhashBandBits)) & 0xFFFFL)
 
   private def simhashUnsorted(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables(spark, dir, "documents")
+    val tok = Tables.spread(spark, dir, "documents") // spread: per-token md5
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
       .select(col("doc_id"), md5(col("w").cast("binary")).as("d"))
       .select(col("doc_id"),

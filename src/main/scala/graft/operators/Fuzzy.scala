@@ -52,7 +52,7 @@ object Fuzzy {
     * blocking declaratively) hashes bit-equal.
     */
   def nameJoin(spark: SparkSession, dir: String): DataFrame = {
-    val nm = Tables(spark, dir, "customer")
+    val nm = Tables.spread(spark, dir, "customer") // spread: O(m) explode kernel
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
       .filter(length(col("name")) >= 2)
     // identity form + each delete-one-char variant, deduped per string
@@ -239,7 +239,10 @@ object Fuzzy {
     */
   private def variantForms(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val nm = Tables(spark, dir, "customer")
+    // spread: the O(m²)-per-row FNV enumeration is the family's kernel;
+    // a single-row-group scan would run it all on one core (cold build;
+    // the warm memoized path is unaffected)
+    val nm = Tables.spread(spark, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
       .filter(length(col("name")) >= 2)
     nm.as[(Long, String)].mapPartitions { it =>

@@ -628,25 +628,37 @@ object Pq {
       .join(broadcast(cb), "m")
       .select(col("q_id"), col("m"), col("c_id"),
         dist2(col("sub"), col("c_emb")).as("term"))
-    // ADC: join candidates' codes against the LUT, ordered-fold the M
-    // terms so the double sum is cross-engine deterministic
+    // ADC: join candidates' codes against the LUT, then sum the M
+    // terms in ascending-m order. One CODEGEN'D conditional sum per
+    // subspace (m is unique per (q, vec) group, so each sum is exactly
+    // that subspace's term) replaces the former collect_list +
+    // sort_array + interpreted `aggregate` lambda — higher-order
+    // functions run on the interpreted path, 10-100× too slow for a
+    // per-candidate hot loop (guide §1.2 step 2 / repo gotcha). The
+    // read-off (0.0 + t0) + t1 + … reproduces the fold's IEEE op
+    // sequence bit-for-bit (same ascending-m order, same 0.0 seed).
+    val termSums = (0 until numSubspaces).map(i =>
+      coalesce(sum(when(col("__m") === i, col("term"))), lit(0.0)).as(s"t$i"))
     val adcPairs = candidatePairs match {
       case None =>
         codes
           .join(lut, codes("m") === lut("m") && codes("code") === lut("c_id"))
           .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("__m", codes("m"))
           .groupBy(col("q_id"), col("vec_id"))
-          .agg(sort_array(collect_list(struct(codes("m"), col("term")))).as("ts"))
+          .agg(termSums.head, termSums.tail: _*)
       case Some(cand) =>
         cand
           .join(codes, "vec_id")
           .join(lut, Seq("q_id", "m"))
           .filter(col("c_id") === col("code"))
+          .withColumn("__m", col("m"))
           .groupBy(col("q_id"), col("vec_id"))
-          .agg(sort_array(collect_list(struct(col("m"), col("term")))).as("ts"))
+          .agg(termSums.head, termSums.tail: _*)
     }
     val adc = adcPairs.select(col("q_id"), col("vec_id"),
-      round(expr("aggregate(ts, CAST(0 AS DOUBLE), (acc, t) -> acc + t.term)"), 4).as("adc"))
+      round((lit(0.0) +: (0 until numSubspaces).map(i => col(s"t$i")))
+        .reduce(_ + _), 4).as("adc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
     adc.withColumn("rn", row_number().over(w))

@@ -48,7 +48,7 @@ object Profiling {
 
   /** Per-column profile of the orders table, one row per column. */
   def columnProfile(spark: SparkSession, dir: String): DataFrame =
-    stacked(Tables(spark, dir, "orders"))
+    stacked(Tables.spread(spark, dir, "orders")) // spread: 6x stack + distinct partials
       .groupBy("col_name")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_null"),

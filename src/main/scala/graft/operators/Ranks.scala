@@ -57,6 +57,45 @@ object Ranks {
       .drop("__pid", "__lrn", "__off")
   }
 
+  /** The k-th row (1-based) of a total order — [[global]]'s selection
+    * twin for callers that read off ONE order statistic (a median, a
+    * percentile pin) instead of needing every rank: same range-stage +
+    * per-partition-count passes, but then sorts ONLY the partition that
+    * holds rank k (the counts locate it), where [[global]] would sort
+    * and rank every partition just to filter all but one row away. The
+    * saved work is the whole downstream sort: at a corpus-sized input,
+    * N·log(N/p) per partition across all p partitions collapses to one
+    * partition's share.
+    *
+    * Same contracts as [[global]]: the order must be total (callers
+    * tie-break on a unique column), the staged frame is materialized
+    * once (localCheckpoint) so the partition ids are frozen between the
+    * count pass and the read-off, and the per-partition count collect
+    * is numPartitions-sized. k ≤ 0 or k > rows returns an empty frame
+    * with the input schema (the degenerate-corpus contract).
+    */
+  def kth(df: DataFrame, k: Long, order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val staged = df.repartitionByRange(nParts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = staged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    var target = -1
+    var off = 0L
+    if (k > 0) counts.foreach { case (p, n) =>
+      if (target < 0 && acc + n >= k) { target = p; off = acc }
+      acc += n
+    }
+    val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    staged.filter(col("__pid") === target)
+      .withColumn("__lrn", row_number().over(local).cast("long"))
+      .filter(col("__lrn") === (k - off))
+      .drop("__pid", "__lrn")
+  }
+
   /** Several independent total orders ranked in ONE staged pass: the
     * input carries a TAG column naming which order each row belongs
     * to (e.g. three skinny (custkey, tag, metric) projections unioned

@@ -446,9 +446,25 @@ object Stats {
     *
     * Shape (100 TB): daily reduction, broadcast triangular pair build
     * over the calendar-bounded frame (≈3·10⁶ pairs at a 2500-day
-    * corpus — constant in corpus size), range-partitioned rank.
+    * corpus — constant in corpus size), range-partitioned SELECTION
+    * ([[Ranks.kth]] — only the rank-holding partition sorts).
+    *
+    * r18 optimization (guide §2.4/§2.5/§2.6), measured on the stage
+    * profile: (a) the post-agg daily frame AQE-coalesces to ONE
+    * partition, which serialized both the O(n²) pair build and the
+    * range-exchange map side behind it (two ~2 s single-task stages at
+    * sf0.1) — `repartition(nParts)` of the calendar-bounded stream
+    * side spreads both; (b) n_pairs was re-counted by running the
+    * whole broadcast pair build a SECOND time — over the distinct-day
+    * frame the d2<day theta-join emits exactly C(n_days,2) rows, so
+    * both n_pairs and the median rank derive from the daily count (a
+    * calendar-bounded driver count, the Ranks offsets discipline);
+    * (c) the full two-pass rank sorted every partition only to filter
+    * all rows but rank k — [[Ranks.kth]] sorts just the one partition
+    * the counts locate. 5.16 s → see OPTIMIZATION_r18.md.
     */
   def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val daily = Tables(spark, dir, "orders")
       .groupBy(expr(
         s"unix_micros(cast(o_orderdate as timestamp)) div ${Behavior.dayUs}")
@@ -456,20 +472,18 @@ object Stats {
       .agg(sum(col("o_totalprice")
         .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("x"))
       .localCheckpoint() // calendar-bounded daily frame
-    val pairs = daily
+    val nDays = daily.count() // calendar-bounded, same discipline as
+    // the Ranks per-partition-count collect
+    val nPairs = nDays * (nDays - 1) / 2
+    val pairs = daily.repartition(nParts)
       .join(broadcast(daily.select(col("day").as("d2"), col("x").as("x2"))),
         col("d2") < col("day"))
       .select(col("d2").as("d1"), col("day").as("dd"),
         ((col("x") - col("x2")).cast("double") /
           (col("day") - col("d2")).cast("double")).as("slope"))
-    val m = pairs.agg(count(lit(1)).as("n_pairs"))
-    val nd = daily.agg(count(lit(1)).as("n_days"))
-    val ranked = Ranks.global(pairs, "rk",
-      col("slope").asc, col("d1").asc, col("dd").asc)
-    ranked.crossJoin(broadcast(m))
-      .filter(col("rk") === expr("(n_pairs + 1) div 2"))
-      .crossJoin(broadcast(nd))
-      .select(col("n_days"), col("n_pairs"),
+    Ranks.kth(pairs, (nPairs + 1) / 2,
+        col("slope").asc, col("d1").asc, col("dd").asc)
+      .select(lit(nDays).as("n_days"), lit(nPairs).as("n_pairs"),
         round(col("slope"), 6).as("sen_slope"))
   }
 

@@ -220,7 +220,7 @@ object TextAnalysis {
     val afterEmail = regexp_replace(col("text"), lit(piiEmailRe), lit("<EMAIL>"))
     val afterUrl = regexp_replace(afterEmail, lit(piiUrlRe), lit("<URL>"))
     val redacted = regexp_replace(afterUrl, lit(piiIdRe), lit("<ID>"))
-    Tables(spark, dir, "documents")
+    Tables.spread(spark, dir, "documents") // spread: 3 regex passes/row
       .select(
         col("doc_id"),
         regexp_count(col("text"), lit(piiEmailRe)).cast("long").as("n_emails"),
@@ -471,7 +471,7 @@ object TextAnalysis {
       "ellipsis_ok" -> (nEllLines * 10L < nLines * 3L),
       "alpha_ok" -> (nAlpha * 5L >= nWords * 4L),
       "stop_ok" -> (nStop >= 2L))
-    Tables(spark, dir, "documents")
+    Tables.spread(spark, dir, "documents") // spread: regex-rule kernel
       .select(col("doc_id") +: nWords.as("n_words") +:
         checks.map { case (n, c) => c.as(n) }: _*)
       .withColumn("gopher_pass",
@@ -578,7 +578,7 @@ object TextAnalysis {
     * aggregates from one explode instead of recomputing it.
     */
   def noveltyScores(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables(spark, dir, "documents")
+    val grams = Tables.spread(spark, dir, "documents") // spread: gram explode
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"),
         explode(array_distinct(expr(

@@ -50,19 +50,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
 
-  test("minhash signatures: narrow until the output sort (no pre-sort shuffle)") {
+  test("minhash signatures: spread below the kernel, no post-kernel hash shuffle") {
     val df = Dedup.minhashSignatures(spark, dir)
     val p = plan(df)
-    // rangepartitioning for the final orderBy is fine; no hash shuffle
-    assert(shuffles(p) === 0, s"signature pass must not hash-shuffle:\n$p")
+    // exactly ONE hash exchange: the r18 Tables.spread repartition that
+    // parallelizes the md5 kernel off a single-row-group scan — and it
+    // must sit BELOW the kernel (spread rows, then hash), with nothing
+    // hash-shuffling the wide signature rows after the kernel
+    // (rangepartitioning for the final orderBy is fine)
+    assert(shuffles(p) === 1, s"signature pass: spread exchange only:\n$p")
+    // printed plans list downstream first: the kernel projection must
+    // appear ABOVE (before) the spread exchange it consumes
+    assert(p.indexOf("ngram_minhash_md5") <
+      p.indexOf("Exchange hashpartitioning(pmod(xxhash64"),
+      s"spread must run below the kernel:\n$p")
     // the single-pass native expression is in the plan (not a UDF or
     // a composed shingle-array pipeline)
     assert(p.contains("ngram_minhash_md5"), s"expected native expression:\n$p")
   }
 
-  test("wide minhash signatures: narrow until the output sort, native affine expr") {
+  test("wide minhash signatures: spread below the kernel, native affine expr") {
     val p = plan(Dedup.minhashWide(spark, dir))
-    assert(shuffles(p) === 0, s"wide signature pass must not hash-shuffle:\n$p")
+    assert(shuffles(p) === 1, s"wide signature pass: spread exchange only:\n$p")
     assert(p.contains("ngram_minhash_affine"), s"expected native expression:\n$p")
   }
 
