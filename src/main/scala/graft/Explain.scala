@@ -19,10 +19,12 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // bench-only rows (no oracle form) have plans worth reviewing too
+    val all = SparkEntry.queries ++ SparkEntry.benchOnly
+    val names = if (args.nonEmpty) args.toSeq else all.keys.toSeq.sorted
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      all(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

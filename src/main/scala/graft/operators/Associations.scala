@@ -40,7 +40,7 @@ object Associations {
     * identically in the oracle.
     */
   def marketBasket(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables(spark, dir, "lineitem")
+    val items = Tables.spread(spark, dir, "lineitem") // spread: 6M-row distinct partials
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
       .localCheckpoint() // feeds the total, item counts, and the pair join
@@ -95,7 +95,7 @@ object Associations {
     *    the raw per-order expansion is a constant, never corpus-scaled.
     */
   def basketTriples(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables(spark, dir, "lineitem")
+    val items = Tables.spread(spark, dir, "lineitem") // spread: 6M-row distinct partials
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
       .localCheckpoint() // feeds the total, item counts, pairs, triples

@@ -81,8 +81,11 @@ object Fuzzy {
       .select("id1", "id2", "n1", "n2")
       .distinct()
     cand
-      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
-      .filter(col("dist") <= tau)
+      // thresholded verify: the banded O(m·τ) DP with early abandon
+      // (Spark ≥3.5 3-arg levenshtein; returns −1 past the threshold)
+      // — kept pairs carry the exact distance, identical output
+      .withColumn("dist", levenshtein(col("n1"), col("n2"), tau).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("id1").as("a_custkey"), col("id2").as("b_custkey"),
         col("dist"))
       .orderBy("a_custkey", "b_custkey")
@@ -220,13 +223,22 @@ object Fuzzy {
     // shuffle once into a hash join — still never sorted, still
     // never base × base
     guarded(d, deltaForms, maxForms).join(b, Seq("h")).filter(gapOk)
-      .select("new_id", "existing_id").distinct()
+      .select("new_id", "existing_id")
+      // width-pinned repartition on the distinct's own keys: replaces
+      // the agg exchange (same clustering) and is exempt from AQE
+      // coalescing, which shrank this byte-small candidate frame to 3
+      // partitions and serialized the name-attach + levenshtein verify
+      // behind it (measured ~3 CPU-s stages at 3 tasks; guide §2.5)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("new_id"), col("existing_id"))
+      .distinct()
       .join(guarded(nmAll.select(col("id").as("new_id"),
         col("name").as("n1")), nNames, maxNames), Seq("new_id"))
       .join(guarded(nmAll.select(col("id").as("existing_id"),
         col("name").as("n2")), nNames, maxNames), Seq("existing_id"))
-      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
-      .filter(col("dist") <= tau2)
+      .withColumn("dist",
+        levenshtein(col("n1"), col("n2"), tau2).cast("long")) // banded DP
+      .filter(col("dist") >= 0)
       .select(col("new_id").as("new_custkey"),
         col("existing_id").as("existing_custkey"), col("dist"))
       .orderBy("new_custkey", "existing_custkey")
@@ -443,8 +455,9 @@ object Fuzzy {
         nNames, maxNames), Seq("id1"))
       .join(guarded(nm.select(col("id").as("id2"), col("name").as("n2")),
         nNames, maxNames), Seq("id2"))
-      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
-      .filter(col("dist") <= tau2)
+      .withColumn("dist",
+        levenshtein(col("n1"), col("n2"), tau2).cast("long")) // banded DP
+      .filter(col("dist") >= 0)
       .select(col("id1").as("a_custkey"), col("id2").as("b_custkey"),
         col("dist"))
       .orderBy("a_custkey", "b_custkey")
@@ -481,7 +494,7 @@ object Fuzzy {
       .join(guarded(nm.select(col("id").as("id2"), col("name").as("n2")),
         nNames, maxBroadcastNames), Seq("id2"))
       .agg(count(lit(1)).as("n_candidate_pairs"),
-        coalesce(sum(when(levenshtein(col("n1"), col("n2")) <= tau2, 1L)
+        coalesce(sum(when(levenshtein(col("n1"), col("n2"), tau2) >= 0, 1L)
           .otherwise(0L)), lit(0L)).as("n_matched_pairs"))
     val n = nm.agg(count(lit(1)).as("n_strings"))
     n.crossJoin(stats)
